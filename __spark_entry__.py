@@ -1,38 +1,887 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship extraction-shaped query at sf0.001.
+``queries()``      — one named entry per implemented operator from
+                     SURVEY.md §2 ([ref] surface, [gap→builtin] Catalyst
+                     surface, [ext] LLM-pipeline operators).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL per query (omitted only
+                     for genuinely non-SQL-expressible ops: LSH/ANN
+                     candidate generation, SimHash signatures — those get
+                     rows-only checks and are property-tested in tests/).
+
+Determinism discipline (cross-engine hash matching):
+- aggregates over doubles are computed in DECIMAL (exact, order-free)
+  and cast to DOUBLE at the end on BOTH sides;
+- per-row double arithmetic is IEEE-deterministic and used freely;
+- LIMIT queries carry a total ORDER BY on a unique key;
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from subgraph_extractor_spark.session import configure
+from subgraph_extractor_spark.sources.readers import load_table
+from subgraph_extractor_spark.functions.mappings import clamp, downscale, validity
+from subgraph_extractor_spark.functions.uint256 import (
+    be_bytes_to_decimal38,
+    uint256_to_be_bytes,
+)
+from subgraph_extractor_spark.operators import asof as asof_ops
+from subgraph_extractor_spark.operators import dedup as dedup_ops
+from subgraph_extractor_spark.operators import similarity as sim_ops
+from subgraph_extractor_spark.operators import text_analysis as ta
+from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction-shaped flagship at sf0.001 (SURVEY §7.1): block-range
+    scan on the block-like key, derived/dropped columns, broadcast dim
+    join, latest-version-per-entity window."""
+    sf = "/root/testdata/sf0.001"
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    scan = (
+        orders.filter((F.col("o_orderkey") >= 0) & (F.col("o_orderkey") < 4096))
+        .withColumn("_block_number", F.col("o_orderkey"))
+        .drop("o_orderpriority")
+    )
+    joined = scan.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        scan["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("_block_number").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "c_name", "c_mktsegment", "_block_number",
+            "o_totalprice", "o_orderstatus",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — [ref] scan / projection / filter surface
+# --------------------------------------------------------------------------
+
+def q_s1_range_scan(spark, sf):
+    # S1+P1+P2+P3 (cli.py:24-53): half-open block-range scan with derived
+    # _block_number and dropped bookkeeping columns.
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") < 5000))
+        .withColumn("_block_number", F.col("event_id"))
+        .drop("event_id", "ts", "props")
+        .select("_block_number", "user_id", "event_type", "value")
+    )
+
+
+def q_s4_distinct_listing(spark, sf):
+    # S4 (cli.py:366-380): DISTINCT + ORDER BY listing
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_s5_preview_limit(spark, sf):
+    # S5+O3 (cli.py:429-434): deterministic preview (total order + LIMIT)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_p4_downscale(spark, sf):
+    # P4 (cli.py:115-119): floor-division downscale
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        downscale(F.col("l_orderkey").cast("decimal(38,0)"), 16)
+        .cast("bigint")
+        .alias("okey_div16"),
+    )
+
+
+def q_p5_clamp_validity(spark, sf):
+    # P5 (cli.py:120-130, README.md:63-75): clamp + validity flag
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        clamp(F.col("o_totalprice"), 200000.0, 0.0).alias("price_clamped"),
+        validity(F.col("o_totalprice"), 200000.0).alias("price_valid"),
+    )
+
+
+def q_p6_uint256_roundtrip(spark, sf):
+    # P6 (cli.py:139-142): uint256 -> 32-byte BE bytes -> back; values
+    # pushed beyond 2^64 to exercise the wide domain.  The oracle is the
+    # identity — the round-trip must be lossless.
+    li = _t(spark, sf, "lineitem")
+    # width budget: (18,0)*(19,0) -> (38,0); +(18,0) stays in 38 digits on
+    # both engines (a wider cast makes DuckDB fall back to DOUBLE)
+    big = (
+        F.col("l_orderkey").cast("decimal(18,0)")
+        * F.lit(10**18).cast("decimal(19,0)")
+        + F.col("l_partkey").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            # string carrier: >2^53 values survive every pandas conversion
+            be_bytes_to_decimal38(uint256_to_be_bytes(big))
+            .cast("string")
+            .alias("big_id"),
+        )
+    )
+
+
+def q_p7_multi_target_mapping(spark, sf):
+    # P7 (cli.py:113-133): one source column -> several derived columns
+    o = _t(spark, sf, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.floor(price * 100).cast("bigint").alias("price_cents"),
+        clamp(price, 200000.0, 0.0).alias("price_capped"),
+        validity(price, 200000.0).alias("price_capped_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — joins
+# --------------------------------------------------------------------------
+
+def q_j1_catalog_join_chain(spark, sf):
+    # J1 (cli.py:72-92): 3-way LEFT join chain over small dims + filter +
+    # casted/aliased projection; dims broadcast.
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(r, n["n_regionkey"] == r["r_regionkey"], "left")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+def q_j2_anti_join(spark, sf):
+    # J2 (cli.py:302-313 semantics, data-level): left anti join
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_j3_semi_join(spark, sf):
+    # J3: left semi join
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+def q_j3_full_outer(spark, sf):
+    # J3: full outer join with null-extension on both sides
+    cn = _t(spark, sf, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = _t(spark, sf, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cn.join(
+        sn, cn["c_nationkey"] == sn["s_nationkey"], "full_outer"
+    ).select("c_nationkey", "n_customers", "s_nationkey", "n_suppliers")
+
+
+def q_j5_range_join(spark, sf):
+    # J3 range/theta join, bucket-accelerated (operators.asof.range_join):
+    # equi-join on computed buckets + residual predicate instead of a
+    # nested-loop cross product.
+    ev = _t(spark, sf, "events").select("event_id", "user_id")
+    iv = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("lo"),
+        (F.col("event_id") + 300).alias("hi"),
+        F.col("user_id").alias("iv_user"),
+    )
+    out = asof_ops.range_join(ev, iv, "event_id", "lo", "hi", bucket_width=128)
+    return out.select("event_id", "user_id", "lo", "iv_user")
+
+
+def q_j6_asof_join(spark, sf):
+    # J3 as-of join (union + watermark-window plan, operators.asof):
+    # last purchase value at-or-before each event, per user.
+    ev = _t(spark, sf, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts"), F.col("value").alias("last_purchase_value")
+    )
+    out = asof_ops.asof_join(
+        left, right, "user_id", "ts", "ts", ["last_purchase_value"]
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+def q_j4_similarity_topk(spark, sf):
+    # J4 [ext]: exact cosine top-k neighbors (rank output; float values
+    # deliberately excluded from the comparison surface).
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return sim_ops.brute_force_topk(q, emb, "embedding", "vec_id", k=5)
+
+
+# --------------------------------------------------------------------------
+# queries — aggregation / window / sort / set ops
+# --------------------------------------------------------------------------
+
+def q_a1_minmax_watermark(spark, sf):
+    # A1 (cli.py:80-81,105-107): watermark min/max aggregation
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.min("event_id").alias("earliest_block"),
+        F.max("event_id").alias("latest_block"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_a3_pricing_summary(spark, sf):
+    # A3 (TPC-H Q1 shape): grouped aggregates with exact decimal sums
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_a4_rollup(spark, sf):
+    # A4: rollup with subtotal rows
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    joined = c.join(n, c["c_nationkey"] == n["n_nationkey"], "left").join(
+        r, n["n_regionkey"] == r["r_regionkey"], "left"
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_a4_cube(spark, sf):
+    # A4: cube over two independent dimensions
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_a6_distinct_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+def q_w1_latest_version(spark, sf):
+    # §2.5: latest-version-per-entity — THE versioned-entity query
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_w2_lag_delta(spark, sf):
+    # §2.5: analytic lag — version deltas
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def q_w3_running_sum(spark, sf):
+    # §2.5: frame-based running aggregate (exact decimal accumulation)
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,3)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("event_id")
+        ).alias("seq"),
+    )
+
+
+def q_o5_topk(spark, sf):
+    # O5: top-k (TakeOrderedAndProject)
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_set_ops(spark, sf):
+    # §2.7: intersect / except composition on data
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only_c = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+# --------------------------------------------------------------------------
+# queries — scalar function surface (§2.8)
+# --------------------------------------------------------------------------
+
+def q_f_json(spark, sf):
+    # JSON accessor on events.props
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def q_f_string(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)", 1).alias("name_digits"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+    )
+
+
+def q_f_date(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .groupBy("order_year", "order_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_f_array(spark, sf):
+    # array accessors on embeddings.embedding (exact element ops only)
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e_first"),
+        F.element_at("embedding", 64).cast("double").alias("e_last"),
+    )
+
+
+def q_f_window_tumbling(spark, sf):
+    # §2.9 [ext] batch formulation of the tumbling-window stream agg
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — [ext] LLM-data-pipeline operators
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup_ops.exact_dedup_by_hash(d, "text", "doc_id")
+
+
+def q_dedup_minhash(spark, sf):
+    # MinHash-LSH near-dup (no SQL oracle: LSH banding; verified in
+    # tests/test_dedup.py against brute-force Jaccard ground truth)
+    d = _t(spark, sf, "documents")
+    return dedup_ops.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf):
+    # SimHash near-dup (no SQL oracle; property-tested)
+    d = _t(spark, sf, "documents")
+    return dedup_ops.simhash_dedup_pairs(d, "text", "doc_id", max_distance=3)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    # exact n-gram Jaccard — the verification face of near-dedup, run
+    # all-pairs here so the SQL oracle can mirror it; the LSH-restricted
+    # variant is dedup_minhash
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        dedup_ops.word_shingles(F.col("text"), 3).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    l, r = sh.alias("l"), sh.alias("r")
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            dedup_ops.jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def q_ann_lsh(spark, sf):
+    # ANN via sign-LSH buckets (no SQL oracle: approximate by design;
+    # recall vs exact baseline asserted in tests/test_similarity.py)
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.ann_topk_lsh(emb, "embedding", "vec_id", k=5)
+
+
+def q_text_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    )
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.quality_features(d, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"
+    )
+
+
+def q_text_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", ta.predict_lang(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", ta.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_range_scan": q_s1_range_scan,
+    "s4_distinct_listing": q_s4_distinct_listing,
+    "s5_preview_limit": q_s5_preview_limit,
+    "p4_downscale": q_p4_downscale,
+    "p5_clamp_validity": q_p5_clamp_validity,
+    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
+    "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "j1_catalog_join_chain": q_j1_catalog_join_chain,
+    "j2_anti_join": q_j2_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "j3_full_outer": q_j3_full_outer,
+    "j5_range_join": q_j5_range_join,
+    "j6_asof_join": q_j6_asof_join,
+    "j4_similarity_topk": q_j4_similarity_topk,
+    "a1_minmax_watermark": q_a1_minmax_watermark,
+    "a3_pricing_summary": q_a3_pricing_summary,
+    "a4_rollup": q_a4_rollup,
+    "a4_cube": q_a4_cube,
+    "a6_distinct_agg": q_a6_distinct_agg,
+    "w1_latest_version": q_w1_latest_version,
+    "w2_lag_delta": q_w2_lag_delta,
+    "w3_running_sum": q_w3_running_sum,
+    "o5_topk": q_o5_topk,
+    "set_ops": q_set_ops,
+    "f_json": q_f_json,
+    "f_string": q_f_string,
+    "f_date": q_f_date,
+    "f_array": q_f_array,
+    "f_window_tumbling": q_f_window_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_lsh": q_ann_lsh,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_lang": q_text_lang,
+    "text_fingerprint": q_text_fingerprint,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str) -> str:
+    """Mirror of text_analysis.word_count_of/lang_scores: pad + collapse
+    whitespace to double spaces, count token-delimited marker hits."""
+    d = "regexp_replace(concat(' ', trim(lower(text)), ' '), '\\s+', '  ', 'g')"
+    parts = []
+    for w in LANG_MARKERS[lang]:
+        pat = f" {w} "
+        parts.append(
+            f"CAST((length({d}) - length(replace({d}, '{pat}', ''))) / {len(pat)} AS INT)"
+        )
+    return " + ".join(parts)
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: f"score_{lang}" for lang in langs}
+    # argmax with alphabetical tie-break == text_analysis.predict_lang
+    best = f"'{langs[0]}'"
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        best = f"CASE WHEN {scores[lang]} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {scores[lang]} > {best_score} THEN {scores[lang]} ELSE {best_score} END"
+    inner = ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in langs)
+    return (
+        f"SELECT doc_id, CASE WHEN {best_score} <= 0 THEN 'und' ELSE {best} END AS pred_lang "
+        f"FROM (SELECT doc_id, {inner} FROM documents)"
+    )
+
+
+_WS_TOKENS = "len(string_split_regex(trim(text), '\\s+'))"
+
+ORACLES: dict[str, str] = {
+    "s1_range_scan": """
+        SELECT event_id AS _block_number, user_id, event_type, value
+        FROM events WHERE event_id >= 1000 AND event_id < 5000
+    """,
+    "s4_distinct_listing": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "s5_preview_limit": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+    "p4_downscale": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_orderkey / 16.0) AS BIGINT) AS okey_div16
+        FROM lineitem
+    """,
+    "p5_clamp_validity": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= 200000.0 THEN o_totalprice ELSE 0.0 END AS price_clamped,
+               o_totalprice <= 200000.0 AS price_valid
+        FROM orders
+    """,
+    "p6_uint256_roundtrip": """
+        SELECT l_orderkey,
+               CAST(CAST(CAST(l_orderkey AS DECIMAL(18,0))
+                    * CAST(1000000000000000000 AS DECIMAL(19,0))
+                    + CAST(l_partkey AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS VARCHAR) AS big_id
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "p7_multi_target_mapping": """
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CASE WHEN o_totalprice <= 200000.0 THEN o_totalprice ELSE 0.0 END AS price_capped,
+               o_totalprice <= 200000.0 AS price_capped_valid
+        FROM orders
+    """,
+    "j1_catalog_join_chain": """
+        SELECT c_custkey, c_name AS customer, n_name AS nation, r_name AS region
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        WHERE c_acctbal > 0
+    """,
+    "j2_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "j3_semi_join": """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+    """,
+    "j3_full_outer": """
+        SELECT c_nationkey, n_customers, s_nationkey, n_suppliers
+        FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+        ON c_nationkey = s_nationkey
+    """,
+    "j5_range_join": """
+        SELECT e.event_id, e.user_id, i.lo, i.iv_user
+        FROM events e
+        JOIN (SELECT event_id AS lo, event_id + 300 AS hi, user_id AS iv_user
+              FROM events WHERE event_id % 97 = 0) i
+        ON e.event_id >= i.lo AND e.event_id < i.hi
+    """,
+    "j6_asof_join": """
+        SELECT l.event_id, l.user_id, r.value AS last_purchase_value
+        FROM events l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "j4_similarity_topk": """
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+    """,
+    "a1_minmax_watermark": """
+        SELECT MIN(event_id) AS earliest_block, MAX(event_id) AS latest_block,
+               COUNT(*) AS n_rows
+        FROM events
+    """,
+    "a3_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "a4_rollup": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "a4_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "a6_distinct_agg": """
+        SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem
+    """,
+    "w1_latest_version": """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "w2_lag_delta": """
+        SELECT user_id, event_id,
+               value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS value_delta,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        FROM events
+    """,
+    "w3_running_sum": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS seq
+        FROM events
+    """,
+    "o5_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+    "set_ops": """
+        SELECT nationkey, 'both' AS which FROM
+            (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS which FROM
+            (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    "f_json": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        FROM events
+    """,
+    "f_string": """
+        SELECT c_custkey,
+               UPPER(c_mktsegment) AS segment_upper,
+               CAST(LENGTH(c_name) AS INT) AS name_len,
+               SUBSTR(c_name, 1, 8) AS name_prefix,
+               COALESCE(regexp_extract(c_name, '(\\d+)', 1), '') AS name_digits,
+               CONCAT_WS('|', c_mktsegment, c_name) AS seg_name
+        FROM customer
+    """,
+    "f_date": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
+    "f_array": """
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS e_first,
+               CAST(embedding[64] AS DOUBLE) AS e_last
+        FROM embeddings
+    """,
+    "f_window_tumbling": """
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT sha256(text) AS content_sha256,
+               MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, len(toks) - 1)]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                         / len(list_distinct(l.grams || r.grams)) END AS jaccard
+        FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
+                   ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                        / len(list_distinct(l.grams || r.grams)) END >= 0.2
+    """,
+    "text_tokens": f"""
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN 0 ELSE CAST({_WS_TOKENS} AS INT) END AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    out = dict(ORACLES)
+    out["text_lang"] = _lang_pred_sql()
+    # text_quality mirrors quality_features exactly (per-row IEEE math)
+    d2 = "regexp_replace(concat(' ', trim(lower(text)), ' '), '\\s+', '  ', 'g')"
+    stop_terms = " + ".join(
+        f"CAST((length({d2}) - length(replace({d2}, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in LANG_MARKERS["en"]
+    )
+    out["text_quality"] = f"""
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_chars_nows AS DOUBLE) / n_tokens END AS mean_token_len
+        FROM (
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                   LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_nows,
+                   {stop_terms} AS n_stop
+            FROM documents
+        )
     """
-    return {}
+    return out

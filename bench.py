@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing includes full materialization (count of every result) but not
+session startup; each query is run once after a warm-up query primes the
+JVM/codegen.  The headline set spans the operator space: scan+filter,
+broadcast join chain, grouped agg, window, top-k, range join, as-of,
+dedup (exact + MinHash-LSH), ANN, text profiling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "s1_range_scan",
+    "j1_catalog_join_chain",
+    "a3_pricing_summary",
+    "w1_latest_version",
+    "o5_topk",
+    "j5_range_join",
+    "j6_asof_join",
+    "f_window_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_lsh",
+    "text_tokens",
+    "text_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from subgraph_extractor_spark import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # warm-up: prime JVM, parquet footer caches, Python workers
+    qs["a1_minmax_watermark"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

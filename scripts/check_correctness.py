@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate:
+run every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, compare row count + schema + order-
+insensitive value hash.  Usage:
+
+    python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+    return df
+
+
+def value_hash(df: pd.DataFrame, float_decimals: int = 6) -> str:
+    df = canon(df)
+    rows = []
+    for row in df.itertuples(index=False):
+        parts = []
+        for v in row:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                parts.append("∅")
+            elif isinstance(v, float):
+                parts.append(f"{v:.{float_decimals}g}")
+            else:
+                parts.append(str(v))
+        rows.append("|".join(parts))
+    rows.sort()
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from subgraph_extractor_spark import get_spark
+
+    spark = get_spark("correctness", master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"oracle error: {e}"))
+            print(f"FAIL {name}: oracle error: {str(e)[:500]}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append("value hash mismatch")
+                a, b = canon(sdf), canon(odf)
+                try:
+                    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+                    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+                    neq = (a.astype(str) != b.astype(str)).any(axis=1)
+                    print(f"  first diffs for {name}:")
+                    print(pd.concat([a[neq].head(3), b[neq].head(3)]))
+                except Exception:
+                    pass
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            passed += 1
+            print(f"ok   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{passed} matched, {rows_only} rows-only, {len(failures)} failed"
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,248 @@
+"""End-to-end incremental extraction pipeline (Spark-first redesign).
+
+Reference lifecycle (cli.py:275-339; SURVEY §3): config gate → watermark
+read → hierarchical partition plan → per-partition Postgres scan → column
+mapping/typing → one Parquet file per partition in hive-style dirs →
+consolidated ``_metadata`` manifest → watermark commit.  The reference
+executes this as a sequential single-threaded loop, one SQL query + one
+pandas materialization + one file per partition (cli.py:296-326).
+
+Spark-first redesign — same observable layout and commit semantics, but the
+data path is ONE distributed job per table instead of a driver loop:
+
+1.  Each row is assigned its (partition_size, start_partition,
+    end_partition) with pure Catalyst arithmetic: the delta cover is
+    summarized into a handful of contiguous same-size segments, so the
+    assignment is an O(#segments) CASE over ``floor(block / size) * size``
+    — whole-stage codegen, no UDF, no per-partition query.
+2.  Rows outside the delta (already-exported or incomplete-tail blocks)
+    are filtered out by the same segment predicate — on Parquet sources
+    this prunes at row-group min/max level.
+3.  One shuffle repartitions by the partition tuple (so each planned
+    partition becomes exactly one output file), rows sorted by block
+    within partitions (files are block-sorted like the reference's ORDER BY,
+    cli.py:44), then a single ``partitionBy(...).parquet`` write with
+    dynamic partition overwrite → idempotent re-writes for crash recovery.
+4.  Planned partitions that received zero rows still get an (empty, typed)
+    Parquet file — the reference writes them too and the manifest needs the
+    complete cover (SURVEY §4.2).
+5.  Commit ordering preserved: data files → per-table ``_metadata``
+    manifest → dataset watermark (cli.py:312-339; crash-recovery contract
+    tested in the reference at tests/test_get_column_info.py:181-225).
+
+At 100 TB this means: full scan parallelism, one shuffle keyed by the
+partition tuple (naturally balanced — partitions are fixed block ranges),
+and no driver-side data movement at all.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.functions.mappings import (
+    compile_column_mappings,
+    enforce_assertions,
+)
+from subgraph_extractor_spark.plans.config_gate import ensure_config_unchanged
+from subgraph_extractor_spark.plans.manifest import write_consolidated_metadata
+from subgraph_extractor_spark.plans.partitions import (
+    Partition,
+    get_partitions,
+    plan_delta,
+)
+from subgraph_extractor_spark.plans.watermark import read_watermark, write_watermark
+
+PARTITION_COLS = ["partition_size", "start_partition", "end_partition"]
+BLOCK_COLUMN = "_block_number"
+
+
+@dataclass(frozen=True)
+class Segment:
+    """A maximal run of contiguous, same-size partitions in a cover."""
+
+    size: int
+    lo: int
+    hi: int
+
+
+def segments_of(cover: list[Partition]) -> list[Segment]:
+    """Merge a partition set into contiguous same-size segments; this is
+    what keeps the row→partition assignment O(#segments), independent of
+    the number of partitions."""
+    out: list[Segment] = []
+    for p in sorted(cover):
+        if out and out[-1].size == p.size and out[-1].hi == p.start:
+            out[-1] = Segment(p.size, out[-1].lo, p.end)
+        else:
+            out.append(Segment(p.size, p.start, p.end))
+    return out
+
+
+def assign_partitions(
+    df: DataFrame, block_col: str, delta: list[Partition]
+) -> DataFrame:
+    """Tag each row with its delta partition tuple and drop rows outside
+    the delta.  Pure Catalyst: CASE over contiguous segments +
+    floor-alignment arithmetic."""
+    segs = segments_of(delta)
+    if not segs:
+        return df.limit(0).withColumns(
+            {c: F.lit(None).cast("long") for c in PARTITION_COLS}
+        )
+    b = F.col(block_col)
+    size_expr = F.lit(None).cast("long")
+    # Build reversed so the first segment ends up as the outermost WHEN.
+    for s in reversed(segs):
+        size_expr = (
+            F.when((b >= F.lit(s.lo)) & (b < F.lit(s.hi)), F.lit(s.size))
+            .otherwise(size_expr)
+        )
+    df = df.withColumn("partition_size", size_expr).filter(
+        F.col("partition_size").isNotNull()
+    )
+    start = (F.floor(b / F.col("partition_size")) * F.col("partition_size")).cast(
+        "long"
+    )
+    return df.withColumn("start_partition", start).withColumn(
+        "end_partition", (start + F.col("partition_size")).cast("long")
+    )
+
+
+def partition_dir(table_dir: str, p: Partition) -> str:
+    return os.path.join(
+        table_dir,
+        f"partition_size={p.size}",
+        f"start_partition={p.start}",
+        f"end_partition={p.end}",
+    )
+
+
+def _list_partition_files(table_dir: str, p: Partition) -> list[str]:
+    d = partition_dir(table_dir, p)
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+
+def _write_empty_partition(empty_table, d: str) -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "part-empty.parquet")
+    pq.write_table(empty_table, path)
+    return path
+
+
+def extract_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    delta: list[Partition],
+    cover: list[Partition],
+    block_column: str = BLOCK_COLUMN,
+    sort_within: bool = True,
+) -> list[str]:
+    """Write all delta partitions of one table in one distributed job,
+    top up empty partitions, and commit the manifest over the full cover.
+    Returns the manifest's file list."""
+    if delta:
+        tagged = assign_partitions(df, block_column, delta)
+        writer = tagged.repartition(*[F.col(c) for c in PARTITION_COLS])
+        if sort_within:
+            writer = writer.sortWithinPartitions(*PARTITION_COLS, block_column)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            writer.write.mode("overwrite")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(table_dir)
+        )
+        # Empty planned partitions still need typed placeholder files.
+        missing = [p for p in delta if not _list_partition_files(table_dir, p)]
+        if missing:
+            empty = (
+                assign_partitions(df, block_column, delta)
+                .drop(*PARTITION_COLS)
+                .limit(0)
+                .toArrow()
+            )
+            for p in missing:
+                _write_empty_partition(empty, partition_dir(table_dir, p))
+
+    files = [f for p in cover for f in _list_partition_files(table_dir, p)]
+    if files:
+        write_consolidated_metadata(table_dir, files)
+    return files
+
+
+def run_extraction(
+    spark: SparkSession,
+    config: dict,
+    tables: dict[str, DataFrame],
+    output_dir: str,
+    earliest_block: int,
+    latest_block: int,
+) -> dict[str, list[str]]:
+    """The library entry point, mirroring the reference's ``extract()``
+    (cli.py:275-339): pure function of (config, sources, output), with
+    re-entrant incremental semantics.
+
+    ``config`` shape (reference tests/test_get_column_info.py:16-25 +
+    README.md:46-97)::
+
+        name: str, version: str, subgraph: str
+        tables:
+          <name>:
+            partition_sizes: [524288, 32768, 1024]
+            block_column: _block_number        # optional, ours
+            numeric_columns: [...]             # uint256-carrier columns
+            column_mappings: {src: {dest: {type, downscale?, max_value?,
+                                           default?, validity_column?}}}
+            drop_columns: [vid, block_range]   # optional
+    """
+    dataset_dir = os.path.join(output_dir, config["name"], config["version"])
+    ensure_config_unchanged(dataset_dir, config)
+
+    previous = read_watermark(dataset_dir)
+    prev_latest = previous.get("latest_block")
+
+    written: dict[str, list[str]] = {}
+    for table_name, tconf in config["tables"].items():
+        sizes = tconf["partition_sizes"]
+        block_col = tconf.get("block_column", BLOCK_COLUMN)
+        df = tables[table_name]
+
+        compiled = compile_column_mappings(
+            tconf.get("column_mappings"), tconf.get("numeric_columns", ())
+        )
+        enforce_assertions(df, compiled)
+        out_df = compiled.apply(df).drop(*tconf.get("drop_columns", ()))
+
+        cover = get_partitions(earliest_block, latest_block, sizes)
+        prev_cover = (
+            get_partitions(earliest_block, prev_latest, sizes)
+            if prev_latest is not None
+            else None
+        )
+        delta = plan_delta(prev_cover, cover)
+
+        table_dir = os.path.join(
+            dataset_dir,
+            "data",
+            f"subgraph={config['subgraph']}",
+            f"table={table_name}",
+        )
+        written[table_name] = extract_table(
+            spark, out_df, table_dir, delta, cover, block_column=block_col
+        )
+
+    # Watermark LAST — the run-level commit point (cli.py:329-339).
+    write_watermark(dataset_dir, earliest_block, latest_block)
+    return written

@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extraction runs as Arrow-batched pandas over
+``mapInPandas``, which is exactly how a 100 TB media pipeline should be
+shaped on Spark: bytes never pass through the driver, each task decodes
+its own Arrow batches, and the output schema is declared up front so
+Catalyst can prune/push around the opaque stage.
+
+The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are stubbed (clearly marked) behind ``set_decoder``: the
+default "decoder" computes deterministic fake features (content length +
+sha256-derived values) so the Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is fully real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> list[float]:
+    """STUB decoder: deterministic 8-dim 'feature' from the sha256 digest.
+    Replace via set_decoder() with a real image/audio/video kernel —
+    the surrounding Spark plumbing is unchanged."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+_DECODER: Callable[[bytes, str], list[float]] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, str], list[float]]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Media DataFrame (MEDIA_SCHEMA) -> per-item feature rows
+    (FEATURE_SCHEMA) via mapInPandas.  Arrow streams batches into Python;
+    each batch is decoded row-wise inside the worker (the real decoder
+    would typically be vectorized C under the hood)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": [
+                        _DECODER(None if p is None else bytes(p), k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Schema-preserving image resize stage.  STUB: raises in the kernel
+    (no imaging libs in this container) unless a real decoder was set;
+    plumbing (mapInPandas, schema passthrough, meta update) is real."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raise NotImplementedError(
+                "image resize requires an imaging library (e.g. PIL) not "
+                "present in this environment; install one and set_decoder()"
+            )
+            yield pdf  # pragma: no cover
+
+    out_schema = media.schema
+    return media.mapInPandas(resize_batches, schema=out_schema)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Frame-sampling stage returning one row per sampled frame.  The
+    frame timestamps are computed Spark-side from meta.duration_ms
+    (real); frame decode is the stubbed kernel."""
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+        "payload",
+    )
+    return frames
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table exercising the full schema."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(16, 256)))
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                (
+                    f"{kind}/x-test",
+                    rng.randint(8, 64) if kind == "image" else None,
+                    rng.randint(8, 64) if kind == "image" else None,
+                    rng.randint(1000, 60000) if kind != "image" else None,
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,149 @@
+"""Text analysis operators for training-data pipelines (driver mandate):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built-in Catalyst string/array expressions — regexes,
+higher-order functions, hash functions — deliberately chosen so (a) the
+hot path is whole-stage codegen with zero Python, and (b) each operator
+has an exactly-equivalent ANSI-SQL formulation for the DuckDB differential
+oracle (integer/string ops only; no float accumulation ambiguity except
+where per-row, which is IEEE-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword marker sets per language.  (The fixture's
+# documents are synthetic word-salad, so marker-based scoring is the
+# mechanism under test, not linguistic accuracy.)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count; '' -> 0.  (A5 / [ext] token counting)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_count_of(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whitespace-delimited token, computed
+    with pure string arithmetic (length difference / pattern length) so
+    the same expression is portable to any SQL dialect."""
+    padded = F.concat(F.lit(" "), F.trim(F.lower(text)), F.lit(" "))
+    pat = f" {word} "
+    # overlapping-safe: replace needs a second pass for " w w w "; pad by
+    # doubling spaces first so every token is independently delimited.
+    doubled = F.regexp_replace(padded, r"\s+", "  ")
+    return (
+        (F.length(doubled) - F.length(F.replace(doubled, F.lit(pat))))
+        / F.lit(len(pat))
+    ).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum(
+            (word_count_of(text, w) for w in words), F.lit(0)
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker scores, deterministic tie-break by language code
+    order; 'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores):  # alphabetical = deterministic tie-break
+        cand = scores[lang]
+        if best is None:
+            best_lang, best_score = F.lit(lang), cand
+            best = True
+        else:
+            is_better = cand > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, cand).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.  Per-row
+    float division only (IEEE-deterministic, oracle-safe)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_stop = sum((word_count_of(t, w) for w in LANG_MARKERS["en"]), F.lit(0))
+    mean_tok = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        # whitespace-free char count / token count
+        F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+        / n_tokens.cast("double")
+    )
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("bigint"),
+            "n_tokens": n_tokens.cast("bigint"),
+            "punct_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                n_punct.cast("double") / n_chars.cast("double")
+            ),
+            "stopword_ratio": F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                n_stop.cast("double") / n_tokens.cast("double")
+            ),
+            "mean_token_len": mean_tok,
+        }
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalization-stable exact fingerprint: sha256 of the lowercased,
+    whitespace/punctuation-collapsed text.  Survives reflow/casing — the
+    first-line dedup key in a crawl pipeline."""
+    normalized = F.regexp_replace(F.lower(text), r"[^a-z0-9À-￿]+", " ")
+    return F.sha2(F.trim(normalized), 256)
+
+
+def winnowing_fingerprints(
+    text: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    k-gram token hashes; per sliding window keep the minimum hash; return
+    the distinct minima.  Robust local fingerprints for partial-overlap
+    detection.  Built entirely from HOFs (transform windows + array_min).
+    """
+    from subgraph_extractor_spark.operators.dedup import word_shingles
+
+    grams = word_shingles(text, k)  # distinct k-grams in order of first use
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n = F.size(hashes)
+    return F.when(n <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+                lambda i: F.array_min(
+                    F.slice(hashes, i + 1, F.least(F.lit(window), n))
+                ),
+            )
+        )
+    )
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-stop per-document profile: id, token count, predicted language,
+    quality features, content fingerprint."""
+    out = quality_features(df, text_col)
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        predict_lang(F.col(text_col)).alias("pred_lang"),
+        F.col("punct_ratio"),
+        F.col("stopword_ratio"),
+        F.col("mean_token_len"),
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )

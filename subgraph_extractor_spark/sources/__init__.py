@@ -1,0 +1,5 @@
+from subgraph_extractor_spark.sources.readers import (  # noqa: F401
+    load_table,
+    load_tables,
+    range_scan,
+)

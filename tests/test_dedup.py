@@ -1,0 +1,89 @@
+"""Dedup operators: exact dedup, MinHash-LSH recall vs brute-force
+Jaccard, SimHash consistency, representative pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators import dedup
+from subgraph_extractor_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df, "text", "doc_id").collect()
+    assert sorted((r["text"], r["doc_id"]) for r in out) == [
+        ("hello world", 1),
+        ("other text", 3),
+    ]
+    hashed = dedup.exact_dedup_by_hash(df, "text", "doc_id")
+    rows = {r["doc_id"]: r["n_copies"] for r in hashed.collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_recall_against_bruteforce(spark, docs):
+    """LSH candidates + exact verification must recover (almost) all true
+    high-Jaccard pairs.  Brute-force ground truth over the 500-doc corpus."""
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        dedup.word_shingles(F.col("text"), 3).alias("_sh"),
+    ).cache()
+    l, r = sh.alias("l"), sh.alias("r")
+    truth = (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("j", dedup.jaccard(F.col("l._sh"), F.col("r._sh")))
+        .filter(F.col("j") >= 0.5)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "j"
+        )
+    )
+    truth_pairs = {(row["id_a"], row["id_b"]) for row in truth.collect()}
+    assert truth_pairs, "fixture should contain near-duplicate documents"
+
+    got = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    got_pairs = {(row["id_a"], row["id_b"]) for row in got.collect()}
+    # verification guarantees precision == 1.0 w.r.t. the same threshold
+    assert got_pairs <= truth_pairs
+    # 128 hashes / 32 bands: P(candidate) at j=0.5 per band ~ 1-(1-0.5^4)^32
+    # ~ .87; allow a little slack but expect high recall
+    recall = len(got_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)]
+    rows += [(10, "totally different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(df, "text", "doc_id", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "spark catalyst tungsten engine"), (2, "spark catalyst tungsten engine"),
+         (3, "completely other topic words")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_dedup_pairs(df, "text", "doc_id", max_distance=0)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert (1, 2, 0) in got
+    assert not any(a == 3 or b == 3 for a, b, _ in got)
+
+
+def test_dedup_keep_representatives(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    kept = dedup.dedup_keep_representatives(docs, pairs, "doc_id")
+    n_losers = pairs.select("id_b").distinct().count()
+    assert kept.count() == docs.count() - n_losers
+    # every surviving pair member is a minimal representative
+    survivors = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for row in pairs.collect():
+        assert row["id_b"] not in survivors

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: schema, batching, deterministic fake decode,
+frame sampling arithmetic; real decoders are stubbed (no media libs in
+this environment)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthetic_media(spark, 24).cache()
+
+
+def test_extract_features_schema_and_determinism(spark, media):
+    feats = mm.extract_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "kind", "n_bytes", "feature",
+    ]
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 24
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, r in rows.items():
+        payload = bytes(src[mid]["payload"])
+        assert r["n_bytes"] == len(payload)
+        digest = hashlib.sha256(payload).digest()
+        expected = [b / 255.0 for b in digest[:8]]
+        # feature column is float32: compare within single precision
+        assert r["feature"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_resize_is_explicit_stub(spark, media):
+    with pytest.raises(Exception) as ei:
+        mm.resize_images(media, 32, 32).count()
+    assert "NotImplementedError" in str(ei.value) or "imaging" in str(ei.value)
+
+
+def test_video_frame_sampling(spark, media):
+    frames = mm.sample_video_frames(media, every_ms=1000)
+    rows = frames.collect()
+    assert rows
+    durations = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    from collections import Counter
+
+    per_media = Counter(r["media_id"] for r in rows)
+    for mid, n in per_media.items():
+        expected = (durations[mid] - 1) // 1000 + 1
+        assert n == expected

@@ -1,0 +1,97 @@
+"""Text analysis: token counts vs python reference, lang-id determinism,
+fingerprints, winnowing."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators import text_analysis as ta
+
+
+def test_token_count_matches_python(spark):
+    samples = [
+        "", "  ", "one", "two words", "  padded   tokens  here ",
+        "a\tb\nc", "the the the",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], ["i", "text"])
+    rows = df.select("i", ta.token_count(F.col("text")).alias("n")).collect()
+    for r in rows:
+        expected = len(samples[r["i"]].split())
+        assert r["n"] == expected, f"{samples[r['i']]!r}"
+
+
+def test_word_count_of_handles_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the theatre loathe"), (3, "The THE tHe")],
+        ["i", "text"],
+    )
+    rows = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", ta.word_count_of(F.col("text"), "the").alias("n")
+        ).collect()
+    }
+    assert rows == {1: 3, 2: 1, 3: 3}  # token-delimited, case-folded
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el perro de la casa que los gatos"),
+            (3, "der hund und die katze das nicht"),
+            (4, "xyzzy plugh"),
+        ],
+        ["i", "text"],
+    )
+    rows = {
+        r["i"]: r["lang"]
+        for r in df.select("i", ta.predict_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert rows == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "Hello, world! the end.")], ["i", "text"])
+    row = ta.quality_features(df, "text").first()
+    text = "Hello, world! the end."
+    assert row["n_chars_q"] == len(text)
+    assert row["n_tokens"] == len(text.split())
+    punct = sum(1 for c in text if c in ".,;:!?")
+    assert abs(row["punct_ratio"] - punct / len(text)) < 1e-12
+    no_ws = re.sub(r"\s+", "", text)
+    assert abs(row["mean_token_len"] - len(no_ws) / len(text.split())) < 1e-12
+
+
+def test_content_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        ["i", "text"],
+    )
+    rows = {
+        r["i"]: r["fp"]
+        for r in df.select(
+            "i", ta.content_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert rows[1] == rows[2] != rows[3]
+    assert rows[2] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_winnowing_fingerprints(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words appended here"), (3, "unrelated")],
+        ["i", "text"],
+    )
+    rows = {
+        r["i"]: set(r["fp"] or [])
+        for r in df.select(
+            "i", ta.winnowing_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # shared prefix -> overlapping fingerprints; unrelated -> none shared
+    assert rows[1] & rows[2]
+    assert not (rows[1] & rows[3])
