@@ -511,6 +511,15 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_sim_topk_matmul(spark, sf):
+    # J4 [ext] exact top-k via broadcast matmul (FAISS-flat pattern) —
+    # same semantics as j4_similarity_topk, different physical plan; the
+    # oracle is identical.
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return sim_ops.topk_matmul(q, emb, "embedding", "vec_id", k=5)
+
+
 def q_ann_lsh(spark, sf):
     # ANN via sign-LSH buckets (no SQL oracle: approximate by design;
     # recall vs exact baseline asserted in tests/test_similarity.py)
@@ -564,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_range_join": q_j5_range_join,
     "j6_asof_join": q_j6_asof_join,
     "j4_similarity_topk": q_j4_similarity_topk,
+    "sim_topk_matmul": q_sim_topk_matmul,
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
     "a4_rollup": q_a4_rollup,
@@ -704,6 +714,18 @@ ORACLES: dict[str, str] = {
         ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "j4_similarity_topk": """
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+    """,
+    "sim_topk_matmul": """
         SELECT query_id, neighbor_id, rank FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (

@@ -31,6 +31,8 @@ HEADLINE = [
     "f_window_tumbling",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_matmul",
     "ann_lsh",
     "text_tokens",
     "text_lang",

