@@ -397,6 +397,151 @@ def q_set_ops(spark, sf):
     return both.unionByName(only_c)
 
 
+def q_a4_grouping_sets(spark, sf):
+    # A4: explicit GROUPING SETS (Spark SQL surface)
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_w4_analytics(spark, sf):
+    # §2.5 analytic functions: lead / first / last / ntile
+    ev = _t(spark, sf, "events")
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(wo).alias("next_event_id"),
+        F.first("event_id").over(wf).alias("first_event_id"),
+        F.last("event_id").over(wf).alias("last_event_id"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+def q_w5_range_frame(spark, sf):
+    # §2.5 RANGE frame: events within the last 100 block-ids per user
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_recent"),
+        F.sum(F.col("value").cast("decimal(18,3)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_recent_value"),
+    )
+
+
+def q_set_ops_all(spark, sf):
+    # §2.7 multiset variants: UNION ALL + EXCEPT ALL
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(F.col("l_partkey").alias("key"))
+    )
+    pt = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") > 40)
+        .select(F.col("p_partkey").alias("key"))
+    )
+    return (
+        li.exceptAll(pt)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+def q_f_math(spark, sf):
+    # §2.8 math surface restricted to cross-engine-exact ops (IEEE sqrt,
+    # abs/sign, integer mod, greatest/least, floor/ceil)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("okey_mod7"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+def q_f_conditional(spark, sf):
+    # §2.8 conditional / null handling: CASE, coalesce, nullif, least-null
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 250000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_display"),
+    )
+
+
+def q_f_cast(spark, sf):
+    # §2.8 cast matrix (string<->int, timestamp->date->string)
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.concat(F.lit("k"), F.col("o_custkey").cast("string"))
+        .alias("custkey_tag"),
+    )
+
+
+def q_a5_ngram_stats(spark, sf):
+    # A5 [ext]: corpus-level bigram frequencies (explode + count), top 50
+    d = _t(spark, sf, "documents")
+    bigrams = d.select(
+        F.explode(dedup_ops.word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+def q_j7_state_asof(spark, sf):
+    # the latent interval/point query of the reference's data model
+    # (SURVEY §2.3): each event opens a per-user validity interval
+    # [event_id, next_event_id); report the live version per user as of a
+    # fixed block — built with lead() then contains-point filter.
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    versions = ev.select(
+        "user_id",
+        F.col("event_id").alias("block_start"),
+        F.lead("event_id").over(w).alias("block_end"),
+        "event_type",
+        "value",
+    )
+    as_of = 5000
+    return versions.filter(
+        (F.col("block_start") <= as_of)
+        & (F.col("block_end").isNull() | (F.col("block_end") > as_of))
+    )
+
+
 # --------------------------------------------------------------------------
 # queries — scalar function surface (§2.8)
 # --------------------------------------------------------------------------
@@ -578,14 +723,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_pricing_summary": q_a3_pricing_summary,
     "a4_rollup": q_a4_rollup,
     "a4_cube": q_a4_cube,
+    "a4_grouping_sets": q_a4_grouping_sets,
     "a6_distinct_agg": q_a6_distinct_agg,
+    "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
+    "w4_analytics": q_w4_analytics,
+    "w5_range_frame": q_w5_range_frame,
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
+    "set_ops_all": q_set_ops_all,
+    "j7_state_asof": q_j7_state_asof,
     "f_json": q_f_json,
     "f_string": q_f_string,
+    "f_math": q_f_math,
+    "f_conditional": q_f_conditional,
+    "f_cast": q_f_cast,
     "f_date": q_f_date,
     "f_array": q_f_array,
     "f_window_tumbling": q_f_window_tumbling,
@@ -765,6 +919,83 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "a4_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "a5_ngram_stats": """
+        SELECT bigram, COUNT(*) AS n_docs FROM (
+            SELECT unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                         FOR i IN range(1, len(toks))])) AS bigram
+            FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 2
+        ) GROUP BY bigram
+        ORDER BY n_docs DESC, bigram ASC LIMIT 50
+    """,
+    "w4_analytics": """
+        SELECT user_id, event_id,
+               LEAD(event_id) OVER w AS next_event_id,
+               FIRST_VALUE(event_id) OVER wf AS first_event_id,
+               LAST_VALUE(event_id) OVER wf AS last_event_id,
+               NTILE(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+               wf AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "w5_range_frame": """
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_recent,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE) AS sum_recent_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+    """,
+    "set_ops_all": """
+        SELECT key, COUNT(*) AS multiplicity FROM (
+            SELECT l_partkey AS key FROM lineitem WHERE l_orderkey < 500
+            EXCEPT ALL
+            SELECT p_partkey AS key FROM part WHERE p_size > 40
+        ) GROUP BY key
+    """,
+    "j7_state_asof": """
+        SELECT user_id, block_start, block_end, event_type, value FROM (
+            SELECT user_id, event_id AS block_start,
+                   LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS block_end,
+                   event_type, value
+            FROM events
+        ) WHERE block_start <= 5000 AND (block_end IS NULL OR block_end > 5000)
+    """,
+    "f_math": """
+        SELECT l_orderkey,
+               ABS(l_discount - 0.05) AS disc_dev,
+               SQRT(l_quantity) AS qty_sqrt,
+               l_orderkey % 7 AS okey_mod7,
+               GREATEST(l_tax, l_discount) AS max_rate,
+               LEAST(l_tax, l_discount) AS min_rate,
+               CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "f_conditional": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 250000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               NULLIF(o_orderstatus, 'O') AS status_or_null,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_display
+        FROM orders
+    """,
+    "f_cast": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS okey_str,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+               CAST(TRUNC(o_totalprice) AS INT) AS price_int,  -- Spark cast truncates; DuckDB's rounds
+               CONCAT('k', CAST(o_custkey AS VARCHAR)) AS custkey_tag
+        FROM orders
     """,
     "a6_distinct_agg": """
         SELECT COUNT(DISTINCT l_suppkey) AS n_supp,

@@ -87,11 +87,19 @@ def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
     """End-to-end streaming smoke: read the events parquet as a file
     stream (one file = one micro-batch), aggregate tumbling counts into a
     memory sink, return the materialized result DataFrame."""
+    import os
+    import tempfile
+
     schema = spark.read.parquet(events_path).schema
+    # file streams need a directory source; stage the fixture into one
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet")
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(events_path)
+        .parquet(stage_dir)
     )
     from pyspark.sql import types as T
 

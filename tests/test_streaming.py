@@ -1,0 +1,53 @@
+"""Structured Streaming surface: the streaming plans must (a) run as real
+streams against the events fixture via a file source + memory sink, and
+(b) agree with their batch formulation (the point of the unified API)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.sources import load_table
+from subgraph_extractor_spark.streaming.demo import (
+    run_memory_stream_demo,
+    sessionized_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    streamed = run_memory_stream_demo(
+        spark, f"{sf_dir}/events.parquet", window="10 minutes"
+    )
+    batch = tumbling_counts_stream(load_table(spark, sf_dir, "events"))
+    s = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert s == b and len(s) > 0
+
+
+def test_sliding_and_session_windows_batch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    slid = sliding_counts_stream(ev, window="10 minutes", slide="5 minutes")
+    rows = slid.collect()
+    assert rows
+    # every event lands in exactly 2 sliding windows -> total count doubles
+    total = sum(r["n_events"] for r in rows)
+    assert total == 2 * ev.count()
+
+    sess = sessionized_stream(ev, gap="30 minutes").collect()
+    assert sess
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    # sessions of one user never overlap
+    for windows in by_user.values():
+        windows.sort()
+        for (s1, e1), (s2, _) in zip(windows, windows[1:]):
+            assert e1 <= s2
