@@ -158,6 +158,66 @@ def q_p6_uint256_roundtrip(spark, sf):
     )
 
 
+def q_p6_uint256_sum(spark, sf):
+    # P6 in the aggregation hot path: encode uint256-domain values to
+    # 32-byte bytes, decode back, and SUM the decoded decimals per group
+    # — proves the codec is usable for query-side arithmetic, not just
+    # storage (README.md:52-55 motivation).
+    li = _t(spark, sf, "lineitem")
+    # FLOOR to cents first: decimal scale-reduction rounding differs
+    # between engines (Spark HALF_UP, DuckDB truncates)
+    big = (
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+        * F.lit(10**7).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    decoded = be_bytes_to_decimal38(uint256_to_be_bytes(big))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(decoded).cast("decimal(38,0)").cast("string").alias(
+                "sum_wei"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_p8_mapping_compiler(spark, sf):
+    # P4+P5+P7 through the CONFIG COMPILER itself (functions.mappings):
+    # the same YAML shape the reference consumes (README.md:56-97),
+    # compiled to Column expressions and applied in one withColumns pass.
+    from subgraph_extractor_spark.functions.mappings import (
+        compile_column_mappings,
+    )
+
+    o = _t(spark, sf, "orders").withColumn(
+        "price_wei",
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+            * F.lit(10**7).cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    compiled = compile_column_mappings(
+        {
+            "price_wei": {
+                "price_gwei": {"type": "uint64", "downscale": 10**9},
+                "price_capped": {
+                    "type": "uint64",
+                    "max_value": 200000 * 10**9,
+                    "default": 0,
+                    "validity_column": "price_capped_valid",
+                },
+            }
+        }
+    )
+    return compiled.apply(o).select(
+        "o_orderkey",
+        F.col("price_gwei").cast("bigint").alias("price_gwei"),
+        F.col("price_capped").cast("string").alias("price_capped"),
+        "price_capped_valid",
+    )
+
+
 def q_p7_multi_target_mapping(spark, sf):
     # P7 (cli.py:113-133): one source column -> several derived columns
     o = _t(spark, sf, "orders")
@@ -672,6 +732,12 @@ def q_ann_lsh(spark, sf):
     return sim_ops.ann_topk_lsh(emb, "embedding", "vec_id", k=5)
 
 
+def q_ann_ivf(spark, sf):
+    # ANN via KMeans IVF cells (rows-only; recall asserted in tests)
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.ivf_topk(emb, "embedding", "vec_id", k=5)
+
+
 def q_text_tokens(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -703,6 +769,28 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_winnowing(spark, sf):
+    # winnowing local fingerprints (Schleimer et al.) — rows-only (xxhash
+    # values have no portable SQL form); overlap behaviour is asserted in
+    # tests/test_text.py
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(ta.winnowing_fingerprints(F.col("text"))).alias("n_fingerprints"),
+    )
+
+
+def q_emb_neardup(spark, sf):
+    # embedding cosine near-dup pairs (rows-only; threshold asserted in
+    # tests/test_similarity.py)
+    # fixture embeddings top out near cosine 0.51 pairwise, so the
+    # "near-dup" band for this corpus is the extreme high tail
+    emb = _t(spark, sf, "embeddings")
+    return dedup_ops.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
@@ -710,7 +798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p4_downscale": q_p4_downscale,
     "p5_clamp_validity": q_p5_clamp_validity,
     "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
+    "p6_uint256_sum": q_p6_uint256_sum,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "p8_mapping_compiler": q_p8_mapping_compiler,
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
     "j2_anti_join": q_j2_anti_join,
     "j3_semi_join": q_j3_semi_join,
@@ -748,10 +838,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_lang": q_text_lang,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnowing": q_text_winnowing,
+    "emb_neardup": q_emb_neardup,
 }
 
 
@@ -823,6 +916,25 @@ ORACLES: dict[str, str] = {
                     * CAST(1000000000000000000 AS DECIMAL(19,0))
                     + CAST(l_partkey AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS VARCHAR) AS big_id
         FROM lineitem WHERE l_linenumber = 1
+    """,
+    "p6_uint256_sum": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(18,0))
+                             * CAST(10000000 AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS VARCHAR) AS sum_wei,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "p8_mapping_compiler": """
+        SELECT o_orderkey,
+               -- DuckDB's decimal // rounds; FLOOR over double division is
+               -- exact here (wei < 2^53) and matches Spark's floor-div
+               CAST(FLOOR(CAST(price_wei AS DOUBLE) / 1000000000.0) AS BIGINT) AS price_gwei,
+               CAST(CASE WHEN price_wei <= 200000000000000 THEN price_wei ELSE 0 END AS VARCHAR) AS price_capped,
+               price_wei <= 200000000000000 AS price_capped_valid
+        FROM (SELECT o_orderkey,
+                     CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(18,0))
+                          * CAST(10000000 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS price_wei
+              FROM orders)
     """,
     "p7_multi_target_mapping": """
         SELECT o_orderkey,

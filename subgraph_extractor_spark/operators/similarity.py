@@ -187,6 +187,87 @@ def topk_matmul(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    scale path beside LSH.
+
+    Index build: KMeans (pyspark.ml, fixed seed) partitions the corpus
+    into ``n_cells`` Voronoi cells.  Query: score the ``n_probe`` nearest
+    centroids, then exact-rank only the members of those cells against
+    the broadcast corpus matrix.  Expected work per query ~ n_probe /
+    n_cells of the corpus.  At 100 TB the same structure shards by cell:
+    the cell assignment is a shuffle key, probes route queries to cell
+    partitions, and the merge is one per-query top-k.
+
+    Output: (query_id, neighbor_id, rank); recall asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    featured = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(unit_vector(F.col(vec_col))).alias("_feat"),
+    ).persist()
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_feat").fit(featured)
+    assigned = model.transform(featured).select(
+        "_id", "_v", F.col(model.getPredictionCol()).alias("_cell")
+    )
+
+    rows = assigned.collect()
+    c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = M / norms
+    cells = np.array([r["_cell"] for r in rows], dtype=np.int64)
+    centroids = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+    bc = spark.sparkContext.broadcast((c_ids, M, cells, centroids))
+    featured.unpersist()
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, rank int"
+
+    def probe_batches(batches):
+        ids_c, Mat, cell_of, cents = bc.value
+        for pdf in batches:
+            res_q, res_n, res_r = [], [], []
+            for qid, qv in zip(pdf[id_col], pdf[vec_col]):
+                q = np.asarray(qv, dtype=np.float64)
+                n = np.linalg.norm(q)
+                qn = q / n if n > 0 else q
+                probe = np.argsort(-(qn @ cents.T))[:n_probe]
+                mask = np.isin(cell_of, probe)
+                mask &= ids_c != qid  # exclude self
+                idxs = np.nonzero(mask)[0]
+                if len(idxs) == 0:
+                    continue
+                sims = qn @ Mat[idxs].T
+                order = np.lexsort((ids_c[idxs], -sims))
+                chosen = idxs[order][:k]
+                res_q.extend([qid] * len(chosen))
+                res_n.extend(ids_c[chosen].tolist())
+                res_r.extend(range(1, len(chosen) + 1))
+            yield pd.DataFrame(
+                {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        probe_batches, schema=out_schema
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 13) -> list[list[float]]:
     """Fixed pseudo-random Gaussian hyperplanes — literals in the plan, so
     signatures are reproducible across runs/sessions/clusters."""

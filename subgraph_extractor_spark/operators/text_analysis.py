@@ -11,6 +11,8 @@ where per-row, which is IEEE-deterministic).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,23 +117,40 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     k-gram token hashes; per sliding window keep the minimum hash; return
     the distinct minima.  Robust local fingerprints for partial-overlap
-    detection.  Built entirely from HOFs (transform windows + array_min).
-    """
-    from subgraph_extractor_spark.operators.dedup import word_shingles
+    detection.
 
-    grams = word_shingles(text, k)  # distinct k-grams in order of first use
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    n = F.size(hashes)
-    return F.when(n <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-                lambda i: F.array_min(
-                    F.slice(hashes, i + 1, F.least(F.lit(window), n))
-                ),
+    Arrow-batched numpy kernel (sliding_window_view minima) — the
+    HOF formulation costs tens of seconds of expression compile and runs
+    interpreted.  crc32 gram hashes: deterministic everywhere."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split() if t else []
+            if len(toks) < k:
+                out.append([])
+                continue
+            grams = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ]
+            h = np.array(
+                [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64
             )
-        )
-    )
+            if len(h) <= window:
+                out.append([int(h.min())])
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(
+                axis=1
+            )
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return winnow(text)
 
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

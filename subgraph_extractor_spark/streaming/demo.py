@@ -83,6 +83,37 @@ def sessionized_stream(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY §2.9 [ext]): per-user running totals maintained in explicit
+    state across micro-batches — the Spark-native form of a custom
+    stateful operator the reference has no counterpart for."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
     """End-to-end streaming smoke: read the events parquet as a file
     stream (one file = one micro-batch), aggregate tumbling counts into a

@@ -57,10 +57,24 @@ def test_ann_recall(spark, emb):
     assert recall >= 0.7, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall(spark, emb):
+    k = 5
+    exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
+    ivf = similarity.ivf_topk(emb, "embedding", "vec_id", k=k, n_cells=16, n_probe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    # clustered fixture: probing 4/16 cells should capture most true
+    # neighbors (they live in the query's own cluster)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
 def test_embedding_neardup_pairs(spark, emb):
     from subgraph_extractor_spark.operators.dedup import embedding_neardup_pairs
 
-    pairs = embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.99)
-    for r in pairs.collect():
-        assert r["cosine"] >= 0.99
+    pairs = embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    rows = pairs.collect()
+    assert rows, "fixture has pairs above cosine 0.4"
+    for r in rows:
+        assert r["cosine"] >= 0.4
         assert r["id_a"] < r["id_b"]

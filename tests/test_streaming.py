@@ -30,6 +30,44 @@ def test_stream_matches_batch(spark, sf_dir):
     assert s == b and len(s) > 0
 
 
+def test_stateful_user_totals_stream(spark, sf_dir, tmp_path):
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import stateful_user_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tmp_path / "stream_src"
+    stage.mkdir()
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), stage / "part-0.parquet"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(stage))
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "select * from user_totals"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # single source file -> one micro-batch -> one update row per user
+    assert got == expected
+
+
 def test_sliding_and_session_windows_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     slid = sliding_counts_stream(ev, window="10 minutes", slide="5 minutes")
