@@ -60,6 +60,38 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # the reference's core workload: full incremental extraction of a
+    # versioned table (plan -> tag -> one shuffled write -> manifest ->
+    # watermark), events as the entity table, event_id as block number
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from subgraph_extractor_spark.extract import run_extraction
+    from subgraph_extractor_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_block_number", F.col("event_id")
+    )
+    hi = ev.agg(F.max("event_id")).first()[0]
+    out = tempfile.mkdtemp(prefix="bench_extract_")
+    cfg = {
+        "name": "bench",
+        "version": "1",
+        "subgraph": "QmBench",
+        "tables": {
+            "events": {
+                "partition_sizes": [16384, 1024],
+                "drop_columns": ["props"],
+            }
+        },
+    }
+    t0 = time.time()
+    run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
+    timings["extract_events"] = round(time.time() - t0, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

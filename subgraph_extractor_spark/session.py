@@ -33,6 +33,10 @@ RUNTIME_CONFS = {
     # Timestamps in fixtures are naive UTC; keep the session in UTC so
     # Spark's TimestampType (UTC-normalized) collects identically to DuckDB.
     "spark.sql.session.timeZone": "UTC",
+    # Write modern INT64 micros, not legacy INT96: pyarrow-written empty
+    # partition placeholders and Spark-written files must share one
+    # schema for the consolidated _metadata manifest.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -189,6 +189,28 @@ def test_recoarsening_manifest_supersedes_small_files(spark, tmp_path):
     )
 
 
+def test_extraction_with_timestamp_column(spark, sf_dir, tmp_path):
+    """Regression: Spark's legacy INT96 timestamps vs pyarrow's INT64
+    empty-partition placeholders must not split the manifest schema
+    (session forces TIMESTAMP_MICROS)."""
+    from subgraph_extractor_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_block_number", F.col("event_id")
+    )
+    cfg = {
+        "name": "ts_ext", "version": "1", "subgraph": "QmTs",
+        "tables": {"events": {"partition_sizes": [512], "drop_columns": ["props"]}},
+    }
+    run_extraction(spark, cfg, {"events": ev}, str(tmp_path), 0, 1000)
+    td = os.path.join(
+        str(tmp_path), "ts_ext", "1", "data", "subgraph=QmTs", "table=events"
+    )
+    data = _read_via_manifest(td)
+    assert data.num_rows == ev.filter(F.col("event_id") < (1000 // 512) * 512).count()
+    assert "ts" in data.column_names
+
+
 def test_config_gate_rejects_drift(spark, tmp_path):
     out = str(tmp_path)
     tables = {"entity_versions": _entity_df(spark)}
