@@ -673,6 +673,86 @@ def q_f_window_tumbling(spark, sf):
     )
 
 
+def q_skew_salted_agg(spark, sf):
+    # skew-proof two-stage aggregation (operators.skew): identical result
+    # to the plain GROUP BY — that identity IS the oracle; the fixture's
+    # 3-value l_returnflag is exactly the hot-key shape that needs it.
+    from subgraph_extractor_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "qd", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": ("qd", "sum"), "n_rows": ("qd", "count")},
+        salt_src="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+def q_tpch_q3_shape(spark, sf):
+    # multi-join + grouped agg + top-k (TPC-H Q3 shape): shipping
+    # priority.  Broadcast the filtered customer dim; decimal-exact sums.
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5_shape(spark, sf):
+    # 6-way join (TPC-H Q5 shape): revenue by nation within one region,
+    # suppliers and customers co-located.  Dims broadcast; the fact-side
+    # joins shuffle on their keys.
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # queries — [ext] LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -825,6 +905,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "set_ops_all": q_set_ops_all,
     "j7_state_asof": q_j7_state_asof,
+    "tpch_q3_shape": q_tpch_q3_shape,
+    "tpch_q5_shape": q_tpch_q5_shape,
+    "skew_salted_agg": q_skew_salted_agg,
     "f_json": q_f_json,
     "f_string": q_f_string,
     "f_math": q_f_math,
@@ -1080,6 +1163,41 @@ ORACLES: dict[str, str] = {
                    event_type, value
             FROM events
         ) WHERE block_start <= 5000 AND (block_end IS NULL OR block_end > 5000)
+    """,
+    "skew_salted_agg": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(l_quantity) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "tpch_q3_shape": """
+        SELECT l_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "tpch_q5_shape": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
     """,
     "f_math": """
         SELECT l_orderkey,

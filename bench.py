@@ -24,6 +24,9 @@ HEADLINE = [
     "s1_range_scan",
     "j1_catalog_join_chain",
     "a3_pricing_summary",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "skew_salted_agg",
     "w1_latest_version",
     "o5_topk",
     "j5_range_join",
