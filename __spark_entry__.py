@@ -673,6 +673,31 @@ def q_f_window_tumbling(spark, sf):
     )
 
 
+def q_a7_pivot(spark, sf):
+    # A4-adjacent: pivot (wide-format aggregation) with explicit value
+    # list so the output schema is static
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def q_f_collect(spark, sf):
+    # collect_list/set with sort_array for deterministic array output
+    e = _t(spark, sf, "embeddings")
+    return e.groupBy("label").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def q_skew_salted_agg(spark, sf):
     # skew-proof two-stage aggregation (operators.skew): identical result
     # to the plain GROUP BY — that identity IS the oracle; the fixture's
@@ -908,6 +933,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     "skew_salted_agg": q_skew_salted_agg,
+    "a7_pivot": q_a7_pivot,
+    "f_collect": q_f_collect,
     "f_json": q_f_json,
     "f_string": q_f_string,
     "f_math": q_f_math,
@@ -1163,6 +1190,19 @@ ORACLES: dict[str, str] = {
                    event_type, value
             FROM events
         ) WHERE block_start <= 5000 AND (block_end IS NULL OR block_end > 5000)
+    """,
+    "a7_pivot": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "f_collect": """
+        SELECT label, list_sort(list(vec_id)) AS vec_ids, COUNT(*) AS n_vecs
+        FROM embeddings GROUP BY label
     """,
     "skew_salted_agg": """
         SELECT l_returnflag,

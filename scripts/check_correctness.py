@@ -36,7 +36,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def value_hash(df: pd.DataFrame, float_decimals: int = 6) -> str:
+def value_hash(df: pd.DataFrame, float_decimals: int = 17) -> str:
+    # 17 significant digits = full float64 round-trip precision: queries
+    # must match the oracle BIT-EXACTLY, not just to display precision
+    # (the driver's hash format is unknown — exactness is the only safe
+    # target).
     df = canon(df)
     rows = []
     for row in df.itertuples(index=False):

@@ -201,6 +201,15 @@ def _shingle_hash_udf(shingle_n: int):
     return sh
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure kernel-heavy stages use the whole cluster: small fixture
+    tables arrive as one file = one partition, which would serialize the
+    Arrow kernels onto a single core.  No-op cost relative to the kernels
+    it parallelizes; real corpora arrive multi-file anyway."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:
@@ -209,7 +218,7 @@ def shingle_hashes(
     This is THE intermediate to persist in a dedup run: every downstream
     stage (MinHash signatures, LSH banding, exact Jaccard verification)
     derives from it."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("_id"),
         _shingle_hash_udf(shingle_n)(F.col(text_col)).alias("_h"),
     )
@@ -399,7 +408,7 @@ def simhash_dedup_pairs(
     chunks (pigeonhole: any pair within hamming distance 3 shares at least
     one chunk), equi-join on chunks, verify exact hamming distance.
     Output: (id_a, id_b, hamming)."""
-    sigs = df.select(
+    sigs = _spread(df).select(
         F.col(id_col).alias("_id"),
         _simhash_udf()(F.col(text_col)).alias("_sim"),
     )

@@ -182,8 +182,11 @@ def topk_matmul(
                 {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(
-        topk_batches, schema=out_schema
+    par = spark.sparkContext.defaultParallelism
+    return (
+        queries.select(id_col, vec_col)
+        .repartition(par)  # single-file inputs would serialize the matmul
+        .mapInPandas(topk_batches, schema=out_schema)
     )
 
 
@@ -263,8 +266,11 @@ def ivf_topk(
                 {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        probe_batches, schema=out_schema
+    par = spark.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, vec_col)
+        .repartition(par)
+        .mapInPandas(probe_batches, schema=out_schema)
     )
 
 
@@ -312,7 +318,8 @@ def lsh_bucketed_pairs(
     fixture embeddings with ~25x candidate pruning vs brute force; at
     larger corpus scale raise band width first (buckets grow linearly,
     pairs quadratically per bucket)."""
-    sig = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = df.repartition(par).select(
         F.col(id_col).alias("_id"),
         _band_signature_udf(dim, bits, bands, seed)(F.col(vec_col)).alias(
             "_bands"
