@@ -673,6 +673,35 @@ def q_f_window_tumbling(spark, sf):
     )
 
 
+def q_f_in_subquery(spark, sf):
+    # SQL surface: IN / NOT IN subqueries (Catalyst rewrites to semi/anti)
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                            WHERE c_acctbal > 9000)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM orders_v
+                                 WHERE o_orderstatus = 'F')
+        """
+    )
+
+
+def q_f_scalar_subquery(spark, sf):
+    # SQL surface: correlated scalar subquery (decorrelated to a join)
+    _t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders_v WHERE o_custkey = c_custkey)
+                   AS n_orders
+        FROM customer_v
+        """
+    )
+
+
 def q_a7_pivot(spark, sf):
     # A4-adjacent: pivot (wide-format aggregation) with explicit value
     # list so the output schema is static
@@ -935,6 +964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     "a7_pivot": q_a7_pivot,
     "f_collect": q_f_collect,
+    "f_in_subquery": q_f_in_subquery,
+    "f_scalar_subquery": q_f_scalar_subquery,
     "f_json": q_f_json,
     "f_string": q_f_string,
     "f_math": q_f_math,
@@ -1190,6 +1221,19 @@ ORACLES: dict[str, str] = {
                    event_type, value
             FROM events
         ) WHERE block_start <= 5000 AND (block_end IS NULL OR block_end > 5000)
+    """,
+    "f_in_subquery": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 9000)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+    """,
+    "f_scalar_subquery": """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+                   AS n_orders
+        FROM customer
     """,
     "a7_pivot": """
         SELECT user_id,
