@@ -48,10 +48,19 @@ def suggest_table_config(
         }
         for c in numeric_cols
     }
+    # bookkeeping columns the reference always drops from exports
+    # (cli.py:53: vid, block_range)
+    bookkeeping = [
+        c
+        for c in ("vid", "block_range", "block_range_start", "block_range_end")
+        if c in df.columns
+    ]
     conf: dict = {
         "partition_sizes": list(partition_sizes or DEFAULT_PARTITION_SIZES),
         "block_column": block_column,
     }
+    if bookkeeping:
+        conf["drop_columns"] = bookkeeping
     if numeric_cols:
         conf["numeric_columns"] = numeric_cols
         conf["column_mappings"] = column_mappings

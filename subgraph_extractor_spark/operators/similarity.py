@@ -144,10 +144,13 @@ def topk_matmul(
     """
     spark = queries.sparkSession
     rows = corpus.select(
-        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
     c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     C = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    _n = np.linalg.norm(C, axis=1, keepdims=True)
+    _n[_n == 0] = 1.0
+    C = C / _n  # normalize driver-side: no extra UDF job before broadcast
     bc = spark.sparkContext.broadcast((c_ids, C))
 
     out_schema = (
@@ -376,10 +379,13 @@ def ann_topk_lsh(
 
     spark = df.sparkSession
     rows = df.select(
-        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
     c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     C = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    _n = np.linalg.norm(C, axis=1, keepdims=True)
+    _n[_n == 0] = 1.0
+    C = C / _n  # normalize driver-side: no extra UDF job before broadcast
     bc = spark.sparkContext.broadcast((c_ids, C))
 
     id_type = dict(df.dtypes)[id_col]

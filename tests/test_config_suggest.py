@@ -37,6 +37,7 @@ def test_suggest_table_config_defaults(spark):
     conf = suggest_table_config(df)
     assert conf["partition_sizes"] == DEFAULT_PARTITION_SIZES
     assert conf["numeric_columns"] == ["amount"]
+    assert conf["drop_columns"] == ["vid"]  # reference cli.py:53
     mapping = conf["column_mappings"]["amount"]["amount_uint64"]
     assert mapping["type"] == "uint64"
     assert mapping["max_value"] == 2**64 - 1

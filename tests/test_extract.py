@@ -228,6 +228,28 @@ def test_config_gate_rejects_drift(spark, tmp_path):
         run_extraction(spark, changed, tables, out, 18_000_000, 19_000_000)
 
 
+def test_hive_partition_pruning_on_readback(spark, tmp_path):
+    """The hive-style layout must let Spark prune partitions: a filter on
+    start_partition should reach the scan as a PartitionFilter and read a
+    subset of files (SURVEY §1.3: the layout is partition-discovery-
+    friendly on purpose)."""
+    out = str(tmp_path)
+    run_extraction(
+        spark, CONFIG, {"entity_versions": _entity_df(spark)}, out,
+        earliest_block=18_000_000, latest_block=19_000_000,
+    )
+    td = _table_dir(out)
+    df = spark.read.parquet(td)
+    pruned = df.filter(F.col("start_partition") == 18_448_384)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "start_partition" in plan.split("PartitionFilters")[1][:200]
+    # partition columns are discovered as columns
+    assert {"partition_size", "start_partition", "end_partition"} <= set(
+        df.columns
+    )
+
+
 def test_empty_partitions_written_and_typed(spark, tmp_path):
     out = str(tmp_path)
     run_extraction(
