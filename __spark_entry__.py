@@ -673,6 +673,52 @@ def q_f_window_tumbling(spark, sf):
     )
 
 
+def q_a8_stats(spark, sf):
+    # statistical aggregates computed ORDER-FREE: variance / stddev /
+    # covariance / correlation derived from exact decimal sums (sum, sum
+    # of squares, sum of products), so the results are bit-identical
+    # across engines — Spark's native stddev/corr merge in partition
+    # order and cannot be oracle-hashed.
+    li = _t(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum((q * q).cast("decimal(38,4)")).cast("double").alias("sqq"),
+        F.sum((p * p).cast("decimal(38,4)")).cast("double").alias("spp"),
+        F.sum((q * p).cast("decimal(38,4)")).cast("double").alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)
+    cov = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        n.alias("n"),
+        (F.col("sq") / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        cov.alias("cov_qty_price"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    )
+
+
+def q_f_width_bucket(spark, sf):
+    # equi-width histogram via width_bucket (integer output — exact)
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(400000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_f_in_subquery(spark, sf):
     # SQL surface: IN / NOT IN subqueries (Catalyst rewrites to semi/anti)
     _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
@@ -966,6 +1012,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_collect": q_f_collect,
     "f_in_subquery": q_f_in_subquery,
     "f_scalar_subquery": q_f_scalar_subquery,
+    "a8_stats": q_a8_stats,
+    "f_width_bucket": q_f_width_bucket,
     "f_json": q_f_json,
     "f_string": q_f_string,
     "f_math": q_f_math,
@@ -1221,6 +1269,39 @@ ORACLES: dict[str, str] = {
                    event_type, value
             FROM events
         ) WHERE block_start <= 5000 AND (block_end IS NULL OR block_end > 5000)
+    """,
+    "a8_stats": """
+        SELECT l_returnflag, n,
+               sq / n AS mean_qty,
+               (sqq - sq * sq / n) / (n - 1) AS var_qty,
+               SQRT((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+               (sqp - sq * sp / n) / (n - 1) AS cov_qty_price,
+               ((sqp - sq * sp / n) / (n - 1))
+                   / (SQRT((sqq - sq * sq / n) / (n - 1))
+                      * SQRT((spp - sp * sp / n) / (n - 1))) AS corr_qty_price
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS spp,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sqp
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    "f_width_bucket": """
+        SELECT bucket, COUNT(*) AS n_orders FROM (
+            -- DuckDB 1.0 has no width_bucket; explicit equivalent formula
+            SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                             WHEN o_totalprice >= 400000.0 THEN 21
+                             ELSE FLOOR((o_totalprice - 0.0) / (400000.0 - 0.0) * 20) + 1
+                        END AS INT) AS bucket
+            FROM orders
+        ) GROUP BY bucket
     """,
     "f_in_subquery": """
         SELECT o_orderkey, o_custkey FROM orders

@@ -114,6 +114,35 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_recent_clicks(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint:
+    each purchase joined to the same user's clicks in the preceding
+    ``lookback``.  On a stream, the watermarks + time-range predicate
+    bound the join state Spark must keep (SURVEY §2.9 [ext]); the same
+    plan runs unchanged on batch inputs."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    return purchases.join(
+        clicks,
+        on=[
+            F.col("p_user") == F.col("c_user"),
+            F.col("c_ts") <= F.col("p_ts"),
+            F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"),
+        ],
+    ).select("p_user", "p_ts", "purchase_value", "c_ts")
+
+
 def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
     """End-to-end streaming smoke: read the events parquet as a file
     stream (one file = one micro-batch), aggregate tumbling counts into a

@@ -68,6 +68,45 @@ def test_stateful_user_totals_stream(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        purchases_with_recent_clicks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = purchases_with_recent_clicks(ev)
+    expected = {tuple(r) for r in batch.collect()}
+    assert expected, "fixture should produce purchase<-click joins"
+
+    stage = tmp_path / "ss_src"
+    stage.mkdir()
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), stage / "part-0.parquet"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(stage))
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    q = (
+        purchases_with_recent_clicks(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from ss_join").collect()}
+    assert got == expected
+
+
 def test_sliding_and_session_windows_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     slid = sliding_counts_stream(ev, window="10 minutes", slide="5 minutes")
