@@ -313,6 +313,74 @@ def minhash_dedup_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over duplicate pairs: (member_id, cluster_id)
+    where cluster_id is the minimum id reachable through any chain of
+    pairs — so transitive near-dup chains (a~b, b~c) collapse into one
+    cluster even when (a,c) was never a candidate pair.
+
+    Iterative min-label propagation on DataFrames: each round joins every
+    member's current label against the edge list and keeps the smaller;
+    converges in O(diameter) rounds (dup clusters are shallow — star-ish
+    — so usually 2-3).  Each round is one shuffle join on id; the loop
+    driver-side condition is a cheap count.  For web-scale graphs swap in
+    large-star/small-star; for dedup clusters this is the right cost.
+    """
+    edges = pairs.select("id_a", "id_b").distinct().persist()
+    # symmetric adjacency
+    adj = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        adj.select(F.col("id_a").alias("member_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("member_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        # neighbor's current label, per member
+        neighbor_min = (
+            adj.join(
+                labels.withColumnRenamed("member_id", "id_b").withColumnRenamed(
+                    "cluster_id", "nbr_label"
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min.withColumnRenamed("id_a", "member_id"),
+                "member_id",
+                "left",
+            )
+            .select(
+                "member_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "member_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    adj.unpersist()
+    return labels
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
