@@ -905,6 +905,16 @@ def q_sim_topk_matmul(spark, sf):
     return sim_ops.topk_matmul(q, emb, "embedding", "vec_id", k=5)
 
 
+def q_dedup_clusters(spark, sf):
+    # transitive duplicate clusters: connected components (iterative
+    # min-label propagation) over MinHash near-dup pairs — rows-only
+    # (iterative algorithm; convergence property-tested in
+    # tests/test_bucketing_clusters.py)
+    d = _t(spark, sf, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+    return dedup_ops.duplicate_clusters(pairs)
+
+
 def q_ann_lsh(spark, sf):
     # ANN via sign-LSH buckets (no SQL oracle: approximate by design;
     # recall vs exact baseline asserted in tests/test_similarity.py)
@@ -1026,6 +1036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "text_tokens": q_text_tokens,
