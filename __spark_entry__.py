@@ -434,6 +434,50 @@ def q_w3_running_sum(spark, sf):
     )
 
 
+def q_w6_rank_stats(spark, sf):
+    # §2.5 ranking family: rank / dense_rank / percent_rank / cume_dist
+    # (rank-derived ratios are exact rationals -> IEEE-identical)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_f_date2(spark, sf):
+    # §2.8 date arithmetic: datediff / date_add / truncation / dow
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.date_add(d, 90).cast("string").alias("due_date"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )
+
+
+def q_f_string2(spark, sf):
+    # §2.8 extended string surface: pad / translate / position / reverse
+    c = _t(spark, sf, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.lpad(name, 24, ".").alias("name_lpad"),
+        F.translate(name, "#0", "_O").alias("name_translated"),
+        F.instr(name, "#").cast("int").alias("hash_pos"),
+        F.reverse(name).alias("name_rev"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("prefix_x3"),
+        F.split(name, "#").getItem(0).alias("name_stem"),
+    )
+
+
 def q_o5_topk(spark, sf):
     # O5: top-k (TakeOrderedAndProject)
     o = _t(spark, sf, "orders")
@@ -1011,6 +1055,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_running_sum": q_w3_running_sum,
     "w4_analytics": q_w4_analytics,
     "w5_range_frame": q_w5_range_frame,
+    "w6_rank_stats": q_w6_rank_stats,
+    "f_date2": q_f_date2,
+    "f_string2": q_f_string2,
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
     "set_ops_all": q_set_ops_all,
@@ -1265,6 +1312,34 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+    """,
+    "w6_rank_stats": """
+        SELECT user_id, event_id,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    "f_date2": """
+        SELECT o_orderkey,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
+               CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS month_start,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr
+        FROM orders
+    """,
+    "f_string2": """
+        SELECT c_custkey,
+               lpad(c_name, 24, '.') AS name_lpad,
+               translate(c_name, '#0', '_O') AS name_translated,
+               CAST(COALESCE(NULLIF(position('#' IN c_name), NULL), 0) AS INT) AS hash_pos,
+               reverse(c_name) AS name_rev,
+               repeat(c_name[1:2], 3) AS prefix_x3,
+               string_split(c_name, '#')[1] AS name_stem
+        FROM customer
     """,
     "set_ops_all": """
         SELECT key, COUNT(*) AS multiplicity FROM (
