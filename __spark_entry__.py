@@ -809,11 +809,38 @@ def q_a7_pivot(spark, sf):
 
 
 def q_f_collect(spark, sf):
-    # collect_list/set with sort_array for deterministic array output
+    # collect_list with sort_array for determinism; the array travels as a
+    # joined string — a scalar carrier the harness canonicalizer can sort
+    # (raw array<long> output crashed its pandas sort in r01)
     e = _t(spark, sf, "embeddings")
     return e.groupBy("label").agg(
-        F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("vec_ids"),
         F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def q_f_map(spark, sf):
+    # §2.8 map surface: from_json -> map<string,int>, create_map +
+    # map_concat enrichment, explode over entries, per-key aggregate
+    ev = _t(spark, sf, "events")
+    m = F.map_concat(
+        F.from_json(F.col("props"), "map<string,int>"),
+        F.create_map(
+            F.lit("uid_mod"), (F.col("user_id") % 10).cast("int")
+        ),
+    )
+    kv = ev.select(F.explode(m).alias("k", "v"))
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
     )
 
 
@@ -1025,12 +1052,15 @@ def q_emb_neardup(spark, sf):
     )
 
 
+# Dict ORDER matters: the driver's correctness run checks entries in
+# declaration order with a budget (~50 in r01), so oracle-equipped queries
+# covering distinct SURVEY §2 rows come first; redundant variants of
+# already-covered surfaces next; genuinely rows-only queries last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- tier 1: one query per distinct operator surface, all oracled --
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
     "s5_preview_limit": q_s5_preview_limit,
-    "p4_downscale": q_p4_downscale,
-    "p5_clamp_validity": q_p5_clamp_validity,
     "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
     "p6_uint256_sum": q_p6_uint256_sum,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
@@ -1038,7 +1068,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
     "j2_anti_join": q_j2_anti_join,
     "j3_semi_join": q_j3_semi_join,
-    "j3_full_outer": q_j3_full_outer,
     "j5_range_join": q_j5_range_join,
     "j6_asof_join": q_j6_asof_join,
     "j4_similarity_topk": q_j4_similarity_topk,
@@ -1046,23 +1075,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
     "a4_rollup": q_a4_rollup,
-    "a4_cube": q_a4_cube,
     "a4_grouping_sets": q_a4_grouping_sets,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
-    "w4_analytics": q_w4_analytics,
-    "w5_range_frame": q_w5_range_frame,
     "w6_rank_stats": q_w6_rank_stats,
-    "f_date2": q_f_date2,
-    "f_string2": q_f_string2,
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
-    "set_ops_all": q_set_ops_all,
     "j7_state_asof": q_j7_state_asof,
-    "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     "skew_salted_agg": q_skew_salted_agg,
     "a7_pivot": q_a7_pivot,
@@ -1078,18 +1100,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_cast": q_f_cast,
     "f_date": q_f_date,
     "f_array": q_f_array,
+    "f_map": q_f_map,
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_lang": q_text_lang,
     "text_fingerprint": q_text_fingerprint,
+    # -- tier 2: oracled variants of surfaces already covered above --
+    "p4_downscale": q_p4_downscale,
+    "p5_clamp_validity": q_p5_clamp_validity,
+    "j3_full_outer": q_j3_full_outer,
+    "a4_cube": q_a4_cube,
+    "w4_analytics": q_w4_analytics,
+    "w5_range_frame": q_w5_range_frame,
+    "f_date2": q_f_date2,
+    "f_string2": q_f_string2,
+    "set_ops_all": q_set_ops_all,
+    "tpch_q3_shape": q_tpch_q3_shape,
+    # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
     "emb_neardup": q_emb_neardup,
 }
@@ -1412,8 +1447,20 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY user_id
     """,
     "f_collect": """
-        SELECT label, list_sort(list(vec_id)) AS vec_ids, COUNT(*) AS n_vecs
+        SELECT label, array_to_string(list_sort(list(vec_id)), ',') AS vec_ids,
+               COUNT(*) AS n_vecs
         FROM embeddings GROUP BY label
+    """,
+    "f_map": """
+        WITH kv AS (
+            SELECT 'k' AS k, CAST(json_extract_string(props, '$.k') AS INT) AS v
+            FROM events
+            UNION ALL
+            SELECT 'uid_mod' AS k, CAST(user_id % 10 AS INT) AS v FROM events
+        )
+        SELECT k, COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM kv GROUP BY k
     """,
     "skew_salted_agg": """
         SELECT l_returnflag,
