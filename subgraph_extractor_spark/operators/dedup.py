@@ -528,22 +528,71 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs over an embedding column.  Delegates
-    candidate generation to operators.similarity (sign-LSH buckets) and
-    verifies exact cosine; see that module for the scale story."""
+    """Cosine near-duplicate pairs over an embedding column.  Candidate
+    generation delegates to operators.similarity (sign-LSH buckets);
+    verification groups candidate ids per (query, candidate-shard) and
+    scores them against the shard's corpus slice in a cogrouped
+    applyInPandas — vectors are never joined onto the candidate-pair
+    table (1 GB shuffled per million pairs) and never collected to the
+    driver.  Output: (id_a, id_b, cosine) with id_a < id_b."""
     from subgraph_extractor_spark.operators.similarity import (
-        cosine_similarity,
+        _n_shards,
+        _normalized,
+        _shard_of,
         lsh_bucketed_pairs,
     )
 
+    S = _n_shards(df, n_shards)
     cands = lsh_bucketed_pairs(df, vec_col, id_col)
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    grouped = (
+        cands.select(
+            "id_a", "id_b", _shard_of(F.col("id_b"), S).alias("_shard")
+        )
+        .groupBy("id_a", "_shard")
+        .agg(F.collect_list("id_b").alias("_cands"))
+        .join(
+            df.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("_qv")
+            ),
+            "id_a",
+        )
+    )
+    corpus = df.select(
+        _shard_of(F.col(id_col), S).alias("_shard"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+    )
+    id_type = dict(df.dtypes)[id_col]
+
+    def shard_cosines(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        c_ids = cpdf["_cid"].to_numpy()
+        Cn = _normalized(cpdf["_cv"])
+        idx_of = {int(i): j for j, i in enumerate(c_ids)}
+        res_a, res_b, res_c = [], [], []
+        for qid, cand_ids, qv in zip(
+            qpdf["id_a"], qpdf["_cands"], qpdf["_qv"]
+        ):
+            idxs = np.array(
+                sorted({idx_of[int(c)] for c in cand_ids}), dtype=np.int64
+            )
+            q = np.asarray(qv, dtype=np.float64)
+            n = np.linalg.norm(q)
+            sims = (q / n if n > 0 else q) @ Cn[idxs].T
+            keep = sims >= threshold
+            res_a.extend([qid] * int(keep.sum()))
+            res_b.extend(c_ids[idxs][keep].tolist())
+            res_c.extend(sims[keep].tolist())
+        return pd.DataFrame({"id_a": res_a, "id_b": res_b, "cosine": res_c})
+
     return (
-        cands.join(vecs.withColumnRenamed("_id", "id_a"), "id_a")
-        .withColumnRenamed("_v", "_va")
-        .join(vecs.withColumnRenamed("_id", "id_b"), "id_b")
-        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_v")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        grouped.groupby("_shard")
+        .cogroup(corpus.groupby("_shard"))
+        .applyInPandas(
+            shard_cosines,
+            schema=f"id_a {id_type}, id_b {id_type}, cosine double",
+        )
     )

@@ -120,6 +120,63 @@ def brute_force_topk(
     )
 
 
+def _n_shards(df: DataFrame, n_shards: int | None) -> int:
+    return n_shards or df.sparkSession.sparkContext.defaultParallelism
+
+
+def _shard_of(col: Column, n: int) -> Column:
+    """Deterministic corpus shard id from the row id."""
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Merge per-shard local top-k into the global per-query top-k.
+    One shuffle keyed by query_id; input is at most (k x n_shards) rows
+    per query, so the window state is tiny regardless of corpus size."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _normalized(mat_rows) -> np.ndarray:
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in mat_rows])
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _local_topk_rows(
+    qids, Qn, c_ids, Cn, k, exclude_self
+) -> pd.DataFrame:
+    """Shard-local exact top-k: one (queries x shard) matmul, vectorized
+    select, (sim desc, id asc) tie-break — identical ordering keys to the
+    global merge window, so the two-level top-k is exact."""
+    S = Qn @ Cn.T  # (n_queries, shard_size)
+    if exclude_self:
+        for i, qid in enumerate(qids):
+            S[i, c_ids == qid] = -np.inf
+    kk = min(k, S.shape[1])
+    part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+    res_q, res_n, res_s = [], [], []
+    for i in range(S.shape[0]):
+        cand = part[i]
+        order = np.lexsort((c_ids[cand], -S[i, cand]))
+        chosen = cand[order][:kk]
+        sims = S[i, chosen]
+        keep = sims > -np.inf  # drop masked self-matches on tiny shards
+        res_q.extend([qids[i]] * int(keep.sum()))
+        res_n.extend(c_ids[chosen][keep].tolist())
+        res_s.extend(sims[keep].tolist())
+    return pd.DataFrame(
+        {"query_id": res_q, "neighbor_id": res_n, "_sim": res_s}
+    )
+
+
 def topk_matmul(
     queries: DataFrame,
     corpus: DataFrame,
@@ -127,70 +184,62 @@ def topk_matmul(
     id_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k via broadcast + per-batch matmul — the
-    FAISS-flat pattern on Spark.
+    """Exact cosine top-k via sharded matmul — the FAISS-flat pattern on
+    Spark, fully distributed (no corpus rows ever reach the driver).
 
-    The corpus (ids + L2-normalized vectors) is broadcast as one numpy
-    matrix; each Arrow batch of queries does a single (batch x corpus)
-    matmul and a vectorized top-k select.  Exact, deterministic
-    tie-break on neighbor id, and orders of magnitude faster than
-    pair-explosion plans while the corpus fits an executor (~10 M x 64
-    floats per 2.5 GB).  Beyond that, shard the corpus, run this per
-    shard, and merge with one global per-query top-k window — same
-    kernel, one extra shuffle.
+    Plan: the corpus is hash-sharded on its id; queries are replicated to
+    every shard (broadcast of a shard-id range, so the replication is a
+    map-side explode of the small query side); a cogrouped applyInPandas
+    computes each shard's exact local top-k with one numpy matmul; a
+    final window keyed by query_id merges (k x n_shards) candidate rows
+    per query into the global top-k.  Corpus shuffles ONCE (by shard),
+    queries shuffle n_shards times — at 100 TB corpus scale that is the
+    right asymmetry, and shard count scales with executors, not driver
+    memory.
 
-    Output: (query_id, neighbor_id, rank), rank 1 = most similar.
+    Output: (query_id, neighbor_id, rank), rank 1 = most similar,
+    deterministic (sim desc, neighbor_id asc) tie-break end to end.
     """
     spark = queries.sparkSession
-    rows = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).collect()
-    c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
-    _n = np.linalg.norm(C, axis=1, keepdims=True)
-    _n[_n == 0] = 1.0
-    C = C / _n  # normalize driver-side: no extra UDF job before broadcast
-    bc = spark.sparkContext.broadcast((c_ids, C))
+    S = _n_shards(corpus, n_shards)
+    q_type = dict(queries.dtypes)[id_col]
+    c_type = dict(corpus.dtypes)[id_col]
 
-    out_schema = (
-        f"query_id {dict(queries.dtypes)[id_col]}, "
-        f"neighbor_id {dict(corpus.dtypes)[id_col]}, rank int"
+    c = corpus.select(
+        _shard_of(F.col(id_col), S).alias("_shard"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
     )
+    shards = spark.range(S).select(F.col("id").cast("int").alias("_shard"))
+    q = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).crossJoin(F.broadcast(shards))
 
-    def topk_batches(batches):
-        ids_c, M = bc.value
-        for pdf in batches:
-            Q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+    def shard_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_sim": []}
             )
-            norms = np.linalg.norm(Q, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            S = (Q / norms) @ M.T  # (batch, corpus)
-            qids = pdf[id_col].to_numpy()
-            if exclude_self:
-                for i, qid in enumerate(qids):
-                    S[i, ids_c == qid] = -np.inf
-            kk = min(k, S.shape[1])
-            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
-            res_q, res_n, res_r = [], [], []
-            for i in range(S.shape[0]):
-                cand = part[i]
-                order = np.lexsort((ids_c[cand], -S[i, cand]))
-                chosen = cand[order][:kk]
-                res_q.extend([qids[i]] * len(chosen))
-                res_n.extend(ids_c[chosen].tolist())
-                res_r.extend(range(1, len(chosen) + 1))
-            yield pd.DataFrame(
-                {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
-            )
+        return _local_topk_rows(
+            qpdf["_qid"].to_numpy(),
+            _normalized(qpdf["_qv"]),
+            cpdf["_cid"].to_numpy(),
+            _normalized(cpdf["_cv"]),
+            k,
+            exclude_self,
+        )
 
-    par = spark.sparkContext.defaultParallelism
-    return (
-        queries.select(id_col, vec_col)
-        .repartition(par)  # single-file inputs would serialize the matmul
-        .mapInPandas(topk_batches, schema=out_schema)
+    scored = (
+        q.groupby("_shard")
+        .cogroup(c.groupby("_shard"))
+        .applyInPandas(
+            shard_topk,
+            schema=f"query_id {q_type}, neighbor_id {c_type}, _sim double",
+        )
     )
+    return _global_topk(scored, k)
 
 
 def ivf_topk(
@@ -206,75 +255,82 @@ def ivf_topk(
     scale path beside LSH.
 
     Index build: KMeans (pyspark.ml, fixed seed) partitions the corpus
-    into ``n_cells`` Voronoi cells.  Query: score the ``n_probe`` nearest
-    centroids, then exact-rank only the members of those cells against
-    the broadcast corpus matrix.  Expected work per query ~ n_probe /
-    n_cells of the corpus.  At 100 TB the same structure shards by cell:
-    the cell assignment is a shuffle key, probes route queries to cell
-    partitions, and the merge is one per-query top-k.
+    into ``n_cells`` Voronoi cells — the cell IS the shard.  Query
+    routing: an Arrow kernel scores each query against the (tiny,
+    broadcast-as-closure) centroid matrix and explodes it to its
+    ``n_probe`` nearest cells.  A cogrouped applyInPandas then
+    exact-ranks each query against only its probed cells' members, and
+    one window merges per-cell top-k into the global answer.  Corpus
+    vectors shuffle once (by cell); nothing is ever collected to the
+    driver except the centroid matrix itself (n_cells x dim floats — the
+    legitimate driver-side artifact of KMeans).  Expected work per query
+    ~ n_probe / n_cells of the corpus.
 
     Output: (query_id, neighbor_id, rank); recall asserted in tests.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = df.sparkSession
     featured = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         array_to_vector(unit_vector(F.col(vec_col))).alias("_feat"),
     ).persist()
     model = KMeans(k=n_cells, seed=seed, featuresCol="_feat").fit(featured)
-    assigned = model.transform(featured).select(
-        "_id", "_v", F.col(model.getPredictionCol()).alias("_cell")
+    corpus_by_cell = model.transform(featured).select(
+        F.col(model.getPredictionCol()).cast("int").alias("_cell"),
+        "_id",
+        "_v",
     )
-
-    rows = assigned.collect()
-    c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    M = M / norms
-    cells = np.array([r["_cell"] for r in rows], dtype=np.int64)
     centroids = np.stack(
         [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
     )
-    bc = spark.sparkContext.broadcast((c_ids, M, cells, centroids))
-    featured.unpersist()
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(q)
+            qn = q / n if n > 0 else q
+            out.append(np.argsort(-(qn @ centroids.T))[:n_probe].tolist())
+        return pd.Series(out)
+
+    q = df.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
 
     id_type = dict(df.dtypes)[id_col]
-    out_schema = f"query_id {id_type}, neighbor_id {id_type}, rank int"
 
-    def probe_batches(batches):
-        ids_c, Mat, cell_of, cents = bc.value
-        for pdf in batches:
-            res_q, res_n, res_r = [], [], []
-            for qid, qv in zip(pdf[id_col], pdf[vec_col]):
-                q = np.asarray(qv, dtype=np.float64)
-                n = np.linalg.norm(q)
-                qn = q / n if n > 0 else q
-                probe = np.argsort(-(qn @ cents.T))[:n_probe]
-                mask = np.isin(cell_of, probe)
-                mask &= ids_c != qid  # exclude self
-                idxs = np.nonzero(mask)[0]
-                if len(idxs) == 0:
-                    continue
-                sims = qn @ Mat[idxs].T
-                order = np.lexsort((ids_c[idxs], -sims))
-                chosen = idxs[order][:k]
-                res_q.extend([qid] * len(chosen))
-                res_n.extend(ids_c[chosen].tolist())
-                res_r.extend(range(1, len(chosen) + 1))
-            yield pd.DataFrame(
-                {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
+    def cell_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_sim": []}
             )
+        return _local_topk_rows(
+            qpdf["_qid"].to_numpy(),
+            _normalized(qpdf["_qv"]),
+            cpdf["_id"].to_numpy(),
+            _normalized(cpdf["_v"]),
+            k,
+            exclude_self=True,
+        )
 
-    par = spark.sparkContext.defaultParallelism
-    return (
-        df.select(id_col, vec_col)
-        .repartition(par)
-        .mapInPandas(probe_batches, schema=out_schema)
+    scored = (
+        q.groupby("_cell")
+        .cogroup(corpus_by_cell.groupby("_cell"))
+        .applyInPandas(
+            cell_topk,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
+        )
     )
+    out = _global_topk(scored, k)
+    featured.unpersist()
+    return out
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 13) -> list[list[float]]:
@@ -354,64 +410,76 @@ def ann_topk_lsh(
     dim: int = 64,
     bits: int = 120,
     bands: int = 24,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to LSH
     candidates.  Output (query_id, neighbor_id, rank) like
     brute_force_topk; recall vs the exact baseline asserted in tests.
 
-    Hybrid plan: the LSH band join only ever shuffles (id, id) pairs;
-    verification groups candidate ids per query and scores them against
-    the BROADCAST normalized corpus matrix in one numpy pass — candidate
-    vectors are never shuffled.  (The join-vectors-to-pairs formulation
-    moved ~1 GB per million candidates and was 5-10x slower.)"""
+    Fully distributed plan: the LSH band join only ever shuffles
+    (id, id) pairs; candidate ids are grouped per (query,
+    candidate-shard), ONE query-vector copy rides along per probed
+    shard, and a cogrouped applyInPandas scores candidates against the
+    shard's slice of the corpus — candidate vectors are never joined
+    onto pairs (1 GB/M-pairs anti-pattern) and the corpus is never
+    collected to the driver.  A final per-query window merges shard-local
+    top-k into the global answer."""
+    S = _n_shards(df, n_shards)
     pairs = lsh_bucketed_pairs(df, vec_col, id_col, dim, bits, bands).persist()
     pairs.count()  # referenced twice below (undirected -> directed union)
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    cand = sym.groupBy("id_a").agg(F.collect_list("id_b").alias("_cands"))
-    joined = cand.join(
-        df.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_qv")
-        ),
-        "id_a",
+    cand = (
+        sym.select(
+            F.col("id_a").alias("_qid"),
+            F.col("id_b").alias("_cid"),
+            _shard_of(F.col("id_b"), S).alias("_shard"),
+        )
+        .groupBy("_qid", "_shard")
+        .agg(F.collect_list("_cid").alias("_cands"))
     )
-
-    spark = df.sparkSession
-    rows = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).collect()
-    c_ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
-    _n = np.linalg.norm(C, axis=1, keepdims=True)
-    _n[_n == 0] = 1.0
-    C = C / _n  # normalize driver-side: no extra UDF job before broadcast
-    bc = spark.sparkContext.broadcast((c_ids, C))
-
+    qside = cand.join(
+        df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+        "_qid",
+    )
+    corpus = df.select(
+        _shard_of(F.col(id_col), S).alias("_shard"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+    )
     id_type = dict(df.dtypes)[id_col]
-    out_schema = f"query_id {id_type}, neighbor_id {id_type}, rank int"
 
-    def score_batches(batches):
-        ids_c, M = bc.value
-        idx_of = {int(i): j for j, i in enumerate(ids_c)}
-        for pdf in batches:
-            res_q, res_n, res_r = [], [], []
-            for qid, cands, qv in zip(
-                pdf["id_a"], pdf["_cands"], pdf["_qv"]
-            ):
-                idxs = np.array(
-                    sorted({idx_of[int(c)] for c in cands}), dtype=np.int64
-                )
-                q = np.asarray(qv, dtype=np.float64)
-                n = np.linalg.norm(q)
-                sims = (q / n if n > 0 else q) @ M[idxs].T
-                order = np.lexsort((ids_c[idxs], -sims))
-                chosen = idxs[order][:k]
-                res_q.extend([qid] * len(chosen))
-                res_n.extend(ids_c[chosen].tolist())
-                res_r.extend(range(1, len(chosen) + 1))
-            yield pd.DataFrame(
-                {"query_id": res_q, "neighbor_id": res_n, "rank": res_r}
+    def shard_score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_sim": []}
             )
+        c_ids = cpdf["_cid"].to_numpy()
+        Cn = _normalized(cpdf["_cv"])
+        idx_of = {int(i): j for j, i in enumerate(c_ids)}
+        res_q, res_n, res_s = [], [], []
+        for qid, cands, qv in zip(qpdf["_qid"], qpdf["_cands"], qpdf["_qv"]):
+            idxs = np.array(
+                sorted({idx_of[int(c)] for c in cands}), dtype=np.int64
+            )
+            q = np.asarray(qv, dtype=np.float64)
+            n = np.linalg.norm(q)
+            sims = (q / n if n > 0 else q) @ Cn[idxs].T
+            order = np.lexsort((c_ids[idxs], -sims))
+            res_q.extend([qid] * min(k, len(order)))
+            res_n.extend(c_ids[idxs][order][:k].tolist())
+            res_s.extend(sims[order][:k].tolist())
+        return pd.DataFrame(
+            {"query_id": res_q, "neighbor_id": res_n, "_sim": res_s}
+        )
 
-    return joined.mapInPandas(score_batches, schema=out_schema)
+    scored = (
+        qside.groupby("_shard")
+        .cogroup(corpus.groupby("_shard"))
+        .applyInPandas(
+            shard_score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
+        )
+    )
+    return _global_topk(scored, k)

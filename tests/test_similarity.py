@@ -69,6 +69,26 @@ def test_ivf_recall(spark, emb):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_no_driver_corpus_collect(spark, emb, monkeypatch):
+    """The scale contract of VERDICT r01 item 2: no similarity/ANN path
+    may materialize corpus rows on the driver.  DataFrame.collect is
+    poisoned for the whole build+execute cycle; results come back via
+    Arrow (toPandas) from fully distributed plans."""
+    from pyspark.sql import DataFrame as _DF
+    from subgraph_extractor_spark.operators.dedup import embedding_neardup_pairs
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side collect() in similarity operator")
+
+    monkeypatch.setattr(_DF, "collect", _boom)
+    assert len(similarity.topk_matmul(emb, emb, "embedding", "vec_id", k=3).toPandas())
+    assert len(similarity.ann_topk_lsh(emb, "embedding", "vec_id", k=3).toPandas())
+    assert len(similarity.ivf_topk(emb, "embedding", "vec_id", k=3).toPandas())
+    assert len(
+        embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4).toPandas()
+    )
+
+
 def test_embedding_neardup_pairs(spark, emb):
     from subgraph_extractor_spark.operators.dedup import embedding_neardup_pairs
 
