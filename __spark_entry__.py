@@ -950,7 +950,9 @@ def q_dedup_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard — the verification face of near-dedup, run
     # all-pairs here so the SQL oracle can mirror it; the LSH-restricted
     # variant is dedup_minhash
-    d = _t(spark, sf, "documents")
+    # all-pairs is quadratic by design: sample 1-in-4 docs so the oracle
+    # comparison stays cheap at any sf (the prod path is candidates-only)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
     sh = d.select(
         F.col("doc_id").alias("_id"),
         dedup_ops.word_shingles(F.col("text"), 3).alias("_sh"),
@@ -1610,7 +1612,7 @@ ORACLES: dict[str, str] = {
                                   FOR i IN range(1, len(toks) - 1)]) AS grams
             FROM (SELECT doc_id,
                          string_split_regex(trim(lower(text)), '\\s+') AS toks
-                  FROM documents)
+                  FROM documents WHERE doc_id % 4 = 0)
             WHERE len(toks) >= 3
         )
         SELECT l.doc_id AS id_a, r.doc_id AS id_b,

@@ -158,9 +158,11 @@ def extract_table(
         writer = tagged.repartition(*[F.col(c) for c in PARTITION_COLS])
         if sort_within:
             writer = writer.sortWithinPartitions(*PARTITION_COLS, block_column)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Per-write option, NOT a session conf: mutating the shared session's
+        # partitionOverwriteMode would silently change later callers' writes.
         (
             writer.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*PARTITION_COLS)
             .parquet(table_dir)
         )
@@ -176,7 +178,20 @@ def extract_table(
             for p in missing:
                 _write_empty_partition(empty, partition_dir(table_dir, p))
 
-    files = [f for p in cover for f in _list_partition_files(table_dir, p)]
+    # Every cover partition MUST have files on disk (delta partitions were
+    # just written — empties included; the rest were committed by earlier
+    # runs).  A hole means lost/deleted data: omitting it from the manifest
+    # would silently shrink the committed snapshot, so fail loudly instead.
+    files: list[str] = []
+    for p in cover:
+        pf = _list_partition_files(table_dir, p)
+        if not pf:
+            raise RuntimeError(
+                f"cover partition {p.as_tuple()} of {table_dir} has no data "
+                "files on disk; refusing to commit a manifest with holes "
+                "(was the dataset directory modified outside the pipeline?)"
+            )
+        files.extend(pf)
     if files:
         write_consolidated_metadata(table_dir, files)
     return files
@@ -212,6 +227,10 @@ def run_extraction(
 
     previous = read_watermark(dataset_dir)
     prev_latest = previous.get("latest_block")
+    # Plan the already-extracted cover from the STORED watermark's earliest
+    # (reference cli.py:302-304) — if earliest shifted between runs, planning
+    # from the current earliest would mark never-written partitions as done.
+    prev_earliest = previous.get("earliest_block")
 
     written: dict[str, list[str]] = {}
     for table_name, tconf in config["tables"].items():
@@ -227,7 +246,11 @@ def run_extraction(
 
         cover = get_partitions(earliest_block, latest_block, sizes)
         prev_cover = (
-            get_partitions(earliest_block, prev_latest, sizes)
+            get_partitions(
+                prev_earliest if prev_earliest is not None else earliest_block,
+                prev_latest,
+                sizes,
+            )
             if prev_latest is not None
             else None
         )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,6 +82,22 @@ _TYPE_DOMAIN = {
 }
 
 
+def _floordiv_udf(factor: int):
+    """Exact arbitrary-precision floor division (Arrow-batched, Python
+    int semantics — `//` floors like the reference's pandas `//`)."""
+    import decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("decimal(38,0)")
+    def fd(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda v: None if v is None else decimal.Decimal(int(v) // factor)
+        )
+
+    return fd
+
+
 def floordiv_exact(col: Column, factor) -> Column:
     """Exact floor division for decimal columns.
 
@@ -88,9 +105,18 @@ def floordiv_exact(col: Column, factor) -> Column:
     rounds to the result scale first (999999999 / 10^9 -> 1.000000 ->
     floor 1, not 0).  Subtracting the positive remainder first makes the
     quotient exact: (a - pmod(a, b)) / b == floor(a / b) for any sign of
-    ``a`` (pmod is always in [0, b))."""
+    ``a`` (pmod is always in [0, b)).
+
+    Capacity caveat: decimal(38,0)/decimal(38,0) yields decimal(38,6)
+    under allowPrecisionLoss, whose integer capacity is 10^32 — a
+    quotient >= 10^32 would silently become NULL.  With ``factor >=
+    10^7`` the quotient of any decimal(38,0) is < 10^32, so the codegen
+    path is safe; smaller factors take an exact Arrow kernel instead
+    (rare config — downscales are typically 10^9..10^18)."""
     k = _num_lit(factor).cast("decimal(38,0)")
-    return ((col - F.pmod(col, k)) / k).cast("decimal(38,0)")
+    if int(factor) >= 10**7:
+        return ((col - F.pmod(col, k)) / k).cast("decimal(38,0)")
+    return _floordiv_udf(int(factor))(col.cast("decimal(38,0)"))
 
 
 def downscale(col: Column, factor: int) -> Column:

@@ -246,6 +246,11 @@ def minhash_candidates(
         if hashes_df is not None
         else shingle_hashes(df, text_col, id_col, shingle_n)
     )
+    # Sub-shingle-length documents all share the sentinel signature: banding
+    # them would put EVERY short doc in one bucket (quadratic blowup) and
+    # declare them near-duplicates of each other.  They have no shingle
+    # evidence either way — exclude them from candidate generation.
+    sh = sh.filter(F.size("_h") > 0)
     banded = sh.select(
         "_id",
         F.posexplode(
@@ -274,10 +279,13 @@ def minhash_candidates(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array columns (set semantics)."""
+    """Exact Jaccard similarity of two array columns (set semantics).
+    Empty-vs-empty is 0.0, not 1.0: two documents with no shingles share
+    no evidence of similarity, and 1.0 would mark all sub-shingle-length
+    documents as duplicates of each other."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
 def minhash_dedup_pairs(
@@ -376,6 +384,17 @@ def duplicate_clusters(
         labels = updated
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: iteration budget ({max_iterations}) "
+            f"exhausted with {changed} labels still changing — clusters with "
+            "graph diameter beyond the budget are returned split; raise "
+            "max_iterations or switch to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     adj.unpersist()
     return labels

@@ -124,6 +124,30 @@ def test_incremental_advance_adds_rows(spark, tmp_path):
     assert n1 == 3 and n2 == 6  # watermark advance adds rows (ref :164-178)
 
 
+def test_earliest_shift_replans_from_stored_watermark(spark, tmp_path):
+    """ADVICE r01: prev_cover must be planned from the STORED watermark's
+    earliest_block (reference cli.py:302-304).  If earliest shifts down
+    between runs, partitions below the old earliest were never written —
+    planning prev_cover from the new earliest would treat them as done and
+    silently drop them from the manifest."""
+    out = str(tmp_path)
+    tables = {"entity_versions": _entity_df(spark)}
+    # first run indexes only a high block range
+    run_extraction(spark, CONFIG, tables, out, 18_500_000, 18_700_000)
+    # earliest shifts DOWN on the second run (subgraph re-synced deeper)
+    run_extraction(spark, CONFIG, tables, out, 18_000_000, 19_000_000)
+    td = _table_dir(out)
+    data = _read_via_manifest(td)
+    assert data.num_rows == 6  # includes vid1 @18,460,372 < old earliest
+    # manifest covers the full new cover — no holes
+    cover = get_partitions(18_000_000, 19_000_000, [524288, 32768, 1024])
+    dirs = {
+        f"partition_size={p.size}/start_partition={p.start}/end_partition={p.end}"
+        for p in cover
+    }
+    assert {os.path.dirname(f) for f in read_manifest_files(td)} == dirs
+
+
 def test_crash_recovery_backfills_deleted_partition(spark, tmp_path):
     """Reference regression (tests/test_get_column_info.py:181-225): work
     is planned from the watermark, not from listing files — delete data

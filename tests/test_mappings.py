@@ -32,6 +32,22 @@ def test_downscale_is_floor_division(spark):
     assert [int(r["amount_gwei"]) for r in rows] == expected
 
 
+def test_downscale_small_factor_huge_value_exact(spark):
+    """ADVICE r01: decimal(38,0)/decimal(38,0) division yields decimal(38,6)
+    whose integer capacity is 10^32 — a quotient >= 10^32 (huge value,
+    small factor) silently NULLed.  The small-factor path must stay exact."""
+    big = 10**37 + 123456789
+    df = _num_df(spark, [0, 999, 1000, big, -big])
+    compiled = compile_column_mappings(
+        {"amount": {"amount_k": {"type": "Numeric38", "downscale": 1000}}}
+    )
+    rows = compiled.apply(df).orderBy("amount").collect()
+    got = {int(r["amount"]): int(r["amount_k"]) for r in rows}
+    assert got[big] == big // 1000
+    assert got[-big] == -big // 1000  # Python // floors negatives too
+    assert got[999] == 0 and got[1000] == 1 and got[0] == 0
+
+
 def test_clamp_with_validity(spark):
     mx = 2**64 - 1
     df = _num_df(spark, [0, mx, mx + 1, 10**30])
