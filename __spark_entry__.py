@@ -950,9 +950,9 @@ def q_dedup_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard — the verification face of near-dedup, run
     # all-pairs here so the SQL oracle can mirror it; the LSH-restricted
     # variant is dedup_minhash
-    # all-pairs is quadratic by design: sample 1-in-4 docs so the oracle
+    # all-pairs is quadratic by design: sample 1-in-2 docs so the oracle
     # comparison stays cheap at any sf (the prod path is candidates-only)
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
     sh = d.select(
         F.col("doc_id").alias("_id"),
         dedup_ops.word_shingles(F.col("text"), 3).alias("_sh"),
@@ -965,7 +965,7 @@ def q_dedup_ngram_jaccard(spark, sf):
             F.col("r._id").alias("id_b"),
             dedup_ops.jaccard(F.col("l._sh"), F.col("r._sh")).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("jaccard") >= 0.05)
     )
 
 
@@ -1612,7 +1612,7 @@ ORACLES: dict[str, str] = {
                                   FOR i IN range(1, len(toks) - 1)]) AS grams
             FROM (SELECT doc_id,
                          string_split_regex(trim(lower(text)), '\\s+') AS toks
-                  FROM documents WHERE doc_id % 4 = 0)
+                  FROM documents WHERE doc_id % 2 = 0)
             WHERE len(toks) >= 3
         )
         SELECT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -1622,7 +1622,7 @@ ORACLES: dict[str, str] = {
         FROM sh l JOIN sh r ON l.doc_id < r.doc_id
         WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
                    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-                        / len(list_distinct(l.grams || r.grams)) END >= 0.2
+                        / len(list_distinct(l.grams || r.grams)) END >= 0.05
     """,
     "text_tokens": f"""
         SELECT doc_id, lang,
