@@ -37,12 +37,14 @@ and no driver-side data movement at all.
 
 from __future__ import annotations
 
-import os
+import posixpath
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: applyInPandas type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from subgraph_extractor_spark import fsio
 from subgraph_extractor_spark.functions.mappings import (
     compile_column_mappings,
     enforce_assertions,
@@ -113,7 +115,7 @@ def assign_partitions(
 
 
 def partition_dir(table_dir: str, p: Partition) -> str:
-    return os.path.join(
+    return fsio.join(
         table_dir,
         f"partition_size={p.size}",
         f"start_partition={p.start}",
@@ -122,12 +124,12 @@ def partition_dir(table_dir: str, p: Partition) -> str:
 
 
 def _list_partition_files(table_dir: str, p: Partition) -> list[str]:
+    """Data files of one partition dir, as paths in table_dir's scheme."""
     d = partition_dir(table_dir, p)
-    if not os.path.isdir(d):
-        return []
+    fs, local = fsio.resolve(d)
     return [
-        os.path.join(d, f)
-        for f in sorted(os.listdir(d))
+        fsio.join(d, f)
+        for f in fsio.listdir(fs, local)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
 
@@ -135,10 +137,120 @@ def _list_partition_files(table_dir: str, p: Partition) -> list[str]:
 def _write_empty_partition(empty_table, d: str) -> str:
     import pyarrow.parquet as pq
 
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, "part-empty.parquet")
-    pq.write_table(empty_table, path)
+    fs, local = fsio.resolve(d)
+    fsio.makedirs(fs, local)
+    path = posixpath.join(local, "part-empty.parquet")
+    pq.write_table(empty_table, path, filesystem=fs)
     return path
+
+
+# --------------------------------------------------------------------------
+# arrow sink — reference-exact export schema, any fsio destination
+# --------------------------------------------------------------------------
+
+_PA_UINTS = {"uint8", "uint16", "uint32", "uint64"}
+
+
+def target_arrow_schema(
+    df: DataFrame,
+    block_column: str = BLOCK_COLUMN,
+    uint_columns: dict[str, str] | None = None,
+):
+    """The export schema the reference writes (cli.py:20-21, 147-155):
+    Spark has no unsigned types, so mapped uintN columns widen in-flight
+    and narrow back to pyarrow uintN at the sink; the block column is
+    always uint32 (cli.py:111)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    base = to_arrow_schema(df.schema)
+    uint_map = {
+        "uint8": pa.uint8(),
+        "uint16": pa.uint16(),
+        "uint32": pa.uint32(),
+        "uint64": pa.uint64(),
+    }
+    overrides = dict(uint_columns or {})
+    overrides.setdefault(block_column, "uint32")
+    fields = []
+    for f in base:
+        if f.name in overrides:
+            fields.append(pa.field(f.name, uint_map[overrides[f.name]]))
+        else:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def write_partition_files_arrow(
+    tagged: DataFrame,
+    table_dir: str,
+    target_schema,
+    block_column: str = BLOCK_COLUMN,
+) -> list[tuple[int, int, int, int]]:
+    """Distributed reference-fidelity sink: one pyarrow Parquet file per
+    planned partition, written ON EXECUTORS via applyInPandas, block-sorted
+    within the file (reference ORDER BY, cli.py:44), with the exact target
+    schema (uint32 block column — Spark's own writer cannot emit unsigned
+    Parquet types).  Destination is anything fsio resolves (local, s3://,
+    s3a://, gs://, mock://) — executors open the filesystem themselves, so
+    nothing funnels through the driver.
+
+    One shuffle keyed by the partition tuple (same as the Spark-native
+    sink); the returned action result is one row per written partition:
+    (partition_size, start_partition, end_partition, n_rows).
+    """
+    schema_bytes = target_schema.serialize().to_pybytes()
+    data_cols = [f.name for f in target_schema]
+    # The mock:// test scheme resolves via this env var; long-lived Python
+    # workers may predate the test's env, so it rides in the closure.
+    import os as _os
+
+    mock_root = _os.environ.get("SPARK_GRAFT_MOCK_FS_ROOT")
+
+    def write_group(key, pdf):  # no hints: (key, pdf) eval type is explicit
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if mock_root:
+            os.environ["SPARK_GRAFT_MOCK_FS_ROOT"] = mock_root
+
+        tgt = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+        size, start, end = (int(key[0]), int(key[1]), int(key[2]))
+        pdf = pdf.sort_values(block_column, kind="mergesort")
+        tbl = pa.Table.from_pandas(
+            pdf[data_cols], schema=tgt, preserve_index=False
+        )
+        fs, base = fsio.resolve(table_dir)
+        d = posixpath.join(
+            base,
+            f"partition_size={size}",
+            f"start_partition={start}",
+            f"end_partition={end}",
+        )
+        fsio.makedirs(fs, d)
+        pq.write_table(tbl, posixpath.join(d, "part-00000.parquet"), filesystem=fs)
+        return pd.DataFrame(
+            {
+                "partition_size": [size],
+                "start_partition": [start],
+                "end_partition": [end],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    written = tagged.groupBy(*PARTITION_COLS).applyInPandas(
+        write_group,
+        schema=(
+            "partition_size long, start_partition long, "
+            "end_partition long, n_rows long"
+        ),
+    )
+    return [
+        (r["partition_size"], r["start_partition"], r["end_partition"], r["n_rows"])
+        for r in written.collect()  # 1 row per partition: plan metadata
+    ]
 
 
 def extract_table(
@@ -149,34 +261,62 @@ def extract_table(
     cover: list[Partition],
     block_column: str = BLOCK_COLUMN,
     sort_within: bool = True,
+    sink: str = "spark",
+    arrow_schema=None,
 ) -> list[str]:
     """Write all delta partitions of one table in one distributed job,
     top up empty partitions, and commit the manifest over the full cover.
-    Returns the manifest's file list."""
+    Returns the manifest's file list.
+
+    ``sink="spark"`` uses Spark's native parquet writer (fastest; signed
+    Parquet types; destination must be a Hadoop-visible URI).
+    ``sink="arrow"`` uses the distributed pyarrow sink — reference-exact
+    export schema (uint32 block column, cli.py:20-21,147) and any
+    fsio-resolvable destination.
+    """
     if delta:
         tagged = assign_partitions(df, block_column, delta)
-        writer = tagged.repartition(*[F.col(c) for c in PARTITION_COLS])
-        if sort_within:
-            writer = writer.sortWithinPartitions(*PARTITION_COLS, block_column)
-        # Per-write option, NOT a session conf: mutating the shared session's
-        # partitionOverwriteMode would silently change later callers' writes.
-        (
-            writer.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*PARTITION_COLS)
-            .parquet(table_dir)
-        )
-        # Empty planned partitions still need typed placeholder files.
-        missing = [p for p in delta if not _list_partition_files(table_dir, p)]
-        if missing:
-            empty = (
-                assign_partitions(df, block_column, delta)
-                .drop(*PARTITION_COLS)
-                .limit(0)
-                .toArrow()
+        if sink == "arrow":
+            if arrow_schema is None:
+                arrow_schema = target_arrow_schema(df, block_column)
+            write_partition_files_arrow(
+                tagged, table_dir, arrow_schema, block_column
             )
+            missing = [
+                p for p in delta if not _list_partition_files(table_dir, p)
+            ]
             for p in missing:
-                _write_empty_partition(empty, partition_dir(table_dir, p))
+                _write_empty_partition(
+                    arrow_schema.empty_table(), partition_dir(table_dir, p)
+                )
+        else:
+            writer = tagged.repartition(*[F.col(c) for c in PARTITION_COLS])
+            if sort_within:
+                writer = writer.sortWithinPartitions(
+                    *PARTITION_COLS, block_column
+                )
+            # Per-write option, NOT a session conf: mutating the shared
+            # session's partitionOverwriteMode would silently change later
+            # callers' overwrite-writes.
+            (
+                writer.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*PARTITION_COLS)
+                .parquet(table_dir)
+            )
+            # Empty planned partitions still need typed placeholder files.
+            missing = [
+                p for p in delta if not _list_partition_files(table_dir, p)
+            ]
+            if missing:
+                empty = (
+                    assign_partitions(df, block_column, delta)
+                    .drop(*PARTITION_COLS)
+                    .limit(0)
+                    .toArrow()
+                )
+                for p in missing:
+                    _write_empty_partition(empty, partition_dir(table_dir, p))
 
     # Every cover partition MUST have files on disk (delta partitions were
     # just written — empties included; the rest were committed by earlier
@@ -204,6 +344,7 @@ def run_extraction(
     output_dir: str,
     earliest_block: int,
     latest_block: int,
+    sink: str = "spark",
 ) -> dict[str, list[str]]:
     """The library entry point, mirroring the reference's ``extract()``
     (cli.py:275-339): pure function of (config, sources, output), with
@@ -222,7 +363,7 @@ def run_extraction(
                                            default?, validity_column?}}}
             drop_columns: [vid, block_range]   # optional
     """
-    dataset_dir = os.path.join(output_dir, config["name"], config["version"])
+    dataset_dir = fsio.join(output_dir, config["name"], config["version"])
     ensure_config_unchanged(dataset_dir, config)
 
     previous = read_watermark(dataset_dir)
@@ -256,14 +397,26 @@ def run_extraction(
         )
         delta = plan_delta(prev_cover, cover)
 
-        table_dir = os.path.join(
+        table_dir = fsio.join(
             dataset_dir,
             "data",
             f"subgraph={config['subgraph']}",
             f"table={table_name}",
         )
+        arrow_schema = (
+            target_arrow_schema(out_df, block_col, compiled.arrow_types)
+            if sink == "arrow"
+            else None
+        )
         written[table_name] = extract_table(
-            spark, out_df, table_dir, delta, cover, block_column=block_col
+            spark,
+            out_df,
+            table_dir,
+            delta,
+            cover,
+            block_column=block_col,
+            sink=sink,
+            arrow_schema=arrow_schema,
         )
 
     # Watermark LAST — the run-level commit point (cli.py:329-339).

@@ -148,6 +148,10 @@ class CompiledMappings:
     # enforced by extract via a cheap agg (README "extraction will stop
     # with an error" contract).
     assertions: list[tuple[str, Column]] = field(default_factory=list)
+    # dest column -> "uint8|uint16|uint32|uint64": Spark carries these in
+    # widened signed types; the arrow sink narrows them back to unsigned
+    # Parquet types like the reference (cli.py:147-155).
+    arrow_types: dict[str, str] = field(default_factory=dict)
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df.withColumns(self.columns) if self.columns else df
@@ -198,6 +202,8 @@ def compile_column_mappings(
                 expr = uint256_to_be_bytes(expr)
             else:
                 expr = expr.cast(SPARK_TYPE_FOR_MAPPING[type_name])
+            if type_name.startswith("uint"):
+                out.arrow_types[dest] = type_name
             out.columns[dest] = expr
 
     # Default path for unmapped (and mapped — original kept) numeric cols.

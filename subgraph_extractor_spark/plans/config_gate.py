@@ -9,10 +9,9 @@ would corrupt the snapshot contract.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
-import yaml
+from subgraph_extractor_spark import fsio
 
 
 class ConfigMismatchError(RuntimeError):
@@ -47,12 +46,13 @@ def _diff(a: Any, b: Any, path: str = "$") -> list[str]:
 
 def ensure_config_unchanged(dataset_dir: str, config: dict) -> None:
     """Write config.yaml on first run; on re-runs raise ConfigMismatchError
-    if the stored config differs in any way."""
-    os.makedirs(dataset_dir, exist_ok=True)
-    path = os.path.join(dataset_dir, "config.yaml")
-    if os.path.exists(path):
-        with open(path, "r", encoding="utf-8") as fh:
-            stored = yaml.safe_load(fh)
+    if the stored config differs in any way.  Works on any fsio-resolvable
+    location (local, s3://, mock:// …)."""
+    fs, base = fsio.resolve(dataset_dir)
+    fsio.makedirs(fs, base)
+    path = fsio.join(base, "config.yaml")
+    if fsio.exists(fs, path):
+        stored = fsio.read_yaml(fs, path)
         problems = _diff(stored, config)
         if problems:
             raise ConfigMismatchError(
@@ -60,5 +60,4 @@ def ensure_config_unchanged(dataset_dir: str, config: dict) -> None:
                 + "\n  ".join(problems)
             )
         return
-    with open(path, "w", encoding="utf-8") as fh:
-        yaml.safe_dump(config, fh)
+    fsio.write_yaml_atomic(fs, path, config)

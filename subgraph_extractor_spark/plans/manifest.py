@@ -11,46 +11,57 @@ Spark has no native equivalent (Delta/Iceberg subsume it; out of scope for
 a pure-PySpark build), so this stays a small driver-side pyarrow helper:
 Spark executors write the data files in parallel, the driver then collects
 their footers (metadata only — no data I/O) and commits the manifest.
+
+All I/O goes through ``fsio``/pyarrow.fs so the same commit works on
+local disk, ``s3://`` (incl. Hadoop's ``s3a://`` spelling), ``gs://`` or
+``hdfs://`` — the reference's cloudpathlib upload path (cli.py:226-243).
 """
 
 from __future__ import annotations
 
-import os
+import io
+import posixpath
 
 import pyarrow.parquet as pq
+
+from subgraph_extractor_spark import fsio
 
 
 def write_consolidated_metadata(table_dir: str, data_files: list[str]) -> str:
     """Write ``<table_dir>/_metadata`` referencing exactly ``data_files``
-    (paths relative to ``table_dir`` or absolute beneath it).
+    (paths relative to ``table_dir``, or absolute/URI beneath it).
 
     Readers then do ``pq.ParquetDataset(table_dir + '/_metadata')`` (or
-    ``pq.read_table``) and see only the committed cover, regardless of what
-    other files exist under the directory.
+    ``pyarrow.dataset.parquet_dataset`` with the right filesystem) and see
+    only the committed cover, regardless of what other files exist under
+    the directory.
     """
-    table_dir = os.path.abspath(table_dir)
+    fs, base = fsio.resolve(table_dir)
     collector = []
     schema = None
     for f in sorted(data_files):
-        abs_f = f if os.path.isabs(f) else os.path.join(table_dir, f)
-        rel = os.path.relpath(abs_f, table_dir)
-        md = pq.read_metadata(abs_f)
+        _, fp = fsio.resolve(f) if "://" in f else (fs, f)
+        if not fp.startswith(base):
+            fp = posixpath.join(base, fp)
+        rel = posixpath.relpath(fp, base)
+        md = pq.read_metadata(fp, filesystem=fs)
         md.set_file_path(rel)
         if schema is None:
-            schema = pq.read_schema(abs_f)
+            schema = pq.read_schema(fp, filesystem=fs)
         collector.append(md)
     if schema is None:
         raise ValueError("cannot write a manifest over zero files")
-    out = os.path.join(table_dir, "_metadata")
-    tmp = out + ".tmp"
-    pq.write_metadata(schema, tmp, metadata_collector=collector)
-    os.replace(tmp, out)  # atomic swap = commit
+    buf = io.BytesIO()
+    pq.write_metadata(schema, buf, metadata_collector=collector)
+    out = posixpath.join(base, "_metadata")
+    fsio.write_bytes_atomic(fs, out, buf.getvalue())
     return out
 
 
 def read_manifest_files(table_dir: str) -> list[str]:
     """List the file paths the current manifest references (relative)."""
-    md = pq.read_metadata(os.path.join(table_dir, "_metadata"))
+    fs, base = fsio.resolve(table_dir)
+    md = pq.read_metadata(posixpath.join(base, "_metadata"), filesystem=fs)
     return sorted(
         {md.row_group(i).column(0).file_path for i in range(md.num_row_groups)}
     )

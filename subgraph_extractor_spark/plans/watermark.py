@@ -5,29 +5,32 @@ test at tests/test_get_column_info.py:181-225): work is planned from the
 stored watermark, never from listing written files, so a crashed run simply
 re-plans the same delta next time; the watermark is written only after all
 tables' files and manifests are committed.
+
+I/O goes through ``fsio`` so the watermark commits to the same local or
+cloud location as the data (reference cli.py:329-339 uploads it via
+cloudpathlib).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import os
 from typing import Any
 
-import yaml
+from subgraph_extractor_spark import fsio
 
 
 def _watermark_path(dataset_dir: str) -> str:
-    return os.path.join(dataset_dir, "latest.yaml")
+    return fsio.join(dataset_dir, "latest.yaml")
 
 
 def read_watermark(dataset_dir: str) -> dict[str, Any]:
     """Return the stored watermark, or {} on first run (reference: empty
     dict when latest.yaml is absent)."""
-    path = _watermark_path(dataset_dir)
-    if not os.path.exists(path):
+    fs, _ = fsio.resolve(dataset_dir)
+    _, path = fsio.resolve(_watermark_path(dataset_dir))
+    if not fsio.exists(fs, path):
         return {}
-    with open(path, "r", encoding="utf-8") as fh:
-        return yaml.safe_load(fh) or {}
+    return fsio.read_yaml(fs, path) or {}
 
 
 def write_watermark(
@@ -40,9 +43,7 @@ def write_watermark(
         "latest_block": int(latest_block),
         "updated": _dt.datetime.now(_dt.timezone.utc).isoformat(),
     }
-    os.makedirs(dataset_dir, exist_ok=True)
-    tmp = _watermark_path(dataset_dir) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        yaml.safe_dump(state, fh)
-    os.replace(tmp, _watermark_path(dataset_dir))
+    fs, _ = fsio.resolve(dataset_dir)
+    _, path = fsio.resolve(_watermark_path(dataset_dir))
+    fsio.write_yaml_atomic(fs, path, state)
     return state

@@ -288,3 +288,98 @@ def test_empty_partitions_written_and_typed(spark, tmp_path):
     assert empties, "expected empty partition placeholder files"
     schema = pq.read_schema(os.path.join(td, empties[0]))
     assert "ask_price" in schema.names and "_block_number" in schema.names
+
+
+# ---------------------------------------------------------------------------
+# cloud-scheme commit path (VERDICT r01 item 4) + export-schema fidelity
+# (item 7): the full pipeline against a non-file:// scheme through fsio,
+# with the arrow sink producing the reference's exact Parquet types.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mock_fs(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MOCK_FS_ROOT", str(tmp_path))
+    return tmp_path
+
+
+def _read_mock_manifest(table_dir):
+    import pyarrow.dataset as pads
+
+    from subgraph_extractor_spark import fsio
+
+    fs, base = fsio.resolve(table_dir)
+    return pads.parquet_dataset(base + "/_metadata", filesystem=fs).to_table()
+
+
+MOCK_TD = (
+    "mock://exports/my_extract_name/0.0.1/data"
+    "/subgraph=SUBGRAPHIPFS/table=entity_versions"
+)
+
+
+def test_e2e_extraction_on_mock_scheme(spark, mock_fs):
+    """Full lifecycle (config gate -> data -> empty partitions -> manifest
+    -> watermark) against a non-file:// destination, arrow sink."""
+    out = "mock://exports"
+    run_extraction(
+        spark, CONFIG, {"entity_versions": _entity_df(spark)}, out,
+        earliest_block=18_000_000, latest_block=19_000_000, sink="arrow",
+    )
+    assert len(read_manifest_files(MOCK_TD)) == 31
+    data = _read_mock_manifest(MOCK_TD)
+    assert data.num_rows == 6
+    prices = [
+        None if v is None else int.from_bytes(v, "big")
+        for v in data.column("ask_price").to_pylist()
+    ]
+    assert sorted(prices) == sorted(int(r[4]) for r in ROWS)
+    # watermark + config committed on the mock scheme too
+    wm = read_watermark("mock://exports/my_extract_name/0.0.1")
+    assert wm["latest_block"] == 19_000_000
+    assert (mock_fs / "exports/my_extract_name/0.0.1/config.yaml").exists()
+
+
+def test_e2e_incremental_advance_on_mock_scheme(spark, mock_fs):
+    out = "mock://exports"
+    tables = {"entity_versions": _entity_df(spark)}
+    run_extraction(spark, CONFIG, tables, out, 18_000_000, 18_700_000,
+                   sink="arrow")
+    n1 = _read_mock_manifest(MOCK_TD).num_rows
+    run_extraction(spark, CONFIG, tables, out, 18_000_000, 19_000_000,
+                   sink="arrow")
+    n2 = _read_mock_manifest(MOCK_TD).num_rows
+    assert (n1, n2) == (3, 6)
+
+
+def test_arrow_sink_reference_export_schema(spark, mock_fs):
+    """Reference types the block column pyarrow.uint32 (cli.py:20-21,111,
+    147) and mapped uintN columns as unsigned Parquet types (cli.py:
+    147-155); Spark's native writer cannot, so the arrow sink must."""
+    import pyarrow as pa
+
+    config = {
+        **CONFIG,
+        "tables": {
+            "entity_versions": {
+                **CONFIG["tables"]["entity_versions"],
+                "column_mappings": {
+                    "ask_price": {
+                        "ask_price_u64": {
+                            "type": "uint64",
+                            "max_value": 2**64 - 1,
+                            "default": 0,
+                        }
+                    }
+                },
+            }
+        },
+    }
+    run_extraction(
+        spark, config, {"entity_versions": _entity_df(spark)}, "mock://exports",
+        earliest_block=18_000_000, latest_block=19_000_000, sink="arrow",
+    )
+    tbl = _read_mock_manifest(MOCK_TD)
+    assert tbl.schema.field("_block_number").type == pa.uint32()
+    assert tbl.schema.field("ask_price_u64").type == pa.uint64()
+    assert tbl.schema.field("ask_price").type == pa.binary()
