@@ -55,6 +55,24 @@ def uint256_to_be_bytes(s: pd.Series) -> pd.Series:
     return s.map(enc)
 
 
+@pandas_udf(BinaryType())
+def decimal_str_to_uint256_be(s: pd.Series) -> pd.Series:
+    """Decode a base-10 integer STRING column to 32-byte big-endian binary
+    — the lossless JDBC ingestion route (SURVEY §4.1): Postgres ``numeric``
+    holding uint256 exceeds Spark's Decimal(38,18) JDBC mapping, so the
+    pushdown query projects it as ``::text`` (sources.readers.
+    jdbc_numeric_as_text) and this kernel decodes the full 78-digit domain
+    exactly.  Raises on non-integer strings and values outside
+    [0, 2**256) — same domain contract as uint256_to_be_bytes."""
+
+    def enc(v):
+        if v is None:
+            return None
+        return int(str(v).strip()).to_bytes(32, byteorder="big")
+
+    return s.map(enc)
+
+
 @pandas_udf(DecimalType(38, 0))
 def be_bytes_to_decimal38(s: pd.Series) -> pd.Series:
     """Decode 32-byte big-endian binary back to Decimal(38,0).

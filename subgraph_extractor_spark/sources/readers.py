@@ -100,6 +100,84 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def jdbc_numeric_as_text(
+    table: str, columns: list[str], numeric_columns: list[str]
+) -> str:
+    """Pushdown subquery for lossless uint256 ingestion (SURVEY §4.1):
+    Postgres ``numeric`` holding uint256 exceeds Spark's JDBC decimal
+    mapping, so unbounded-numeric columns are projected ``::text`` at the
+    source (mirroring the reference's text-mode read, cli.py:38-52 with
+    coerce_float=False) and decoded Spark-side with
+    ``functions.uint256.decimal_str_to_uint256_be``.
+
+    ``columns`` comes from catalog introspection (catalog.column_info) —
+    JDBC needs the explicit list because the subquery replaces ``table``.
+    """
+    sel = ", ".join(
+        f"{c}::text AS {c}" if c in set(numeric_columns) else c
+        for c in columns
+    )
+    alias = table.replace(".", "_").replace('"', "")
+    return f"(SELECT {sel} FROM {table}) AS numeric_safe_{alias}"
+
+
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    block_column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int = 32,
+    columns: list[str] | None = None,
+    numeric_columns: list[str] | None = None,
+    **options,
+) -> dict[str, str]:
+    """The option set for a range-partitioned JDBC scan — pure and
+    unit-testable (the live .load() is a thin wrapper below).
+
+    partitionColumn/lowerBound/upperBound/numPartitions make Spark issue
+    ``num_partitions`` disjoint WHERE-bounded queries in parallel — the
+    distributed version of the reference's sequential per-partition query
+    loop (cli.py:296-326).  With ``numeric_columns`` set, ``dbtable``
+    becomes the numeric-as-text pushdown subquery.
+    """
+    if numeric_columns and not columns:
+        raise ValueError(
+            "numeric_columns requires the explicit column list "
+            "(from catalog.column_info) to build the pushdown query"
+        )
+    dbtable = (
+        jdbc_numeric_as_text(table, columns, numeric_columns)
+        if numeric_columns
+        else table
+    )
+    out = {
+        "url": url,
+        "dbtable": dbtable,
+        "partitionColumn": block_column,
+        "lowerBound": str(int(lower)),
+        "upperBound": str(int(upper)),
+        "numPartitions": str(int(num_partitions)),
+        # graph-node block numbers are integers; disable fetch conversion
+        # surprises and keep server-side cursors streaming
+        "fetchsize": options.pop("fetchsize", "10000"),
+    }
+    out.update({k: str(v) for k, v in options.items()})
+    return out
+
+
+def decode_jdbc_numerics(df: DataFrame, numeric_columns: list[str]) -> DataFrame:
+    """Decode ::text-projected unbounded numerics to the 32-byte-BE
+    carrier (the same column names, as in the reference's export)."""
+    from subgraph_extractor_spark.functions.uint256 import (
+        decimal_str_to_uint256_be,
+    )
+
+    return df.withColumns(
+        {c: decimal_str_to_uint256_be(F.col(c)) for c in numeric_columns}
+    )
+
+
 def read_jdbc_range_partitioned(
     spark: SparkSession,
     url: str,
@@ -108,27 +186,26 @@ def read_jdbc_range_partitioned(
     lower: int,
     upper: int,
     num_partitions: int = 32,
+    columns: list[str] | None = None,
+    numeric_columns: list[str] | None = None,
     **options,
 ) -> DataFrame:
-    """JDBC scan of a live graph-node Postgres, range-partitioned on the
-    block column so executors read disjoint slices in parallel — the
-    distributed version of the reference's sequential per-partition query
-    loop (cli.py:296-326).
-
-    Precision caveat (SURVEY §4.1): Postgres ``numeric`` holding uint256
-    exceeds Spark's Decimal(38); for lossless ingestion project such
-    columns as text in a pushdown query and decode with
-    functions.uint256.decimal_str_to_uint256_be.  Untested here (no
-    Postgres in the test environment) — kept thin and documented.
-    """
-    return (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("partitionColumn", block_column)
-        .option("lowerBound", str(lower))
-        .option("upperBound", str(upper))
-        .option("numPartitions", str(num_partitions))
-        .options(**options)
-        .load()
+    """Range-partitioned JDBC scan of a live graph-node Postgres; see
+    jdbc_scan_options for the contract (option construction and the
+    lossless numeric-as-text route are unit-tested; the live connection
+    needs a JDBC driver jar on the cluster classpath)."""
+    opts = jdbc_scan_options(
+        url,
+        table,
+        block_column,
+        lower,
+        upper,
+        num_partitions,
+        columns,
+        numeric_columns,
+        **options,
     )
+    df = spark.read.format("jdbc").options(**opts).load()
+    if numeric_columns:
+        df = decode_jdbc_numerics(df, numeric_columns)
+    return df
