@@ -61,13 +61,17 @@ def main() -> None:
     qs["a1_minmax_watermark"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for _run in range(2):
-        for name in HEADLINE:
-            fn = qs[name]
+    for name in HEADLINE:
+        fn = qs[name]
+        for _run in range(2):  # cold, then warm; report the warm minimum
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        # dedup/ANN queries persist self-join inputs; drop them before the
+        # NEXT query so accumulated blocks don't evict its working set
+        # (within a query's two runs the cache is legitimate reuse)
+        spark.catalog.clearCache()
 
     # the reference's core workload: full incremental extraction of a
     # versioned table (plan -> tag -> one shuffled write -> manifest ->
@@ -100,6 +104,58 @@ def main() -> None:
     run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
     timings["extract_events"] = round(time.time() - t0, 3)
     shutil.rmtree(out, ignore_errors=True)
+
+    # bigger cover: a 3-level size stack over the full lineitem span — more
+    # partitions, deeper re-coarsening hierarchy (the 100x-relevant shape)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_block_number", F.col("l_orderkey")
+    )
+    hi_li = li.agg(F.max("l_orderkey")).first()[0]
+    out2 = tempfile.mkdtemp(prefix="bench_extract_li_")
+    cfg2 = {
+        "name": "bench_li",
+        "version": "1",
+        "subgraph": "QmBenchLi",
+        "tables": {
+            "lineitem": {
+                "partition_sizes": [131072, 16384, 1024],
+                "drop_columns": ["l_comment"],
+            }
+        },
+    }
+    t0 = time.time()
+    run_extraction(spark, cfg2, {"lineitem": li}, out2, 0, int(hi_li))
+    timings["extract_lineitem_3level"] = round(time.time() - t0, 3)
+    shutil.rmtree(out2, ignore_errors=True)
+
+    # bucketed co-located join: write both sides bucketed by the join key
+    # once, then join with zero Exchange — the recurring-join tool at 100x.
+    # Timed halves: build (amortized in production) and the join itself.
+    from subgraph_extractor_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    # bucket the curated join projection (keys + measures), as one would
+    # for a recurring production join — not every source column
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    t0 = time.time()
+    write_bucketed(orders, "bench_orders_b", "o_orderkey", 32)
+    write_bucketed(lineitem, "bench_lineitem_b", "o_orderkey", 32)
+    timings["bucketed_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bucketed_join(spark, "bench_lineitem_b", "bench_orders_b", "o_orderkey").count()
+    timings["bucketed_join"] = round(time.time() - t0, 3)
+    spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+    spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
 
     total = round(sum(timings.values()), 3)
     print(

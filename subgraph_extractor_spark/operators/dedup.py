@@ -557,13 +557,19 @@ def embedding_neardup_pairs(
     table (1 GB shuffled per million pairs) and never collected to the
     driver.  Output: (id_a, id_b, cosine) with id_a < id_b."""
     from subgraph_extractor_spark.operators.similarity import (
+        _flat_candidate_sims,
         _n_shards,
-        _normalized,
         _shard_of,
         lsh_bucketed_pairs,
     )
 
-    S = _n_shards(df, n_shards)
+    # Shard-count trade-off: each probed shard costs one query-vector
+    # copy, so fewer shards = less duplication, more = smaller corpus
+    # slices per task.  cores/4 bounds duplication while keeping
+    # verification parallel; at 100 TB size shards to ~256 MB of vectors.
+    S = n_shards or max(
+        4, df.sparkSession.sparkContext.defaultParallelism // 4
+    )
     cands = lsh_bucketed_pairs(df, vec_col, id_col)
     grouped = (
         cands.select(
@@ -588,24 +594,16 @@ def embedding_neardup_pairs(
     def shard_cosines(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        c_ids = cpdf["_cid"].to_numpy()
-        Cn = _normalized(cpdf["_cv"])
-        idx_of = {int(i): j for j, i in enumerate(c_ids)}
-        res_a, res_b, res_c = [], [], []
-        for qid, cand_ids, qv in zip(
-            qpdf["id_a"], qpdf["_cands"], qpdf["_qv"]
-        ):
-            idxs = np.array(
-                sorted({idx_of[int(c)] for c in cand_ids}), dtype=np.int64
-            )
-            q = np.asarray(qv, dtype=np.float64)
-            n = np.linalg.norm(q)
-            sims = (q / n if n > 0 else q) @ Cn[idxs].T
-            keep = sims >= threshold
-            res_a.extend([qid] * int(keep.sum()))
-            res_b.extend(c_ids[idxs][keep].tolist())
-            res_c.extend(sims[keep].tolist())
-        return pd.DataFrame({"id_a": res_a, "id_b": res_b, "cosine": res_c})
+        qpdf = qpdf.rename(columns={"id_a": "_qid"})
+        qids, c_flat, sims, row_idx = _flat_candidate_sims(qpdf, cpdf)
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": qids[row_idx[keep]],
+                "id_b": c_flat[keep],
+                "cosine": sims[keep],
+            }
+        )
 
     return (
         grouped.groupby("_shard")
