@@ -94,21 +94,54 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+# payload-level resize kernel: (payload, mime, width, height) -> payload.
+# None by default — no imaging libs (PIL/opencv) ship in this container, so
+# the stage refuses to plan rather than failing mid-job (honest stub).
+_RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
+
+
+def set_resizer(fn: Callable[[bytes, str, int, int], bytes] | None) -> None:
+    """Install the real image-resize kernel (e.g. a PIL thumbnail fn).
+    Mirrors set_decoder: the Spark plumbing below is real and tested; only
+    the pixel math is pluggable."""
+    global _RESIZER
+    _RESIZER = fn
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Schema-preserving image resize stage.  STUB: raises in the kernel
-    (no imaging libs in this container) unless a real decoder was set;
-    plumbing (mapInPandas, schema passthrough, meta update) is real."""
+    """Schema-preserving image resize stage: image rows get resized
+    payloads + updated meta dims, non-image rows pass through unchanged.
+    Requires a resizer kernel via ``set_resizer`` (no imaging libs in this
+    container) — raises at PLAN time, not mid-job, when absent."""
+    if _RESIZER is None:
+        raise NotImplementedError(
+            "image resize requires an imaging kernel (e.g. PIL); install "
+            "one and register it with set_resizer()"
+        )
+    resizer = _RESIZER
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "image resize requires an imaging library (e.g. PIL) not "
-                "present in this environment; install one and set_decoder()"
-            )
-            yield pdf  # pragma: no cover
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "payload"] = [
+                resizer(
+                    None if p is None else bytes(p),
+                    (m or {}).get("mime"),
+                    width,
+                    height,
+                )
+                for p, m in zip(
+                    out.loc[is_img, "payload"], out.loc[is_img, "meta"]
+                )
+            ]
+            out.loc[is_img, "meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in out.loc[is_img, "meta"]
+            ]
+            yield out
 
-    out_schema = media.schema
-    return media.mapInPandas(resize_batches, schema=out_schema)
+    return media.mapInPandas(resize_batches, schema=media.schema)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:

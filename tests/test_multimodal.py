@@ -32,10 +32,32 @@ def test_extract_features_schema_and_determinism(spark, media):
         assert r["feature"] == pytest.approx(expected, abs=1e-6)
 
 
-def test_resize_is_explicit_stub(spark, media):
-    with pytest.raises(Exception) as ei:
-        mm.resize_images(media, 32, 32).count()
-    assert "NotImplementedError" in str(ei.value) or "imaging" in str(ei.value)
+def test_resize_refuses_without_kernel(spark, media):
+    # plan-time refusal (not a mid-job executor crash) when no imaging
+    # kernel is registered — this container ships none
+    with pytest.raises(NotImplementedError, match="set_resizer"):
+        mm.resize_images(media, 32, 32)
+
+
+def test_resize_plumbing_with_registered_kernel(spark, media):
+    """The Spark plumbing is real: register a deterministic stand-in
+    kernel (truncate payload) and verify schema passthrough, image-only
+    rewrite, and meta dim update."""
+    mm.set_resizer(lambda payload, mime, w, h: (payload or b"")[: w * h // 64])
+    try:
+        out = mm.resize_images(media, 32, 32)
+        assert out.schema == media.schema
+        src = {r["media_id"]: r for r in media.collect()}
+        for r in out.collect():
+            orig = src[r["media_id"]]
+            if r["kind"] == "image":
+                assert bytes(r["payload"]) == bytes(orig["payload"])[:16]
+                assert (r["meta"]["width"], r["meta"]["height"]) == (32, 32)
+            else:
+                assert bytes(r["payload"]) == bytes(orig["payload"])
+                assert r["meta"] == orig["meta"]
+    finally:
+        mm.set_resizer(None)
 
 
 def test_video_frame_sampling(spark, media):
