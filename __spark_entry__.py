@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -844,6 +845,58 @@ def q_f_map(spark, sf):
     )
 
 
+def q_f_udaf(spark, sf):
+    # §2.10 UDAF surface: grouped-agg pandas UDF (Arrow-batched).  Exact
+    # Python-int accumulation — order-free, hence oracle-hashable; the
+    # string carrier survives any magnitude (DuckDB SUM(BIGINT) is
+    # HUGEINT-exact on its side).
+    from pyspark.sql.functions import pandas_udf
+
+    li = _t(spark, sf, "lineitem")
+
+    @pandas_udf("string")
+    def int_sum_str(v: pd.Series) -> str:
+        return str(sum(int(x) for x in v))
+
+    @pandas_udf("long")
+    def n_vals(v: pd.Series) -> int:
+        # grouped-agg UDFs cannot mix with built-in aggregates in one agg
+        return int(len(v))
+
+    return (
+        li.withColumn(
+            "cents", F.floor(F.col("l_extendedprice") * 100).cast("long")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            int_sum_str("cents").alias("sum_cents"),
+            n_vals("cents").alias("n_rows"),
+        )
+    )
+
+
+def q_f_udtf(spark, sf):
+    # §2.10 UDTF surface: Python UDTF applied per-row via LATERAL —
+    # tokenizer emitting (word, position) rows
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    d = _t(spark, sf, "documents")
+    d.filter(F.trim(F.col("text")) != "").createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        "SELECT doc_id, s.word, s.pos "
+        "FROM docs_udtf_v, LATERAL split_words(text) AS s"
+    )
+
+
 def q_skew_salted_agg(spark, sf):
     # skew-proof two-stage aggregation (operators.skew): identical result
     # to the plain GROUP BY — that identity IS the oracle; the fixture's
@@ -1063,8 +1116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
     "s5_preview_limit": q_s5_preview_limit,
-    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
     "p6_uint256_sum": q_p6_uint256_sum,
+    "f_udaf": q_f_udaf,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
     "p8_mapping_compiler": q_p8_mapping_compiler,
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
@@ -1077,7 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
     "a4_rollup": q_a4_rollup,
-    "a4_grouping_sets": q_a4_grouping_sets,
+    "f_udtf": q_f_udtf,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
@@ -1111,6 +1164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang": q_text_lang,
     "text_fingerprint": q_text_fingerprint,
     # -- tier 2: oracled variants of surfaces already covered above --
+    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
+    "a4_grouping_sets": q_a4_grouping_sets,
     "p4_downscale": q_p4_downscale,
     "p5_clamp_validity": q_p5_clamp_validity,
     "j3_full_outer": q_j3_full_outer,
@@ -1463,6 +1518,19 @@ ORACLES: dict[str, str] = {
         SELECT k, COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v,
                MIN(v) AS min_v, MAX(v) AS max_v
         FROM kv GROUP BY k
+    """,
+    "f_udaf": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS VARCHAR)
+                   AS sum_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "f_udtf": """
+        SELECT doc_id, l[i] AS word, CAST(i - 1 AS INT) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+              FROM documents WHERE trim(text) <> ''),
+             LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) AS t
     """,
     "skew_salted_agg": """
         SELECT l_returnflag,
