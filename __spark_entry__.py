@@ -845,6 +845,49 @@ def q_f_map(spark, sf):
     )
 
 
+def q_text_clean(spark, sf):
+    # training-data text normalization: lowercase, control-char strip,
+    # whitespace collapse, trim — pure codegen expressions both engines
+    d = _t(spark, sf, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[\\x00-\\x1f]+", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
+def q_pipeline_clean_corpus(spark, sf):
+    # composed training-data prep pipeline: exact-dedup (keep lowest
+    # doc_id per sha256) + token/punctuation quality gate — the
+    # end-to-end shape a corpus-cleaning job takes, all Catalyst
+    d = _t(spark, sf, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", n_punct / F.greatest(F.length("text"), F.lit(1)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens") >= 40)
+            & (F.col("punct_ratio") <= 0.1)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 def q_f_udaf(spark, sf):
     # §2.10 UDAF surface: grouped-agg pandas UDF (Arrow-batched).  Exact
     # Python-int accumulation — order-free, hence oracle-hashable; the
@@ -1176,6 +1219,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string2": q_f_string2,
     "set_ops_all": q_set_ops_all,
     "tpch_q3_shape": q_tpch_q3_shape,
+    "text_clean": q_text_clean,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1518,6 +1563,27 @@ ORACLES: dict[str, str] = {
         SELECT k, COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v,
                MIN(v) AS min_v, MAX(v) AS max_v
         FROM kv GROUP BY k
+    """,
+    "text_clean": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[\\x00-\\x1f]+', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+               CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text),
+                    '[\\x00-\\x1f]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS INT)
+                   AS clean_len
+        FROM documents
+    """,
+    "pipeline_clean_corpus": """
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+                   END AS n_tokens,
+                   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                        AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1 AND n_tokens >= 40 AND punct_ratio <= 0.1
     """,
     "f_udaf": """
         SELECT l_returnflag,
