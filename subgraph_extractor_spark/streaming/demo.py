@@ -114,6 +114,33 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingestion face of
+    ``operators.dedup.exact_dedup``: re-delivered / replayed events
+    (at-least-once sources) collapse to one row per key.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time, so state size is O(events per watermark window), not O(stream
+    history).  The same call degrades to a plain ``dropDuplicates`` on a
+    batch input (unified API)."""
+    src = events
+    if src.schema["ts"].dataType.typeName() == "long":
+        # TIMESTAMP(NANOS) parquet read with nanosAsLong: restore a real
+        # event-time column for the watermark (same as readers path)
+        src = src.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    if src.isStreaming:
+        return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return src.dropDuplicates(list(key_cols))
+
+
 def purchases_with_recent_clicks(
     events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -128,3 +128,39 @@ def test_sliding_and_session_windows_batch(spark, sf_dir):
         windows.sort()
         for (s1, e1), (s2, _) in zip(windows, windows[1:]):
             assert e1 <= s2
+
+
+def test_stream_dedup_collapses_replayed_events(spark, sf_dir, tmp_path):
+    """At-least-once replay: the same source file staged twice -> every
+    event delivered twice; streaming exact dedup must collapse the stream
+    back to one row per event_id (== the batch distinct)."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import dedup_events_stream
+
+    stage = tmp_path / "replayed_src"
+    stage.mkdir()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, stage / "part-0.parquet")
+    os.symlink(src, stage / "part-1.parquet")  # the replay
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")  # replay arrives in a LATER batch
+        .parquet(str(stage))
+    )
+    q = (
+        dedup_events_stream(stream)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from deduped_events").collect()
+    n_src = spark.read.parquet(src).count()
+    assert len(got) == n_src  # every duplicate dropped, nothing else
+    assert len({r["event_id"] for r in got}) == n_src
