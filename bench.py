@@ -107,9 +107,9 @@ def main() -> None:
 
     # bigger cover: a 3-level size stack over the full lineitem span — more
     # partitions, deeper re-coarsening hierarchy (the 100x-relevant shape)
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "_block_number", F.col("l_orderkey")
-    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    ).withColumn("_block_number", F.col("l_orderkey"))
     hi_li = li.agg(F.max("l_orderkey")).first()[0]
     out2 = tempfile.mkdtemp(prefix="bench_extract_li_")
     cfg2 = {
@@ -119,7 +119,6 @@ def main() -> None:
         "tables": {
             "lineitem": {
                 "partition_sizes": [131072, 16384, 1024],
-                "drop_columns": ["l_comment"],
             }
         },
     }
