@@ -9,15 +9,23 @@ Two tiers:
   window over the cross product.  Correctness baseline; O(Q x N) but fully
   vectorized JVM-side (higher-order functions, no Python), and the corpus
   side broadcasts when small.
-- ``lsh_bucketed_pairs`` / ``ann_topk_lsh`` — the scale path: random
-  hyperplane sign-LSH.  Each vector gets a compact bit signature computed
-  from FIXED pseudo-random hyperplanes (deterministic literals, seeded);
+- ``topk_matmul`` — exact top-k, sharded: hash-sharded corpus, cogrouped
+  applyInPandas local top-k (one BLAS matmul per shard), one per-query
+  window merge.  No corpus rows ever reach the driver.
+- ``lsh_bucketed_pairs`` / ``ann_topk_lsh`` — the approximate scale path:
+  random hyperplane sign-LSH.  Each vector gets a compact bit signature
+  computed from FIXED pseudo-random hyperplanes (deterministic, seeded);
   candidates share a signature band, so the join is an equi-join on
   (band, band_value) — shuffle keys only, never a cross product.
+  Verification shares the same shard-cogroup shape (candidate ids grouped
+  per (query, shard), chunked-matmul scoring).
+- ``ivf_topk`` — KMeans inverted file: the Voronoi cell IS the shard;
+  queries explode to their n_probe nearest cells and rank only those
+  cells' members.
 
-All vector math is built-in Catalyst HOFs (zip_with + aggregate), i.e.
-sequential left-fold dot products — deterministic bit-for-bit, which the
-differential harness relies on.
+The oracle-facing brute-force path keeps Catalyst HOF dot products
+(sequential left-fold — bit-deterministic for the differential harness);
+the distributed kernels use float64 numpy, identical per-pair math.
 """
 
 from __future__ import annotations
