@@ -845,6 +845,41 @@ def q_f_map(spark, sf):
     )
 
 
+def q_f_hash(spark, sf):
+    # cryptographic hash surface (content addressing / dedup keys)
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+def q_f_bitwise(spark, sf):
+    # bitwise surface: and/or/xor/shifts (flag fields, bitmap filters)
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.col("o_custkey")).alias("key_and"),
+        k.bitwiseOR(F.col("o_custkey")).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k % 1024, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+    )
+
+
+def q_a9_percentiles(spark, sf):
+    # exact interpolated percentiles per group (both engines implement the
+    # standard lower + frac*(upper-lower) on the sorted values)
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_text_clean(spark, sf):
     # training-data text normalization: lowercase, control-char strip,
     # whitespace collapse, trim — pure codegen expressions both engines
@@ -1221,6 +1256,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shape": q_tpch_q3_shape,
     "text_clean": q_text_clean,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "f_hash": q_f_hash,
+    "f_bitwise": q_f_bitwise,
+    "a9_percentiles": q_a9_percentiles,
     # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1563,6 +1601,26 @@ ORACLES: dict[str, str] = {
         SELECT k, COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS sum_v,
                MIN(v) AS min_v, MAX(v) AS max_v
         FROM kv GROUP BY k
+    """,
+    "f_hash": """
+        SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+        FROM customer
+    """,
+    "f_bitwise": """
+        SELECT o_orderkey,
+               o_orderkey & o_custkey AS key_and,
+               o_orderkey | o_custkey AS key_or,
+               CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+               CAST((o_orderkey % 1024) << 2 AS BIGINT) AS key_shl,
+               CAST(o_orderkey >> 3 AS BIGINT) AS key_shr
+        FROM orders
+    """,
+    "a9_percentiles": """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS median_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
     """,
     "text_clean": """
         SELECT doc_id,
