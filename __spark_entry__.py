@@ -845,6 +845,44 @@ def q_f_map(spark, sf):
     )
 
 
+def q_pipeline_stable_split(spark, sf):
+    # deterministic train/valid/test assignment — the stable-split op a
+    # training-data pipeline needs: bucket = first md5 byte of the id
+    # (0..255, engine-independent), 80/10/10 by threshold.  Re-runs and
+    # engine changes never move a document between splits.
+    d = _t(spark, sf, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digits = "0123456789abcdef"
+    b = (F.instr(F.lit(digits), F.substring(hx, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(digits), F.substring(hx, 2, 1)) - 1
+    )
+    split = (
+        F.when(b < 204, "train").when(b < 230, "valid").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_a10_approx_distinct(spark, sf):
+    # HLL sketch with a cross-engine error-bound contract: both engines
+    # run their own HLL (different implementations — raw estimates are
+    # not comparable), so the oracle-checkable output is the exact count
+    # plus a boolean that the local sketch landed within 5% of it.
+    li = _t(spark, sf, "lineitem")
+    agg = li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("n_exact"),
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_within_5pct"),
+    )
+
+
 def q_f_hash(spark, sf):
     # cryptographic hash surface (content addressing / dedup keys)
     c = _t(spark, sf, "customer")
@@ -1259,6 +1297,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_hash": q_f_hash,
     "f_bitwise": q_f_bitwise,
     "a9_percentiles": q_a9_percentiles,
+    "pipeline_stable_split": q_pipeline_stable_split,
+    "a10_approx_distinct": q_a10_approx_distinct,
     # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1605,6 +1645,25 @@ ORACLES: dict[str, str] = {
     "f_hash": """
         SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         FROM customer
+    """,
+    "pipeline_stable_split": """
+        SELECT CASE WHEN b < 204 THEN 'train'
+                    WHEN b < 230 THEN 'valid'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM (SELECT (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+              FROM documents)
+        GROUP BY 1
+    """,
+    "a10_approx_distinct": """
+        SELECT n_exact,
+               ABS(n_approx - n_exact) <= 0.05 * n_exact AS approx_within_5pct
+        FROM (SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+                     approx_count_distinct(l_partkey) AS n_approx
+              FROM lineitem)
     """,
     "f_bitwise": """
         SELECT o_orderkey,
