@@ -845,6 +845,26 @@ def q_f_map(spark, sf):
     )
 
 
+def q_w7_sessionize(spark, sf):
+    # batch sessionization: 30-min inactivity gap starts a new session —
+    # lag + conditional + running sum over one user-partitioned window
+    # (the batch face of streaming session windows, §2.9)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 def q_pipeline_stable_split(spark, sf):
     # deterministic train/valid/test assignment — the stable-split op a
     # training-data pipeline needs: bucket = first md5 byte of the id
@@ -1299,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_percentiles": q_a9_percentiles,
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
+    "w7_sessionize": q_w7_sessionize,
     # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1645,6 +1666,26 @@ ORACLES: dict[str, str] = {
     "f_hash": """
         SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         FROM customer
+    """,
+    "w7_sessionize": """
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM (
+            SELECT user_id, event_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                 - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                                   OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
     """,
     "pipeline_stable_split": """
         SELECT CASE WHEN b < 204 THEN 'train'
