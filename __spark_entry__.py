@@ -34,6 +34,8 @@ from subgraph_extractor_spark.functions.uint256 import (
 )
 from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
+from subgraph_extractor_spark.operators import packing as packing_ops
+from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
 from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
@@ -1247,13 +1249,129 @@ def q_emb_neardup(spark, sf):
 # declaration order with a budget (~50 in r01), so oracle-equipped queries
 # covering distinct SURVEY §2 rows come first; redundant variants of
 # already-covered surfaces next; genuinely rows-only queries last.
+def q_sample_stratified(spark, sf):
+    # deterministic stratified sampling: downsample the head language
+    # (en -> 64/256), halve zh, keep the tail intact — the sample is a
+    # pure function of doc_id (re-run/engine/partitioning stable), zero
+    # shuffle (row-local codegen CASE + md5 bucket)
+    d = _t(spark, sf, "documents")
+    return sampling_ops.stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), {"en": 64, "zh": 128}
+    ).select("doc_id", "lang", "source")
+
+
+def q_sample_group_topk(spark, sf):
+    # exactly-k-per-group deterministic sampling (distributed reservoir
+    # equivalent): hash-ordered window, one shuffle on the group key
+    d = _t(spark, sf, "documents")
+    return sampling_ops.group_topk_sample(
+        d, ["source"], F.col("doc_id"), 3
+    ).select("source", "doc_id", F.col("_rk").cast("bigint").alias("rk"))
+
+
+def q_text_pii_redact(spark, sf):
+    # PII scrubbing (email / IPv4 / phone / card-like digit runs) as a
+    # chain of codegen regexp passes; the PII-bearing text is built
+    # deterministically from customer so both engines redact the same
+    # input (patterns live in the RE2 ∩ Java-regex common subset)
+    c = _t(spark, sf, "customer")
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> tel 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 37) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.20."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".7 ref 4111111111111111"),
+    )
+    return c.select("c_custkey", ta.redact_pii(raw).alias("redacted"))
+
+
+def q_pipeline_contamination(spark, sf):
+    # benchmark-contamination gate: fraction of each corpus doc's
+    # distinct 3-grams appearing in the (broadcast) benchmark gram set;
+    # the only shuffle is the per-doc re-aggregation
+    d = _t(spark, sf, "documents")
+    return ta.contamination_report(
+        corpus=d.filter(F.col("doc_id") % 17 != 0),
+        benchmark=d.filter(F.col("doc_id") % 17 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.5,
+    )
+
+
+def q_dedup_chunks(spark, sf):
+    # sub-document dedup: 4-token chunks, keep first occurrence
+    # corpus-wide (boilerplate/template removal) — one shuffle keyed by
+    # chunk hash, per-hash window bounded by the duplication factor
+    d = _t(spark, sf, "documents")
+    return dedup_ops.chunk_dedup(d, "doc_id", "text", n=4).select(
+        "doc_id", F.col("chunk_pos").cast("bigint").alias("chunk_pos"),
+        "chunk_sha",
+    )
+
+
+def q_pipeline_pack_sequences(spark, sf):
+    # greedy next-fit sequence packing into 512-token bins over 8 hash
+    # shards — rows-only (the stateful fold is not a window function);
+    # determinism + budget invariants are property-tested
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "doc_id", ta.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return packing_ops.pack_documents(
+        sized, "doc_id", "n_tokens", budget=512, n_shards=8
+    )
+
+
+def q_dedup_clusters_star(spark, sf):
+    # connected components via alternating large-star/small-star
+    # (O(log n) rounds — the web-scale path; rows-only, equivalence with
+    # the iterative version is property-tested)
+    d = _t(spark, sf, "documents")
+    pairs = dedup_ops.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+    return dedup_ops.duplicate_clusters_star(pairs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- tier 1: one query per distinct operator surface, all oracled --
+    # order = the driver's check budget (r01 ran exactly the first
+    # 50 entries).  Tier A: oracled queries with no r01 driver row
+    # yet (incl. the r01-fail f_collect, now fixed, and round-2
+    # additions).  Tier B: r01-green distinct-surface queries.
+    "f_collect": q_f_collect,
+    "f_udaf": q_f_udaf,
+    "f_udtf": q_f_udtf,
+    "f_date": q_f_date,
+    "f_array": q_f_array,
+    "f_map": q_f_map,
+    "f_window_tumbling": q_f_window_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_lang": q_text_lang,
+    "text_fingerprint": q_text_fingerprint,
+    "text_clean": q_text_clean,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "f_hash": q_f_hash,
+    "f_bitwise": q_f_bitwise,
+    "a9_percentiles": q_a9_percentiles,
+    "pipeline_stable_split": q_pipeline_stable_split,
+    "a10_approx_distinct": q_a10_approx_distinct,
+    "w7_sessionize": q_w7_sessionize,
+    "sample_stratified": q_sample_stratified,
+    "sample_group_topk": q_sample_group_topk,
+    "text_pii_redact": q_text_pii_redact,
+    "pipeline_contamination": q_pipeline_contamination,
+    "dedup_chunks": q_dedup_chunks,
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
-    "s5_preview_limit": q_s5_preview_limit,
     "p6_uint256_sum": q_p6_uint256_sum,
-    "f_udaf": q_f_udaf,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
     "p8_mapping_compiler": q_p8_mapping_compiler,
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
@@ -1266,7 +1384,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
     "a4_rollup": q_a4_rollup,
-    "f_udtf": q_f_udtf,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
@@ -1276,10 +1393,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
     "j7_state_asof": q_j7_state_asof,
+    # -- r01-green surfaces / oracled variants beyond the r01 budget --
     "tpch_q5_shape": q_tpch_q5_shape,
     "skew_salted_agg": q_skew_salted_agg,
     "a7_pivot": q_a7_pivot,
-    "f_collect": q_f_collect,
     "f_in_subquery": q_f_in_subquery,
     "f_scalar_subquery": q_f_scalar_subquery,
     "a8_stats": q_a8_stats,
@@ -1289,17 +1406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": q_f_math,
     "f_conditional": q_f_conditional,
     "f_cast": q_f_cast,
-    "f_date": q_f_date,
-    "f_array": q_f_array,
-    "f_map": q_f_map,
-    "f_window_tumbling": q_f_window_tumbling,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_lang": q_text_lang,
-    "text_fingerprint": q_text_fingerprint,
-    # -- tier 2: oracled variants of surfaces already covered above --
+    "s5_preview_limit": q_s5_preview_limit,
     "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
     "a4_grouping_sets": q_a4_grouping_sets,
     "p4_downscale": q_p4_downscale,
@@ -1312,22 +1419,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string2": q_f_string2,
     "set_ops_all": q_set_ops_all,
     "tpch_q3_shape": q_tpch_q3_shape,
-    "text_clean": q_text_clean,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "f_hash": q_f_hash,
-    "f_bitwise": q_f_bitwise,
-    "a9_percentiles": q_a9_percentiles,
-    "pipeline_stable_split": q_pipeline_stable_split,
-    "a10_approx_distinct": q_a10_approx_distinct,
-    "w7_sessionize": q_w7_sessionize,
-    # -- tier 3: rows-only (non-SQL-expressible; property-tested) --
+    # -- rows-only (non-SQL-expressible; property-tested) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
     "emb_neardup": q_emb_neardup,
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
 }
 
 
@@ -1666,6 +1767,96 @@ ORACLES: dict[str, str] = {
     "f_hash": """
         SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         FROM customer
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+            FROM documents
+        )
+        WHERE b < CASE WHEN lang = 'en' THEN 64
+                       WHEN lang = 'zh' THEN 128
+                       ELSE 256 END
+    """,
+    "sample_group_topk": """
+        SELECT source, doc_id, rk
+        FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= 3
+    """,
+    "text_pii_redact": """
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   c_name || ' <' || lower(replace(c_name, '#', '.'))
+                       || '@example.com> tel 555-'
+                       || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST((c_custkey * 37) % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.20.' || CAST(c_custkey % 256 AS VARCHAR)
+                       || '.7 ref 4111111111111111',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g'),
+                   '\\b(?:\\+?\\d{1,2}[ -])?\\(?\\d{3}\\)?[ -]?\\d{3}[ -]?\\d{4}\\b',
+                   '<PHONE>', 'g'),
+                   '\\b\\d{13,19}\\b', '<CARD>', 'g') AS redacted
+        FROM customer
+    """,
+    "pipeline_contamination": """
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                         FOR i IN range(1, len(toks) - 1)])) AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+        corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 17 <> 0)
+        SELECT c.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS contamination,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   >= 0.5 * CAST(COUNT(*) AS DOUBLE) AS flagged
+        FROM corp c LEFT JOIN bench b USING (gram)
+        GROUP BY c.doc_id
+    """,
+    "dedup_chunks": """
+        SELECT doc_id, chunk_pos, chunk_sha
+        FROM (
+            SELECT doc_id, chunk_pos, chunk_sha,
+                   ROW_NUMBER() OVER (PARTITION BY chunk_sha
+                                      ORDER BY doc_id, chunk_pos) AS rn
+            FROM (
+                SELECT doc_id, u.p AS chunk_pos, sha256(u.c) AS chunk_sha
+                FROM (
+                    SELECT doc_id,
+                           unnest([{'p': (i - 1) // 4,
+                                    'c': array_to_string(toks[i:i+3], ' ')}
+                                   FOR i IN range(1, len(toks) + 1, 4)]) AS u
+                    FROM (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\\s+') AS toks
+                          FROM documents
+                          WHERE trim(text) <> '')
+                )
+            )
+        )
+        WHERE rn = 1
     """,
     "w7_sessionize": """
         SELECT user_id, session_id, COUNT(*) AS n_events,

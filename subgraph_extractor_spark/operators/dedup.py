@@ -345,9 +345,10 @@ def duplicate_clusters(
         adj.select(F.col("id_a").alias("member_id"))
         .distinct()
         .withColumn("cluster_id", F.col("member_id"))
-        .persist()
+        # localCheckpoint: truncate the per-round lineage so Catalyst does
+        # not re-analyze a plan that grows one join deeper per iteration
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iterations):
         # neighbor's current label, per member
         neighbor_min = (
@@ -372,7 +373,7 @@ def duplicate_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -380,7 +381,6 @@ def duplicate_clusters(
             .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break
@@ -398,6 +398,151 @@ def duplicate_clusters(
     edges.unpersist()
     adj.unpersist()
     return labels
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node links its strictly-larger neighbors to the
+    minimum of its neighborhood (incl. itself)."""
+    adj = _sym(edges)
+    nbr_min = adj.groupBy("id_a").agg(F.min("id_b").alias("_mn"))
+    return (
+        adj.join(nbr_min, "id_a")
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select(
+            F.col("id_b").alias("id_a"),
+            F.least("_mn", F.col("id_a")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient edges high→low; every node links its smaller
+    neighbors (and itself) to the minimum of that neighborhood."""
+    directed = edges.filter(F.col("id_a") != F.col("id_b")).select(
+        F.greatest("id_a", "id_b").alias("_u"),
+        F.least("id_a", "id_b").alias("_v"),
+    )
+    nbr_min = directed.groupBy("_u").agg(F.min("_v").alias("_mn"))
+    return (
+        directed.join(nbr_min, "_u")
+        .filter(F.col("_v") != F.col("_mn"))
+        .select(F.col("_v").alias("id_a"), F.col("_mn").alias("id_b"))
+        .union(nbr_min.select(F.col("_u").alias("id_a"), F.col("_mn").alias("id_b")))
+        .distinct()
+    )
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same (member_id, cluster_id) contract as
+    ``duplicate_clusters`` but converging in O(log n) rounds instead of
+    O(diameter), the right choice for web-scale duplicate graphs where
+    chains can be arbitrarily long.
+
+    Each round is two shuffle-join passes over the (shrinking) edge list;
+    convergence when the edge set reaches a fixed point (all stars).
+    """
+    # localCheckpoint (not persist): iterative plans otherwise grow one
+    # star-expansion deeper per round and Catalyst re-analyzes the whole
+    # lineage every iteration — O(rounds^2) planning time.  Checkpointing
+    # truncates the plan to the materialized partitions each round.
+    edges = (
+        pairs.select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = _sym(edges).select(
+        F.col("id_a").alias("member_id")
+    ).distinct().localCheckpoint(eager=True)
+    prev_count = edges.count()
+    converged = False
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # cheap check first (one count over materialized partitions); only
+        # when counts agree pay for the definitive set-equality anti-join
+        nxt_count = nxt.count()
+        if nxt_count == prev_count:
+            converged = (
+                nxt.join(edges, ["id_a", "id_b"], "left_anti").limit(1).count()
+                == 0
+            )
+        edges, prev_count = nxt, nxt_count
+        if converged:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters_star: round budget ({max_rounds}) exhausted "
+            "before the star fixed point — labels may be non-minimal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixed point is a forest of stars child→root; roots label themselves
+    return members.join(
+        edges.select(
+            F.col("id_a").alias("member_id"), F.col("id_b").alias("_root")
+        ),
+        "member_id",
+        "left",
+    ).select(
+        "member_id",
+        F.coalesce("_root", F.col("member_id")).alias("cluster_id"),
+    )
+
+
+def token_chunks(col: Column, n: int = 4) -> Column:
+    """Non-overlapping ``n``-token chunks of a text column ("paragraphs"
+    for sources without structural markup), as array<string> in document
+    order.  Codegen HOF — no UDF."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup: split every document into
+    non-overlapping ``n``-token chunks and keep only each chunk's first
+    occurrence corpus-wide (first = smallest (doc id, position)).  The
+    boilerplate/template-removal pass of a crawl pipeline — repeated
+    headers, footers, license blocks collapse to one copy while unique
+    prose survives.
+
+    Returns (id, chunk_pos, chunk_sha) of the retained chunks.  One
+    shuffle, keyed by chunk hash; the window per hash is bounded by the
+    duplication factor, never by corpus size.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(token_chunks(F.col(text_col), n)).alias(
+            "chunk_pos", "_chunk"
+        ),
+    ).withColumn("chunk_sha", F.sha2(F.col("_chunk"), 256))
+    w = Window.partitionBy("chunk_sha").orderBy(F.col(id_col), F.col("chunk_pos"))
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "chunk_pos", "chunk_sha")
+    )
 
 
 def dedup_keep_representatives(

@@ -1,0 +1,106 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs *reproducible* sampling: the same document
+must land in the same sample on every run, on every engine, regardless of
+partitioning — `df.sample()` (seeded per-partition RNG) breaks all three.
+Everything here derives the sampling decision from a content hash of a
+stable key, so the sample is a pure function of the data:
+
+- ``stable_bucket``      — uniform 0..255 bucket from md5 of the key
+                           (engine-independent: the same construction is
+                           expressible in any SQL dialect).
+- ``hash_sample``        — Bernoulli-style sampling at k/256 granularity.
+- ``stratified_sample``  — per-stratum rates (e.g. downsample the head
+                           language, keep the tail) in one codegen pass.
+- ``group_topk_sample``  — exactly-k-per-group via a hash-ordered window
+                           (the distributed face of reservoir sampling:
+                           deterministic, one shuffle on the group key).
+
+Scale notes: ``stable_bucket``/``hash_sample``/``stratified_sample`` are
+pure row-local codegen expressions — zero shuffle, applied before any
+wide op so downstream stages see only the sampled rows (sample pushdown).
+``group_topk_sample`` shuffles once on the group key; skewed groups are
+bounded by k after the window, and AQE handles the residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit(hx: Column, pos: int) -> Column:
+    """Value of the ``pos``-th (1-based) hex digit of a hex string."""
+    return F.instr(F.lit(_HEX), F.substring(hx, pos, 1)) - 1
+
+
+def stable_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 256) from the first md5 byte of the key.
+
+    ``salt`` decorrelates independent sampling decisions made from the
+    same key (sample-of-a-sample must not be degenerate).
+    """
+    hx = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (_hex_digit(hx, 1) * 16 + _hex_digit(hx, 2)).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key: Column, threshold: int, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose ``stable_bucket`` < ``threshold`` (rate = t/256)."""
+    if not 0 <= threshold <= 256:
+        raise ValueError(f"threshold must be in [0, 256], got {threshold}")
+    return df.filter(stable_bucket(key, salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    thresholds: dict[str, int],
+    default_threshold: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling: ``thresholds[stratum]/256`` of each
+    stratum survives (e.g. ``{"en": 64}`` keeps 1/4 of English, all else
+    intact).  One codegen CASE — no shuffle, no RNG state."""
+    thr: Column = F.lit(default_threshold)
+    for value, t in sorted(thresholds.items()):
+        if not 0 <= t <= 256:
+            raise ValueError(f"threshold for {value!r} out of [0,256]: {t}")
+        thr = F.when(stratum == value, F.lit(t)).otherwise(thr)
+    return df.filter(stable_bucket(key, salt) < thr)
+
+
+def group_topk_sample(
+    df: DataFrame, group_cols: list[str], key: Column, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order —
+    the deterministic equivalent of per-group reservoir sampling.
+
+    Ties are impossible: the ordering is (md5(key), key), total on any
+    unique key.  Adds a ``_rk`` column (1..k) callers may drop."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(key.cast("string")), key
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+
+
+def split_assign(
+    key: Column,
+    boundaries: tuple[int, int] = (204, 230),
+    names: tuple[str, str, str] = ("train", "valid", "test"),
+) -> Column:
+    """Stable train/valid/test assignment from the same bucket construct
+    (80/10/10 by default).  Shared by ``pipeline_stable_split``."""
+    b = stable_bucket(key)
+    return (
+        F.when(b < boundaries[0], names[0])
+        .when(b < boundaries[1], names[1])
+        .otherwise(names[2])
+    )

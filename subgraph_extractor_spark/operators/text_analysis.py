@@ -153,6 +153,81 @@ def winnowing_fingerprints(
     return winnow(text)
 
 
+# PII patterns chosen from the RE2 ∩ Java-regex common subset so the exact
+# same pattern string runs on Spark (Java) and any RE2-based SQL engine.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails before bare digit runs, IPs before phones
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(?:\+?\d{1,2}[ -])?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone numbers / long card-like digit runs,
+    replacing each with a typed placeholder.  A chain of codegen
+    ``regexp_replace`` passes — no UDF, runs inside whole-stage codegen,
+    and each pattern has a 1:1 SQL-dialect equivalent for the oracle."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection: fraction of each corpus
+    document's distinct word ``n``-grams that appear anywhere in the
+    benchmark set.  The decontamination gate every pretraining pipeline
+    runs before training.
+
+    Plan shape (100 TB-safe): the benchmark gram set is tiny relative to
+    the corpus — distinct it and **broadcast** into a left semi-style
+    match, so the only shuffle is the per-document re-aggregation keyed
+    by ``id_col``.  Corpus grams are exploded map-side (codegen HOFs,
+    no UDF) and never materialized as pairs.
+    """
+    from .dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_gram"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_hit"),
+            (F.col("n_hit").cast("double") / F.col("n_grams").cast("double"))
+            .alias("contamination"),
+            (
+                F.col("n_hit").cast("double")
+                >= F.lit(threshold) * F.col("n_grams").cast("double")
+            ).alias("flagged"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-stop per-document profile: id, token count, predicted language,
     quality features, content fingerprint."""

@@ -1,0 +1,227 @@
+"""Round-2 training-pipeline operators: deterministic sampling, sequence
+packing, PII redaction, contamination, chunk-level dedup, and the
+large-star/small-star connected-components variant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators import dedup, packing, sampling
+from subgraph_extractor_spark.operators import text_analysis as ta
+from subgraph_extractor_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+# ----------------------------------------------------------------- sampling
+
+def test_stable_bucket_range_and_determinism(docs):
+    b = docs.select(
+        sampling.stable_bucket(F.col("doc_id")).alias("b")
+    )
+    stats = b.agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi"),
+        F.count_distinct("b").alias("n"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] <= 255
+    assert stats["n"] > 100  # spreads across buckets
+    # pure function of the key: identical on recompute and re-partitioning
+    again = docs.repartition(7).select(
+        F.col("doc_id"), sampling.stable_bucket(F.col("doc_id")).alias("b")
+    )
+    first = docs.select(
+        F.col("doc_id"), sampling.stable_bucket(F.col("doc_id")).alias("b")
+    )
+    assert first.subtract(again).count() == 0
+
+
+def test_stratified_sample_respects_thresholds(docs):
+    out = sampling.stratified_sample(
+        docs, F.col("doc_id"), F.col("lang"), {"en": 64, "zh": 0}
+    )
+    kept = out.withColumn(
+        "b", sampling.stable_bucket(F.col("doc_id"))
+    )
+    assert kept.filter(F.col("lang") == "zh").count() == 0
+    assert kept.filter((F.col("lang") == "en") & (F.col("b") >= 64)).count() == 0
+    # non-listed strata untouched
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    assert kept.filter(F.col("lang") == "fr").count() == n_fr
+
+
+def test_group_topk_sample_exact_k(docs):
+    out = sampling.group_topk_sample(docs, ["source"], F.col("doc_id"), 3)
+    sizes = out.groupBy("source").count().collect()
+    group_sizes = {
+        r["source"]: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    for r in sizes:
+        assert r["count"] == min(3, group_sizes[r["source"]])
+    # deterministic choice
+    a = {(r["source"], r["doc_id"]) for r in out.collect()}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in sampling.group_topk_sample(
+            docs.repartition(5), ["source"], F.col("doc_id"), 3
+        ).collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------------------ packing
+
+@pytest.fixture(scope="module")
+def sized(docs):
+    return docs.select(
+        "doc_id", ta.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    ).cache()
+
+
+def test_packing_invariants(sized):
+    budget = 128
+    packed = packing.pack_documents(
+        sized, "doc_id", "n_tok", budget=budget, n_shards=4
+    ).cache()
+    n_in = sized.count()
+    assert packed.count() == n_in  # every doc exactly once
+    assert packed.select("doc_id").distinct().count() == n_in
+    # bin capacity: sum of member tokens <= budget unless a single
+    # oversize doc occupies the bin alone
+    per_bin = (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.sum("n_tok").alias("tok"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        )
+        .collect()
+    )
+    for r in per_bin:
+        if r["tok"] > budget:
+            assert r["n"] == 1 and r["has_oversize"] == 1
+    # bins contiguous from 0 per shard
+    for r in (
+        packed.groupBy("shard")
+        .agg(F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"),
+             F.count_distinct("bin_id").alias("n"))
+        .collect()
+    ):
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_packing_deterministic_under_repartition(sized):
+    a = packing.pack_documents(sized, "doc_id", "n_tok", 128, n_shards=4)
+    b = packing.pack_documents(
+        sized.repartition(13), "doc_id", "n_tok", 128, n_shards=4
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_packing_truncate_oversize(spark):
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 50), (3, 60)], ["doc_id", "n_tok"]
+    )
+    packed = packing.pack_documents(
+        df, "doc_id", "n_tok", budget=100, n_shards=1, truncate_oversize=True
+    ).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    # truncated doc counts as exactly `budget`, so it fills a bin alone
+    assert by_id[1]["oversize"]
+    bins = {}
+    for r in packed:
+        bins.setdefault(r["bin_id"], []).append(r["doc_id"])
+    for members in bins.values():
+        total = sum(min(df.where(F.col("doc_id") == m).first()["n_tok"], 100)
+                    for m in members)
+        assert total <= 100
+
+
+# ------------------------------------------------------- PII / contamination
+
+def test_redact_pii_literals(spark):
+    df = spark.createDataFrame(
+        [(
+            "mail a.b+c@ex-ample.org, ip 192.168.0.1, call 555-123-4567 "
+            "or (555) 123 4567, card 4111111111111111, keep 1234",
+        )],
+        ["t"],
+    )
+    out = df.select(ta.redact_pii(F.col("t")).alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "@" not in out
+    assert "<IP>" in out and "192.168" not in out
+    assert out.count("<PHONE>") == 2
+    assert "<CARD>" in out and "4111111111111111" not in out
+    assert "keep 1234" in out  # short digit runs survive
+
+
+def test_contamination_flags_exact_copy(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # full copy
+            (2, "one two three four five six"),           # disjoint
+            (3, "alpha beta gamma nine ten eleven"),      # partial
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ta.contamination_report(corpus, bench, n=3).collect()
+    }
+    assert rows[1]["contamination"] == 1.0 and rows[1]["flagged"]
+    assert rows[2]["contamination"] == 0.0 and not rows[2]["flagged"]
+    assert 0.0 < rows[3]["contamination"] < 1.0
+
+
+# ------------------------------------------------------------- chunk dedup
+
+def test_chunk_dedup_removes_boilerplate(spark):
+    boiler = "this content is licensed under creative commons attribution"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique prose one two three four"),
+            (2, boiler + " totally different tail words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.chunk_dedup(df, "doc_id", "text", n=4).collect()
+    # doc 1 keeps all its chunks; doc 2 loses the shared boilerplate
+    # chunks (first 8 tokens = two 4-token chunks align identically)
+    kept_2 = [r for r in out if r["doc_id"] == 2]
+    kept_1 = [r for r in out if r["doc_id"] == 1]
+    assert len(kept_1) > len(kept_2)
+    all_pos_1 = {r["chunk_pos"] for r in kept_1}
+    assert all_pos_1 == {0, 1, 2, 3}  # 14 tokens -> 4 chunks, all first-seen
+
+
+# ------------------------------------------------- star connected components
+
+def _labels(df):
+    return {(r["member_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def test_star_cc_matches_iterative_on_chain(spark):
+    # a 40-edge chain: diameter >> the iterative default budget would
+    # need many rounds; star converges logarithmically
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    star = _labels(dedup.duplicate_clusters_star(edges))
+    assert star == {(i, 0) for i in range(41)}
+
+
+def test_star_cc_matches_iterative_on_components(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    star = _labels(dedup.duplicate_clusters_star(edges))
+    iterative = _labels(dedup.duplicate_clusters(edges))
+    assert star == iterative
+    assert star == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
