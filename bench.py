@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_lsh",
     "text_tokens",
     "text_lang",
+    "dedup_chunks",
+    "pipeline_contamination",
 ]
 
 
