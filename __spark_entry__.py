@@ -1318,8 +1318,9 @@ def q_dedup_chunks(spark, sf):
 
 def q_pipeline_pack_sequences(spark, sf):
     # greedy next-fit sequence packing into 512-token bins over 8 hash
-    # shards — rows-only (the stateful fold is not a window function);
-    # determinism + budget invariants are property-tested
+    # shards; the stateful fold is not a window function, but the oracle
+    # replays it exactly with a per-shard recursive CTE — so even this
+    # gets a full differential check (invariants also property-tested)
     d = _t(spark, sf, "documents")
     sized = d.select(
         "doc_id", ta.token_count(F.col("text")).cast("bigint").alias("n_tokens")
@@ -1364,6 +1365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "w7_sessionize": q_w7_sessionize,
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "sample_group_topk": q_sample_group_topk,
     "text_pii_redact": q_text_pii_redact,
@@ -1392,8 +1394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w6_rank_stats": q_w6_rank_stats,
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
-    "j7_state_asof": q_j7_state_asof,
     # -- r01-green surfaces / oracled variants beyond the r01 budget --
+    "j7_state_asof": q_j7_state_asof,
     "tpch_q5_shape": q_tpch_q5_shape,
     "skew_salted_agg": q_skew_salted_agg,
     "a7_pivot": q_a7_pivot,
@@ -1428,7 +1430,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
     "emb_neardup": q_emb_neardup,
-    "pipeline_pack_sequences": q_pipeline_pack_sequences,
 }
 
 
@@ -1767,6 +1768,52 @@ ORACLES: dict[str, str] = {
     "f_hash": """
         SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         FROM customer
+    """,
+    "pipeline_pack_sequences": """
+        WITH RECURSIVE
+        sized AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   CAST(((strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                                        1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                                        2, 1)) - 1)) % 8 AS INTEGER) AS shard
+            FROM documents
+        ),
+        base AS (
+            SELECT shard, doc_id, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY doc_id) AS rn
+            FROM sized
+        ),
+        -- replay the greedy next-fit fold row-by-row per shard
+        rec AS (
+            SELECT shard, doc_id, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_id,
+                   CAST(0 AS BIGINT) AS bin_tokens_before,
+                   GREATEST(n_tokens, 0) AS cur_after
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+                   CASE WHEN r.cur_after > 0
+                             AND r.cur_after + GREATEST(b.n_tokens, 0) > 512
+                        THEN r.bin_id + 1 ELSE r.bin_id END,
+                   CASE WHEN r.cur_after > 0
+                             AND r.cur_after + GREATEST(b.n_tokens, 0) > 512
+                        THEN 0 ELSE r.cur_after END,
+                   CASE WHEN r.cur_after > 0
+                             AND r.cur_after + GREATEST(b.n_tokens, 0) > 512
+                        THEN GREATEST(b.n_tokens, 0)
+                        ELSE r.cur_after + GREATEST(b.n_tokens, 0) END
+            FROM base b JOIN rec r ON b.shard = r.shard AND b.rn = r.rn + 1
+        )
+        SELECT doc_id, n_tokens, shard, bin_id, bin_tokens_before,
+               n_tokens > 512 AS oversize
+        FROM rec
     """,
     "sample_stratified": """
         SELECT doc_id, lang, source
