@@ -1249,6 +1249,57 @@ def q_emb_neardup(spark, sf):
 # declaration order with a budget (~50 in r01), so oracle-equipped queries
 # covering distinct SURVEY §2 rows come first; redundant variants of
 # already-covered surfaces next; genuinely rows-only queries last.
+def q_f_vector(spark, sf):
+    # Catalyst higher-order-function vector surface (transform / zip_with
+    # / aggregate) — the pure-codegen face of the vector math the
+    # similarity stack does in numpy kernels.  Elements are quantized to
+    # integers (round(x*1000)) so the fold is order-free and exact on
+    # both engines (float sums are order-sensitive; bigint sums aren't).
+    e = _t(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+    )
+    sq_sum = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(q, F.reverse(q), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        sq_sum.alias("sq_sum_q"),
+        dot_rev.alias("dot_rev_q"),
+    )
+
+
+def q_a11_approx_percentile(spark, sf):
+    # quantile sketch with a cross-engine error-bound contract (same
+    # pattern as a10/HLL): exact interpolated percentiles are bit-equal
+    # across engines; each engine's own sketch must land within 1% of
+    # the exact value for the boolean to match.
+    li = _t(spark, sf, "lineitem")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_a95"),
+    )
+    return agg.select(
+        "p50_exact",
+        "p95_exact",
+        (F.abs(F.col("_a50") - F.col("p50_exact"))
+         <= 0.01 * F.col("p50_exact")).alias("p50_within_1pct"),
+        (F.abs(F.col("_a95") - F.col("p95_exact"))
+         <= 0.01 * F.col("p95_exact")).alias("p95_within_1pct"),
+    )
+
+
 def q_sample_stratified(spark, sf):
     # deterministic stratified sampling: downsample the head language
     # (en -> 64/256), halve zh, keep the tail intact — the sample is a
@@ -1365,6 +1416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "w7_sessionize": q_w7_sessionize,
+    "f_vector": q_f_vector,
+    "a11_approx_percentile": q_a11_approx_percentile,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "sample_group_topk": q_sample_group_topk,
@@ -1392,9 +1445,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
     "w6_rank_stats": q_w6_rank_stats,
+    # -- r01-green surfaces / oracled variants beyond the r01 budget --
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
-    # -- r01-green surfaces / oracled variants beyond the r01 budget --
     "j7_state_asof": q_j7_state_asof,
     "tpch_q5_shape": q_tpch_q5_shape,
     "skew_salted_agg": q_skew_salted_agg,
@@ -1768,6 +1821,37 @@ ORACLES: dict[str, str] = {
     "f_hash": """
         SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
         FROM customer
+    """,
+    "f_vector": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               list_aggregate(
+                   [q * q FOR q IN
+                       [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                        FOR x IN embedding]],
+                   'sum') AS sq_sum_q,
+               list_aggregate(
+                   [qv[i] * qv[len(qv) + 1 - i]
+                    FOR i IN range(1, len(qv) + 1)],
+                   'sum') AS dot_rev_q
+        FROM (
+            SELECT vec_id, embedding,
+                   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                    FOR x IN embedding] AS qv
+            FROM embeddings
+        )
+    """,
+    "a11_approx_percentile": """
+        SELECT p50_exact, p95_exact,
+               ABS(a50 - p50_exact) <= 0.01 * p50_exact AS p50_within_1pct,
+               ABS(a95 - p95_exact) <= 0.01 * p95_exact AS p95_within_1pct
+        FROM (
+            SELECT quantile_cont(l_extendedprice, 0.5)  AS p50_exact,
+                   quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+                   approx_quantile(l_extendedprice, 0.5)  AS a50,
+                   approx_quantile(l_extendedprice, 0.95) AS a95
+            FROM lineitem
+        )
     """,
     "pipeline_pack_sequences": """
         WITH RECURSIVE
