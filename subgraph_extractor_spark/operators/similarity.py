@@ -435,6 +435,7 @@ def lsh_bucketed_pairs(
     bits: int = 120,
     bands: int = 24,
     seed: int = 13,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs sharing at least one LSH signature band.
     Output: (id_a, id_b), id_a < id_b.
@@ -443,7 +444,14 @@ def lsh_bucketed_pairs(
     lever.  Defaults (5-bit bands x 24) measured ~0.90 recall@5 on the
     fixture embeddings with ~25x candidate pruning vs brute force; at
     larger corpus scale raise band width first (buckets grow linearly,
-    pairs quadratically per bucket)."""
+    pairs quadratically per bucket).
+
+    ``max_bucket_size`` guards the quadratic blowup: a bucket with b
+    members emits b(b-1)/2 pairs, so one degenerate bucket (all-zero
+    vectors, near-constant data) can dominate the whole job; buckets
+    over the cap carry almost no discriminative signal and are dropped
+    (the other bands still generate candidates for their members).
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(par).select(
         F.col(id_col).alias("_id"),
@@ -454,6 +462,20 @@ def lsh_bucketed_pairs(
     banded = sig.select(
         "_id", F.posexplode("_bands").alias("band", "val")
     )
+    if max_bucket_size is not None:
+        # window count (one shuffle, no join) — cheaper than a
+        # bucket-size aggregate joined back onto both self-join sides
+        w = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    # no persist: the self-join sides are identical subtrees — the
+    # window's Exchange is computed once and ReusedExchange'd on the
+    # other side (verified in the executed plan), so the signature
+    # kernel runs exactly once either way and the cache would only add
+    # a materialization barrier
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
