@@ -259,12 +259,15 @@ def minhash_candidates(
     )
     # Self-joins recompute their subtree per side; signatures are the
     # expensive part, so materialize once (same move as persisting the
-    # signature table in a production-scale dedup run).
+    # signature table in a production-scale dedup run).  The candidate
+    # edge list itself is small (ids only), so it is checkpointed eagerly
+    # and the banded cache released before returning — cache lifetime is
+    # scoped to this call, not the session.
     banded = banded.persist()
     banded.count()
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    cands = (
         left.join(
             right,
             on=[
@@ -275,7 +278,10 @@ def minhash_candidates(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    return cands
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -307,18 +313,28 @@ def minhash_dedup_pairs(
     shingle_hashes intermediate."""
     sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
     sh.count()  # materialize: compile the shingling HOF exactly once
+    # candidates come back eagerly checkpointed (small id pairs); caching
+    # them restores accurate stats over the checkpoint RDD so the
+    # verification joins static-broadcast the candidate side
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, hashes_df=sh
     ).persist()
-    cands.count()  # gives AQE real stats -> broadcast verification joins
-    return (
+    cands.count()
+    verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_h", "_h_a")
         .join(sh.withColumnRenamed("_id", "id_b"), "id_b")
         .withColumn("jaccard", jaccard(F.col("_h_a"), F.col("_h")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # verified pairs are the small end product; checkpointing them
+        # lets the shingle cache be released inside this call instead of
+        # leaking into the session (cache scope == operator scope)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    cands.unpersist()
+    return verified
 
 
 def duplicate_clusters(
@@ -681,7 +697,7 @@ def simhash_dedup_pairs(
     chunked = chunked.persist()  # self-join: avoid recomputing signatures
     chunked.count()
     l, r = chunked.alias("l"), chunked.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             on=[
@@ -697,7 +713,12 @@ def simhash_dedup_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_distance)
+        # small end product: checkpoint eagerly so the signature cache is
+        # released inside this call (cache scope == operator scope)
+        .localCheckpoint(eager=True)
     )
+    chunked.unpersist()
+    return pairs
 
 
 # --------------------------------------------------------------------------

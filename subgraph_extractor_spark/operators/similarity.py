@@ -395,7 +395,10 @@ def ivf_topk(
             schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
         )
     )
-    out = _global_topk(scored, k)
+    # materialize the (queries x k)-row answer before dropping the cache:
+    # unpersisting first would make the scoring pass recompute the
+    # normalization kernel it was cached to avoid
+    out = _global_topk(scored, k).localCheckpoint(eager=True)
     featured.unpersist()
     return out
 
@@ -520,8 +523,12 @@ def ann_topk_lsh(
     S = n_shards or max(
         4, df.sparkSession.sparkContext.defaultParallelism // 4
     )
+    # referenced twice below (undirected -> directed union); persisting
+    # (not checkpointing) keeps accurate InMemoryRelation stats so the
+    # candidate-side joins can still static-broadcast.  The cache is
+    # released before returning — see the final-checkpoint below.
     pairs = lsh_bucketed_pairs(df, vec_col, id_col, dim, bits, bands).persist()
-    pairs.count()  # referenced twice below (undirected -> directed union)
+    pairs.count()
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -561,4 +568,8 @@ def ann_topk_lsh(
             schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
         )
     )
-    return _global_topk(scored, k)
+    # materialize the (queries x k)-row answer, then release the pair
+    # cache — cache lifetime is scoped to this call, not the session
+    out = _global_topk(scored, k).localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
