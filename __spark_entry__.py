@@ -1223,6 +1223,14 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_repetition(spark, sf):
+    # Gopher/RefinedWeb-style intra-document repetition signals: the
+    # most-frequent-bigram fraction and the duplicated-trigram fraction
+    # per document — map-side HOF n-grams, per-doc-bounded aggregation
+    d = _t(spark, sf, "documents")
+    return ta.repetition_features(d, "text", "doc_id")
+
+
 def q_text_winnowing(spark, sf):
     # winnowing local fingerprints (Schleimer et al.) — rows-only (xxhash
     # values have no portable SQL form); overlap behaviour is asserted in
@@ -1424,6 +1432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "pipeline_contamination": q_pipeline_contamination,
     "dedup_chunks": q_dedup_chunks,
+    "text_repetition": q_text_repetition,
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
     "p6_uint256_sum": q_p6_uint256_sum,
@@ -2248,6 +2257,41 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "text_repetition": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks WHERE len(t) >= 2
+        ),
+        bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        bis AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bic GROUP BY 1),
+        tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+            FROM toks WHERE len(t) >= 3
+        ),
+        tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        tris AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                   sum(c) AS tot3
+            FROM tric GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(CAST(b.top AS DOUBLE) / CAST(b.tot AS DOUBLE), 0.0)
+                   AS top_bigram_frac,
+               coalesce(CAST(t.dup AS DOUBLE) / CAST(t.tot3 AS DOUBLE), 0.0)
+                   AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bis b USING (doc_id)
+        LEFT JOIN tris t USING (doc_id)
     """,
 }
 

@@ -257,6 +257,80 @@ def contamination_report(
     )
 
 
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams (with multiplicity, document order) as array<string>;
+    codegen HOF, sub-n-token documents yield an empty array."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher / RefinedWeb
+    repetition-removal family): per document,
+
+    - ``top_bigram_frac``  — fraction of word ``top_n``-grams taken by the
+      single most frequent one (catches "buy now buy now buy now" spam),
+    - ``dup_trigram_frac`` — fraction of word ``dup_n``-grams that occur
+      more than once (catches templated/boilerplate-heavy documents).
+
+    Scale shape: n-gram generation is a map-side codegen HOF + explode;
+    the first aggregation keys on (doc, gram) with map-side partial
+    combine (duplicated grams collapse before the shuffle), the second on
+    doc alone — all state bounded per document, never corpus-wide.
+    Fractions are int/int double divisions (IEEE-deterministic, so the
+    DuckDB differential oracle matches bit-exactly).
+    """
+    did = F.col(id_col)
+    bi = df.select(did, F.explode(_word_ngrams(F.col(text_col), top_n)).alias("_g"))
+    bi_stats = (
+        bi.groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+    )
+    tri = df.select(did, F.explode(_word_ngrams(F.col(text_col), dup_n)).alias("_g"))
+    tri_stats = (
+        tri.groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))
+            ).alias("_dup"),
+            F.sum("_c").alias("_tot3"),
+        )
+    )
+    return (
+        df.select(did)
+        .join(bi_stats, id_col, "left")
+        .join(tri_stats, id_col, "left")
+        .select(
+            did,
+            F.coalesce(
+                F.col("_top").cast("double") / F.col("_tot").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+            F.coalesce(
+                F.col("_dup").cast("double") / F.col("_tot3").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-stop per-document profile: id, token count, predicted language,
     quality features, content fingerprint."""

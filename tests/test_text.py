@@ -95,3 +95,33 @@ def test_winnowing_fingerprints(spark):
     # shared prefix -> overlapping fingerprints; unrelated -> none shared
     assert rows[1] & rows[2]
     assert not (rows[1] & rows[3])
+
+
+def test_repetition_features_python_reference(spark):
+    from collections import Counter
+
+    samples = [
+        (0, "buy now buy now buy now buy now"),   # dominated by one bigram
+        (1, "all distinct words appear here once"),  # no repetition
+        (2, "a b c a b c a b c"),                  # repeated trigram cycle
+        (3, "single"),                             # sub-bigram-length
+        (4, ""),                                   # empty
+    ]
+    df = spark.createDataFrame(samples, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in ta.repetition_features(df, "text", "doc_id").collect()
+    }
+
+    def grams(toks, n):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for doc_id, text in samples:
+        toks = text.lower().split()
+        bi, tri = grams(toks, 2), grams(toks, 3)
+        exp_top = max(Counter(bi).values()) / len(bi) if bi else 0.0
+        exp_dup = (
+            sum(c for c in Counter(tri).values() if c > 1) / len(tri)
+            if tri else 0.0
+        )
+        assert got[doc_id] == pytest.approx((exp_top, exp_dup)), text
