@@ -257,12 +257,16 @@ def minhash_candidates(
             _minhash_udf(num_hashes, bands)(F.col("_h"))
         ).alias("band", "bucket"),
     )
-    # Self-joins recompute their subtree per side; signatures are the
-    # expensive part, so materialize once (same move as persisting the
-    # signature table in a production-scale dedup run).  The candidate
-    # edge list itself is small (ids only), so it is checkpointed eagerly
-    # and the banded cache released before returning — cache lifetime is
-    # scoped to this call, not the session.
+    # Persist the banded signatures before the self-join: Spark does NOT
+    # reuse exchanges across self-join sides of Python-kernel subtrees
+    # (self-join deduplication re-creates the PythonUDF with fresh expr
+    # ids, so the two sides never canonicalize equal — measured, not
+    # assumed), and on the broadcast path the optimizer's inferred
+    # isnotnull filter even double-evaluates the UDF per side.  The cache
+    # guarantees one kernel pass; it is released before returning, after
+    # the (small, ids-only) candidate list is checkpointed eagerly —
+    # whose materialized-RDD stats also let downstream verification
+    # joins static-broadcast it.
     banded = banded.persist()
     banded.count()
     left = banded.alias("l")
@@ -311,15 +315,16 @@ def minhash_dedup_pairs(
     shingle strings: identical Jaccard up to negligible 64-bit collision
     probability, much lighter to shuffle, and it reuses the one persisted
     shingle_hashes intermediate."""
+    # Lazy persist: the shingle kernel runs once inside the candidate
+    # job (filling the cache) and the two verification joins below read
+    # the cached table — no separate materialization job needed.
     sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
-    sh.count()  # materialize: compile the shingling HOF exactly once
-    # candidates come back eagerly checkpointed (small id pairs); caching
-    # them restores accurate stats over the checkpoint RDD so the
-    # verification joins static-broadcast the candidate side
+    # candidates come back eagerly checkpointed (small id pairs) with
+    # accurate materialized-RDD stats, so the verification joins
+    # static-broadcast the candidate side
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, hashes_df=sh
-    ).persist()
-    cands.count()
+    )
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_h", "_h_a")
@@ -333,7 +338,6 @@ def minhash_dedup_pairs(
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
-    cands.unpersist()
     return verified
 
 
@@ -694,7 +698,11 @@ def simhash_dedup_pairs(
             )
         ).alias("c"),
     ).select("_id", "_sim", "c.chunk", "c.val")
-    chunked = chunked.persist()  # self-join: avoid recomputing signatures
+    # Persist before the self-join: exchange reuse does not fire across
+    # self-join sides of Python-kernel subtrees (fresh expr ids from
+    # self-join dedup break canonical equality), so without the cache
+    # the SimHash kernel would run 2-4x.  Scoped release below.
+    chunked = chunked.persist()
     chunked.count()
     l, r = chunked.alias("l"), chunked.alias("r")
     pairs = (

@@ -474,13 +474,20 @@ def lsh_bucketed_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
-    # no persist: the self-join sides are identical subtrees — the
-    # window's Exchange is computed once and ReusedExchange'd on the
-    # other side (verified in the executed plan), so the signature
-    # kernel runs exactly once either way and the cache would only add
-    # a materialization barrier
+    # Persist before the self-join: exchange reuse does NOT fire across
+    # self-join sides containing Python kernels (self-join dedup
+    # re-creates the PythonUDF with fresh expr ids, so the sides never
+    # canonicalize equal — measured), so without the cache the signature
+    # kernel + cap window would run once per side.  The (ids-only) pair
+    # list is checkpointed eagerly and the cache released before
+    # returning: cache scope == operator scope, and the materialized
+    # RDD's accurate stats let callers that reference the pairs twice
+    # (e.g. the undirected->directed union in ann_topk_lsh) reuse blocks
+    # instead of recomputing.
+    banded = banded.persist()
+    banded.count()
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             on=[
@@ -491,7 +498,10 @@ def lsh_bucketed_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    return pairs
 
 
 def ann_topk_lsh(
@@ -523,12 +533,10 @@ def ann_topk_lsh(
     S = n_shards or max(
         4, df.sparkSession.sparkContext.defaultParallelism // 4
     )
-    # referenced twice below (undirected -> directed union); persisting
-    # (not checkpointing) keeps accurate InMemoryRelation stats so the
-    # candidate-side joins can still static-broadcast.  The cache is
-    # released before returning — see the final-checkpoint below.
-    pairs = lsh_bucketed_pairs(df, vec_col, id_col, dim, bits, bands).persist()
-    pairs.count()
+    # the pair list arrives eagerly checkpointed from lsh_bucketed_pairs,
+    # so the undirected->directed union below reads materialized blocks
+    # twice instead of recomputing the candidate subtree per branch
+    pairs = lsh_bucketed_pairs(df, vec_col, id_col, dim, bits, bands)
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -568,8 +576,4 @@ def ann_topk_lsh(
             schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
         )
     )
-    # materialize the (queries x k)-row answer, then release the pair
-    # cache — cache lifetime is scoped to this call, not the session
-    out = _global_topk(scored, k).localCheckpoint(eager=True)
-    pairs.unpersist()
-    return out
+    return _global_topk(scored, k)
