@@ -1231,6 +1231,23 @@ def q_text_repetition(spark, sf):
     return ta.repetition_features(d, "text", "doc_id")
 
 
+def q_layout_zorder(spark, sf):
+    # Z-order (Morton) clustering key — the lakehouse OPTIMIZE ZORDER BY
+    # primitive for multi-column data skipping; pure codegen bit
+    # interleave, bit-exactly mirrorable in SQL
+    from subgraph_extractor_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        zorder_key([F.col("l_orderkey"), F.col("l_partkey")], bits=16).alias(
+            "zkey"
+        ),
+    )
+
+
 def q_text_winnowing(spark, sf):
     # winnowing local fingerprints (Schleimer et al.) — rows-only (xxhash
     # values have no portable SQL form); overlap behaviour is asserted in
@@ -1433,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_contamination": q_pipeline_contamination,
     "dedup_chunks": q_dedup_chunks,
     "text_repetition": q_text_repetition,
+    "layout_zorder": q_layout_zorder,
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
     "p6_uint256_sum": q_p6_uint256_sum,
@@ -2257,6 +2275,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "layout_zorder": f"""
+        SELECT l_orderkey, l_partkey, l_linenumber,
+               ({" + ".join(
+                   f"((((l_orderkey & 65535) >> {b}) & 1) << {2 * b})"
+                   f" + ((((l_partkey & 65535) >> {b}) & 1) << {2 * b + 1})"
+                   for b in range(16)
+               )}) AS zkey
+        FROM lineitem
     """,
     "text_repetition": r"""
         WITH toks AS (

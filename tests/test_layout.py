@@ -1,0 +1,74 @@
+"""Z-order layout: key correctness vs a python reference; envelope
+tightness (the data-skipping property) vs a single-column sort."""
+
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.layout import (
+    minmax_pruning_stats,
+    zorder_key,
+    zorder_layout,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _py_zkey(vals, bits):
+    out = 0
+    n = len(vals)
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            out += (((v & ((1 << bits) - 1)) >> b) & 1) << (b * n + i)
+    return out
+
+
+def test_zorder_key_matches_python(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (123456, 789), (7, 42)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], 16).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_zkey([x, y], 16), (x, y)
+
+
+def test_zorder_key_rejects_overflow(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)
+
+
+def test_zorder_layout_tightens_all_probe_envelopes(spark):
+    """The data-skipping property: range-partitioning on the Z-key gives
+    per-partition min-max envelopes that are a small fraction of the
+    domain in BOTH dimensions, while a single-column sort leaves the
+    other column's envelope at ~full width."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    n_parts = 16
+
+    def mean_width(df, col):
+        stats = minmax_pruning_stats(df, "_zkey", ["l_orderkey", "l_partkey"])
+        rows = stats.collect()
+        return sum(r[f"{col}_max"] - r[f"{col}_min"] for r in rows) / len(rows)
+
+    domain = {
+        c: li.agg(F.max(c) - F.min(c)).first()[0]
+        for c in ("l_orderkey", "l_partkey")
+    }
+
+    single = li.repartitionByRange(n_parts, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).withColumn("_zkey", F.lit(0))
+    zordered = zorder_layout(li, ["l_orderkey", "l_partkey"], n_parts)
+
+    # single-column sort: perfect on the sorted column, useless on the other
+    assert mean_width(single, "l_orderkey") < 0.2 * domain["l_orderkey"]
+    assert mean_width(single, "l_partkey") > 0.8 * domain["l_partkey"]
+
+    # z-order: materially tighter than full width on BOTH columns
+    assert mean_width(zordered, "l_orderkey") < 0.5 * domain["l_orderkey"]
+    assert mean_width(zordered, "l_partkey") < 0.5 * domain["l_partkey"]
