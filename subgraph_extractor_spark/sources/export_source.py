@@ -1,0 +1,240 @@
+"""Manifest-faithful Spark reader for the reference's export format,
+as a PySpark (4.x) custom Python DataSource.
+
+The reference's consumers open an exported table through its
+``_metadata`` manifest (reference tests/test_get_column_info.py:117-122)
+— the manifest's row-group list IS the committed snapshot, and stale
+superseded files from re-coarsening legitimately linger in the same
+directory.  ``spark.read.parquet(table_dir)`` is therefore WRONG on an
+export: directory listing would resurrect uncommitted/superseded files.
+This data source restores the reference's read contract inside Spark:
+
+- **File list comes from the manifest**, never from a directory listing
+  (also the scale-correct move: one manifest GET instead of an S3 LIST
+  storm over a million-file table).
+- **One input partition per committed file** — exported partition files
+  are block-sorted and block-disjoint, so per-file parallelism is the
+  natural unit.
+- **Block-range file pruning via manifest statistics**: filters on the
+  block column (``=, <, <=, >, >=`` and IsNotNull) prune whole files
+  from the manifest's per-row-group min/max before any data I/O, the
+  same skip the reference's readers get from partition-directory names.
+  All filters are still returned to Spark for exact re-application —
+  pruning here is file-granular, not row-granular.
+- **Unsigned widening**: exports carry the reference's exact types
+  (uint32 block column, cli.py:20-21,147); Spark has no unsigned types,
+  so uintN widens to the next signed type (uint64 -> decimal(20,0)) and
+  every Arrow batch is cast accordingly.
+
+Usage::
+
+    spark.dataSource.register(SubgraphExportDataSource)
+    df = (spark.read.format("subgraph_export")
+          .option("path", table_dir)
+          .option("block_column", "_block_number")  # default
+          .load())
+
+All I/O goes through ``fsio``/pyarrow.fs, so the same reader works on
+local paths, ``s3://``/``s3a://``, ``gs://`` or ``hdfs://``.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+def register(spark) -> None:
+    """Register the data source and enable Python-source filter pushdown
+    (off by default; required for manifest-stats file pruning)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SubgraphExportDataSource)
+
+
+_UNSIGNED_WIDENING = {
+    pa.uint8(): pa.int16(),
+    pa.uint16(): pa.int32(),
+    pa.uint32(): pa.int64(),
+    pa.uint64(): pa.decimal128(20, 0),
+}
+
+
+def widened_arrow_schema(schema: pa.Schema) -> pa.Schema:
+    """The export schema with unsigned types widened to what Spark can
+    hold losslessly."""
+    return pa.schema(
+        [
+            pa.field(
+                f.name,
+                _UNSIGNED_WIDENING.get(f.type, f.type),
+                nullable=f.nullable,
+            )
+            for f in schema
+        ]
+    )
+
+
+@dataclass
+class _ExportFile(InputPartition):
+    rel_path: str
+    block_min: int | None  # manifest stats; None when absent
+    block_max: int | None
+
+
+def _manifest_files(table_dir: str, block_column: str) -> list[_ExportFile]:
+    """Per-file (path, block min/max) from the consolidated manifest —
+    metadata-only reads, no data I/O."""
+    import pyarrow.parquet as pq
+
+    from subgraph_extractor_spark import fsio
+
+    fs, base = fsio.resolve(table_dir)
+    md = pq.read_metadata(posixpath.join(base, "_metadata"), filesystem=fs)
+    try:
+        col_idx = md.schema.to_arrow_schema().get_field_index(block_column)
+    except KeyError:
+        col_idx = -1
+    per_file: dict[str, tuple[int | None, int | None]] = {}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        path = rg.column(0).file_path
+        lo = hi = None
+        if col_idx >= 0:
+            stats = rg.column(col_idx).statistics
+            if stats is not None and stats.has_min_max:
+                lo, hi = stats.min, stats.max
+        if lo is None or hi is None:
+            # zero-row partition placeholders carry no column stats;
+            # fall back to the [start, end) range the export layout
+            # encodes in the path — the same bound the reference's
+            # readers prune on via partition-directory names
+            m = re.search(
+                r"start_partition=(\d+)/end_partition=(\d+)/", path
+            )
+            if m:
+                lo, hi = int(m.group(1)), int(m.group(2)) - 1
+        old = per_file.get(path)
+        if old is not None:
+            olo, ohi = old
+            lo = None if lo is None or olo is None else min(lo, olo)
+            hi = None if hi is None or ohi is None else max(hi, ohi)
+        per_file[path] = (lo, hi)
+    return [
+        _ExportFile(p, lo, hi) for p, (lo, hi) in sorted(per_file.items())
+    ]
+
+
+class SubgraphExportReader(DataSourceReader):
+    def __init__(self, table_dir: str, block_column: str):
+        self.table_dir = table_dir
+        self.block_column = block_column
+        self._range: tuple[float, float] = (float("-inf"), float("inf"))
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Fold block-column comparisons into one [lo, hi] envelope used
+        for file pruning.  Every filter is handed back to Spark for
+        exact row-level application — pruning here is file-granular and
+        conservative, never row-exact."""
+        lo, hi = self._range
+        for f in filters:
+            if getattr(f, "attribute", None) != (self.block_column,):
+                continue
+            if isinstance(f, EqualTo):
+                lo, hi = max(lo, f.value), min(hi, f.value)
+            elif isinstance(f, GreaterThan):
+                lo = max(lo, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                lo = max(lo, f.value)
+            elif isinstance(f, LessThan):
+                hi = min(hi, f.value - 1)
+            elif isinstance(f, LessThanOrEqual):
+                hi = min(hi, f.value)
+            # IsNotNull and everything else: no envelope contribution
+        self._range = (lo, hi)
+        return list(filters)
+
+    def partitions(self):
+        lo, hi = self._range
+        files = _manifest_files(self.table_dir, self.block_column)
+        kept = [
+            f
+            for f in files
+            if f.block_min is None
+            or f.block_max is None
+            or (f.block_max >= lo and f.block_min <= hi)
+        ]
+        # zero matching files: Spark requires >= 1 partition; emit one
+        # sentinel that reads nothing
+        return kept or [_ExportFile("", None, None)]
+
+    def read(self, partition: _ExportFile):
+        if not partition.rel_path:
+            return
+        import pyarrow.parquet as pq
+
+        from subgraph_extractor_spark import fsio
+
+        fs, base = fsio.resolve(self.table_dir)
+        pf = pq.ParquetFile(
+            posixpath.join(base, partition.rel_path), filesystem=fs
+        )
+        target = widened_arrow_schema(pf.schema_arrow)
+        for batch in pf.iter_batches():
+            yield pa.record_batch(
+                [
+                    batch.column(i).cast(target.field(i).type)
+                    for i in range(batch.num_columns)
+                ],
+                schema=target,
+            )
+
+
+class SubgraphExportDataSource(DataSource):
+    """``spark.read.format("subgraph_export")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "subgraph_export"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "subgraph_export requires .option('path', <table_dir>) or .load(<table_dir>)"
+            )
+        return path
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from subgraph_extractor_spark import fsio
+
+        fs, base = fsio.resolve(self._table_dir())
+        md = pq.read_metadata(
+            posixpath.join(base, "_metadata"), filesystem=fs
+        )
+        return from_arrow_schema(
+            widened_arrow_schema(md.schema.to_arrow_schema())
+        )
+
+    def reader(self, schema: StructType) -> SubgraphExportReader:
+        return SubgraphExportReader(
+            self._table_dir(),
+            self.options.get("block_column", "_block_number"),
+        )
