@@ -26,7 +26,13 @@ def write_bucketed(
 ) -> None:
     """Persist a DataFrame as a bucketed, bucket-sorted managed table.
     Drops any previous table AND its orphaned warehouse directory (a
-    crashed session can leave the location without catalog metadata)."""
+    crashed session can leave the location without catalog metadata).
+
+    The input is repartitioned on the bucket key first — without it,
+    EVERY input task writes up to ``num_buckets`` files (tasks x buckets
+    open writers and output files: at cluster scale that is a
+    small-files explosion and a memory hazard).  Repartitioned, each
+    task holds exactly one bucket's rows and writes exactly one file."""
     import shutil
 
     spark = df.sparkSession
@@ -36,7 +42,8 @@ def write_bucketed(
     ).replace("file:", "")
     shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
     (
-        df.write.mode(mode)
+        df.repartition(num_buckets, bucket_col)
+        .write.mode(mode)
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
