@@ -49,6 +49,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -204,6 +205,95 @@ class SubgraphExportReader(DataSourceReader):
             )
 
 
+@dataclass
+class _ExportSlice(InputPartition):
+    rel_path: str
+    lo: int  # inclusive block range to deliver from this file
+    hi: int
+
+
+class SubgraphExportStreamReader(DataSourceStreamReader):
+    """Incremental consumer of a live export: each microbatch delivers
+    the block range the extraction pipeline committed since the last
+    batch, by following the dataset watermark (``latest.yaml`` — the
+    run-level commit point, written only after all files + manifests).
+
+    Offsets are block numbers ({"block": b} = "rows with _block_number
+    <= b delivered"), NOT file lists: re-coarsening legitimately replaces
+    committed files with coarser ones between batches, but rows are
+    immutable per block, so block-range delivery stays exactly-once
+    under any file-layout churn.  Partitions are (file, lo, hi) slices —
+    planned from manifest stats on the driver (metadata only), read on
+    executors with a row-level range filter."""
+
+    def __init__(self, table_dir: str, dataset_dir: str, block_column: str):
+        self.table_dir = table_dir
+        self.dataset_dir = dataset_dir
+        self.block_column = block_column
+
+    def _watermark(self) -> dict:
+        from subgraph_extractor_spark.plans.watermark import read_watermark
+
+        wm = read_watermark(self.dataset_dir)
+        if not wm:
+            raise ValueError(
+                f"no watermark at {self.dataset_dir}/latest.yaml — the "
+                "export must have at least one committed run before a "
+                "stream can start"
+            )
+        return wm
+
+    def initialOffset(self) -> dict:
+        return {"block": int(self._watermark()["earliest_block"]) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"block": int(self._watermark()["latest_block"])}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["block"]) + 1, int(end["block"])
+        kept = [
+            _ExportSlice(f.rel_path, lo, hi)
+            for f in _manifest_files(self.table_dir, self.block_column)
+            if f.block_min is None
+            or f.block_max is None
+            or (f.block_max >= lo and f.block_min <= hi)
+        ]
+        return kept or [_ExportSlice("", 0, -1)]
+
+    def read(self, partition: _ExportSlice):
+        if not partition.rel_path or partition.hi < partition.lo:
+            return
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from subgraph_extractor_spark import fsio
+
+        fs, base = fsio.resolve(self.table_dir)
+        pf = pq.ParquetFile(
+            posixpath.join(base, partition.rel_path), filesystem=fs
+        )
+        target = widened_arrow_schema(pf.schema_arrow)
+        col = self.block_column
+        for batch in pf.iter_batches():
+            widened = pa.record_batch(
+                [
+                    batch.column(i).cast(target.field(i).type)
+                    for i in range(batch.num_columns)
+                ],
+                schema=target,
+            )
+            mask = pc.and_(
+                pc.greater_equal(widened.column(col), partition.lo),
+                pc.less_equal(widened.column(col), partition.hi),
+            )
+            out = widened.filter(mask)
+            if out.num_rows:
+                yield out
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; offsets live in the stream checkpoint
+
+
 class SubgraphExportDataSource(DataSource):
     """``spark.read.format("subgraph_export")`` — see module docstring."""
 
@@ -238,3 +328,35 @@ class SubgraphExportDataSource(DataSource):
             self._table_dir(),
             self.options.get("block_column", "_block_number"),
         )
+
+    def streamReader(self, schema: StructType) -> SubgraphExportStreamReader:
+        table_dir = self._table_dir()
+        dataset_dir = self.options.get("dataset_dir") or _find_dataset_root(
+            table_dir
+        )
+        return SubgraphExportStreamReader(
+            table_dir,
+            dataset_dir,
+            self.options.get("block_column", "_block_number"),
+        )
+
+
+def _find_dataset_root(table_dir: str) -> str:
+    """Walk up from the table dir to the directory holding the
+    ``latest.yaml`` watermark (export layout:
+    ``<root>/<name>/<version>/data/subgraph=…/table=…``)."""
+    from subgraph_extractor_spark import fsio
+
+    fs, base = fsio.resolve(table_dir)
+    cur = base
+    for _ in range(8):
+        if fsio.exists(fs, posixpath.join(cur, "latest.yaml")):
+            return cur
+        parent = posixpath.dirname(cur.rstrip("/"))
+        if parent == cur:
+            break
+        cur = parent
+    raise ValueError(
+        f"no latest.yaml found above {table_dir}; pass "
+        ".option('dataset_dir', <root>) explicitly"
+    )

@@ -108,3 +108,58 @@ def test_block_filter_prunes_files_from_manifest_stats(spark, export_dir):
         )
     )
     assert sorted(r["id"] for r in df.collect()) == ["0xaa04", "0xaa05"]
+
+
+def test_stream_follows_watermark_incrementally(spark, tmp_path):
+    """readStream over the export: first run delivers the committed
+    snapshot; after a second extraction commit, restarting from the same
+    checkpoint delivers ONLY the newly committed block range."""
+    out = str(tmp_path / "ds")
+    ckpt = str(tmp_path / "ckpt")
+    from tests.test_extract import ROWS as rows1
+    run_extraction(
+        spark, CONFIG, {"entity_versions": _entity_df(spark, rows1)},
+        out, 18_000_000, 19_000_000, sink="arrow",
+    )
+    _register(spark)
+    table_dir = _table_dir(out)
+
+    def drain():
+        got = []
+
+        def sink(df, _epoch):
+            got.extend(
+                (r["id"], r["_block_number"]) for r in df.collect()
+            )
+
+        q = (
+            spark.readStream.format("subgraph_export")
+            .option("path", table_dir)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return sorted(got)
+
+    first = drain()
+    assert len(first) == 6
+    assert ("0xaa05", 18_999_295) in first
+
+    # second commit: watermark advances, one new entity version lands
+    import decimal
+
+    rows2 = list(rows1) + [
+        (7, 19_100_123, None, "0xaa06", decimal.Decimal(5), "0xt4"),
+    ]
+    run_extraction(
+        spark, CONFIG,
+        {"entity_versions": _entity_df(spark, rows2)},
+        out, 18_000_000, 19_200_000, sink="arrow",
+    )
+
+    second = drain()  # same checkpoint: only the (19.0M, 19.2M] delta
+    assert sorted(set(second) - set(first)) == [("0xaa06", 19_100_123)]
