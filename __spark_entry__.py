@@ -1231,6 +1231,20 @@ def q_text_repetition(spark, sf):
     return ta.repetition_features(d, "text", "doc_id")
 
 
+def q_sample_mixture(spark, sf):
+    # deterministic training-mix sampling: largest corpus hitting the
+    # 50/30/20 en/de/zh target given per-language availability — counts,
+    # global-min capacity, broadcast quota join, one rank window
+    d = _t(spark, sf, "documents")
+    return sampling_ops.mixture_sample(
+        d, F.col("doc_id"), F.col("lang"), {"en": 0.5, "de": 0.3, "zh": 0.2}
+    ).select(
+        "doc_id",
+        F.col("_stratum").alias("stratum"),
+        F.col("_rk").cast("bigint").alias("rk"),
+    )
+
+
 def q_layout_zorder(spark, sf):
     # Z-order (Morton) clustering key — the lakehouse OPTIMIZE ZORDER BY
     # primitive for multi-column data skipping; pure codegen bit
@@ -1451,6 +1465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_chunks": q_dedup_chunks,
     "text_repetition": q_text_repetition,
     "layout_zorder": q_layout_zorder,
+    "sample_mixture": q_sample_mixture,
     "s1_range_scan": q_s1_range_scan,
     "s4_distinct_listing": q_s4_distinct_listing,
     "p6_uint256_sum": q_p6_uint256_sum,
@@ -2275,6 +2290,38 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "sample_mixture": """
+        WITH c AS (
+            SELECT lang AS _stratum, count(*) AS n
+            FROM documents WHERE lang IN ('de', 'en', 'zh') GROUP BY 1
+        ),
+        cap AS (
+            SELECT _stratum, n,
+                   CASE _stratum
+                        WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                        WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                   END AS w
+            FROM c
+        ),
+        q AS (
+            SELECT _stratum,
+                   CAST(floor(w * (SELECT min(n / w) FROM cap)) AS BIGINT)
+                       AS quota
+            FROM cap
+        ),
+        r AS (
+            SELECT d.doc_id, d.lang AS _stratum,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rk
+            FROM documents d WHERE d.lang IN ('de', 'en', 'zh')
+        )
+        SELECT r.doc_id, r._stratum AS stratum, r.rk
+        FROM r JOIN q USING (_stratum)
+        WHERE r.rk <= q.quota
     """,
     "layout_zorder": f"""
         SELECT l_orderkey, l_partkey, l_linenumber,

@@ -104,3 +104,57 @@ def split_assign(
         .when(b < boundaries[1], names[1])
         .otherwise(names[2])
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministic training-mix sampling: select the LARGEST corpus
+    whose stratum proportions match ``weights`` exactly, given what each
+    stratum actually has available.
+
+    The achievable total is ``T = min_s(n_s / w_s)`` (the stratum that
+    runs out first caps the mix); each stratum then contributes
+    ``floor(w_s * T)`` rows, chosen in stable (md5(key), key) order —
+    the same hash-order contract as ``group_topk_sample``, so re-runs,
+    engines and partitionings agree row-for-row.
+
+    Plan shape: one tiny groupBy for the per-stratum counts, the global
+    min as an unpartitioned window over that (broadcast-sized) table,
+    one broadcast join of the per-stratum quota onto the corpus, one
+    shuffle for the per-stratum rank window.  Strata absent from
+    ``weights`` are excluded (weight 0).
+
+    Returns the sampled rows with ``_stratum`` and ``_rk`` columns
+    callers may drop.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    tagged = df.withColumn("_stratum", stratum)
+    counts = (
+        tagged.filter(F.col("_stratum").isin(*weights))
+        .groupBy("_stratum")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", wmap[F.col("_stratum")])
+        .withColumn("_cap", F.col("_n") / F.col("_w"))
+    )
+    everything = Window.partitionBy()
+    quotas = counts.select(
+        "_stratum",
+        F.floor(F.col("_w") * F.min("_cap").over(everything)).alias("_quota"),
+    )
+    w = Window.partitionBy("_stratum").orderBy(F.md5(key.cast("string")), key)
+    return (
+        tagged.join(F.broadcast(quotas), "_stratum")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+    )

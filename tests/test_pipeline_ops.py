@@ -225,3 +225,44 @@ def test_star_cc_matches_iterative_on_components(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_mixture_sample_hits_target_proportions(docs):
+    weights = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    out = sampling.mixture_sample(
+        docs, F.col("doc_id"), F.col("lang"), weights
+    )
+    got = {
+        r["_stratum"]: r["n"]
+        for r in out.groupBy("_stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    avail = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) <= set(weights)  # unweighted strata excluded
+    total = sum(got.values())
+    t_cap = min(avail[s] / w for s, w in weights.items())
+    for s, w in weights.items():
+        # exact quota: floor(w * min availability-capacity)
+        assert got[s] == int(w * t_cap) or got[s] == int(w * t_cap) - 1
+        assert got[s] <= avail[s]
+        # achieved proportion within one row of the target
+        assert abs(got[s] - w * total) <= len(weights)
+
+    # deterministic under repartitioning
+    again = sampling.mixture_sample(
+        docs.repartition(7), F.col("doc_id"), F.col("lang"), weights
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(docs, F.col("doc_id"), F.col("lang"), {})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(
+            docs, F.col("doc_id"), F.col("lang"), {"en": 0.0}
+        )
