@@ -102,10 +102,18 @@ def main() -> None:
             }
         },
     }
-    t0 = time.time()
-    run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
-    timings["extract_events"] = round(time.time() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
+    # pipeline entries get the same min-of-2 treatment as the headline
+    # queries (fresh output dir per run — a re-run over the same dir
+    # would incremental-short-circuit at the stored watermark)
+    for _run in range(2):
+        out = tempfile.mkdtemp(prefix="bench_extract_")
+        t0 = time.time()
+        run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
+        dt = round(time.time() - t0, 3)
+        timings["extract_events"] = min(
+            timings.get("extract_events", dt), dt
+        )
+        shutil.rmtree(out, ignore_errors=True)
 
     # bigger cover: a 3-level size stack over the full lineitem span — more
     # partitions, deeper re-coarsening hierarchy (the 100x-relevant shape)
@@ -124,10 +132,15 @@ def main() -> None:
             }
         },
     }
-    t0 = time.time()
-    run_extraction(spark, cfg2, {"lineitem": li}, out2, 0, int(hi_li))
-    timings["extract_lineitem_3level"] = round(time.time() - t0, 3)
-    shutil.rmtree(out2, ignore_errors=True)
+    for _run in range(2):
+        out2 = tempfile.mkdtemp(prefix="bench_extract_li_")
+        t0 = time.time()
+        run_extraction(spark, cfg2, {"lineitem": li}, out2, 0, int(hi_li))
+        dt = round(time.time() - t0, 3)
+        timings["extract_lineitem_3level"] = min(
+            timings.get("extract_lineitem_3level", dt), dt
+        )
+        shutil.rmtree(out2, ignore_errors=True)
 
     # bucketed co-located join: write both sides bucketed by the join key
     # once, then join with zero Exchange — the recurring-join tool at 100x.
@@ -148,13 +161,20 @@ def main() -> None:
         "l_discount",
         "l_quantity",
     )
-    t0 = time.time()
-    write_bucketed(orders, "bench_orders_b", "o_orderkey", 32)
-    write_bucketed(lineitem, "bench_lineitem_b", "o_orderkey", 32)
-    timings["bucketed_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    bucketed_join(spark, "bench_lineitem_b", "bench_orders_b", "o_orderkey").count()
-    timings["bucketed_join"] = round(time.time() - t0, 3)
+    for _run in range(2):
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+        spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+        t0 = time.time()
+        write_bucketed(orders, "bench_orders_b", "o_orderkey", 32)
+        write_bucketed(lineitem, "bench_lineitem_b", "o_orderkey", 32)
+        dt = round(time.time() - t0, 3)
+        timings["bucketed_build"] = min(timings.get("bucketed_build", dt), dt)
+        t0 = time.time()
+        bucketed_join(
+            spark, "bench_lineitem_b", "bench_orders_b", "o_orderkey"
+        ).count()
+        dt = round(time.time() - t0, 3)
+        timings["bucketed_join"] = min(timings.get("bucketed_join", dt), dt)
     spark.sql("DROP TABLE IF EXISTS bench_orders_b")
     spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
 
