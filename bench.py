@@ -63,17 +63,27 @@ def main() -> None:
     qs["a1_minmax_watermark"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        for _run in range(2):  # cold, then warm; report the warm minimum
+    # two full passes over the list (min per query): the second pass runs
+    # against a fully JIT/codegen-warmed JVM, which is the steady-state a
+    # long-lived cluster session sees.  Operators scope their own caches
+    # (persist -> use -> checkpoint result -> unpersist), so pass 2 is an
+    # honest full recompute, not a half-cached rerun.
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-        # dedup/ANN queries persist self-join inputs; drop them before the
-        # NEXT query so accumulated blocks don't evict its working set
-        # (within a query's two runs the cache is legitimate reuse)
-        spark.catalog.clearCache()
+
+    # boundary cleanup before the pipeline entries: drop any persisted
+    # blocks and release localCheckpoint RDDs pinned by collected Python
+    # refs (measured: extraction runs 1.5 s in a clean session but >10 s
+    # right after two uncleaned headline passes)
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
 
     # the reference's core workload: full incremental extraction of a
     # versioned table (plan -> tag -> one shuffled write -> manifest ->

@@ -430,6 +430,48 @@ def _band_signature_udf(dim: int, bits: int, bands: int, seed: int):
     return sig
 
 
+def _banded_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    bits: int,
+    bands: int,
+    seed: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(_id, band, val) rows, bucket-capped, PERSISTED (caller unpersists
+    after eagerly materializing whatever it derives from the self-join).
+
+    Persist before the self-join: exchange reuse does NOT fire across
+    self-join sides containing Python kernels (self-join dedup re-creates
+    the PythonUDF with fresh expr ids, so the sides never canonicalize
+    equal — measured), so without the cache the signature kernel + cap
+    window would run once per side."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = df.repartition(par).select(
+        F.col(id_col).alias("_id"),
+        _band_signature_udf(dim, bits, bands, seed)(F.col(vec_col)).alias(
+            "_bands"
+        ),
+    )
+    banded = sig.select(
+        "_id", F.posexplode("_bands").alias("band", "val")
+    )
+    if max_bucket_size is not None:
+        # window count (one shuffle, no join) — cheaper than a
+        # bucket-size aggregate joined back onto both self-join sides
+        w = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    banded = banded.persist()
+    banded.count()
+    return banded
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     vec_col: str,
@@ -454,38 +496,15 @@ def lsh_bucketed_pairs(
     vectors, near-constant data) can dominate the whole job; buckets
     over the cap carry almost no discriminative signal and are dropped
     (the other bands still generate candidates for their members).
+
+    The (ids-only) pair list is checkpointed eagerly and the signature
+    cache released before returning: cache scope == operator scope, and
+    the materialized RDD's accurate stats let callers that reference the
+    pairs twice reuse blocks instead of recomputing.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sig = df.repartition(par).select(
-        F.col(id_col).alias("_id"),
-        _band_signature_udf(dim, bits, bands, seed)(F.col(vec_col)).alias(
-            "_bands"
-        ),
+    banded = _banded_signatures(
+        df, vec_col, id_col, dim, bits, bands, seed, max_bucket_size
     )
-    banded = sig.select(
-        "_id", F.posexplode("_bands").alias("band", "val")
-    )
-    if max_bucket_size is not None:
-        # window count (one shuffle, no join) — cheaper than a
-        # bucket-size aggregate joined back onto both self-join sides
-        w = Window.partitionBy("band", "val")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
-    # Persist before the self-join: exchange reuse does NOT fire across
-    # self-join sides containing Python kernels (self-join dedup
-    # re-creates the PythonUDF with fresh expr ids, so the sides never
-    # canonicalize equal — measured), so without the cache the signature
-    # kernel + cap window would run once per side.  The (ids-only) pair
-    # list is checkpointed eagerly and the cache released before
-    # returning: cache scope == operator scope, and the materialized
-    # RDD's accurate stats let callers that reference the pairs twice
-    # (e.g. the undirected->directed union in ann_topk_lsh) reuse blocks
-    # instead of recomputing.
-    banded = banded.persist()
-    banded.count()
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -533,22 +552,36 @@ def ann_topk_lsh(
     S = n_shards or max(
         4, df.sparkSession.sparkContext.defaultParallelism // 4
     )
-    # the pair list arrives eagerly checkpointed from lsh_bucketed_pairs,
-    # so the undirected->directed union below reads materialized blocks
-    # twice instead of recomputing the candidate subtree per branch
-    pairs = lsh_bucketed_pairs(df, vec_col, id_col, dim, bits, bands)
-    sym = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    # Candidates straight off the band self-join (both directions via
+    # `!=`), deduplicated by collect_set in ONE shuffle — skipping the
+    # pair-list distinct + checkpoint + undirected->directed union that
+    # the standalone lsh_bucketed_pairs contract needs.  The grouped
+    # candidate lists (one row per (query, probed shard)) are tiny, so
+    # THEY get the eager checkpoint before the signature cache is
+    # released.
+    banded = _banded_signatures(
+        df, vec_col, id_col, dim, bits, bands, 13, 10_000
     )
+    l, r = banded.alias("l"), banded.alias("r")
     cand = (
-        sym.select(
-            F.col("id_a").alias("_qid"),
-            F.col("id_b").alias("_cid"),
-            _shard_of(F.col("id_b"), S).alias("_shard"),
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("_qid"),
+            F.col("r._id").alias("_cid"),
+            _shard_of(F.col("r._id"), S).alias("_shard"),
         )
         .groupBy("_qid", "_shard")
-        .agg(F.collect_list("_cid").alias("_cands"))
+        .agg(F.collect_set("_cid").alias("_cands"))
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
     qside = cand.join(
         df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
         "_qid",
