@@ -24,6 +24,10 @@ RUNTIME_CONFS = {
     # /root/testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
     # vectorized reader rejects; read as long and normalize (sources.readers).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are naive UTC micros; read them as TimestampType
+    # (UTC-normalized) rather than TIMESTAMP_NTZ so event-time watermarks
+    # work and collected values align with DuckDB's naive timestamps.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Adaptive execution: coalesce + skew handling at runtime.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

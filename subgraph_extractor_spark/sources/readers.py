@@ -31,14 +31,22 @@ TABLE_NAMES = [
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet; with
-    spark.sql.legacy.parquet.nanosAsLong=true it arrives as epoch-nanos
-    LongType.  Truncate to microseconds (exactly what DuckDB's
-    CAST(ts AS TIMESTAMP) does) so oracle comparisons align."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    """Normalize events.ts to TimestampType (UTC-normalized micros).
+
+    Fixture generations vary: TIMESTAMP(NANOS) parquet (read as epoch-nanos
+    LongType under spark.sql.legacy.parquet.nanosAsLong=true) or naive
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ when NTZ inference is on —
+    e.g. a driver-provided session configured before our confs applied).
+    Both land on TimestampType truncated to micros, exactly what DuckDB's
+    CAST(ts AS TIMESTAMP) yields, so oracle comparisons align and
+    event-time watermarks (which reject NTZ) work."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -47,6 +55,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+            )
         except Exception:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -134,6 +134,9 @@ def dedup_events_stream(
             "ts",
             F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
         )
+    elif src.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # naive-micros parquet under NTZ inference: watermarks reject NTZ
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     if src.isStreaming:
         return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
@@ -194,6 +197,8 @@ def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         tumbling_counts_stream(stream, window=window)
         .writeStream.format("memory")
