@@ -246,32 +246,51 @@ def minhash_candidates(
         if hashes_df is not None
         else shingle_hashes(df, text_col, id_col, shingle_n)
     )
-    # Sub-shingle-length documents all share the sentinel signature: banding
-    # them would put EVERY short doc in one bucket (quadratic blowup) and
-    # declare them near-duplicates of each other.  They have no shingle
-    # evidence either way — exclude them from candidate generation.
-    sh = sh.filter(F.size("_h") > 0)
-    banded = sh.select(
+    banded = _minhash_banded(sh, num_hashes, bands)
+    cands = _band_pairs(banded).localCheckpoint(eager=True)
+    banded.unpersist()
+    return cands
+
+
+def _minhash_banded(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(_id, band, bucket) rows from shingle hashes, PERSISTED and
+    eagerly materialized (caller unpersists after deriving from the
+    self-join).
+
+    Sub-shingle-length documents all share the sentinel signature:
+    banding them would put EVERY short doc in one bucket (quadratic
+    blowup) and declare them near-duplicates of each other.  They have
+    no shingle evidence either way — exclude them from candidate
+    generation.
+
+    Persist before the self-join: Spark does NOT reuse exchanges across
+    self-join sides of Python-kernel subtrees (self-join deduplication
+    re-creates the PythonUDF with fresh expr ids, so the two sides never
+    canonicalize equal — measured, not assumed), and on the broadcast
+    path the optimizer's inferred isnotnull filter even double-evaluates
+    the UDF per side.  The eager count guarantees exactly one kernel
+    pass (a lazy persist would let the two self-join sides race the
+    cache fill)."""
+    banded = sh.filter(F.size("_h") > 0).select(
         "_id",
         F.posexplode(
             _minhash_udf(num_hashes, bands)(F.col("_h"))
         ).alias("band", "bucket"),
     )
-    # Persist the banded signatures before the self-join: Spark does NOT
-    # reuse exchanges across self-join sides of Python-kernel subtrees
-    # (self-join deduplication re-creates the PythonUDF with fresh expr
-    # ids, so the two sides never canonicalize equal — measured, not
-    # assumed), and on the broadcast path the optimizer's inferred
-    # isnotnull filter even double-evaluates the UDF per side.  The cache
-    # guarantees one kernel pass; it is released before returning, after
-    # the (small, ids-only) candidate list is checkpointed eagerly —
-    # whose materialized-RDD stats also let downstream verification
-    # joins static-broadcast it.
     banded = banded.persist()
     banded.count()
+    return banded
+
+
+def _band_pairs(banded: DataFrame) -> DataFrame:
+    """Lazy candidate pairs (id_a < id_b) from banded signatures: bucket
+    equi-join, distinct across bands.  Not materialized — callers fold
+    this into their own terminal job."""
     left = banded.alias("l")
     right = banded.alias("r")
-    cands = (
+    return (
         left.join(
             right,
             on=[
@@ -282,10 +301,7 @@ def minhash_candidates(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    banded.unpersist()
-    return cands
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -315,16 +331,18 @@ def minhash_dedup_pairs(
     shingle strings: identical Jaccard up to negligible 64-bit collision
     probability, much lighter to shuffle, and it reuses the one persisted
     shingle_hashes intermediate."""
-    # Lazy persist: the shingle kernel runs once inside the candidate
-    # job (filling the cache) and the two verification joins below read
-    # the cached table — no separate materialization job needed.
+    # Lazy persist: the shingle kernel runs once inside the banding job
+    # (filling the cache) and the two verification joins below read the
+    # cached table — no separate materialization job needed.
     sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
-    # candidates come back eagerly checkpointed (small id pairs) with
-    # accurate materialized-RDD stats, so the verification joins
-    # static-broadcast the candidate side
-    cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hashes_df=sh
-    )
+    # Two jobs total for the whole operator (the r2 version ran four —
+    # banding count, candidate checkpoint, verification checkpoint,
+    # caller action — and the extra barriers dominated at bench scale):
+    # job 1 materializes the banded signatures (filling the shingle
+    # cache en route); job 2 pipelines candidate self-join + distinct +
+    # both verification joins + filter into the terminal checkpoint.
+    banded = _minhash_banded(sh, num_hashes, bands)
+    cands = _band_pairs(banded)
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_h", "_h_a")
@@ -333,10 +351,12 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         # verified pairs are the small end product; checkpointing them
-        # lets the shingle cache be released inside this call instead of
-        # leaking into the session (cache scope == operator scope)
+        # lets the shingle + banding caches be released inside this call
+        # instead of leaking into the session (cache scope == operator
+        # scope)
         .localCheckpoint(eager=True)
     )
+    banded.unpersist()
     sh.unpersist()
     return verified
 

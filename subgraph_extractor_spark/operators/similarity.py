@@ -555,10 +555,13 @@ def ann_topk_lsh(
     # Candidates straight off the band self-join (both directions via
     # `!=`), deduplicated by collect_set in ONE shuffle — skipping the
     # pair-list distinct + checkpoint + undirected->directed union that
-    # the standalone lsh_bucketed_pairs contract needs.  The grouped
-    # candidate lists (one row per (query, probed shard)) are tiny, so
-    # THEY get the eager checkpoint before the signature cache is
-    # released.
+    # the standalone lsh_bucketed_pairs contract needs.  No intermediate
+    # checkpoint: the cogroup consumes the band join's shuffle output
+    # directly, so the whole candidate->score->merge chain pipelines as
+    # ONE job (the r2 version materialized the grouped candidates
+    # eagerly — an extra barrier that dominated at bench scale; only the
+    # final, tiny top-k result is checkpointed below, which is what lets
+    # the signature cache be released before returning).
     banded = _banded_signatures(
         df, vec_col, id_col, dim, bits, bands, 13, 10_000
     )
@@ -579,9 +582,7 @@ def ann_topk_lsh(
         )
         .groupBy("_qid", "_shard")
         .agg(F.collect_set("_cid").alias("_cands"))
-        .localCheckpoint(eager=True)
     )
-    banded.unpersist()
     qside = cand.join(
         df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
         "_qid",
@@ -609,4 +610,10 @@ def ann_topk_lsh(
             schema=f"query_id {id_type}, neighbor_id {id_type}, _sim double",
         )
     )
-    return _global_topk(scored, k)
+    # One materialization for the whole operator: band join, candidate
+    # grouping, cogrouped scoring, and the global merge all run in a
+    # single job; only the (Q x k)-row answer is checkpointed, and the
+    # signature cache is released before returning.
+    out = _global_topk(scored, k).localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
