@@ -24,6 +24,7 @@ from collections.abc import Callable
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from subgraph_extractor_spark.session import configure
 from subgraph_extractor_spark.sources.readers import load_table
@@ -850,10 +851,26 @@ def q_f_map(spark, sf):
 def q_w7_sessionize(spark, sf):
     # batch sessionization: 30-min inactivity gap starts a new session —
     # lag + conditional + running sum over one user-partitioned window
-    # (the batch face of streaming session windows, §2.9)
+    # (the batch face of streaming session windows, §2.9).
+    # Session boundaries hinge on the RAW integer micros of ts, derived
+    # with session-timezone-independent expressions for every fixture
+    # encoding (long nanos / NTZ / timestamp), so no driver-session
+    # timezone or NTZ setting can move a boundary; the window also
+    # orders by the integer, not the timestamp.
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanosAsLong passthrough
+        ev = ev.withColumn(
+            "_us", F.floor(F.col("ts") / F.lit(1000)).cast("long")
+        )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        from subgraph_extractor_spark.sources.readers import ntz_epoch_micros
+
+        ev = ev.withColumn("_us", ntz_epoch_micros(F.col("ts")))
+    else:  # TimestampType: an instant — unix_micros is zone-free
+        ev = ev.withColumn("_us", F.unix_micros(F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    us = F.col("_us")
     new_sess = F.when(
         us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)
     ).otherwise(F.lit(0))
@@ -1292,12 +1309,17 @@ def q_f_vector(spark, sf):
     # Catalyst higher-order-function vector surface (transform / zip_with
     # / aggregate) — the pure-codegen face of the vector math the
     # similarity stack does in numpy kernels.  Elements are quantized to
-    # integers (round(x*1000)) so the fold is order-free and exact on
-    # both engines (float sums are order-sensitive; bigint sums aren't).
+    # integers so the fold is order-free and exact on both engines
+    # (float sums are order-sensitive; bigint sums aren't).  The
+    # quantizer is floor(x*1000 + 0.5) spelled IDENTICALLY in both
+    # dialects: floor has no tie rule, unlike round(), whose
+    # half-even/half-away behaviour is engine- and version-dependent.
     e = _t(spark, sf, "embeddings")
     q = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
     )
     sq_sum = F.aggregate(
         F.transform(q, lambda v: v * v),
@@ -1383,7 +1405,11 @@ def q_text_pii_redact(spark, sf):
 def q_pipeline_contamination(spark, sf):
     # benchmark-contamination gate: fraction of each corpus doc's
     # distinct 3-grams appearing in the (broadcast) benchmark gram set;
-    # the only shuffle is the per-doc re-aggregation
+    # the only shuffle is the per-doc re-aggregation.
+    # Checked output is integers + boolean only: the contamination
+    # fraction (n_hit/n_grams, a raw double) is derivable from n_hit and
+    # n_grams and is deliberately EXCLUDED so float formatting in the
+    # harness's hash canonicalizer can never diverge across engines.
     d = _t(spark, sf, "documents")
     return ta.contamination_report(
         corpus=d.filter(F.col("doc_id") % 17 != 0),
@@ -1392,7 +1418,7 @@ def q_pipeline_contamination(spark, sf):
         text_col="text",
         n=3,
         threshold=0.5,
-    )
+    ).select("doc_id", "n_grams", "n_hit", "flagged")
 
 
 def q_dedup_chunks(spark, sf):
@@ -1430,10 +1456,15 @@ def q_dedup_clusters_star(spark, sf):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # order = the driver's check budget (r01 ran exactly the first
-    # 50 entries).  Tier A: oracled queries with no r01 driver row
-    # yet (incl. the r01-fail f_collect, now fixed, and round-2
-    # additions).  Tier B: r01-green distinct-surface queries.
+    # order = the driver's check budget (exactly the first 50 entries
+    # per round).  Round-3 window: the three r2-fail queries now
+    # harness-proofed (w7_sessionize / f_vector / pipeline_contamination
+    # at stable positions), every oracled query whose ONLY driver row is
+    # r2, and — new this round — the 8 rows-only dedup/ANN queries that
+    # sat at positions 82-89 in r1/r2 and were never observed by the
+    # driver at all.  To make room, 8 stable two-round-green relational
+    # variants moved just past the window (they keep their r1/r2 rows;
+    # union coverage across rounds stays 89/89).
     "f_collect": q_f_collect,
     "f_udaf": q_f_udaf,
     "f_udtf": q_f_udtf,
@@ -1467,27 +1498,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder": q_layout_zorder,
     "sample_mixture": q_sample_mixture,
     "s1_range_scan": q_s1_range_scan,
-    "s4_distinct_listing": q_s4_distinct_listing,
     "p6_uint256_sum": q_p6_uint256_sum,
-    "p7_multi_target_mapping": q_p7_multi_target_mapping,
-    "p8_mapping_compiler": q_p8_mapping_compiler,
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
-    "j2_anti_join": q_j2_anti_join,
-    "j3_semi_join": q_j3_semi_join,
     "j5_range_join": q_j5_range_join,
     "j6_asof_join": q_j6_asof_join,
     "j4_similarity_topk": q_j4_similarity_topk,
     "sim_topk_matmul": q_sim_topk_matmul,
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
+    "w1_latest_version": q_w1_latest_version,
+    # -- rows-only queries' first-ever driver window (non-SQL-
+    # expressible LSH/clusters/ANN/winnowing; property-tested in
+    # pytest, rows-only under the driver) --
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "text_winnowing": q_text_winnowing,
+    "emb_neardup": q_emb_neardup,
+    # ---- end of the 50-query window ----
+    # -- two-round-green surfaces / oracled variants beyond the budget --
+    "s4_distinct_listing": q_s4_distinct_listing,
+    "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "p8_mapping_compiler": q_p8_mapping_compiler,
+    "j2_anti_join": q_j2_anti_join,
+    "j3_semi_join": q_j3_semi_join,
     "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
-    "w1_latest_version": q_w1_latest_version,
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
     "w6_rank_stats": q_w6_rank_stats,
-    # -- r01-green surfaces / oracled variants beyond the r01 budget --
     "o5_topk": q_o5_topk,
     "set_ops": q_set_ops,
     "j7_state_asof": q_j7_state_asof,
@@ -1516,15 +1559,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string2": q_f_string2,
     "set_ops_all": q_set_ops_all,
     "tpch_q3_shape": q_tpch_q3_shape,
-    # -- rows-only (non-SQL-expressible; property-tested) --
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_star": q_dedup_clusters_star,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "text_winnowing": q_text_winnowing,
-    "emb_neardup": q_emb_neardup,
 }
 
 
@@ -1869,7 +1903,7 @@ ORACLES: dict[str, str] = {
                len(embedding) AS dim,
                list_aggregate(
                    [q * q FOR q IN
-                       [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
                         FOR x IN embedding]],
                    'sum') AS sq_sum_q,
                list_aggregate(
@@ -1878,7 +1912,7 @@ ORACLES: dict[str, str] = {
                    'sum') AS dot_rev_q
         FROM (
             SELECT vec_id, embedding,
-                   [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                   [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
                     FOR x IN embedding] AS qv
             FROM embeddings
         )
@@ -2001,8 +2035,6 @@ ORACLES: dict[str, str] = {
         SELECT c.doc_id,
                COUNT(*) AS n_grams,
                SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
-               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE) AS contamination,
                CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                    >= 0.5 * CAST(COUNT(*) AS DOUBLE) AS flagged
         FROM corp c LEFT JOIN bench b USING (gram)

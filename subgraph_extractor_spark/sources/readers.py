@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -30,6 +30,22 @@ TABLE_NAMES = [
 ]
 
 
+def ntz_epoch_micros(col: Column) -> Column:
+    """Epoch micros (long) of a TIMESTAMP_NTZ column interpreted as naive
+    UTC, independent of spark.sql.session.timeZone.
+
+    A plain ``cast("timestamp")`` interprets the naive value in the
+    SESSION zone — on a driver-provided session with a non-UTC zone that
+    shifts every fixture instant by the zone offset (skewing watermarks,
+    windows and oracle comparisons).  NTZ *arithmetic* is wall-clock and
+    therefore zone-free: the interval since the NTZ epoch, cast to
+    decimal seconds, is the naive-UTC epoch time on any session."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        (col - epoch).cast("decimal(30,6)") * F.lit(1_000_000)
+    ).cast("long")
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TimestampType (UTC-normalized micros).
 
@@ -39,27 +55,34 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     e.g. a driver-provided session configured before our confs applied).
     Both land on TimestampType truncated to micros, exactly what DuckDB's
     CAST(ts AS TIMESTAMP) yields, so oracle comparisons align and
-    event-time watermarks (which reject NTZ) work."""
+    event-time watermarks (which reject NTZ) work.  Both conversions are
+    session-timezone-independent (the fixtures are naive UTC; a non-UTC
+    driver session must not shift them)."""
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
     elif isinstance(ts_type, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(ntz_epoch_micros(F.col("ts")))
+        )
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema normalized)."""
     if name == "events":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.conf.set(
-                "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
-            )
-        except Exception:
-            pass
+        # per-key tolerance: one non-settable conf must not block the
+        # other (matching session.configure)
+        for k, v in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events(df)

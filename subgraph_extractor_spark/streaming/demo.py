@@ -16,13 +16,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an events-shaped input's time column to TimestampType so
+    event-time watermarks work, whatever the source session produced:
+
+    - LongType (TIMESTAMP(NANOS) parquet read under nanosAsLong) →
+      truncate to micros, rebuild the instant;
+    - TIMESTAMP_NTZ (naive-micros parquet under NTZ inference; rejected
+      by ``withWatermark``) → naive-UTC instant via the session-timezone-
+      independent conversion shared with the batch readers.
+
+    Every watermark-using builder in this module calls this first, so a
+    readStream built before ``session.configure`` ran still works."""
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            ts_col,
+            F.timestamp_micros(
+                F.floor(F.col(ts_col) / F.lit(1000)).cast("long")
+            ),
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        from subgraph_extractor_spark.sources.readers import ntz_epoch_micros
+
+        return df.withColumn(
+            ts_col, F.timestamp_micros(ntz_epoch_micros(F.col(ts_col)))
+        )
+    return df
 
 
 def tumbling_counts_stream(
     events: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
     """Per-event-type counts in tumbling windows; watermark bounds state."""
-    src = events
+    src = _ensure_event_time(events)
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (
@@ -49,7 +79,7 @@ def sliding_counts_stream(
     slide: str = "5 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    src = events
+    src = _ensure_event_time(events)
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (
@@ -68,7 +98,7 @@ def sessionized_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
     """Per-user session windows (gap-based)."""
-    src = events
+    src = _ensure_event_time(events)
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
     return (
@@ -126,17 +156,7 @@ def dedup_events_stream(
     time, so state size is O(events per watermark window), not O(stream
     history).  The same call degrades to a plain ``dropDuplicates`` on a
     batch input (unified API)."""
-    src = events
-    if src.schema["ts"].dataType.typeName() == "long":
-        # TIMESTAMP(NANOS) parquet read with nanosAsLong: restore a real
-        # event-time column for the watermark (same as readers path)
-        src = src.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
-        )
-    elif src.schema["ts"].dataType.typeName() == "timestamp_ntz":
-        # naive-micros parquet under NTZ inference: watermarks reject NTZ
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _ensure_event_time(events)
     if src.isStreaming:
         return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
@@ -152,6 +172,7 @@ def purchases_with_recent_clicks(
     ``lookback``.  On a stream, the watermarks + time-range predicate
     bound the join state Spark must keep (SURVEY §2.9 [ext]); the same
     plan runs unchanged on batch inputs."""
+    events = _ensure_event_time(events)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
@@ -191,14 +212,7 @@ def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
-    from pyspark.sql import types as T
-
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    elif isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _ensure_event_time(stream)
     q = (
         tumbling_counts_stream(stream, window=window)
         .writeStream.format("memory")
