@@ -117,5 +117,20 @@ def main(argv=None) -> int:
     return args.fn(args)
 
 
+def main_extract(argv=None) -> int:
+    """Console-script alias shaped like the reference's
+    ``subgraph_extractor`` entry point (reference setup.py:37): straight
+    to extraction, no subcommand."""
+    return main(["extract", *(argv if argv is not None else sys.argv[1:])])
+
+
+def main_suggest_config(argv=None) -> int:
+    """Console-script alias shaped like the reference's
+    ``subgraph_config_generator`` entry point (reference setup.py:38)."""
+    return main(
+        ["suggest-config", *(argv if argv is not None else sys.argv[1:])]
+    )
+
+
 if __name__ == "__main__":
     sys.exit(main())
