@@ -7,11 +7,15 @@ shaped on Spark: bytes never pass through the driver, each task decodes
 its own Arrow batches, and the output schema is declared up front so
 Catalyst can prune/push around the opaque stage.
 
-The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed (clearly marked) behind ``set_decoder``: the
-default "decoder" computes deterministic fake features (content length +
-sha256-derived values) so the Spark-side plumbing — schema, batching,
-partitioning, UDF signature — is fully real and testable.
+Library-backed decoders (PIL/ffmpeg/librosa) are NOT in this container;
+the default kernel behind ``set_decoder`` computes deterministic digest
+features so arbitrary media batches always flow.  For images there IS a
+real in-repo kernel: ``operators.imagecodec`` decodes/encodes PPM (P6)
+and 24-bit BMP with numpy alone — register ``imagecodec.
+image_feature_decoder`` / ``imagecodec.image_resizer`` and the decode /
+resize path runs end-to-end on real pixel data (tested).  The Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is identical
+either way.
 """
 
 from __future__ import annotations
@@ -111,8 +115,9 @@ def set_resizer(fn: Callable[[bytes, str, int, int], bytes] | None) -> None:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Schema-preserving image resize stage: image rows get resized
     payloads + updated meta dims, non-image rows pass through unchanged.
-    Requires a resizer kernel via ``set_resizer`` (no imaging libs in this
-    container) — raises at PLAN time, not mid-job, when absent."""
+    Requires a resizer kernel via ``set_resizer`` — e.g. the in-repo
+    ``imagecodec.image_resizer`` (PPM/BMP, numpy-only) or any PIL-backed
+    fn — and raises at PLAN time, not mid-job, when absent."""
     if _RESIZER is None:
         raise NotImplementedError(
             "image resize requires an imaging kernel (e.g. PIL); install "
