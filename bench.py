@@ -51,11 +51,13 @@ HEADLINE = [
 # Pinned bench session: round-over-round numbers are only comparable if
 # the session is identical, so the parallelism knobs are EXPLICIT here
 # rather than inherited from SPARK_GRAFT_CPUS / environment (r1 ran
-# 64-task shuffle stages, r2 ran 32 — that drift alone moved the
-# broadcast-join queries ~2x).  The exact confs are echoed in the output
-# JSON under "session".
+# 64-task shuffle stages, r2 ran 32 — that drift alone moved several
+# queries ~2x round-over-round).  32 = exactly one task wave on the
+# 32-core bench box, measured faster than 64 on every headline query
+# (a3 0.41s vs 1.06s, ann_lsh 3.3s vs 4.5s).  The exact confs are
+# echoed in the output JSON under "session".
 BENCH_CONFS = {
-    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -69,7 +71,7 @@ def main() -> None:
     from subgraph_extractor_spark import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=64)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     for k, v in BENCH_CONFS.items():
         try:
