@@ -159,7 +159,7 @@ def minhash_signatures(
 
     Plan shape: shingling + base xxhash64 stay JVM-side (codegen); the
     n-way minima run in one Arrow-batched numpy kernel per task — fully
-    map-side, no shuffle at all until the band join.  Documents with zero
+    map-side, no shuffle until the bucket grouping.  Documents with zero
     shingles get the sentinel signature (MERSENNE_31 everywhere).
     """
     sh = shingle_hashes(df, text_col, id_col, shingle_n)
@@ -246,62 +246,75 @@ def minhash_candidates(
         if hashes_df is not None
         else shingle_hashes(df, text_col, id_col, shingle_n)
     )
-    banded = _minhash_banded(sh, num_hashes, bands)
-    cands = _band_pairs(banded).localCheckpoint(eager=True)
-    banded.unpersist()
-    return cands
+    return _minhash_pairs_lazy(sh, num_hashes, bands).localCheckpoint(
+        eager=True
+    )
 
 
-def _minhash_banded(
-    sh: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """(_id, band, bucket) rows from shingle hashes, PERSISTED and
-    eagerly materialized (caller unpersists after deriving from the
-    self-join).
+def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bucket) rows from shingle hashes — lazy, single-use.
 
     Sub-shingle-length documents all share the sentinel signature:
     banding them would put EVERY short doc in one bucket (quadratic
     blowup) and declare them near-duplicates of each other.  They have
     no shingle evidence either way — exclude them from candidate
-    generation.
-
-    Persist before the self-join: Spark does NOT reuse exchanges across
-    self-join sides of Python-kernel subtrees (self-join deduplication
-    re-creates the PythonUDF with fresh expr ids, so the two sides never
-    canonicalize equal — measured, not assumed), and on the broadcast
-    path the optimizer's inferred isnotnull filter even double-evaluates
-    the UDF per side.  The eager count guarantees exactly one kernel
-    pass (a lazy persist would let the two self-join sides race the
-    cache fill)."""
-    banded = sh.filter(F.size("_h") > 0).select(
+    generation."""
+    return sh.filter(F.size("_h") > 0).select(
         "_id",
         F.posexplode(
             _minhash_udf(num_hashes, bands)(F.col("_h"))
         ).alias("band", "bucket"),
     )
-    banded = banded.persist()
-    banded.count()
-    return banded
 
 
-def _band_pairs(banded: DataFrame) -> DataFrame:
-    """Lazy candidate pairs (id_a < id_b) from banded signatures: bucket
-    equi-join, distinct across bands.  Not materialized — callers fold
-    this into their own terminal job."""
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l._id") < F.col("r._id"),
-            ],
+def bucket_pairs(
+    grouped: DataFrame, ids_col: str = "_ids"
+) -> DataFrame:
+    """Distinct unordered candidate pairs (id_a < id_b) from bucket
+    membership lists — pure codegen in-bucket combination expansion.
+
+    This REPLACES the classic banded self-join: a self-join over a
+    Python-kernel subtree forces a persist+count barrier, because Spark
+    re-creates the PythonUDF with fresh expr ids per self-join side (the
+    sides never canonicalize equal, so exchange reuse can't fire and the
+    kernel would run once per side — measured, not assumed).  Grouping
+    ids per (band, bucket) and expanding C(n,2) combinations with array
+    HOFs keeps the kernel in ONE plan branch: no cache, no barrier, one
+    shuffle keyed by the bucket, and runtime stays bucket-quadratic only
+    where there are actual collisions — the same LSH cost model as the
+    join formulation, minus the materialization."""
+    ids = F.col(ids_col)
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
         .distinct()
     )
+
+
+def _minhash_pairs_lazy(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Lazy candidate pairs from shingle hashes: band the signatures,
+    group ids per (band, bucket), expand in-bucket combinations.  One
+    kernel pass, one bucket shuffle, one distinct — no barrier."""
+    buckets = (
+        _minhash_banded(sh, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return bucket_pairs(buckets)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -331,18 +344,20 @@ def minhash_dedup_pairs(
     shingle strings: identical Jaccard up to negligible 64-bit collision
     probability, much lighter to shuffle, and it reuses the one persisted
     shingle_hashes intermediate."""
-    # Lazy persist: the shingle kernel runs once inside the banding job
-    # (filling the cache) and the two verification joins below read the
-    # cached table — no separate materialization job needed.
-    sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
     # Two jobs total for the whole operator (the r2 version ran four —
     # banding count, candidate checkpoint, verification checkpoint,
     # caller action — and the extra barriers dominated at bench scale):
-    # job 1 materializes the banded signatures (filling the shingle
-    # cache en route); job 2 pipelines candidate self-join + distinct +
-    # both verification joins + filter into the terminal checkpoint.
-    banded = _minhash_banded(sh, num_hashes, bands)
-    cands = _band_pairs(banded)
+    # job 1 materializes ONLY the shingle cache (the one subtree
+    # referenced by three plan branches: banding + both verification
+    # joins; a lazy persist would let those branches race the cache
+    # fill and run the kernel up to 3x); job 2 pipelines banding ->
+    # bucket grouping -> combination expansion -> distinct -> both
+    # verification joins -> filter into the terminal checkpoint.  The
+    # minhash kernel appears in exactly one branch (bucket_pairs
+    # replaced the self-join), so it needs no cache at all.
+    sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
+    sh.count()
+    cands = _minhash_pairs_lazy(sh, num_hashes, bands)
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_h", "_h_a")
@@ -351,12 +366,10 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         # verified pairs are the small end product; checkpointing them
-        # lets the shingle + banding caches be released inside this call
-        # instead of leaking into the session (cache scope == operator
-        # scope)
+        # lets the shingle cache be released inside this call instead of
+        # leaking into the session (cache scope == operator scope)
         .localCheckpoint(eager=True)
     )
-    banded.unpersist()
     sh.unpersist()
     return verified
 
