@@ -87,3 +87,46 @@ def test_dedup_keep_representatives(spark, docs):
     survivors = {r["doc_id"] for r in kept.select("doc_id").collect()}
     for row in pairs.collect():
         assert row["id_b"] not in survivors
+
+
+def test_bucket_pairs_equals_self_join(spark):
+    """The in-bucket combination expansion (bucket_pairs) must produce
+    EXACTLY the pair set of the classic banded self-join it replaced —
+    same buckets in, same (id_a < id_b) distinct pairs out."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(4), rng.randrange(8), rng.randrange(40))
+        for _ in range(300)
+    ]
+    banded = spark.createDataFrame(rows, "band int, bucket int, _id long")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_set("_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    via_buckets = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.bucket_pairs(grouped).collect()
+    }
+    l, r_ = banded.alias("l"), banded.alias("r")
+    via_join = {
+        (row["id_a"], row["id_b"])
+        for row in (
+            l.join(
+                r_,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col("l._id") < F.col("r._id"),
+                ],
+            )
+            .select(
+                F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert via_buckets == via_join and via_buckets
