@@ -1901,15 +1901,15 @@ ORACLES: dict[str, str] = {
     "f_vector": """
         SELECT vec_id,
                len(embedding) AS dim,
-               list_aggregate(
+               CAST(list_aggregate(
                    [q * q FOR q IN
                        [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
                         FOR x IN embedding]],
-                   'sum') AS sq_sum_q,
-               list_aggregate(
+                   'sum') AS BIGINT) AS sq_sum_q,
+               CAST(list_aggregate(
                    [qv[i] * qv[len(qv) + 1 - i]
                     FOR i IN range(1, len(qv) + 1)],
-                   'sum') AS dot_rev_q
+                   'sum') AS BIGINT) AS dot_rev_q
         FROM (
             SELECT vec_id, embedding,
                    [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
@@ -2034,7 +2034,8 @@ ORACLES: dict[str, str] = {
         corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 17 <> 0)
         SELECT c.doc_id,
                COUNT(*) AS n_grams,
-               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
                CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                    >= 0.5 * CAST(COUNT(*) AS DOUBLE) AS flagged
         FROM corp c LEFT JOIN bench b USING (gram)
@@ -2068,8 +2069,9 @@ ORACLES: dict[str, str] = {
                MIN(event_id) AS first_event, MAX(event_id) AS last_event
         FROM (
             SELECT user_id, event_id,
-                   SUM(new_sess) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS session_id
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS BIGINT) AS session_id
             FROM (
                 SELECT user_id, event_id, ts,
                        CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))

@@ -36,11 +36,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def value_hash(df: pd.DataFrame, float_decimals: int = 17) -> str:
-    # 17 significant digits = full float64 round-trip precision: queries
-    # must match the oracle BIT-EXACTLY, not just to display precision
-    # (the driver's hash format is unknown — exactness is the only safe
-    # target).
+def value_hash(df: pd.DataFrame) -> str:
+    # Dtype-faithful rendering: repr() keeps the trailing ".0" on
+    # integral floats, so an int64 column on one engine and a float64
+    # column on the other ("9549" vs "9549.0") can NEVER hash-match.
+    # This is the class that burned rounds 1-3: DuckDB returns HUGEINT
+    # for integer SUM()/list_aggregate('sum'), and duckdb's .df()
+    # converts HUGEINT -> float64, while Spark emits bigint.  repr of a
+    # float is also the shortest 17-significant-digit round-trip, so
+    # genuine float columns still compare bit-exactly.
     df = canon(df)
     rows = []
     for row in df.itertuples(index=False):
@@ -49,12 +53,34 @@ def value_hash(df: pd.DataFrame, float_decimals: int = 17) -> str:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 parts.append("∅")
             elif isinstance(v, float):
-                parts.append(f"{v:.{float_decimals}g}")
+                parts.append(repr(float(v)))
             else:
                 parts.append(str(v))
         rows.append("|".join(parts))
     rows.sort()
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+_KIND_CLASS = {
+    "i": "int", "u": "int", "f": "float", "b": "bool",
+    "M": "time", "m": "time", "O": "obj", "U": "obj", "S": "obj",
+}
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list:
+    """Columns whose pandas dtype *class* differs between engines.
+
+    int-vs-float is the killer (driver hashes render them differently);
+    obj-vs-anything is also flagged since e.g. Spark Decimal arrives as
+    object while DuckDB DECIMAL arrives as float64.
+    """
+    out = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        ks = _KIND_CLASS.get(sdf[c].dtype.kind, sdf[c].dtype.kind)
+        ko = _KIND_CLASS.get(odf[c].dtype.kind, odf[c].dtype.kind)
+        if ks != ko:
+            out.append(f"{c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
+    return out
 
 
 def main() -> int:
@@ -101,6 +127,10 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        else:
+            dm = dtype_mismatches(sdf, odf)
+            if dm:
+                problems.append("dtype mismatch: " + "; ".join(dm))
         if not problems:
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:

@@ -232,6 +232,7 @@ def minhash_candidates(
     bands: int = 32,
     shingle_n: int = 3,
     hashes_df: DataFrame | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one (band_id,
     band_hash) bucket.  Output columns: id_a, id_b  (id_a < id_b).
@@ -240,15 +241,17 @@ def minhash_candidates(
     are the band buckets; the self-join within buckets is an equi-join on
     (band, band_hash), so runtime is bucket-quadratic only where there
     are actual collisions — the standard MinHash-LSH cost model.
+    ``max_bucket_size`` drops degenerate mega-buckets before expansion
+    (see ``_minhash_pairs_lazy``).
     """
     sh = (
         hashes_df
         if hashes_df is not None
         else shingle_hashes(df, text_col, id_col, shingle_n)
     )
-    return _minhash_pairs_lazy(sh, num_hashes, bands).localCheckpoint(
-        eager=True
-    )
+    return _minhash_pairs_lazy(
+        sh, num_hashes, bands, max_bucket_size
+    ).localCheckpoint(eager=True)
 
 
 def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -298,20 +301,46 @@ def bucket_pairs(
     return (
         grouped.select(F.explode(combos).alias("_p"))
         .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+        # duplicate ids in a bucket list would emit degenerate self-pairs
+        # (the replaced self-join's l._id < r._id excluded them silently)
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
 
 def _minhash_pairs_lazy(
-    sh: DataFrame, num_hashes: int, bands: int
+    sh: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Lazy candidate pairs from shingle hashes: band the signatures,
     group ids per (band, bucket), expand in-bucket combinations.  One
-    kernel pass, one bucket shuffle, one distinct — no barrier."""
+    kernel pass, one bucket shuffle, one distinct — no barrier.
+
+    ``max_bucket_size`` guards the quadratic mega-bucket blowup (the
+    same guard as ``similarity.lsh_bucketed_pairs``): a bucket with b
+    members expands to b(b-1)/2 pairs inside ONE task, and the
+    collect_set of a boilerplate bucket in a web corpus is itself an
+    OOM.  The cap is applied with a window count over (band, bucket)
+    BEFORE the ids are collected — the window needs the same hash
+    partitioning as the groupBy, so Catalyst plans one shuffle for
+    both, and the sort-based window spills where a collect would not.
+    Over-cap buckets carry no discriminative signal (near-constant
+    boilerplate); their members still pair via their other bands."""
+    banded = _minhash_banded(sh, num_hashes, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     buckets = (
-        _minhash_banded(sh, num_hashes, bands)
-        .groupBy("band", "bucket")
-        .agg(F.collect_list("_id").alias("_ids"))
+        banded.groupBy("band", "bucket")
+        # collect_set, not collect_list: non-unique input ids would
+        # otherwise inflate combination expansion with duplicate pairs
+        .agg(F.collect_set("_id").alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
     return bucket_pairs(buckets)
@@ -335,6 +364,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs with exact n-gram-Jaccard verification of LSH
     candidates: (id_a, id_b, jaccard).  Only candidate pairs are verified
@@ -357,7 +387,7 @@ def minhash_dedup_pairs(
     # replaced the self-join), so it needs no cache at all.
     sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
     sh.count()
-    cands = _minhash_pairs_lazy(sh, num_hashes, bands)
+    cands = _minhash_pairs_lazy(sh, num_hashes, bands, max_bucket_size)
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_h", "_h_a")
