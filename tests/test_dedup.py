@@ -130,3 +130,46 @@ def test_bucket_pairs_equals_self_join(spark):
         )
     }
     assert via_buckets == via_join and via_buckets
+
+
+def test_bucket_pairs_duplicate_ids_no_self_pairs(spark):
+    """Non-unique doc ids in a bucket must not emit degenerate
+    id_a == id_b self-pairs (the replaced self-join's strict
+    l._id < r._id excluded them; bucket_pairs must too)."""
+    grouped = spark.createDataFrame(
+        [(0, 0, [7, 7, 9]), (1, 1, [3, 3])],
+        "band int, bucket int, _ids array<long>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in dedup.bucket_pairs(grouped).collect()}
+    assert got == {(7, 9)}
+
+
+def test_minhash_mega_bucket_cap(spark):
+    """A degenerate mega-bucket (thousands of identical boilerplate docs)
+    must be dropped BEFORE combination expansion, not expanded into a
+    single quadratic task.  With 5k identical docs every band bucket has
+    5k members; under a cap of 100 the operator must emit zero candidate
+    pairs for them — quickly — while an independent small near-dup group
+    in the same corpus is still found."""
+    boiler = [(i, "standard legal boilerplate footer text repeated verbatim")
+              for i in range(5000)]
+    near = [
+        (90001, "the quick brown fox jumps over the lazy dog today"),
+        (90002, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"]).repartition(8)
+    pairs = dedup.minhash_candidates(
+        df, "text", "doc_id", max_bucket_size=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (90001, 90002) in got
+    assert not any(a < 90000 and b < 90000 for a, b in got), (
+        "mega-bucket members must not generate candidate pairs under the cap"
+    )
+    # uncapped, the boilerplate group would dominate: sanity-check the cap
+    # is what changed the outcome (small n here keeps the uncapped run cheap
+    # enough for a test, unlike the web-corpus case it models)
+    uncapped = dedup.minhash_candidates(
+        df.filter(F.col("doc_id") < 50), "text", "doc_id", max_bucket_size=None
+    )
+    assert uncapped.count() == 50 * 49 // 2
