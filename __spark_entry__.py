@@ -1186,27 +1186,94 @@ def q_sim_topk_matmul(spark, sf):
     return sim_ops.topk_matmul(q, emb, "embedding", "vec_id", k=5)
 
 
+def _exact_jaccard_pairs(spark, sf, threshold):
+    """Brute-force exact n-gram-Jaccard pair set (id_a < id_b) over ALL
+    documents — the ground-truth side of the dedup contracts.  Quadratic
+    by design; only ever run at oracle scale (sf0.01), never in bench."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        dedup_ops.word_shingles(F.col("text"), 3).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    # the broadcast-NLJ's parallelism is the STREAM side's partition
+    # count, and a small corpus arrives in 1-2 parquet splits — spread
+    # it so the quadratic pair work uses every core
+    par = spark.sparkContext.defaultParallelism
+    l, r = sh.repartition(par).alias("l"), sh.alias("r")
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("j", dedup_ops.jaccard(F.col("l._sh"), F.col("r._sh")))
+        .filter(F.col("j") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+
+
+# Jaccard threshold shared by the dedup cluster/recall contracts and
+# their DuckDB oracles (string-identical SQL fragment lives in
+# _EXACT_JACCARD_PAIRS_SQL below).
+_DEDUP_J_THRESHOLD = 0.5
+
+
 def q_dedup_clusters(spark, sf):
     # transitive duplicate clusters: connected components (iterative
-    # min-label propagation) over MinHash near-dup pairs — rows-only
-    # (iterative algorithm; convergence property-tested in
-    # tests/test_bucketing_clusters.py)
-    d = _t(spark, sf, "documents")
-    pairs = dedup_ops.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+    # min-label propagation) over the EXACT n-gram-Jaccard pair set —
+    # exact input makes the whole query oracle-checkable (DuckDB
+    # recursive CTE reachability); the operator under test
+    # (duplicate_clusters) is identical to the LSH-fed production path,
+    # whose candidate generation is contract-checked by
+    # dedup_minhash_recall.
+    pairs = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
     return dedup_ops.duplicate_clusters(pairs)
 
 
 def q_ann_lsh(spark, sf):
-    # ANN via sign-LSH buckets (no SQL oracle: approximate by design;
-    # recall vs exact baseline asserted in tests/test_similarity.py)
+    # ANN via sign-LSH buckets — raw operator output (bench-comparable
+    # r1-r4); the oracle-checkable recall contract is ann_lsh_recall
     emb = _t(spark, sf, "embeddings")
     return sim_ops.ann_topk_lsh(emb, "embedding", "vec_id", k=5)
 
 
-def q_ann_ivf(spark, sf):
-    # ANN via KMeans IVF cells (rows-only; recall asserted in tests)
+def _ann_recall_contract(emb, ann, min_recall):
+    """Error-bound contract (the a10/a11 pattern) for an approximate
+    top-k result: (n_queries, recall_ge_*) — n_queries anchors the hash
+    to an exact cross-engine count, the boolean asserts recall of the
+    approximate pairs against the exact brute-force baseline computed
+    in-query.  The oracle's own baseline is exact, so its recall is
+    identically 1.0 and it emits the same TRUE the contract demands."""
+    exact = sim_ops.brute_force_topk(emb, emb, "embedding", "vec_id", k=5)
+    n_hits = ann.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "semi",
+    ).agg(F.count(F.lit(1)).alias("_nh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    n_q = emb.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(n_hits)
+        .crossJoin(n_exact)
+        .select(
+            "n_queries",
+            (F.col("_nh") >= F.lit(min_recall) * F.col("_ne")).alias(
+                f"recall_ge_{int(min_recall * 100):03d}"
+            ),
+        )
+    )
+
+
+def q_ann_lsh_recall(spark, sf):
+    # sign-LSH ANN under the recall contract (threshold matches
+    # tests/test_similarity.py::test_ann_recall)
     emb = _t(spark, sf, "embeddings")
-    return sim_ops.ivf_topk(emb, "embedding", "vec_id", k=5)
+    ann = sim_ops.ann_topk_lsh(emb, "embedding", "vec_id", k=5)
+    return _ann_recall_contract(emb, ann, 0.70)
+
+
+def q_ann_ivf(spark, sf):
+    # ANN via KMeans IVF cells under the recall contract (threshold
+    # matches tests/test_similarity.py::test_ivf_recall)
+    emb = _t(spark, sf, "embeddings")
+    ann = sim_ops.ivf_topk(emb, "embedding", "vec_id", k=5)
+    return _ann_recall_contract(emb, ann, 0.80)
 
 
 def q_text_tokens(spark, sf):
@@ -1280,24 +1347,59 @@ def q_layout_zorder(spark, sf):
 
 
 def q_text_winnowing(spark, sf):
-    # winnowing local fingerprints (Schleimer et al.) — rows-only (xxhash
-    # values have no portable SQL form); overlap behaviour is asserted in
-    # tests/test_text.py
+    # winnowing local fingerprints (Schleimer et al.) in the portable
+    # md5_64 hash mode: fingerprint VALUES and the window-min selection
+    # are bit-identical to a pure-SQL winnowing over md5_number_lower
+    # gram hashes, so the full (doc_id, fp) row set is oracle-checked —
+    # not just a count.  The crc32 production mode shares every code
+    # path except the gram hash (tests/test_text.py).
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.size(ta.winnowing_fingerprints(F.col("text"))).alias("n_fingerprints"),
+        F.explode(
+            ta.winnowing_fingerprints(F.col("text"), hash_name="md5_64")
+        ).alias("fp"),
     )
 
 
 def q_emb_neardup(spark, sf):
-    # embedding cosine near-dup pairs (rows-only; threshold asserted in
-    # tests/test_similarity.py)
-    # fixture embeddings top out near cosine 0.51 pairwise, so the
-    # "near-dup" band for this corpus is the extreme high tail
+    # embedding cosine near-dup under the error-bound contract:
+    # n_true_pairs anchors the hash to the exact all-pairs count (DuckDB
+    # mirrors it with list_cosine_similarity over DOUBLE-cast vectors);
+    # precision_eq_1 holds because every emitted pair is exact-cosine
+    # verified; recall_ge_080 bounds what the LSH candidate stage may
+    # miss.  Fixture embeddings top out near cosine 0.51 pairwise, so
+    # the "near-dup" band for this corpus is the extreme high tail.
     emb = _t(spark, sf, "embeddings")
-    return dedup_ops.embedding_neardup_pairs(
+    found = dedup_ops.embedding_neardup_pairs(
         emb, "embedding", "vec_id", threshold=0.4
+    ).select("id_a", "id_b")
+    e = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    par = spark.sparkContext.defaultParallelism
+    l, r = e.repartition(par).alias("l"), e.alias("r")
+    truth = (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn(
+            "_cos", sim_ops.cosine_similarity(F.col("l._v"), F.col("r._v"))
+        )
+        .filter(F.col("_cos") >= 0.4)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
+    n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_inter)
+        .select(
+            "n_true_pairs",
+            (F.col("_ni") == F.col("_nf")).alias("precision_eq_1"),
+            (F.col("_ni") >= 0.8 * F.col("n_true_pairs")).alias(
+                "recall_ge_080"
+            ),
+        )
     )
 
 
@@ -1448,29 +1550,80 @@ def q_pipeline_pack_sequences(spark, sf):
 
 def q_dedup_clusters_star(spark, sf):
     # connected components via alternating large-star/small-star
-    # (O(log n) rounds — the web-scale path; rows-only, equivalence with
-    # the iterative version is property-tested)
-    d = _t(spark, sf, "documents")
-    pairs = dedup_ops.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+    # (O(log n) rounds — the web-scale path) over the same exact pair
+    # set as dedup_clusters: both share one DuckDB recursive-CTE oracle,
+    # which doubles as a cross-implementation equivalence check.
+    pairs = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
     return dedup_ops.duplicate_clusters_star(pairs)
+
+
+def q_dedup_minhash_recall(spark, sf):
+    # MinHash-LSH verified pairs under the error-bound contract:
+    # n_true_pairs = exact all-pairs n-gram Jaccard >= 0.5 (the oracle
+    # recomputes it in SQL); precision_eq_1 holds because candidates are
+    # exact-Jaccard verified; recall_ge_080 bounds what LSH banding may
+    # miss (128 hashes / 32 bands: P(candidate | j=0.5) ~ 0.87/pair).
+    # The raw pair-list query (dedup_minhash) stays bench-comparable.
+    d = _t(spark, sf, "documents")
+    found = dedup_ops.minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=_DEDUP_J_THRESHOLD
+    ).select("id_a", "id_b")
+    truth = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
+    n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_inter)
+        .select(
+            "n_true_pairs",
+            (F.col("_ni") == F.col("_nf")).alias("precision_eq_1"),
+            (F.col("_ni") >= 0.8 * F.col("n_true_pairs")).alias(
+                "recall_ge_080"
+            ),
+        )
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-3 window: the three r2-fail queries now
-    # harness-proofed (w7_sessionize / f_vector / pipeline_contamination
-    # at stable positions), every oracled query whose ONLY driver row is
-    # r2, and — new this round — the 8 rows-only dedup/ANN queries that
-    # sat at positions 82-89 in r1/r2 and were never observed by the
-    # driver at all.  To make room, 8 stable two-round-green relational
-    # variants moved just past the window (they keep their r1/r2 rows;
-    # union coverage across rounds stays 89/89).
-    "f_collect": q_f_collect,
-    "f_udaf": q_f_udaf,
-    "f_udtf": q_f_udtf,
+    # per round).  Round-4 window: (a) the three r3-fail queries with
+    # their HUGEINT-fixed oracles (w7_sessionize / f_vector /
+    # pipeline_contamination); (b) the 7 NEWLY-ORACLED contracts that
+    # replace r3's rows-only checks (exact-pair clusters x2, recall
+    # contracts for MinHash/LSH/IVF, exact-count emb_neardup, full-value
+    # portable-hash winnowing); (c) the 8 relational variants rotated
+    # out in r3, back for a fresh row (ADVICE r3: re-verify anything
+    # sharing code paths touched this round); (d) the stable oracled
+    # core.  Rotated out to make room: the raw rows-only pair/topk
+    # queries (dedup_minhash / dedup_simhash / ann_lsh keep their r3
+    # rows and their bench entries) and 7 three-round-green pure
+    # function surfaces untouched by this round's changes.
+    "w7_sessionize": q_w7_sessionize,
+    "f_vector": q_f_vector,
+    "pipeline_contamination": q_pipeline_contamination,
+    # -- newly-oracled contracts (first oracle-checked driver rows) --
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf": q_ann_ivf,
+    "text_winnowing": q_text_winnowing,
+    "emb_neardup": q_emb_neardup,
+    # -- r3-rotated-out relational variants, back for a fresh row --
+    "s4_distinct_listing": q_s4_distinct_listing,
+    "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "p8_mapping_compiler": q_p8_mapping_compiler,
+    "j2_anti_join": q_j2_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "a4_rollup": q_a4_rollup,
+    "a6_distinct_agg": q_a6_distinct_agg,
+    "a5_ngram_stats": q_a5_ngram_stats,
+    # -- stable oracled core --
     "f_date": q_f_date,
     "f_array": q_f_array,
-    "f_map": q_f_map,
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1480,19 +1633,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "f_hash": q_f_hash,
-    "f_bitwise": q_f_bitwise,
-    "a9_percentiles": q_a9_percentiles,
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
-    "w7_sessionize": q_w7_sessionize,
-    "f_vector": q_f_vector,
     "a11_approx_percentile": q_a11_approx_percentile,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "sample_group_topk": q_sample_group_topk,
     "text_pii_redact": q_text_pii_redact,
-    "pipeline_contamination": q_pipeline_contamination,
     "dedup_chunks": q_dedup_chunks,
     "text_repetition": q_text_repetition,
     "layout_zorder": q_layout_zorder,
@@ -1507,27 +1654,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
     "w1_latest_version": q_w1_latest_version,
-    # -- rows-only queries' first-ever driver window (non-SQL-
-    # expressible LSH/clusters/ANN/winnowing; property-tested in
-    # pytest, rows-only under the driver) --
+    # ---- end of the 50-query window ----
+    # -- raw rows-only pair/topk queries (bench-comparable operator
+    # output; r3 driver rows; their correctness now rides on the
+    # in-window recall contracts above) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_star": q_dedup_clusters_star,
     "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "text_winnowing": q_text_winnowing,
-    "emb_neardup": q_emb_neardup,
-    # ---- end of the 50-query window ----
-    # -- two-round-green surfaces / oracled variants beyond the budget --
-    "s4_distinct_listing": q_s4_distinct_listing,
-    "p7_multi_target_mapping": q_p7_multi_target_mapping,
-    "p8_mapping_compiler": q_p8_mapping_compiler,
-    "j2_anti_join": q_j2_anti_join,
-    "j3_semi_join": q_j3_semi_join,
-    "a4_rollup": q_a4_rollup,
-    "a6_distinct_agg": q_a6_distinct_agg,
-    "a5_ngram_stats": q_a5_ngram_stats,
+    # -- multi-round-green surfaces beyond the budget --
+    "f_collect": q_f_collect,
+    "f_udaf": q_f_udaf,
+    "f_udtf": q_f_udtf,
+    "f_map": q_f_map,
+    "f_hash": q_f_hash,
+    "f_bitwise": q_f_bitwise,
+    "a9_percentiles": q_a9_percentiles,
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
     "w6_rank_stats": q_w6_rank_stats,
@@ -1600,6 +1741,61 @@ def _lang_pred_sql() -> str:
 
 
 _WS_TOKENS = "len(string_split_regex(trim(text), '\\s+'))"
+
+# Exact all-pairs n-gram-Jaccard pair set (threshold 0.5) — the shared
+# ground-truth side of the dedup cluster / recall contracts.  Mirrors
+# _exact_jaccard_pairs / word_shingles(n=3) / jaccard bit-for-bit: same
+# tokenizer, same distinct 3-gram strings, and the same integer
+# intersection/union sizes (|A∪B| = |A|+|B|-|A∩B| over distinct grams)
+# feeding the same double division.  Formulated as an inverted-index
+# gram join rather than an all-pairs list_intersect NLJ (60x faster in
+# DuckDB), and MATERIALIZED so the recursive clusters oracle evaluates
+# it once instead of once per fixed-point iteration.
+_EXACT_JACCARD_PAIRS_SQL = """
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              FOR i IN range(1, len(toks) - 1)]) AS grams
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    exact_pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i,
+                   any_value(a.n) AS na, any_value(b.n) AS nb
+            FROM (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram
+                  FROM sh) a
+            JOIN (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram
+                  FROM sh) b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+    )
+"""
+
+# Connected components over exact_pairs via recursive reachability:
+# a node's cluster id is the minimum id among everything reachable
+# through the symmetric edge set (min-label fixed point — the same
+# contract duplicate_clusters and duplicate_clusters_star converge to).
+_CLUSTERS_ORACLE_SQL = f"""
+    WITH RECURSIVE
+    {_EXACT_JACCARD_PAIRS_SQL},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM exact_pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM exact_pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS member_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY id
+"""
 
 ORACLES: dict[str, str] = {
     "s1_range_scan": """
@@ -2313,6 +2509,59 @@ ORACLES: dict[str, str] = {
         WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
                    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
                         / len(list_distinct(l.grams || r.grams)) END >= 0.05
+    """,
+    "dedup_clusters": _CLUSTERS_ORACLE_SQL,
+    "dedup_clusters_star": _CLUSTERS_ORACLE_SQL,
+    "dedup_minhash_recall": f"""
+        WITH
+        {_EXACT_JACCARD_PAIRS_SQL}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               TRUE AS precision_eq_1,
+               TRUE AS recall_ge_080
+        FROM exact_pairs
+    """,
+    "ann_lsh_recall": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_070
+        FROM embeddings
+    """,
+    "ann_ivf": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_080
+        FROM embeddings
+    """,
+    "emb_neardup": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               TRUE AS precision_eq_1,
+               TRUE AS recall_ge_080
+        FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        WHERE list_cosine_similarity(
+                  [CAST(x AS DOUBLE) FOR x IN l.embedding],
+                  [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    "text_winnowing": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos, len(t) - 4 AS ng,
+                   CAST(md5_number_lower(array_to_string(t[i:i+4], ' '))
+                        % 9223372036854775808 AS BIGINT) AS h
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                  FROM toks WHERE len(t) >= 5)
+        ),
+        winmins AS (
+            SELECT doc_id, pos, ng,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS m
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, m AS fp
+        FROM winmins
+        WHERE (ng <= 4 AND pos = 1) OR (ng > 4 AND pos <= ng - 3)
     """,
     "text_tokens": f"""
         SELECT doc_id, lang,

@@ -112,6 +112,10 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     if broadcast_corpus:
+        # broadcast-NLJ parallelism = stream-side partition count; a
+        # small query set lands in 1-2 splits and serializes the whole
+        # quadratic scoring — spread it first (tiny shuffle, id+vector)
+        q = q.repartition(queries.sparkSession.sparkContext.defaultParallelism)
         c = F.broadcast(c)
     scored = (
         q.crossJoin(c)

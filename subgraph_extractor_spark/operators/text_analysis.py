@@ -112,7 +112,7 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def winnowing_fingerprints(
-    text: Column, k: int = 5, window: int = 4
+    text: Column, k: int = 5, window: int = 4, hash_name: str = "crc32"
 ) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     k-gram token hashes; per sliding window keep the minimum hash; return
@@ -121,11 +121,30 @@ def winnowing_fingerprints(
 
     Arrow-batched numpy kernel (sliding_window_view minima) — the
     HOF formulation costs tens of seconds of expression compile and runs
-    interpreted.  crc32 gram hashes: deterministic everywhere."""
+    interpreted.  ``hash_name`` picks the gram hash:
+
+    - ``"crc32"`` (default): fastest, deterministic everywhere — the
+      production path.
+    - ``"md5_64"``: lower 64 bits of MD5 (last 8 digest bytes,
+      little-endian — exactly DuckDB's ``md5_number_lower``), reduced
+      mod 2^63 to stay in int64 range on both engines.  Bit-identical
+      to a pure-SQL winnowing formulation, which is what makes the
+      operator ORACLE-checkable cross-engine (same selection, same
+      fingerprint values)."""
+    import hashlib
     import zlib
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
+
+    if hash_name == "crc32":
+        gram_hash = lambda g: zlib.crc32(g.encode("utf-8"))  # noqa: E731
+    elif hash_name == "md5_64":
+        gram_hash = lambda g: int.from_bytes(  # noqa: E731
+            hashlib.md5(g.encode("utf-8")).digest()[8:], "little"
+        ) % (1 << 63)
+    else:
+        raise ValueError(f"unknown hash_name: {hash_name!r}")
 
     @pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
@@ -139,7 +158,7 @@ def winnowing_fingerprints(
                 " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
             ]
             h = np.array(
-                [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64
+                [gram_hash(g) for g in grams], dtype=np.int64
             )
             if len(h) <= window:
                 out.append([int(h.min())])
