@@ -138,10 +138,16 @@ def image_resizer(
     payload: bytes | None, mime: str | None, width: int, height: int
 ) -> bytes | None:
     """``set_resizer`` kernel: decode (PPM/BMP by magic), nearest-neighbor
-    resample, re-encode in the same container."""
+    resample, re-encode in the same container.  Undecodable or malformed
+    payloads pass through unchanged — same mixed-batch contract as
+    ``image_feature_decoder``: corrupt bytes must never kill the task."""
     if payload is None:
         return None
-    container, pixels = sniff_and_decode(bytes(payload))
+    raw = bytes(payload)
+    try:
+        container, pixels = sniff_and_decode(raw)
+    except (ValueError, struct.error):
+        return raw
     out = resize_nearest(pixels, width, height)
     return encode_ppm(out) if container == "ppm" else encode_bmp(out)
 
@@ -170,7 +176,10 @@ def image_feature_decoder(payload: bytes | None, kind: str) -> list[float]:
                 luma,
                 1.0,
             ]
-        except ValueError:
+        except (ValueError, struct.error):
+            # struct.error: a 'BM'-prefixed payload too short for its
+            # own headers — malformed bytes must take the digest
+            # fallback, not kill the Spark task mid-job
             pass
     digest = hashlib.sha256(raw).digest()
     return [b / 255.0 for b in digest[:8]]

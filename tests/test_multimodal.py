@@ -171,3 +171,19 @@ def test_real_image_features_end_to_end(spark):
     assert luma == pytest.approx(0.2126 * 200 / 255, abs=1e-6)
     digest = hashlib.sha256(b"abc").digest()
     assert feats[2] == pytest.approx([b / 255.0 for b in digest[:8]], abs=1e-6)
+
+
+def test_malformed_bmp_falls_back_not_raises():
+    """A 'BM'-prefixed payload too short for its own headers must take
+    the digest fallback (decoder) / pass through unchanged (resizer),
+    never escape as struct.error and kill the Spark task."""
+    from subgraph_extractor_spark.operators import imagecodec as ic
+
+    corrupt = b"BM\x01\x02"
+    feat = ic.image_feature_decoder(corrupt, "image")
+    assert len(feat) == 8  # digest fallback shape
+    import hashlib
+
+    assert feat == [b / 255.0 for b in hashlib.sha256(corrupt).digest()[:8]]
+    assert ic.image_resizer(corrupt, "image/bmp", 4, 4) == corrupt
+    assert ic.image_resizer(b"not an image", None, 4, 4) == b"not an image"
