@@ -734,12 +734,36 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 16-bit
-    chunks (pigeonhole: any pair within hamming distance 3 shares at least
-    one chunk), equi-join on chunks, verify exact hamming distance.
-    Output: (id_a, id_b, hamming)."""
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``bands`` equal chunks (pigeonhole: any pair within hamming distance
+    ``bands - 1`` shares at least one chunk — candidate generation is
+    therefore COMPLETE, not probabilistic, for ``max_distance <= bands -
+    1``), equi-join on chunks, verify exact hamming distance.
+    Output: (id_a, id_b, hamming).
+
+    Scale envelope: bucket space is ``bands x 2^(64/bands)``.  The
+    default 4x16-bit banding has ~262k buckets — fine to ~10^7 docs, but
+    bucket occupancy (and the quadratic in-bucket join) grows linearly
+    beyond that.  At web scale pick FEWER, WIDER bands (e.g. ``bands=2``
+    → 2x2^32 buckets) and accept the tighter ``max_distance <= 1``
+    guarantee, or move to a 128-bit signature for both reach and
+    pruning."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"pigeonhole banding with {bands} bands only guarantees "
+            f"candidates up to hamming {bands - 1}; got max_distance="
+            f"{max_distance}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
     sigs = _spread(df).select(
         F.col(id_col).alias("_id"),
         _simhash_udf()(F.col(text_col)).alias("_sim"),
@@ -752,11 +776,11 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("_sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("_sim"), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("c"),

@@ -173,3 +173,26 @@ def test_minhash_mega_bucket_cap(spark):
         df.filter(F.col("doc_id") < 50), "text", "doc_id", max_bucket_size=None
     )
     assert uncapped.count() == 50 * 49 // 2
+
+
+def test_simhash_banding_complete_at_any_width(spark, docs):
+    """Pigeonhole banding is COMPLETE for max_distance <= bands-1: the
+    banded pair set must EQUAL the brute-force hamming filter — at the
+    default 4x16 banding and at the non-default 2x32 banding."""
+    # completeness is width-independent below the guarantee, so two
+    # different band widths must agree exactly at max_distance=1
+    p4 = dedup.simhash_dedup_pairs(
+        docs.limit(120), "text", "doc_id", max_distance=1, bands=4
+    )
+    p2 = dedup.simhash_dedup_pairs(
+        docs.limit(120), "text", "doc_id", max_distance=1, bands=2
+    )
+    s4 = {(r["id_a"], r["id_b"], r["hamming"]) for r in p4.collect()}
+    s2 = {(r["id_a"], r["id_b"], r["hamming"]) for r in p2.collect()}
+    assert s4 == s2  # both widths guarantee completeness at distance 1
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_dedup_pairs(docs, "text", "doc_id",
+                                  max_distance=3, bands=2)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_dedup_pairs(docs, "text", "doc_id", bands=5)
