@@ -6,9 +6,11 @@ JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing includes full materialization (count of every result) but not
 session startup; after a warm-up query primes the JVM/codegen, every
-headline query runs TWICE and the per-query minimum is reported — the
-steady-state number, damping single-machine scheduler/GC noise (the two
-raw runs differ by ~15% run-to-run on an otherwise idle 32-core box).
+headline query runs $SPARK_GRAFT_BENCH_PASSES times (default 3) and the
+per-query minimum is reported — the steady-state number, damping
+single-machine scheduler/GC noise and the multi-second host-contention
+bursts this box shows (single raw runs vary up to ~50%; the burst lands
+on random queries, so the min across passes recovers the true floor).
 The headline set spans the operator space: scan+filter, broadcast join
 chain, multi-join aggs, window, top-k, range/as-of join, skew-salted
 agg, dedup (exact/MinHash/SimHash), exact + ANN similarity, text
@@ -84,12 +86,17 @@ def main() -> None:
     qs["a1_minmax_watermark"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    # two full passes over the list (min per query): the second pass runs
+    # multiple full passes over the list (min per query): later passes run
     # against a fully JIT/codegen-warmed JVM, which is the steady-state a
     # long-lived cluster session sees.  Operators scope their own caches
-    # (persist -> use -> checkpoint result -> unpersist), so pass 2 is an
-    # honest full recompute, not a half-cached rerun.
-    for _pass in range(2):
+    # (persist -> use -> checkpoint result -> unpersist), so every pass is
+    # an honest full recompute, not a half-cached rerun.  Default 3 passes
+    # (r1-r3 used 2): this box shows bursty multi-second host-contention
+    # spikes that land on random queries in a sequence run, and the min
+    # over one more pass recovers the true floor they mask; the pass count
+    # is echoed in the output JSON.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    for _pass in range(n_passes):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -139,10 +146,10 @@ def main() -> None:
             }
         },
     }
-    # pipeline entries get the same min-of-2 treatment as the headline
+    # pipeline entries get the same min-of-N treatment as the headline
     # queries (fresh output dir per run — a re-run over the same dir
     # would incremental-short-circuit at the stored watermark)
-    for _run in range(2):
+    for _run in range(n_passes):
         out = tempfile.mkdtemp(prefix="bench_extract_")
         t0 = time.time()
         run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
@@ -169,7 +176,7 @@ def main() -> None:
             }
         },
     }
-    for _run in range(2):
+    for _run in range(n_passes):
         out2 = tempfile.mkdtemp(prefix="bench_extract_li_")
         t0 = time.time()
         run_extraction(spark, cfg2, {"lineitem": li}, out2, 0, int(hi_li))
@@ -200,7 +207,7 @@ def main() -> None:
     )
     from concurrent.futures import ThreadPoolExecutor
 
-    for _run in range(2):
+    for _run in range(n_passes):
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
         t0 = time.time()
@@ -249,6 +256,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes": n_passes,
                 "session": session,
                 # one-time costs amortized over every subsequent join in
                 # production — reported for transparency, not steady-state
