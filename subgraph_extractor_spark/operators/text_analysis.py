@@ -146,11 +146,24 @@ def winnowing_fingerprints(
     else:
         raise ValueError(f"unknown hash_name: {hash_name!r}")
 
+    import re
+
+    # Tokenizer contract (exact SQL mirror, byte-for-byte): lower →
+    # trim SPACES only (SQL trim) → split on the RE2 ASCII \s class
+    # [\t\n\f\r ] — NOT Python str.split(), whose Unicode whitespace
+    # set and edge-stripping silently diverge from the oracle's
+    # string_split_regex on texts with tabs/newlines at the edges or
+    # exotic spaces.  Empty edge tokens from a leading/trailing
+    # non-space separator are kept, exactly as the SQL keeps them.
+    _split = re.compile(r"[\t\n\f\r ]+").split
+
     @pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = t.lower().split() if t else []
+            toks = _split(t.lower().strip(" ")) if t else []
+            if toks == [""]:
+                toks = []
             if len(toks) < k:
                 out.append([])
                 continue

@@ -125,3 +125,54 @@ def test_repetition_features_python_reference(spark):
             if tri else 0.0
         )
         assert got[doc_id] == pytest.approx((exp_top, exp_dup)), text
+
+
+def test_winnowing_md5_mode_matches_oracle_sql_on_adversarial_text(spark):
+    """The md5_64 winnowing kernel must equal the DuckDB window-min SQL
+    formulation byte-for-byte on adversarial ASCII inputs — tabs and
+    newlines at the edges, vertical tabs (NOT in the RE2 \\s class),
+    repeated separators, sub-k docs, empty and space-only docs."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as em
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "x", "Y9", "zz_1"]
+    seps = [" ", "  ", "\t", "\n", " \t ", "\r\n"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 30)
+        body = ""
+        for j in range(n):
+            body += rng.choice(words) + rng.choice(seps)
+        lead = rng.choice(["", " ", "\t", "\n "])
+        docs.append((i, lead + body))
+    docs += [
+        (100, ""),
+        (101, "   "),
+        (102, "\t\t"),
+        (103, "a\x0bb c d e f g"),       # \x0b is NOT an RE2 \s char
+        (104, "one two three four"),      # sub-k (k=5) -> no fingerprints
+        (105, "one two three four five"),  # exactly k
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "doc_id",
+            F.explode(
+                ta.winnowing_fingerprints(F.col("text"), hash_name="md5_64")
+            ).alias("fp"),
+        )
+        .toPandas()
+    )
+    got_set = {(int(r.doc_id), int(r.fp)) for r in got.itertuples()}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    odf = con.execute(em.ORACLES["text_winnowing"]).df()
+    want_set = {(int(r.doc_id), int(r.fp)) for r in odf.itertuples()}
+    assert got_set == want_set and want_set
