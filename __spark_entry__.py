@@ -1214,6 +1214,42 @@ def _exact_jaccard_pairs(spark, sf, threshold):
 _DEDUP_J_THRESHOLD = 0.5
 
 
+def q_dedup_incremental_recall(spark, sf):
+    # continual-ingestion dedup under the error-bound contract: odd
+    # doc_ids are the "new batch", even ids the standing corpus; the
+    # operator pairs new x (corpus ∪ new) only — never corpus x corpus
+    # — and the contract anchors to the exact restricted pair count
+    # (oracle recomputes it in SQL), with precision guaranteed by exact
+    # verification and recall bounded by the shared LSH banding.
+    d = _t(spark, sf, "documents")
+    found = dedup_ops.minhash_dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        threshold=_DEDUP_J_THRESHOLD,
+    ).select("id_a", "id_b")
+    truth = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD).filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
+    n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
+        F.count(F.lit(1)).alias("_ni")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(n_inter)
+        .select(
+            "n_true_pairs",
+            (F.col("_ni") == F.col("_nf")).alias("precision_eq_1"),
+            (F.col("_ni") >= 0.8 * F.col("n_true_pairs")).alias(
+                "recall_ge_080"
+            ),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf):
     # transitive duplicate clusters: connected components (iterative
     # min-label propagation) over the EXACT n-gram-Jaccard pair set —
@@ -1608,6 +1644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_minhash_recall": q_dedup_minhash_recall,
+    "dedup_incremental_recall": q_dedup_incremental_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
@@ -1623,7 +1660,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_ngram_stats": q_a5_ngram_stats,
     # -- stable oracled core --
     "f_date": q_f_date,
-    "f_array": q_f_array,
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1662,6 +1698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
     # -- multi-round-green surfaces beyond the budget --
+    "f_array": q_f_array,
     "f_collect": q_f_collect,
     "f_udaf": q_f_udaf,
     "f_udtf": q_f_udtf,
@@ -2519,6 +2556,15 @@ ORACLES: dict[str, str] = {
                TRUE AS precision_eq_1,
                TRUE AS recall_ge_080
         FROM exact_pairs
+    """,
+    "dedup_incremental_recall": f"""
+        WITH
+        {_EXACT_JACCARD_PAIRS_SQL}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               TRUE AS precision_eq_1,
+               TRUE AS recall_ge_080
+        FROM exact_pairs
+        WHERE id_a % 2 = 1 OR id_b % 2 = 1
     """,
     "ann_lsh_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

@@ -270,6 +270,23 @@ def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _combo_expr(ids: Column) -> Column:
+    """C(n,2) unordered (least, greatest) struct pairs of an id array —
+    the in-bucket combination expansion expression shared by
+    ``bucket_pairs`` and the incremental variant."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+
+
 def bucket_pairs(
     grouped: DataFrame, ids_col: str = "_ids"
 ) -> DataFrame:
@@ -286,20 +303,8 @@ def bucket_pairs(
     shuffle keyed by the bucket, and runtime stays bucket-quadratic only
     where there are actual collisions — the same LSH cost model as the
     join formulation, minus the materialization."""
-    ids = F.col(ids_col)
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                ),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(combos).alias("_p"))
+        grouped.select(F.explode(_combo_expr(F.col(ids_col))).alias("_p"))
         .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
         # duplicate ids in a bucket list would emit degenerate self-pairs
         # (the replaced self-join's l._id < r._id excluded them silently)
@@ -401,6 +406,115 @@ def minhash_dedup_pairs(
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
+    return verified
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+    corpus_hashes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dedup for continual ingestion: verified
+    near-duplicate pairs TOUCHING the new batch — new x corpus and
+    new x new, never corpus x corpus.  Output (id_a, id_b, jaccard),
+    id_a < id_b; equals ``minhash_dedup_pairs`` over (corpus ∪ new)
+    restricted to pairs with at least one new member (property-tested).
+
+    Scale shape — the point of the operator: a 100 TB corpus ingesting
+    a 100 GB batch must not re-pair the old corpus against itself.
+    Both sides are banded with the SAME fixed hash family (signatures
+    are reproducible run-to-run, so the corpus side can be precomputed
+    once and passed via ``corpus_hashes_df`` — the stored
+    signature-table pattern); one combined shuffle groups each
+    (band, bucket) into a new-ids set and an old-ids set, and a single
+    codegen expression expands C(new, 2) combinations plus the
+    new x old cross pairs in-bucket — buckets containing no new member
+    produce NOTHING, so per-ingest work scales with the batch, not the
+    corpus.  The same windowed ``max_bucket_size`` guard as
+    ``_minhash_pairs_lazy`` drops degenerate mega-buckets before any
+    set is collected.  Verification joins only candidate ids against
+    the union shingle table.
+
+    If an id appears on both sides (re-ingestion), its self-pair is
+    dropped (least == greatest), matching the full-run semantics."""
+    sh_new = shingle_hashes(new_df, text_col, id_col, shingle_n).persist()
+    sh_old = (
+        corpus_hashes_df
+        if corpus_hashes_df is not None
+        else shingle_hashes(corpus_df, text_col, id_col, shingle_n)
+    ).persist()
+    # one materialization per side: each shingle cache feeds banding AND
+    # both verification joins (see minhash_dedup_pairs for the race a
+    # lazy persist would open)
+    sh_new.count()
+    sh_old.count()
+    banded = _minhash_banded(sh_new, num_hashes, bands).withColumn(
+        "_new", F.lit(True)
+    ).unionByName(
+        _minhash_banded(sh_old, num_hashes, bands).withColumn(
+            "_new", F.lit(False)
+        )
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.collect_set(
+                F.when(F.col("_new"), F.col("_id"))
+            ).alias("_new_ids"),
+            F.collect_set(
+                F.when(~F.col("_new"), F.col("_id"))
+            ).alias("_old_ids"),
+        )
+        .filter(F.size("_new_ids") > 0)
+        .filter(F.size("_new_ids") + F.size("_old_ids") > 1)
+    )
+    new_ids, old_ids = F.col("_new_ids"), F.col("_old_ids")
+    cross = F.flatten(
+        F.transform(
+            new_ids,
+            lambda x: F.transform(
+                old_ids,
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(
+            F.explode(F.concat(_combo_expr(new_ids), cross)).alias("_p")
+        )
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(sh_old)
+    verified = (
+        cands.join(sh_all.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_h", "_h_a")
+        .join(sh_all.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("_h_a"), F.col("_h")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sh_new.unpersist()
+    sh_old.unpersist()
     return verified
 
 

@@ -196,3 +196,41 @@ def test_simhash_banding_complete_at_any_width(spark, docs):
                                   max_distance=3, bands=2)
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_dedup_pairs(docs, "text", "doc_id", bands=5)
+
+
+def test_minhash_incremental_equals_full_restricted(spark, docs):
+    """Incremental dedup (new batch vs existing corpus) must produce
+    EXACTLY the full-corpus verified pair set restricted to pairs with
+    at least one new member — same banding, same cap, same verification,
+    minus the old x old work."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = dedup.minhash_dedup_incremental(
+        new, corpus, "text", "doc_id", threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in inc.collect()}
+
+    full = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in full.collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert got == want and got, "fixture should contain cross-batch dups"
+
+
+def test_minhash_incremental_accepts_precomputed_corpus_hashes(spark, docs):
+    """The stored-signature-table pattern: passing precomputed corpus
+    shingle hashes must give identical results to recomputing them."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    pre = dedup.shingle_hashes(corpus, "text", "doc_id", 3)
+    a = dedup.minhash_dedup_incremental(
+        new, corpus, "text", "doc_id", threshold=0.5
+    )
+    b = dedup.minhash_dedup_incremental(
+        new, None, "text", "doc_id", threshold=0.5, corpus_hashes_df=pre
+    )
+    sa = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    sb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert sa == sb and sa
