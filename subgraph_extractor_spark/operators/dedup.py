@@ -58,6 +58,41 @@ def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFra
     )
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    corpus_digests: DataFrame,
+) -> DataFrame:
+    """Exact-dedup a new ingest batch against a standing corpus digest
+    table: rows of ``new_df`` whose content digest appears in
+    ``corpus_digests`` (column ``content_sha256``) or earlier in the
+    batch itself are dropped; survivors keep their columns plus
+    ``content_sha256`` (append them to the digest table for the next
+    ingest — the continual-ingestion loop).
+
+    Scale shape: within-batch dedup is one groupBy keyed by the 32-byte
+    digest over the BATCH only; the corpus probe is a left-anti join
+    against the digest table (sort-merge on the digest; at 100 TB the
+    digest table is ~1/1000th the corpus and can be bucketed by digest
+    so recurring ingests skip its shuffle entirely).  The standing
+    corpus is never re-grouped."""
+    hashed = new_df.withColumn(
+        "content_sha256", F.sha2(F.col(content_col), 256)
+    )
+    w = Window.partitionBy("content_sha256").orderBy(F.col(id_col).asc())
+    in_batch_first = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return in_batch_first.join(
+        corpus_digests.select("content_sha256"),
+        "content_sha256",
+        "left_anti",
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # --------------------------------------------------------------------------

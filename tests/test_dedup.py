@@ -234,3 +234,28 @@ def test_minhash_incremental_accepts_precomputed_corpus_hashes(spark, docs):
     sa = {(r["id_a"], r["id_b"]) for r in a.collect()}
     sb = {(r["id_a"], r["id_b"]) for r in b.collect()}
     assert sa == sb and sa
+
+
+def test_exact_dedup_incremental(spark):
+    """Continual-ingestion exact dedup: batch rows duplicating the
+    standing corpus digest table OR an earlier batch row are dropped;
+    survivors carry their digest for appending to the table."""
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    digests = dedup.exact_dedup_by_hash(corpus, "text", "doc_id").select(
+        "content_sha256"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup of corpus -> dropped
+            (11, "brand new"),     # survives
+            (12, "brand new"),     # in-batch dup of 11 -> dropped
+            (13, "another new"),   # survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup_incremental(batch, "text", "doc_id", digests)
+    rows = {r["doc_id"] for r in out.collect()}
+    assert rows == {11, 13}
+    assert "content_sha256" in out.columns
