@@ -164,6 +164,30 @@ def dedup_events_stream(
     return src.dropDuplicates(list(key_cols))
 
 
+def ingest_dedup_stream(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    content_col: str = "event_type",
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continual-ingestion dedup as a stream: the streaming face of
+    ``operators.dedup.exact_dedup_incremental``.  Within-stream replays
+    collapse via watermark-bounded ``dropDuplicatesWithinWatermark``;
+    rows whose content digest already exists in the STANDING corpus
+    digest table are dropped by a stream-static left-anti join (the
+    static side is re-resolvable per micro-batch, so appending survivors
+    to the digest table between batches is picked up automatically).
+    Same plan runs on a batch input (unified API)."""
+    deduped = dedup_events_stream(batch, key_cols, watermark)
+    hashed = deduped.withColumn(
+        "content_sha256", F.sha2(F.col(content_col).cast("string"), 256)
+    )
+    return hashed.join(
+        corpus_digests.select("content_sha256"), "content_sha256", "left_anti"
+    )
+
+
 def purchases_with_recent_clicks(
     events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -164,3 +164,52 @@ def test_stream_dedup_collapses_replayed_events(spark, sf_dir, tmp_path):
     n_src = spark.read.parquet(src).count()
     assert len(got) == n_src  # every duplicate dropped, nothing else
     assert len({r["event_id"] for r in got}) == n_src
+
+
+def test_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static continual-ingestion dedup: within-stream replays
+    collapse AND rows whose content digest is already in the standing
+    corpus table are dropped — and the streaming result equals the batch
+    formulation of the same plan."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import ingest_dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    # standing corpus: digests of 'click' content — clicks must be dropped
+    corpus = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.sha2(F.col("event_type").cast("string"), 256).alias(
+                "content_sha256"
+            )
+        )
+        .distinct()
+    )
+
+    stage = tmp_path / "ingest_src"
+    stage.mkdir()
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), stage / "part-0.parquet"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(str(stage))
+    q = (
+        ingest_dedup_stream(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("ingest_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("select * from ingest_dedup").collect()}
+
+    want = {r["event_id"] for r in ingest_dedup_stream(ev, corpus).collect()}
+    assert got == want and got
+    # no click content survived the standing-corpus probe
+    kinds = {
+        r["event_type"]
+        for r in spark.sql("select * from ingest_dedup").collect()
+    }
+    assert "click" not in kinds and kinds
