@@ -1187,25 +1187,48 @@ def q_sim_topk_matmul(spark, sf):
 
 
 def _exact_jaccard_pairs(spark, sf, threshold):
-    """Brute-force exact n-gram-Jaccard pair set (id_a < id_b) over ALL
-    documents — the ground-truth side of the dedup contracts.  Quadratic
-    by design; only ever run at oracle scale (sf0.01), never in bench."""
+    """EXACT n-gram-Jaccard pair set (id_a < id_b) over ALL documents —
+    the ground-truth side of the dedup contracts, formulated as an
+    inverted-index gram join (the same shape as the DuckDB oracle and
+    the only shape that survives scale): explode per-doc distinct
+    shingle hashes, equi-join on the hash, count shared grams per pair,
+    and J = i / (|A| + |B| - i) over the same integers the array-ops
+    formulation would produce (equality with the string-shingle NLJ
+    asserted in tests/test_contracts.py).  Pairs sharing zero grams
+    never materialize, so the work is output-bound, not n^2-bound."""
     d = _t(spark, sf, "documents")
-    sh = d.select(
-        F.col("doc_id").alias("_id"),
-        dedup_ops.word_shingles(F.col("text"), 3).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    # the broadcast-NLJ's parallelism is the STREAM side's partition
-    # count, and a small corpus arrives in 1-2 parquet splits — spread
-    # it so the quadratic pair work uses every core
-    par = spark.sparkContext.defaultParallelism
-    l, r = sh.repartition(par).alias("l"), sh.alias("r")
-    return (
-        l.join(r, F.col("l._id") < F.col("r._id"))
-        .withColumn("j", dedup_ops.jaccard(F.col("l._sh"), F.col("r._sh")))
-        .filter(F.col("j") >= threshold)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    sh = (
+        dedup_ops.shingle_hashes(d, "text", "doc_id", 3)
+        .filter(F.size("_h") > 0)
+        # two scan branches below (both join sides) — cache the kernel
+        .persist()
     )
+    sh.count()
+    g = sh.select("_id", F.size("_h").alias("_n"), F.explode("_h").alias("_g"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[F.col("a._g") == F.col("b._g"), F.col("a._id") < F.col("b._id")],
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_i"),
+            F.max("a._n").alias("_na"),
+            F.max("b._n").alias("_nb"),
+        )
+        .filter(
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return pairs
 
 
 # Jaccard threshold shared by the dedup cluster/recall contracts and
