@@ -480,16 +480,21 @@ def minhash_dedup_incremental(
     If an id appears on both sides (re-ingestion), its self-pair is
     dropped (least == greatest), matching the full-run semantics."""
     sh_new = shingle_hashes(new_df, text_col, id_col, shingle_n).persist()
+    # a caller-provided signature table manages its own storage (it may
+    # already be persisted, or be a plain parquet-backed table); only a
+    # locally-computed corpus side gets operator-scoped caching
+    own_old_cache = corpus_hashes_df is None
     sh_old = (
-        corpus_hashes_df
-        if corpus_hashes_df is not None
-        else shingle_hashes(corpus_df, text_col, id_col, shingle_n)
-    ).persist()
+        shingle_hashes(corpus_df, text_col, id_col, shingle_n).persist()
+        if own_old_cache
+        else corpus_hashes_df
+    )
     # one materialization per side: each shingle cache feeds banding AND
     # both verification joins (see minhash_dedup_pairs for the race a
     # lazy persist would open)
     sh_new.count()
-    sh_old.count()
+    if own_old_cache:
+        sh_old.count()
     banded = _minhash_banded(sh_new, num_hashes, bands).withColumn(
         "_new", F.lit(True)
     ).unionByName(
@@ -549,7 +554,8 @@ def minhash_dedup_incremental(
         .localCheckpoint(eager=True)
     )
     sh_new.unpersist()
-    sh_old.unpersist()
+    if own_old_cache:
+        sh_old.unpersist()
     return verified
 
 
