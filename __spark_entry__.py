@@ -1273,6 +1273,25 @@ def q_dedup_incremental_recall(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    # raw continual-ingestion dedup: 10% of the corpus arrives as the
+    # new batch; pairs touching the batch are found and verified WITHOUT
+    # ever expanding corpus x corpus buckets.  Checked by the oracled
+    # dedup_incremental_recall contract; rows-only here.  Not a bench
+    # headline: at fixture scale the corpus-side signature pass (which a
+    # deployment amortizes via the stored corpus_hashes_df table)
+    # dominates, so the operator's asymptotic win is not visible at
+    # 5k docs — the pair-expansion saving is the 100x story.
+    d = _t(spark, sf, "documents")
+    return dedup_ops.minhash_dedup_incremental(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        "text",
+        "doc_id",
+        threshold=0.5,
+    )
+
+
 def q_dedup_clusters(spark, sf):
     # transitive duplicate clusters: connected components (iterative
     # min-label propagation) over the EXACT n-gram-Jaccard pair set —
@@ -1722,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window recall contracts above) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_incremental": q_dedup_incremental,
     "ann_lsh": q_ann_lsh,
     # -- multi-round-green surfaces beyond the budget --
     "f_array": q_f_array,
