@@ -72,6 +72,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from subgraph_extractor_spark import get_spark
 
+    load_start = round(os.getloadavg()[0], 2)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -257,6 +258,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": n_passes,
+                # host contention context: this box shows bursty
+                # multi-second spikes; a high load average alongside
+                # inflated numbers means environment, not regression
+                "loadavg_1m_start_end": [load_start, round(os.getloadavg()[0], 2)],
                 "session": session,
                 # one-time costs amortized over every subsequent join in
                 # production — reported for transparency, not steady-state
