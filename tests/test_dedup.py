@@ -259,3 +259,29 @@ def test_exact_dedup_incremental(spark):
     rows = {r["doc_id"] for r in out.collect()}
     assert rows == {11, 13}
     assert "content_sha256" in out.columns
+
+
+def test_exact_dedup_incremental_plan_never_groups_corpus(spark):
+    """Scale contract in the physical plan: the standing corpus digest
+    table is probed with a LEFT ANTI join — it is never aggregated or
+    windowed (per-ingest work must scale with the batch, not the
+    corpus)."""
+    corpus = spark.createDataFrame(
+        [("ab",) * 1], ["content_sha256"]
+    )
+    batch = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    out = dedup.exact_dedup_incremental(batch, "text", "doc_id", corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # the only stateful subtree is the in-batch first-seen window (one
+    # Window exec node); the corpus side contributes just a scan +
+    # filter feeding the anti join — no aggregation anywhere
+    window_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip(" :+-").startswith("Window [")
+    ]
+    assert len(window_nodes) == 1, plan
+    assert "HashAggregate" not in plan, (
+        f"corpus side must not be re-aggregated:\n{plan}"
+    )
