@@ -1292,6 +1292,38 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_corpus_overlap(spark, sf):
+    # corpus-pair contamination estimate under the error-bound contract:
+    # HLL inclusion-exclusion intersection (no key shuffle — the 100 TB
+    # path) vs the exact intersection count (the oracle-checkable
+    # anchor); the acceptance bound is the sketch error model
+    # 4 x rsd x (|A| + |B| + |A∪B|), not a flat percentage.
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") < 300)
+    b = d.filter(F.col("doc_id") >= 200)
+    est = dedup_ops.corpus_overlap_estimate(a, "text", b, "text", rsd=0.01)
+    ka = a.select(F.col("text").alias("_k")).distinct()
+    kb = b.select(F.col("text").alias("_k")).distinct()
+    exact = (
+        ka.join(kb, "_k", "semi")
+        .agg(F.count(F.lit(1)).alias("n_intersect_exact"))
+        .crossJoin(ka.agg(F.count(F.lit(1)).alias("_na")))
+        .crossJoin(kb.agg(F.count(F.lit(1)).alias("_nb")))
+        .crossJoin(
+            ka.unionByName(kb)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("_nu"))
+        )
+    )
+    return est.crossJoin(exact).select(
+        "n_intersect_exact",
+        (
+            F.abs(F.col("n_intersect_est") - F.col("n_intersect_exact"))
+            <= 0.04 * (F.col("_na") + F.col("_nb") + F.col("_nu"))
+        ).alias("est_within_bound"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     # transitive duplicate clusters: connected components (iterative
     # min-label propagation) over the EXACT n-gram-Jaccard pair set —
@@ -1742,6 +1774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
+    "corpus_overlap": q_corpus_overlap,
     "ann_lsh": q_ann_lsh,
     # -- multi-round-green surfaces beyond the budget --
     "f_array": q_f_array,
@@ -2611,6 +2644,13 @@ ORACLES: dict[str, str] = {
                TRUE AS recall_ge_080
         FROM exact_pairs
         WHERE id_a % 2 = 1 OR id_b % 2 = 1
+    """,
+    "corpus_overlap": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect_exact,
+               TRUE AS est_within_bound
+        FROM (SELECT DISTINCT text FROM documents WHERE doc_id < 300) a
+        JOIN (SELECT DISTINCT text FROM documents WHERE doc_id >= 200) b
+          USING (text)
     """,
     "ann_lsh_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

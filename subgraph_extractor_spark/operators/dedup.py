@@ -559,6 +559,49 @@ def minhash_dedup_incremental(
     return verified
 
 
+def corpus_overlap_estimate(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Estimate |A ∩ B| of two corpora's distinct key sets WITHOUT a
+    join: HLL sketches of A, B and A ∪ B combine by inclusion-exclusion
+    (|A∩B| ≈ |A| + |B| - |A∪B|).  One aggregation pass per side plus one
+    over the union — each is a partial+final codegen agg shuffling a few
+    KB of sketch per task, so two 100 TB corpora can be compared for
+    contamination without ever shuffling their keys.
+
+    Output (single row): n_a_est, n_b_est, n_union_est, n_intersect_est
+    (all bigint).  Error model: each HLL estimate carries relative
+    standard deviation ``rsd``, so the intersection's ABSOLUTE error is
+    ~rsd x (|A| + |B| + |A∪B|) — inclusion-exclusion amplifies error
+    when the intersection is small relative to the union (the known
+    limitation; for surgical set ops at scale use theta sketches, which
+    intersect natively).  Callers should bound acceptance with that
+    formula, not a flat percentage."""
+    a = df_a.select(F.col(key_a).alias("_k"))
+    b = df_b.select(F.col(key_b).alias("_k"))
+    na = a.agg(F.approx_count_distinct("_k", rsd).alias("n_a_est"))
+    nb = b.agg(F.approx_count_distinct("_k", rsd).alias("n_b_est"))
+    nu = a.unionByName(b).agg(
+        F.approx_count_distinct("_k", rsd).alias("n_union_est")
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nu)
+        .select(
+            "n_a_est",
+            "n_b_est",
+            "n_union_est",
+            (
+                F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est")
+            ).alias("n_intersect_est"),
+        )
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

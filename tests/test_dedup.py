@@ -285,3 +285,21 @@ def test_exact_dedup_incremental_plan_never_groups_corpus(spark):
     assert "HashAggregate" not in plan, (
         f"corpus side must not be re-aggregated:\n{plan}"
     )
+
+
+def test_corpus_overlap_estimate(spark, docs):
+    """HLL inclusion-exclusion intersection must land within the sketch
+    error model of the exact overlap — and be monotone sane (est between
+    0 and min(|A|,|B|) + error)."""
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter(F.col("doc_id") >= 200)
+    est = dedup.corpus_overlap_estimate(a, "text", b, "text", rsd=0.01)
+    row = est.collect()[0]
+    exact = (
+        a.select("text").distinct()
+        .join(b.select("text").distinct(), "text", "semi")
+        .count()
+    )
+    bound = 0.04 * (row["n_a_est"] + row["n_b_est"] + row["n_union_est"])
+    assert abs(row["n_intersect_est"] - exact) <= bound
+    assert row["n_union_est"] >= max(row["n_a_est"], row["n_b_est"])
