@@ -1324,6 +1324,20 @@ def q_corpus_overlap(spark, sf):
     )
 
 
+def q_pipeline_dedup_corpus(spark, sf):
+    # the composed end-to-end dedup pipeline, fully oracled: exact
+    # near-dup pairs -> connected components -> keep each cluster's
+    # minimum id -> surviving corpus.  The oracle replays the same
+    # reachability fixed point in SQL and anti-selects the losers.
+    d = _t(spark, sf, "documents")
+    pairs = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
+    clusters = dedup_ops.duplicate_clusters(pairs)
+    losers = clusters.filter(
+        F.col("member_id") != F.col("cluster_id")
+    ).select(F.col("member_id").alias("doc_id"))
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark, sf):
     # transitive duplicate clusters: connected components (iterative
     # min-label propagation) over the EXACT n-gram-Jaccard pair set —
@@ -1775,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_incremental": q_dedup_incremental,
     "corpus_overlap": q_corpus_overlap,
+    "pipeline_dedup_corpus": q_pipeline_dedup_corpus,
     "ann_lsh": q_ann_lsh,
     # -- multi-round-green surfaces beyond the budget --
     "f_array": q_f_array,
@@ -2628,6 +2643,25 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_clusters": _CLUSTERS_ORACLE_SQL,
     "dedup_clusters_star": _CLUSTERS_ORACLE_SQL,
+    "pipeline_dedup_corpus": f"""
+        WITH RECURSIVE
+        {_EXACT_JACCARD_PAIRS_SQL},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM exact_pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM exact_pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        losers AS (
+            SELECT id FROM reach GROUP BY id HAVING MIN(lbl) <> id
+        )
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
     "dedup_minhash_recall": f"""
         WITH
         {_EXACT_JACCARD_PAIRS_SQL}
