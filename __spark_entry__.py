@@ -1132,6 +1132,112 @@ def q_tpch_q5_shape(spark, sf):
     )
 
 
+def q_tpch_q4_shape(spark, sf):
+    # EXISTS semi-join + grouped count (TPC-H Q4 shape): order-priority
+    # checking.  LeftSemi keeps the orders scan single-pass — the
+    # lineitem side is consumed by the join, never widened onto the
+    # output, and the grouped count runs partial+final.  At 100 TB the
+    # semi-join shuffles both sides once on l_orderkey/o_orderkey; no
+    # distinct materialization of the probe side is ever needed.
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1996-02-01")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_tpch_q13_shape(spark, sf):
+    # Outer-join count distribution (TPC-H Q13 shape): how many
+    # customers placed exactly k non-urgent orders, including k = 0 —
+    # the LEFT join keeps order-less customers and count(o_orderkey)
+    # ignores the null rows.  Two-level aggregation: the first groups on
+    # the join key (reusing the join's hash partitioning — AQE plans no
+    # second exchange), the second is a tiny re-agg on the count value.
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q16_shape(spark, sf):
+    # Distinct-pair + anti-join + count-distinct (TPC-H Q16 shape):
+    # supplier diversity per part attribute, excluding flagged
+    # suppliers.  The (partkey, suppkey) distinct collapses the fact
+    # table BEFORE any join (map-side partial distinct), the flagged
+    # supplier list is a broadcast anti-join, the part dim is broadcast,
+    # and countDistinct runs on the already-distinct pairs — at scale
+    # the only wide exchange is the initial pair distinct.
+    pairs = (
+        _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    flagged = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(flagged),
+            pairs["l_suppkey"] == flagged["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_quality_linear_score(spark, sf):
+    # Broadcast linear-model scoring (fastText-style linear layer over
+    # hand features): score = w · x computed entirely in whole-stage
+    # codegen — the "model" is a handful of literal weights folded into
+    # the expression tree, so scoring 100 TB is a map-only scan with
+    # zero shuffle and zero Python.  Features are deterministic integer
+    # counts and IEEE-double ratios; the dot product is evaluated in a
+    # fixed association order so DuckDB reproduces it bit-exactly
+    # (no transcendental functions — a sigmoid would not be portable).
+    d = _t(spark, sf, "documents")
+    stripped = F.regexp_replace(F.col("text"), r"\s+", "")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chars = F.length(stripped)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(stripped, r"[!-/:-@\[-`{-~]", "")
+    )
+    n_digit = n_chars - F.length(F.regexp_replace(stripped, r"[0-9]", ""))
+    feats = d.select(
+        "doc_id",
+        n_tokens.cast("double").alias("x_tokens"),
+        (n_chars.cast("double") / n_tokens.cast("double")).alias("x_awl"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("x_punct"),
+        (n_digit.cast("double") / n_chars.cast("double")).alias("x_digit"),
+    )
+    score = (
+        F.lit(0.05) * F.col("x_tokens")
+        + F.lit(0.8) * F.col("x_awl")
+        + F.lit(-12.0) * F.col("x_punct")
+        + F.lit(-8.0) * F.col("x_digit")
+    )
+    return feats.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score > F.lit(8.0)).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # queries — [ext] LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -1831,6 +1937,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string2": q_f_string2,
     "set_ops_all": q_set_ops_all,
     "tpch_q3_shape": q_tpch_q3_shape,
+    # -- r4 additions (beyond this round's window; rotate in r5) --
+    "tpch_q4_shape": q_tpch_q4_shape,
+    "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q16_shape": q_tpch_q16_shape,
+    "quality_linear_score": q_quality_linear_score,
 }
 
 
@@ -2501,6 +2612,69 @@ ORACLES: dict[str, str] = {
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "tpch_q4_shape": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1996-02-01 00:00:00')
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q13_shape": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "tpch_q16_shape": """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size <= 20
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "quality_linear_score": """
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                       AS x_tokens,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       AS x_chars,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        - length(regexp_replace(
+                              regexp_replace(text, '\\s+', '', 'g'),
+                              '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                       AS x_punct,
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        - length(regexp_replace(
+                              regexp_replace(text, '\\s+', '', 'g'),
+                              '[0-9]', '', 'g')) AS DOUBLE)
+                       AS x_digit
+            FROM documents
+        )
+        SELECT doc_id,
+               0.05 * x_tokens + 0.8 * (x_chars / x_tokens)
+                   + -12.0 * (x_punct / x_chars)
+                   + -8.0 * (x_digit / x_chars) AS quality_score,
+               (0.05 * x_tokens + 0.8 * (x_chars / x_tokens)
+                   + -12.0 * (x_punct / x_chars)
+                   + -8.0 * (x_digit / x_chars)) > 8.0 AS keep
+        FROM feats
     """,
     "tpch_q5_shape": """
         SELECT n_name,
