@@ -1238,6 +1238,14 @@ def q_quality_linear_score(spark, sf):
     )
 
 
+def q_text_token_df(spark, sf):
+    # corpus-statistics feedback scoring (two-pass: per-token document
+    # frequency aggregated from the corpus, joined back per doc) —
+    # operators/text_analysis.py:token_df_scores
+    d = _t(spark, sf, "documents")
+    return ta.token_df_scores(d, "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # queries — [ext] LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -1942,6 +1950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13_shape": q_tpch_q13_shape,
     "tpch_q16_shape": q_tpch_q16_shape,
     "quality_linear_score": q_quality_linear_score,
+    "text_token_df": q_text_token_df,
 }
 
 
@@ -2647,6 +2656,28 @@ ORACLES: dict[str, str] = {
           AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "text_token_df": """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS tok
+                FROM documents
+                WHERE trim(lower(text)) <> ''
+            )
+        ),
+        dfs AS (
+            SELECT tok, COUNT(*) AS df FROM pairs GROUP BY tok
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_unique_tokens,
+               CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_token_df,
+               CAST(MIN(df) AS BIGINT) AS min_token_df
+        FROM pairs JOIN dfs USING (tok)
+        GROUP BY doc_id
     """,
     "quality_linear_score": """
         WITH feats AS (

@@ -376,3 +376,54 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col("mean_token_len"),
         content_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def token_df_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-statistics feedback scoring (CCNet-style two-pass quality
+    signal without the KenLM model): score each document against token
+    document frequencies aggregated from the corpus itself.
+
+    Pass 1 computes per-token document frequency (docs containing the
+    token); pass 2 joins the stats back onto the per-document token sets
+    and reduces to per-document signals: distinct-token count, mean
+    token DF, and the rarest token's DF.  Common-token documents
+    (boilerplate) score high mean-DF; documents full of hapax tokens
+    (mojibake, random ids) score ~1.
+
+    Scale design: the (doc, token) pair set is built map-side with
+    explode(array_distinct(tokens)) — per-doc dedup happens BEFORE the
+    shuffle, so pair volume is bounded by distinct tokens per doc.  The
+    DF aggregation and the stats join both hash-partition on the token —
+    two shuffles of the pair set, with no broadcast HINT (the vocabulary
+    of a 100 TB corpus is itself huge; AQE may still downgrade to
+    broadcast when the measured stats side is genuinely small, which is
+    then correct), and AQE reuses the DF aggregation's partitioning for
+    the join probe side.  The final per-doc reduction shuffles on the
+    doc id.  No step materializes the vocabulary or any per-token group
+    beyond its count.
+
+    Float discipline: mean DF = CAST(SUM AS DOUBLE)/CAST(COUNT AS
+    DOUBLE) — both conversions exact, one IEEE division, reproducible
+    bit-for-bit by the DuckDB oracle.
+    """
+    from . import dedup as dedup_ops
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(dedup_ops.tokens(F.col(text_col)))).alias(
+            "_tok"
+        ),
+    )
+    dfs = pairs.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        pairs.join(dfs, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_tokens"),
+            (
+                F.sum("_df").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_token_df"),
+            F.min("_df").alias("min_token_df"),
+        )
+    )

@@ -176,3 +176,46 @@ def test_winnowing_md5_mode_matches_oracle_sql_on_adversarial_text(spark):
     odf = con.execute(em.ORACLES["text_winnowing"]).df()
     want_set = {(int(r.doc_id), int(r.fp)) for r in odf.itertuples()}
     assert got_set == want_set and want_set
+
+
+def test_token_df_scores_hand_corpus(spark):
+    # corpus: "the" appears in 3 docs, "cat" in 2, "sat" in 1, "mat" in 1.
+    # Repeats within a doc must not inflate DF (per-doc distinct).
+    from subgraph_extractor_spark.operators import text_analysis as ta
+
+    docs = [
+        (1, "the cat sat"),
+        (2, "the the cat"),   # 'the' twice in-doc -> still DF contribution 1
+        (3, "THE mat"),       # case-folded
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ta.token_df_scores(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    # DFs: the=3, cat=2, sat=1, mat=1
+    assert out[1]["n_unique_tokens"] == 3
+    assert out[1]["avg_token_df"] == (3 + 2 + 1) / 3.0
+    assert out[1]["min_token_df"] == 1
+    assert out[2]["n_unique_tokens"] == 2          # {the, cat}
+    assert out[2]["avg_token_df"] == (3 + 2) / 2.0
+    assert out[2]["min_token_df"] == 2
+    assert out[3]["avg_token_df"] == (3 + 1) / 2.0
+    assert out[3]["min_token_df"] == 1
+
+
+def test_token_df_scores_plan_shape(spark):
+    # The DF-stats side must NOT be broadcast (vocabulary of a 100 TB
+    # corpus is itself huge): both join sides hash-partition on the token.
+    from subgraph_extractor_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3}") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        ta.token_df_scores(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan
