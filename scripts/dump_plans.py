@@ -46,6 +46,21 @@ SHOW = [
         "pipeline_pack_sequences",
         "one shuffle on the hash shard; FlatMapGroupsInPandas greedy fold",
     ),
+    (
+        "tpch_q16_shape",
+        "distinct-pair collapse BEFORE the joins; broadcast anti + "
+        "broadcast dim; count-distinct on pre-distinct pairs",
+    ),
+    (
+        "text_token_df",
+        "two-pass corpus stats: token-partitioned DF agg + join (no "
+        "broadcast hint), per-doc re-agg",
+    ),
+    (
+        "quality_linear_score",
+        "broadcast linear-model scoring: whole-stage codegen map-only, "
+        "zero shuffle",
+    ),
 ]
 
 
