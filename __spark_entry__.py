@@ -1212,6 +1212,11 @@ def q_quality_linear_score(spark, sf):
     # (no transcendental functions — a sigmoid would not be portable).
     d = _t(spark, sf, "documents")
     stripped = F.regexp_replace(F.col("text"), r"\s+", "")
+    # empty/all-whitespace docs would divide 0/0: Spark yields NaN
+    # (and NaN > 8.0 is TRUE under Spark's NaN-greatest ordering) while
+    # DuckDB division by zero yields NULL — exclude them on BOTH sides
+    # so the contract is well-defined for any corpus, not just this one
+    d = d.filter(F.length(stripped) > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     n_chars = F.length(stripped)
     n_punct = n_chars - F.length(
@@ -1351,24 +1356,12 @@ def _exact_jaccard_pairs(spark, sf, threshold):
 _DEDUP_J_THRESHOLD = 0.5
 
 
-def q_dedup_incremental_recall(spark, sf):
-    # continual-ingestion dedup under the error-bound contract: odd
-    # doc_ids are the "new batch", even ids the standing corpus; the
-    # operator pairs new x (corpus ∪ new) only — never corpus x corpus
-    # — and the contract anchors to the exact restricted pair count
-    # (oracle recomputes it in SQL), with precision guaranteed by exact
-    # verification and recall bounded by the shared LSH banding.
-    d = _t(spark, sf, "documents")
-    found = dedup_ops.minhash_dedup_incremental(
-        d.filter(F.col("doc_id") % 2 == 1),
-        d.filter(F.col("doc_id") % 2 == 0),
-        "text",
-        "doc_id",
-        threshold=_DEDUP_J_THRESHOLD,
-    ).select("id_a", "id_b")
-    truth = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD).filter(
-        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
-    )
+def _pair_recall_contract(found: DataFrame, truth: DataFrame) -> DataFrame:
+    """Shared error-bound contract over (id_a, id_b) pair sets — the
+    pair-operator twin of _ann_recall_contract: anchor the hash to the
+    exact pair count, assert perfect precision (every emitted pair is in
+    the exact set) and recall >= 0.8.  One definition keeps the three
+    pair contracts' thresholds and column names from drifting apart."""
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
     n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
@@ -1385,6 +1378,28 @@ def q_dedup_incremental_recall(spark, sf):
             ),
         )
     )
+
+
+def q_dedup_incremental_recall(spark, sf):
+    # continual-ingestion dedup under the error-bound contract (shared
+    # _pair_recall_contract shape): odd
+    # doc_ids are the "new batch", even ids the standing corpus; the
+    # operator pairs new x (corpus ∪ new) only — never corpus x corpus
+    # — and the contract anchors to the exact restricted pair count
+    # (oracle recomputes it in SQL), with precision guaranteed by exact
+    # verification and recall bounded by the shared LSH banding.
+    d = _t(spark, sf, "documents")
+    found = dedup_ops.minhash_dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        threshold=_DEDUP_J_THRESHOLD,
+    ).select("id_a", "id_b")
+    truth = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD).filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    return _pair_recall_contract(found, truth)
 
 
 def q_dedup_incremental(spark, sf):
@@ -1626,22 +1641,7 @@ def q_emb_neardup(spark, sf):
         .filter(F.col("_cos") >= 0.4)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
     )
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
-    n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
-        F.count(F.lit(1)).alias("_ni")
-    )
-    return (
-        n_true.crossJoin(n_found)
-        .crossJoin(n_inter)
-        .select(
-            "n_true_pairs",
-            (F.col("_ni") == F.col("_nf")).alias("precision_eq_1"),
-            (F.col("_ni") >= 0.8 * F.col("n_true_pairs")).alias(
-                "recall_ge_080"
-            ),
-        )
-    )
+    return _pair_recall_contract(found, truth)
 
 
 # Dict ORDER matters: the driver's correctness run checks entries in
@@ -1810,22 +1810,7 @@ def q_dedup_minhash_recall(spark, sf):
         d, "text", "doc_id", threshold=_DEDUP_J_THRESHOLD
     ).select("id_a", "id_b")
     truth = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_found = found.agg(F.count(F.lit(1)).alias("_nf"))
-    n_inter = found.join(truth, ["id_a", "id_b"], "semi").agg(
-        F.count(F.lit(1)).alias("_ni")
-    )
-    return (
-        n_true.crossJoin(n_found)
-        .crossJoin(n_inter)
-        .select(
-            "n_true_pairs",
-            (F.col("_ni") == F.col("_nf")).alias("precision_eq_1"),
-            (F.col("_ni") >= 0.8 * F.col("n_true_pairs")).alias(
-                "recall_ge_080"
-            ),
-        )
-    )
+    return _pair_recall_contract(found, truth)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2697,6 +2682,7 @@ ORACLES: dict[str, str] = {
                               '[0-9]', '', 'g')) AS DOUBLE)
                        AS x_digit
             FROM documents
+            WHERE length(regexp_replace(text, '\\s+', '', 'g')) > 0
         )
         SELECT doc_id,
                0.05 * x_tokens + 0.8 * (x_chars / x_tokens)

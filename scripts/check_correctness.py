@@ -83,6 +83,29 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list:
     return out
 
 
+def _nan_columns(sp_df) -> list:
+    """Float/double result columns containing real IEEE NaN, detected
+    JVM-side where NaN is still distinguishable from NULL (after
+    toPandas both become float64 NaN and the information is gone)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = [
+        f.name
+        for f in sp_df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    if not cols:
+        return []
+    counts = sp_df.select(
+        [
+            F.sum(F.when(F.isnan(c), 1).otherwise(0)).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    return [c for c in cols if (counts[c] or 0) > 0]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -107,10 +130,23 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sp_df = fn(spark, sf_dir)
+            sdf = sp_df.toPandas()
+            nan_cols = _nan_columns(sp_df)
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        if nan_cols:
+            # NaN output is inherently non-portable: pandas collapses
+            # SQL NULL and IEEE NaN to the same float64 NaN before any
+            # comparison can see the difference (Spark NaN vs DuckDB
+            # NULL would silently hash-equal locally while a
+            # NULL/NaN-distinguishing driver canonicalizer fails it).
+            # Queries must never emit NaN — guard 0/0 with a filter or
+            # nullif on BOTH sides.
+            failures.append((name, f"NaN in Spark output: {nan_cols}"))
+            print(f"FAIL {name}: NaN in Spark output columns {nan_cols}")
             continue
         if name not in oracles:
             rows_only += 1

@@ -209,20 +209,30 @@ def _shingle_hash_udf(shingle_n: int):
     equivalent Catalyst HOF tree costs ~6-10 s of expression compile per
     distinct plan shape (measured), while this kernel is a flat string
     pass that ships one array<long> per doc.  crc32 is deterministic
-    everywhere; 32-bit collisions shift a 300-element Jaccard by <1e-4."""
+    everywhere; 32-bit collisions shift a 300-element Jaccard by <1e-4.
+
+    Tokenizer contract (exact SQL mirror, byte-for-byte — same contract
+    as the winnowing kernel): lower → trim SPACES only (SQL trim) →
+    split on the RE2 ASCII \\s class [\\t\\n\\f\\r ], keeping empty edge
+    tokens.  NOT Python str.split(): its Unicode whitespace set, \\x0b
+    handling, and edge-token dropping silently diverge from the DuckDB
+    oracle's string_split_regex on adversarial texts, which would
+    poison every contract built on this ground truth."""
+    import re
     import zlib
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
+    _split = re.compile(r"[\t\n\f\r ]+").split
+
     @pandas_udf(ArrayType(LongType()))
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            if not t:
-                out.append([])
-                continue
-            toks = t.lower().split()
+            toks = _split(t.lower().strip(" ")) if t else []
+            if toks == [""]:
+                toks = []
             if len(toks) < shingle_n:
                 out.append([])
                 continue
@@ -305,6 +315,24 @@ def _minhash_banded(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop over-cap (band, bucket) groups BEFORE any per-bucket set is
+    collected — the mega-bucket guard shared by the full and incremental
+    MinHash paths (one definition so their cap semantics cannot drift
+    and break the incremental==full-restricted equivalence).  The window
+    count needs the same hash partitioning as the downstream groupBy, so
+    Catalyst plans one shuffle for both, and the sort-based window
+    spills where a collect would not."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def _combo_expr(ids: Column) -> Column:
     """C(n,2) unordered (least, greatest) struct pairs of an id array —
     the in-bucket combination expansion expression shared by
@@ -368,14 +396,7 @@ def _minhash_pairs_lazy(
     both, and the sort-based window spills where a collect would not.
     Over-cap buckets carry no discriminative signal (near-constant
     boilerplate); their members still pair via their other bands."""
-    banded = _minhash_banded(sh, num_hashes, bands)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    banded = _cap_buckets(_minhash_banded(sh, num_hashes, bands), max_bucket_size)
     buckets = (
         banded.groupBy("band", "bucket")
         # collect_set, not collect_list: non-unique input ids would
@@ -502,13 +523,7 @@ def minhash_dedup_incremental(
             "_new", F.lit(False)
         )
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(
@@ -961,7 +976,10 @@ def simhash_dedup_pairs(
             f"{max_distance}"
         )
     width = 64 // bands
-    mask = (1 << width) - 1
+    # bands=1 -> width=64 -> the full mask (2^64 - 1) does not fit a
+    # Spark LONG literal; its two's-complement value -1 is the same bit
+    # pattern, and bitwiseAND semantics only care about bits
+    mask = -1 if width == 64 else (1 << width) - 1
     sigs = _spread(df).select(
         F.col(id_col).alias("_id"),
         _simhash_udf()(F.col(text_col)).alias("_sim"),

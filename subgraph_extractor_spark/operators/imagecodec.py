@@ -119,10 +119,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def sniff_and_decode(payload: bytes) -> tuple[str, np.ndarray]:
     """(container, pixels) from magic bytes; raises on unknown formats."""
     if payload[:2] == b"P6":
-        return "ppm", decode_ppm(payload)
-    if payload[:2] == b"BM":
-        return "bmp", decode_bmp(payload)
-    raise ValueError("unrecognized image container")
+        container, pixels = "ppm", decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        container, pixels = "bmp", decode_bmp(payload)
+    else:
+        raise ValueError("unrecognized image container")
+    # a structurally-valid header may still declare a degenerate image
+    # (0x0 BMP): zero-pixel arrays crash the resize gather (index -1
+    # into a size-0 axis) and silently yield NaN means in the feature
+    # kernel — treat them as undecodable so every caller takes its
+    # documented fallback instead
+    if pixels.size == 0:
+        raise ValueError("degenerate zero-dimension image")
+    return container, pixels
 
 
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -146,10 +155,10 @@ def image_resizer(
     raw = bytes(payload)
     try:
         container, pixels = sniff_and_decode(raw)
-    except (ValueError, struct.error):
+        out = resize_nearest(pixels, width, height)
+        return encode_ppm(out) if container == "ppm" else encode_bmp(out)
+    except (ValueError, struct.error, IndexError):
         return raw
-    out = resize_nearest(pixels, width, height)
-    return encode_ppm(out) if container == "ppm" else encode_bmp(out)
 
 
 def image_feature_decoder(payload: bytes | None, kind: str) -> list[float]:

@@ -221,15 +221,33 @@ def ingest_dedup_stream(
     """Continual-ingestion dedup as a stream: the streaming face of
     ``operators.dedup.exact_dedup_incremental``.  Within-stream replays
     collapse via watermark-bounded ``dropDuplicatesWithinWatermark``;
-    rows whose content digest already exists in the STANDING corpus
-    digest table are dropped by a stream-static left-anti join (the
-    static side is re-resolvable per micro-batch, so appending survivors
-    to the digest table between batches is picked up automatically).
-    Same plan runs on a batch input (unified API)."""
+    then — matching the batch operator's full contract — rows whose
+    content digest duplicates an EARLIER row of the stream collapse too
+    (one survivor per digest; a second watermark-bounded dedup state on
+    the digest), and rows whose digest already exists in the STANDING
+    corpus digest table are dropped by a stream-static left-anti join
+    (the static side is re-resolvable per micro-batch, so appending
+    survivors to the digest table between batches is picked up
+    automatically).  Same plan runs on a batch input (unified API); the
+    batch branch picks the deterministic first occurrence per digest
+    (lowest key), where a stream keeps the first ARRIVAL — the same
+    semantics exact_dedup_incremental implements with its in-batch
+    window."""
     deduped = dedup_events_stream(batch, key_cols, watermark)
     hashed = deduped.withColumn(
         "content_sha256", F.sha2(F.col(content_col).cast("string"), 256)
     )
+    if hashed.isStreaming:
+        hashed = hashed.dropDuplicatesWithinWatermark(["content_sha256"])
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_sha256").orderBy(*key_cols)
+        hashed = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return hashed.join(
         corpus_digests.select("content_sha256"), "content_sha256", "left_anti"
     )

@@ -303,3 +303,64 @@ def test_corpus_overlap_estimate(spark, docs):
     bound = 0.04 * (row["n_a_est"] + row["n_b_est"] + row["n_union_est"])
     assert abs(row["n_intersect_est"] - exact) <= bound
     assert row["n_union_est"] >= max(row["n_a_est"], row["n_b_est"])
+
+
+def test_simhash_bands1_exact_signature_match(spark, docs):
+    """bands=1 (width 64) is the legal exact-signature parameterization:
+    the full 64-bit mask does not fit a Spark LONG literal and must be
+    emitted as its two's-complement bit pattern (-1), not crash."""
+    p1 = dedup.simhash_dedup_pairs(
+        docs.limit(120), "text", "doc_id", max_distance=0, bands=1
+    )
+    p4 = dedup.simhash_dedup_pairs(
+        docs.limit(120), "text", "doc_id", max_distance=0, bands=4
+    )
+    s1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+    s4 = {(r["id_a"], r["id_b"]) for r in p4.collect()}
+    assert s1 == s4  # completeness at distance 0 is width-independent
+
+
+def test_shingle_kernel_mirrors_oracle_tokenizer(spark):
+    """The shingle kernel must tokenize byte-for-byte like the DuckDB
+    oracle's string_split_regex(trim(lower(text)), '\\s+') — including
+    the classes where Python str.split() diverges: edge tabs/newlines
+    (SQL trim strips spaces only, keeping empty edge tokens), \\x0b
+    (NOT an RE2 \\s char: stays inside a token), and repeated
+    separators.  The grams feeding the cluster/recall oracles come from
+    exactly this tokenization."""
+    import zlib
+
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "plain three token doc",
+        "\tleading tab one two three",      # leading empty token kept
+        "trailing newline one two three\n",  # trailing empty token kept
+        "a\x0bb c d e f",                   # \x0b inside a token
+        "  spaces  only   doc here ",       # space-trim strips these
+        "Mixed CASE Tokens Here Too",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {}
+    for doc_id, grams in con.execute("""
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      FOR i IN range(1, len(toks) - 1)])
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    """).fetchall():
+        want[doc_id] = sorted(zlib.crc32(g.encode("utf-8")) for g in grams)
+
+    got = {
+        r["_id"]: sorted(r["_h"])
+        for r in dedup.shingle_hashes(
+            spark.createDataFrame(pdf), "text", "doc_id", 3
+        ).collect()
+        if r["_h"]
+    }
+    assert got == want

@@ -187,3 +187,27 @@ def test_malformed_bmp_falls_back_not_raises():
     assert feat == [b / 255.0 for b in hashlib.sha256(corrupt).digest()[:8]]
     assert ic.image_resizer(corrupt, "image/bmp", 4, 4) == corrupt
     assert ic.image_resizer(b"not an image", None, 4, 4) == b"not an image"
+
+
+def test_zero_dimension_image_falls_back_not_raises():
+    """A structurally-valid BMP declaring 0x0 dimensions decodes to a
+    zero-pixel array: the resizer must pass it through (not IndexError
+    on the empty gather) and the feature decoder must take the digest
+    fallback (not return NaN means)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+
+    empty = np.zeros((0, 0, 3), dtype=np.uint8)
+    degenerate = ic.encode_bmp(empty)
+    assert degenerate[:2] == b"BM"
+
+    assert ic.image_resizer(degenerate, "image/bmp", 4, 4) == degenerate
+
+    feat = ic.image_feature_decoder(degenerate, "image")
+    assert len(feat) == 8
+    assert not any(math.isnan(v) for v in feat)
+    assert feat == [b / 255.0 for b in hashlib.sha256(degenerate).digest()[:8]]

@@ -203,15 +203,19 @@ def test_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {r["event_id"] for r in spark.sql("select * from ingest_dedup").collect()}
+    got_rows = spark.sql("select * from ingest_dedup").collect()
+    got = {r["content_sha256"] for r in got_rows}
+    # one survivor per new content digest (the in-stream content dedup);
+    # which event carries it differs stream-vs-batch (arrival order vs
+    # lowest key) so digests, not event ids, are the stable contract
+    assert len(got_rows) == len(got) and got
 
-    want = {r["event_id"] for r in ingest_dedup_stream(ev, corpus).collect()}
-    assert got == want and got
+    batch_rows = ingest_dedup_stream(ev, corpus).collect()
+    want = {r["content_sha256"] for r in batch_rows}
+    assert len(batch_rows) == len(want)
+    assert got == want
     # no click content survived the standing-corpus probe
-    kinds = {
-        r["event_type"]
-        for r in spark.sql("select * from ingest_dedup").collect()
-    }
+    kinds = {r["event_type"] for r in got_rows}
     assert "click" not in kinds and kinds
 
 
