@@ -1243,6 +1243,27 @@ def q_quality_linear_score(spark, sf):
     )
 
 
+def q_text_bpe_tokens(spark, sf):
+    # BPE-ish regex token counting (the driver-mandate wording:
+    # "token counting (whitespace + a BPE-ish regex)") — a GPT-2-style
+    # pretokenizer restricted to the Java-regex ∩ RE2 common subset:
+    # letter runs, digit runs, and non-alnum-non-whitespace runs, with
+    # the whitespace class written EXPLICITLY ([ \t\n\r\f]) because Java
+    # \s includes \x0b and RE2 \s does not.  Pure codegen
+    # (regexp_extract_all + size): a map-only scan at any corpus size.
+    d = _t(spark, sf, "documents")
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+").alias("n_bpe_tokens"),
+        n(r"[A-Za-z]+").alias("n_word_runs"),
+        n(r"[0-9]+").alias("n_digit_runs"),
+        n(r"[^A-Za-z0-9 \t\n\r\f]+").alias("n_other_runs"),
+    )
+
+
 def q_text_token_df(spark, sf):
     # corpus-statistics feedback scoring (two-pass: per-token document
     # frequency aggregated from the corpus, joined back per doc) —
@@ -1936,6 +1957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16_shape": q_tpch_q16_shape,
     "quality_linear_score": q_quality_linear_score,
     "text_token_df": q_text_token_df,
+    "text_bpe_tokens": q_text_bpe_tokens,
 }
 
 
@@ -2641,6 +2663,20 @@ ORACLES: dict[str, str] = {
           AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "text_bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_word_runs,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                   AS n_digit_runs,
+               CAST(len(regexp_extract_all(text,
+                   '[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS BIGINT)
+                   AS n_other_runs
+        FROM documents
     """,
     "text_token_df": """
         WITH pairs AS (

@@ -219,3 +219,54 @@ def test_token_df_scores_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bpe_tokens_adversarial_cross_engine(spark):
+    """The BPE-ish pretokenizer counts must agree between Spark (Java
+    regex) and DuckDB (RE2) on the divergence classes: \\x0b (vertical
+    tab — in Java's \\s, NOT in RE2's, hence the explicit whitespace
+    class), unicode letters (outside [A-Za-z] in both), and mixed runs."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    texts = [
+        "plain words 123 !!",
+        "a\x0bb",                 # \x0b must count as an 'other' run
+        "héllo wörld 42",         # é/ö are 'other' runs in both engines
+        "...---...",
+        "tabs\tand\nnewlines 7x7",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+
+    # same expressions as q_text_bpe_tokens, applied to the in-memory
+    # adversarial table (the query itself reads the sf fixture)
+    from pyspark.sql import functions as F
+
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    ).cast("bigint")
+    got = {
+        r["doc_id"]: (
+            r["n_bpe_tokens"], r["n_word_runs"],
+            r["n_digit_runs"], r["n_other_runs"],
+        )
+        for r in sdf.select(
+            "doc_id",
+            n(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+").alias("n_bpe_tokens"),
+            n(r"[A-Za-z]+").alias("n_word_runs"),
+            n(r"[0-9]+").alias("n_digit_runs"),
+            n(r"[^A-Za-z0-9 \t\n\r\f]+").alias("n_other_runs"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(em.ORACLES["text_bpe_tokens"]).fetchall()
+    }
+    assert got == want
+    assert got[1] == (3, 2, 0, 1)  # 'a', 'b' words + one \x0b other-run
