@@ -1,0 +1,78 @@
+"""Plan-invariant sweep over the ENTIRE queries() surface: every query
+must build a physical plan (analysis + optimization, no execution) free
+of accidental scale-killers.  This is the cheap regression net for the
+100 TB design rules: a refactor that silently turns an equi-join into a
+cartesian product or a nested-loop join fails here, not in a 1000-executor
+postmortem.
+
+Whitelists are DOCUMENTED exceptions:
+- cartesian/BNLJ from the exact brute-force baselines (the documented
+  exact ground-truth side of similarity/near-dup contracts), and
+- BNLJ from crossJoin-ing single-row aggregate anchors in the
+  error-bound contracts (1-row x 1-row is not a scale concern).
+"""
+
+import pytest
+
+import __spark_entry__ as em
+
+# queries whose DEFINITION includes an exact all-pairs baseline or a
+# 1-row contract crossJoin — the only places a non-equi join may appear
+ALLOWED_NON_EQUI = {
+    # documented exact brute-force baselines (cross/theta joins)
+    "j4_similarity_topk",
+    "emb_neardup",
+    "ann_lsh_recall",
+    "ann_ivf",
+    "dedup_ngram_jaccard",  # all-pairs exact Jaccard baseline (sampled)
+    # deliberate broadcast-replication of the SMALL query set onto every
+    # corpus shard (the right asymmetry: corpus shuffles once, queries
+    # are tiny) — shows up as a BNLJ with a bounded broadcast side
+    "sim_topk_matmul",
+    # error-bound contracts: crossJoin of single-row aggregates
+    "dedup_minhash_recall",
+    "dedup_incremental_recall",
+    "corpus_overlap",
+    "a10_approx_distinct",
+    "a11_approx_percentile",
+    # theta/range formulations that are themselves the operator under
+    # test and are bucketed/bounded by construction
+    "j5_range_join",
+    "j7_state_asof",
+}
+
+_BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in em.queries().items():
+        df = fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_every_query_builds_a_plan(plans):
+    assert len(plans) == len(em.queries())
+    for name, plan in plans.items():
+        assert plan and "Exchange" in plan or plan, name
+
+
+def test_no_accidental_cartesian_or_nested_loop(plans):
+    offenders = {
+        name: [n for n in _BAD_NODES if n in plan]
+        for name, plan in plans.items()
+        if name not in ALLOWED_NON_EQUI
+        and any(n in plan for n in _BAD_NODES)
+    }
+    assert not offenders, (
+        "non-equi join nodes outside the documented exceptions: "
+        f"{offenders}"
+    )
+
+
+def test_range_scan_keeps_pushed_filters(plans):
+    # the one invariant worth asserting globally: the flagship range
+    # scan still reaches the parquet reader as PushedFilters
+    assert "PushedFilters: [" in plans["s1_range_scan"]
