@@ -48,3 +48,25 @@ def test_float_render_is_roundtrip_faithful():
     a = pd.DataFrame({"v": [x]})
     b = pd.DataFrame({"v": [y]})
     assert checker.value_hash(a) != checker.value_hash(b)
+
+
+def test_nan_detected_jvm_side_where_null_is_not(spark):
+    """_nan_columns must flag real IEEE NaN in double output columns and
+    must NOT flag NULL — the distinction pandas erases (both become
+    float64 NaN after toPandas), which is why the guard runs JVM-side."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["a"])
+    with_nan = df.select(
+        F.when(F.col("a") > 1.5, F.lit(float("nan")))
+        .otherwise(F.col("a"))
+        .alias("bad"),
+        F.col("a").alias("ok"),
+    )
+    assert checker._nan_columns(with_nan) == ["bad"]
+
+    with_null = df.select(
+        F.when(F.col("a") > 1.5, F.col("a")).alias("has_null"),
+        F.col("a").alias("ok"),
+    )
+    assert checker._nan_columns(with_null) == []
