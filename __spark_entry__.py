@@ -1243,6 +1243,41 @@ def q_quality_linear_score(spark, sf):
     )
 
 
+def q_a12_hll_incremental(spark, sf):
+    # incremental distinct counting via mergeable HLL sketch state
+    # (operators/sketches.py): the corpus half and the "new batch" half
+    # are sketched INDEPENDENTLY, union-merged at sketch level
+    # (kilobytes per group — the history is never reshuffled), and the
+    # merged estimate is contracted against the exact distinct count
+    # (a10-style error bound; lgK=12 -> ~1.6% RSE, bound 5%).
+    from subgraph_extractor_spark.operators import sketches as sk_ops
+
+    ev = _t(spark, sf, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sk_ops.merge_sketch_tables(
+        sk_ops.distinct_sketches(old, ["event_type"], "user_id").unionByName(
+            sk_ops.distinct_sketches(new, ["event_type"], "user_id")
+        ),
+        ["event_type"],
+    )
+    est = sk_ops.estimate_distinct(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(
+                F.col("n_distinct_est").cast("double")
+                - F.col("n_exact").cast("double")
+            )
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_5pct"),
+    )
+
+
 def q_text_bpe_tokens(spark, sf):
     # BPE-ish regex token counting (the driver-mandate wording:
     # "token counting (whitespace + a BPE-ish regex)") — a GPT-2-style
@@ -1958,6 +1993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_linear_score": q_quality_linear_score,
     "text_token_df": q_text_token_df,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "a12_hll_incremental": q_a12_hll_incremental,
 }
 
 
@@ -2663,6 +2699,13 @@ ORACLES: dict[str, str] = {
           AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "a12_hll_incremental": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS within_5pct
+        FROM events
+        GROUP BY event_type
     """,
     "text_bpe_tokens": """
         SELECT doc_id,

@@ -266,3 +266,47 @@ def test_mixture_sample_rejects_bad_weights(docs):
         sampling.mixture_sample(
             docs, F.col("doc_id"), F.col("lang"), {"en": 0.0}
         )
+
+
+def test_hll_sketch_merge_equals_single_pass(spark, sf_dir):
+    """Incremental sketch state must be LOSSLESSLY mergeable: sketching
+    two disjoint halves and union-merging must yield exactly the same
+    estimate as sketching everything in one pass (HLL registers are
+    max-merged; each item's contribution is deterministic), and the
+    estimate must sit within the lgK=12 error envelope of the exact."""
+    from pyspark.sql import functions as F
+
+    from subgraph_extractor_spark.operators import sketches as sk
+    from subgraph_extractor_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = sk.distinct_sketches(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    ).unionByName(
+        sk.distinct_sketches(
+            ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+        )
+    )
+    merged_est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sk.estimate_distinct(
+            sk.merge_sketch_tables(halves, ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    single_est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in sk.estimate_distinct(
+            sk.distinct_sketches(ev, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert merged_est == single_est
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged_est[k] - n) <= 0.05 * n
