@@ -47,6 +47,11 @@ HEADLINE = [
     "text_lang",
     "dedup_chunks",
     "pipeline_contamination",
+    # r4 additions (not in the r1-comparable common subset; first
+    # recorded here so r5+ get comparable numbers)
+    "text_token_df",
+    "text_bpe_tokens",
+    "quality_linear_score",
 ]
 
 
