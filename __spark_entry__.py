@@ -1278,24 +1278,41 @@ def q_a12_hll_incremental(spark, sf):
     )
 
 
+# BPE-ish pretokenizer patterns, restricted to the Java-regex ∩ RE2
+# common subset: letter runs, digit runs, non-alnum-non-whitespace runs,
+# with the whitespace class written EXPLICITLY ([ \t\n\r\f]) because
+# Java \s includes \x0b and RE2 \s does not.  Module-level so the query,
+# the oracle SQL, and the adversarial cross-engine test all consume the
+# SAME strings — an edit here is covered everywhere.
+BPE_PATTERNS = {
+    "n_bpe_tokens": r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+",
+    "n_word_runs": r"[A-Za-z]+",
+    "n_digit_runs": r"[0-9]+",
+    "n_other_runs": r"[^A-Za-z0-9 \t\n\r\f]+",
+}
+
+
+def bpe_count_cols():
+    """(alias, Column) pairs counting each BPE_PATTERNS class — pure
+    codegen (regexp_extract_all + size): a map-only scan at any size."""
+    return [
+        (
+            name,
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+            ).cast("bigint"),
+        )
+        for name, pat in BPE_PATTERNS.items()
+    ]
+
+
 def q_text_bpe_tokens(spark, sf):
     # BPE-ish regex token counting (the driver-mandate wording:
     # "token counting (whitespace + a BPE-ish regex)") — a GPT-2-style
-    # pretokenizer restricted to the Java-regex ∩ RE2 common subset:
-    # letter runs, digit runs, and non-alnum-non-whitespace runs, with
-    # the whitespace class written EXPLICITLY ([ \t\n\r\f]) because Java
-    # \s includes \x0b and RE2 \s does not.  Pure codegen
-    # (regexp_extract_all + size): a map-only scan at any corpus size.
+    # pretokenizer; patterns and rationale at BPE_PATTERNS above.
     d = _t(spark, sf, "documents")
-    n = lambda pat: F.size(  # noqa: E731
-        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
-    ).cast("bigint")
     return d.select(
-        "doc_id",
-        n(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+").alias("n_bpe_tokens"),
-        n(r"[A-Za-z]+").alias("n_word_runs"),
-        n(r"[0-9]+").alias("n_digit_runs"),
-        n(r"[^A-Za-z0-9 \t\n\r\f]+").alias("n_other_runs"),
+        "doc_id", *(col.alias(name) for name, col in bpe_count_cols())
     )
 
 
@@ -2707,20 +2724,14 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
-    "text_bpe_tokens": """
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS BIGINT)
-                   AS n_bpe_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
-                   AS n_word_runs,
-               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
-                   AS n_digit_runs,
-               CAST(len(regexp_extract_all(text,
-                   '[^A-Za-z0-9 \\t\\n\\r\\f]+')) AS BIGINT)
-                   AS n_other_runs
-        FROM documents
-    """,
+    # built from the SAME BPE_PATTERNS strings the Spark query uses
+    # (raw \t etc. — RE2 interprets the escapes, same as Java does)
+    "text_bpe_tokens": "SELECT doc_id, "
+    + ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in BPE_PATTERNS.items()
+    )
+    + " FROM documents",
     "text_token_df": """
         WITH pairs AS (
             SELECT DISTINCT doc_id, tok

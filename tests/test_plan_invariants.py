@@ -56,7 +56,7 @@ def plans(spark, sf_dir):
 def test_every_query_builds_a_plan(plans):
     assert len(plans) == len(em.queries())
     for name, plan in plans.items():
-        assert plan and "Exchange" in plan or plan, name
+        assert plan, name
 
 
 def test_no_accidental_cartesian_or_nested_loop(plans):

@@ -242,24 +242,17 @@ def test_bpe_tokens_adversarial_cross_engine(spark):
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     sdf = spark.createDataFrame(pdf)
 
-    # same expressions as q_text_bpe_tokens, applied to the in-memory
-    # adversarial table (the query itself reads the sf fixture)
-    from pyspark.sql import functions as F
-
-    n = lambda pat: F.size(  # noqa: E731
-        F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
-    ).cast("bigint")
+    # the PRODUCTION expressions (em.bpe_count_cols consumes
+    # em.BPE_PATTERNS — the same strings the oracle SQL is built from),
+    # applied to the in-memory adversarial table: an edit to the
+    # patterns is automatically covered here
+    cols = em.bpe_count_cols()
+    names = [name for name, _ in cols]
+    assert names == list(em.BPE_PATTERNS)
     got = {
-        r["doc_id"]: (
-            r["n_bpe_tokens"], r["n_word_runs"],
-            r["n_digit_runs"], r["n_other_runs"],
-        )
+        r["doc_id"]: tuple(r[name] for name in names)
         for r in sdf.select(
-            "doc_id",
-            n(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+").alias("n_bpe_tokens"),
-            n(r"[A-Za-z]+").alias("n_word_runs"),
-            n(r"[0-9]+").alias("n_digit_runs"),
-            n(r"[^A-Za-z0-9 \t\n\r\f]+").alias("n_other_runs"),
+            "doc_id", *(col.alias(name) for name, col in cols)
         ).collect()
     }
     con = duckdb.connect()
