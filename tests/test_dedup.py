@@ -364,3 +364,30 @@ def test_shingle_kernel_mirrors_oracle_tokenizer(spark):
         if r["_h"]
     }
     assert got == want
+
+
+def test_incremental_minhash_mega_bucket_cap(spark):
+    """The shared _cap_buckets guard must also protect the incremental
+    path: a boilerplate mega-bucket arriving as the NEW batch must not
+    expand quadratically against the corpus, while distinct near-dup
+    pairs still surface."""
+    boiler = [(i, "the same boilerplate text repeated for every doc here")
+              for i in range(1, 2001)]
+    real = [
+        (5001, "a unique document about alpha beta gamma delta epsilon"),
+        (5002, "a unique document about alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(boiler + real, ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_incremental(
+        df.filter(F.col("doc_id") % 2 == 1),   # new batch
+        df.filter(F.col("doc_id") % 2 == 0),   # standing corpus
+        "text",
+        "doc_id",
+        threshold=0.5,
+        max_bucket_size=100,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (5001, 5002) in got
+    assert all(a > 5000 and b > 5000 for a, b in got), (
+        "capped boilerplate bucket must not produce pairs"
+    )
