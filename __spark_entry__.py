@@ -1243,6 +1243,25 @@ def q_quality_linear_score(spark, sf):
     )
 
 
+def q_f_vector_quantize(spark, sf):
+    # symmetric per-vector int8 quantization (similarity.py:
+    # quantize_embeddings) — 4x embedding storage reduction as a
+    # map-only codegen scan; the full quantized vectors are
+    # hash-checked via a string carrier (round-half-up via
+    # floor(x+0.5): deterministic in both engines, unlike round()'s
+    # half-even ties).
+    emb = _t(spark, sf, "embeddings")
+    q = sim_ops.quantize_embeddings(emb, "embedding", "vec_id")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size("qvec").alias("n_dims"),
+        F.concat_ws(
+            ",", F.transform("qvec", lambda e: e.cast("string"))
+        ).alias("q_str"),
+    )
+
+
 def q_a12_hll_incremental(spark, sf):
     # incremental distinct counting via mergeable HLL sketch state
     # (operators/sketches.py): the corpus half and the "new batch" half
@@ -2011,6 +2030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_df": q_text_token_df,
     "text_bpe_tokens": q_text_bpe_tokens,
     "a12_hll_incremental": q_a12_hll_incremental,
+    "f_vector_quantize": q_f_vector_quantize,
 }
 
 
@@ -2716,6 +2736,26 @@ ORACLES: dict[str, str] = {
           AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "f_vector_quantize": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   embedding
+            FROM embeddings
+        )
+        SELECT vec_id,
+               scale,
+               CAST(len(embedding) AS INT) AS n_dims,
+               array_to_string(
+                   list_transform(embedding,
+                       x -> CAST(CASE WHEN scale = 0 THEN 0
+                                 ELSE floor(CAST(x AS DOUBLE) * 127.0
+                                            / scale + 0.5)
+                                 END AS INT)),
+                   ',') AS q_str
+        FROM q
     """,
     "a12_hll_incremental": """
         SELECT event_type,

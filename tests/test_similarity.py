@@ -98,3 +98,32 @@ def test_embedding_neardup_pairs(spark, emb):
     for r in rows:
         assert r["cosine"] >= 0.4
         assert r["id_a"] < r["id_b"]
+
+
+def test_quantize_embeddings_error_bound_and_roundtrip(spark):
+    """int8 quantization invariants: every |q| <= 127, dequantization
+    error <= scale/254 + float slack per element (the round-half-up
+    guarantee), zero vectors quantize to all-zero with scale 0."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    vecs.append((100, [0.0] * 16))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(df, "embedding", "vec_id").collect()
+    }
+    assert out[100] == (0.0, [0] * 16)
+    originals = dict(vecs)
+    for vid, (scale, q) in out.items():
+        if vid == 100:
+            continue
+        assert scale > 0 and max(abs(v) for v in q) <= 127
+        x = np.array(originals[vid])
+        deq = np.array(q) * scale / 127.0
+        assert np.max(np.abs(x - deq)) <= scale / 254.0 + 1e-9
