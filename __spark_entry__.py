@@ -1262,6 +1262,30 @@ def q_f_vector_quantize(spark, sf):
     )
 
 
+def q_sim_topk_quantized(spark, sf):
+    # end-to-end quantized search: both sides of the sharded-matmul
+    # top-k run on int8-quantized-then-dequantized vectors (the 4x-
+    # compressed corpus a 100 TB deployment would actually search), and
+    # the recall contract bounds what quantization error may cost
+    # against the exact float baseline (computed in-query).  The
+    # quantize -> dequantize pass stays in codegen; the search reuses
+    # the sharded cogroup matmul unchanged.
+    emb = _t(spark, sf, "embeddings")
+    deq = sim_ops.quantize_embeddings(emb, "embedding", "vec_id").select(
+        "vec_id",
+        F.transform(
+            "qvec",
+            lambda q: F.when(
+                F.col("scale") == 0.0, F.lit(0.0)
+            ).otherwise(
+                q.cast("double") * F.col("scale") / F.lit(127.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    ann = sim_ops.topk_matmul(deq, deq, "embedding", "vec_id", k=5)
+    return _ann_recall_contract(emb, ann, 0.90)
+
+
 def q_a12_hll_incremental(spark, sf):
     # incremental distinct counting via mergeable HLL sketch state
     # (operators/sketches.py): the corpus half and the "new batch" half
@@ -2031,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "a12_hll_incremental": q_a12_hll_incremental,
     "f_vector_quantize": q_f_vector_quantize,
+    "sim_topk_quantized": q_sim_topk_quantized,
 }
 
 
@@ -2736,6 +2761,11 @@ ORACLES: dict[str, str] = {
           AND l_suppkey NOT IN (
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "sim_topk_quantized": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_090
+        FROM embeddings
     """,
     "f_vector_quantize": """
         WITH q AS (
