@@ -1201,6 +1201,35 @@ def q_tpch_q16_shape(spark, sf):
     )
 
 
+def q_tpch_q18_shape(spark, sf):
+    # Large-volume orders (TPC-H Q18 shape): HAVING-filtered aggregation
+    # joined back to the fact and dim tables.  The grouped sum runs
+    # partial+final on the lineitem shuffle; the filtered aggregate
+    # (2-3k rows from 15k orders at sf0.01) joins orders on the SAME
+    # key, and the customer dim broadcasts.  Quantities sum as
+    # decimal(18,2) — double accumulation is order-dependent across
+    # partitions and would flip the HAVING boundary cross-engine.
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(150).cast("decimal(18,2)"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2056,6 +2085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a12_hll_incremental": q_a12_hll_incremental,
     "f_vector_quantize": q_f_vector_quantize,
     "sim_topk_quantized": q_sim_topk_quantized,
+    "tpch_q18_shape": q_tpch_q18_shape,
 }
 
 
@@ -2737,6 +2767,19 @@ ORACLES: dict[str, str] = {
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > TIMESTAMP '1996-02-01 00:00:00')
         GROUP BY o_orderpriority
+    """,
+    "tpch_q18_shape": """
+        SELECT c_name, o_orderkey, o_totalprice,
+               CAST(sq AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   > CAST(150 AS DECIMAL(18,2))
+        )
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """,
     "tpch_q13_shape": """
         SELECT c_count, COUNT(*) AS custdist
