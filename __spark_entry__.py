@@ -1230,6 +1230,53 @@ def q_tpch_q18_shape(spark, sf):
     )
 
 
+def q_tpch_q20_shape(spark, sf):
+    # Nested semi-join chain (TPC-H Q20 shape): suppliers who shipped a
+    # large volume of some part in 1996, by nation.  The inner
+    # aggregation collapses lineitem to (supp, part) volume BEFORE any
+    # join; the supplier probe is a LeftSemi (suppliers are never
+    # duplicated per qualifying part), and the nation dim broadcasts.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(60).cast("decimal(18,2)"))
+    )
+    return (
+        s.join(big, s["s_suppkey"] == big["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
+def q_f_null_semantics(spark, sf):
+    # Null semantics surface: NULL group keys collapse into one group,
+    # COUNT(*) vs COUNT(col) differ by the null rows, and null-safe
+    # equality (<=> / IS NOT DISTINCT FROM) treats NULL as a comparable
+    # value — three semantics a cross-engine gate must pin down exactly.
+    c = _t(spark, sf, "customer")
+    seg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    return (
+        c.select(seg.alias("seg"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("seg").alias("n_nonnull"),
+            F.sum(F.expr("seg <=> 'BUILDING'").cast("long")).alias(
+                "n_nullsafe_building"
+            ),
+        )
+    )
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2086,6 +2133,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_vector_quantize": q_f_vector_quantize,
     "sim_topk_quantized": q_sim_topk_quantized,
     "tpch_q18_shape": q_tpch_q18_shape,
+    "tpch_q20_shape": q_tpch_q20_shape,
+    "f_null_semantics": q_f_null_semantics,
 }
 
 
@@ -2767,6 +2816,33 @@ ORACLES: dict[str, str] = {
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > TIMESTAMP '1996-02-01 00:00:00')
         GROUP BY o_orderpriority
+    """,
+    "tpch_q20_shape": """
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   > CAST(60 AS DECIMAL(18,2)))
+    """,
+    "f_null_semantics": """
+        SELECT seg,
+               COUNT(*) AS n_rows,
+               COUNT(seg) AS n_nonnull,
+               CAST(SUM(CASE WHEN seg IS NOT DISTINCT FROM 'BUILDING'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nullsafe_building
+        FROM (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        GROUP BY seg
     """,
     "tpch_q18_shape": """
         SELECT c_name, o_orderkey, o_totalprice,
