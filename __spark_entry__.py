@@ -1347,16 +1347,8 @@ def q_sim_topk_quantized(spark, sf):
     # quantize -> dequantize pass stays in codegen; the search reuses
     # the sharded cogroup matmul unchanged.
     emb = _t(spark, sf, "embeddings")
-    deq = sim_ops.quantize_embeddings(emb, "embedding", "vec_id").select(
-        "vec_id",
-        F.transform(
-            "qvec",
-            lambda q: F.when(
-                F.col("scale") == 0.0, F.lit(0.0)
-            ).otherwise(
-                q.cast("double") * F.col("scale") / F.lit(127.0)
-            ).cast("float"),
-        ).alias("embedding"),
+    deq = sim_ops.dequantize_embeddings(
+        sim_ops.quantize_embeddings(emb, "embedding", "vec_id")
     )
     ann = sim_ops.topk_matmul(deq, deq, "embedding", "vec_id", k=5)
     return _ann_recall_contract(emb, ann, 0.90)

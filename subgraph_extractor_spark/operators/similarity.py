@@ -639,23 +639,43 @@ def quantize_embeddings(
     in tests).  Zero vectors keep scale 0 and quantize to all-zeros
     (guarded — no 0/0 under ANSI).
 
-    Output: (id, scale double, qvec array<int>).
+    Output: (id, scale double, qvec array<tinyint>) — ByteType elements,
+    the actual 1-byte layout the 4x claim rests on.
     """
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     qvec = F.when(
         scale == 0.0,
-        F.transform(v, lambda x: F.lit(0)),
+        F.transform(v, lambda x: F.lit(0).cast("byte")),
     ).otherwise(
         F.transform(
             v,
             lambda x: F.floor(
                 x.cast("double") * F.lit(127.0) / scale + F.lit(0.5)
-            ).cast("int"),
+            ).cast("byte"),
         )
     )
     return df.select(
         F.col(id_col),
         scale.alias("scale"),
         qvec.alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame, id_out: str = "vec_id", vec_out: str = "embedding"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: (id, scale, qvec) ->
+    (id, float vector), x_i = q_i * scale / 127.  No division by scale
+    (a zero-scale vector has all-zero q, and 0 * 0.0 / 127 is 0.0), so
+    no guard is needed even under ANSI.  The single definition keeps the
+    gated quantized-search query and its tests on the same arithmetic."""
+    return qdf.select(
+        F.col(id_out),
+        F.transform(
+            "qvec",
+            lambda q: (q.cast("double") * F.col("scale") / F.lit(127.0)).cast(
+                "float"
+            ),
+        ).alias(vec_out),
     )

@@ -129,31 +129,23 @@ def test_quantize_embeddings_error_bound_and_roundtrip(spark):
         assert np.max(np.abs(x - deq)) <= scale / 254.0 + 1e-9
 
 
-def test_quantized_search_recall(spark, sf_dir):
-    """Searching the int8-quantized corpus must recover >=0.90 of the
-    exact float top-5 (measured ~0.99 at both fixture scales — the
-    contract bound leaves a wide margin, per the r3 lesson that
-    near-boundary contracts are unsafe driver checks)."""
-    from pyspark.sql import functions as F
-
-    from subgraph_extractor_spark.operators import similarity as sim_ops
-    from subgraph_extractor_spark.sources import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    deq = sim_ops.quantize_embeddings(emb, "embedding", "vec_id").select(
-        "vec_id",
-        F.transform(
-            "qvec",
-            lambda q: F.when(F.col("scale") == 0.0, F.lit(0.0))
-            .otherwise(q.cast("double") * F.col("scale") / F.lit(127.0))
-            .cast("float"),
-        ).alias("embedding"),
+def test_quantized_search_recall(spark, emb):
+    """Searching the int8-quantized corpus (the PRODUCTION
+    quantize -> dequantize pair) must recover >=0.90 of the exact float
+    top-5 (measured ~0.99 at both fixture scales — the contract bound
+    leaves a wide margin, per the r3 lesson that near-boundary
+    contracts are unsafe driver checks)."""
+    deq = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(emb, "embedding", "vec_id")
     )
-    ann = sim_ops.topk_matmul(deq, deq, "embedding", "vec_id", k=5)
-    exact = sim_ops.brute_force_topk(emb, emb, "embedding", "vec_id", k=5)
-    n_hits = ann.join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "semi",
-    ).count()
-    assert n_hits >= 0.90 * exact.count()
+    ann = similarity.topk_matmul(deq, deq, "embedding", "vec_id", k=5)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(
+            emb, emb, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    ann_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in ann.collect()
+    }
+    assert len(ann_pairs & exact_pairs) >= 0.90 * len(exact_pairs)
