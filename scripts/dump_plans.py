@@ -61,6 +61,16 @@ SHOW = [
         "broadcast linear-model scoring: whole-stage codegen map-only, "
         "zero shuffle",
     ),
+    (
+        "f_vector_quantize",
+        "int8 quantization: map-only codegen HOFs, array<tinyint> "
+        "output, zero shuffle",
+    ),
+    (
+        "tpch_q18_shape",
+        "HAVING-filtered decimal agg joined back on the group key + "
+        "broadcast dim",
+    ),
 ]
 
 
