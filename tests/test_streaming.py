@@ -283,3 +283,94 @@ def test_transform_with_state_plan_builds(spark, sf_dir):
     ]
     assert "TransformWithStateInPySpark" in out._jdf.queryExecution().analyzed().toString() or \
            "transformWithState" in out._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data semantics: an event arriving in a later micro-batch
+    with event time older than (max seen - watermark) must be DROPPED
+    from append-mode windowed aggregation — the state-bounding contract
+    a 100 TB stream depends on — while an in-watermark late event is
+    still merged into its (not-yet-finalized) window."""
+    import pandas as pd
+
+    from subgraph_extractor_spark.streaming.demo import (
+        tumbling_counts_stream,
+    )
+
+    stage = tmp_path / "late_src"
+    stage.mkdir()
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    # batch 1: events up to 12:00 -> after it, watermark = 12:00 - 10min
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base - pd.Timedelta("2h"), base - pd.Timedelta("1h"), base],
+            "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    ).to_parquet(stage / "b1.parquet")
+    raw_schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run():
+        # file sink: the one append sink that supports checkpoint
+        # recovery (the memory sink refuses to restart from one)
+        stream = spark.readStream.schema(raw_schema).parquet(str(stage))
+        q = (
+            tumbling_counts_stream(
+                stream, window="10 minutes", watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    # run 1 processes b1; its final watermark (12:00 - 10min = 11:50)
+    # is persisted in the checkpoint and finalizes the 10:00 and 11:00
+    # windows into the append output
+    run()
+    got1 = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        ("2026-01-01 10:00:00", 1),
+        ("2026-01-01 11:00:00", 1),
+    }, got1
+
+    # run 2 (same checkpoint — the watermark survives the restart)
+    # receives one event 3 hours LATE (before the persisted watermark ->
+    # dropped by the stateful operator) and one 5 minutes late (inside
+    # the watermark -> accepted into its open window)
+    pd.DataFrame(
+        {
+            "event_id": [4, 5],
+            "ts": [base - pd.Timedelta("3h"), base - pd.Timedelta("5min")],
+            "user_id": [1, 1],
+            "event_type": ["click"] * 2,
+            "value": [1.0, 1.0],
+            "props": ["{}"] * 2,
+        }
+    ).to_parquet(stage / "b2.parquet")
+    q2 = run()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, "the 3-hours-late event must be dropped"
+    # the accepted 11:55 event sits in the still-open [11:50, 12:00)
+    # window, so the file output gains no new finalized windows
+    got2 = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got1, got2
