@@ -310,3 +310,37 @@ def test_hll_sketch_merge_equals_single_pass(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(merged_est[k] - n) <= 0.05 * n
+
+
+def test_hll_sketch_table_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The incremental pattern stores sketch tables durably: a per-group
+    sketch table written to parquet (binary column), read back, and
+    union-merged with a fresh batch must estimate exactly what the
+    all-in-memory merge estimates."""
+    from pyspark.sql import functions as F
+
+    from subgraph_extractor_spark.operators import sketches as sk
+    from subgraph_extractor_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+
+    store = str(tmp_path / "sketch_table")
+    sk.distinct_sketches(old, ["event_type"], "user_id").write.parquet(store)
+
+    merged_from_disk = sk.estimate_distinct(
+        sk.merge_sketch_tables(
+            spark.read.parquet(store).unionByName(
+                sk.distinct_sketches(new, ["event_type"], "user_id")
+            ),
+            ["event_type"],
+        ),
+        ["event_type"],
+    )
+    in_memory = sk.estimate_distinct(
+        sk.distinct_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    got = {r["event_type"]: r["n_distinct_est"] for r in merged_from_disk.collect()}
+    want = {r["event_type"]: r["n_distinct_est"] for r in in_memory.collect()}
+    assert got == want and got
