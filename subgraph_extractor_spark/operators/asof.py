@@ -37,12 +37,18 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     right_time <= left_time (direction='backward'; 'forward' gives the
-    earliest right row with right_time >= left_time) sharing ``key``.
+    earliest right row with right_time >= left_time; 'nearest' the row
+    with the smallest absolute time distance, ties to the backward side)
+    sharing ``key`` — the full pandas ``merge_asof`` direction set.
 
     Implementation (union trick): right rows become markers carrying their
     values; a window ordered by (time, side) lets ``last(ignorenulls)``
     propagate the prevailing marker onto each left row.  Equal timestamps
     match (<=): markers sort before left rows at the same time.
+    'nearest' runs both directional windows over the SAME unioned input
+    (one shuffle — the second window reuses the hash partitioning; the
+    two sorts differ only in the side tie-break) and picks per row by
+    comparing the two distances.
     """
     lt, rt = F.col(left_time), F.col(right_time)
     marked_right = right.select(
@@ -74,8 +80,33 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         picked = {c: F.first(f"_v_{c}", ignorenulls=True).over(w) for c in value_cols}
+    elif direction == "nearest":
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        marker_t = F.when(F.col("_side") == 0, F.col("_t"))
+        bt = F.last(marker_t, ignorenulls=True).over(wb)
+        ft = F.first(marker_t, ignorenulls=True).over(wf)
+        use_backward = ft.isNull() | (
+            bt.isNotNull() & ((F.col("_t") - bt) <= (ft - F.col("_t")))
+        )
+        picked = {
+            c: F.when(
+                use_backward, F.last(f"_v_{c}", ignorenulls=True).over(wb)
+            ).otherwise(F.first(f"_v_{c}", ignorenulls=True).over(wf))
+            for c in value_cols
+        }
     else:
-        raise ValueError(f"direction must be backward|forward: {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
 
     out = unioned.withColumns(picked).filter(F.col("_side") == 1)
     return out.select(

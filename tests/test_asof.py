@@ -60,3 +60,59 @@ def test_state_as_of_block(spark):
     live150 = asof.state_as_of_block(versions, 150)
     got150 = {(r["id"], r["val"]) for r in live150.collect()}
     assert got150 == {("e1", "v1"), ("e2", "v1")}
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """'nearest' must agree with pandas merge_asof(direction='nearest')
+    on tie-free data, and ties must break to the backward side (our
+    documented rule)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(1, 4, 60),
+            "t": rng.choice(np.arange(0, 600, 2), 60, replace=False),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(1, 4, 40),
+            "rt": rng.choice(np.arange(1, 601, 2), 40, replace=False),
+            "v": [f"v{i}" for i in range(40)],
+        }
+    )  # odd right times vs even left times -> no |d| ties possible
+    want_pd = pd.merge_asof(
+        left_pd.sort_values("t"),
+        right_pd.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="nearest",
+    )
+    want = {
+        (int(r.k), int(r.t)): (None if pd.isna(r.v) else r.v)
+        for r in want_pd.itertuples()
+    }
+    out = asof.asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        "k",
+        "t",
+        "rt",
+        ["v"],
+        direction="nearest",
+    )
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    assert got == want
+
+    # tie: |10-8| == |10-12| -> backward wins
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 8, "back"), (1, 12, "fwd")], ["k", "rt", "v"]
+    )
+    tie = asof.asof_join(
+        left, right, "k", "t", "rt", ["v"], direction="nearest"
+    ).collect()
+    assert tie[0]["v"] == "back"
