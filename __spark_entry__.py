@@ -1277,6 +1277,34 @@ def q_f_null_semantics(spark, sf):
     )
 
 
+def q_j8_asof_nearest(spark, sf):
+    # nearest-direction as-of join (operators/asof.py, the third
+    # merge_asof direction): each view event gets the temporally CLOSEST
+    # purchase of the same user, ties to the earlier side.  The right
+    # side is pre-collapsed to one row per (user, ts) so the match is
+    # deterministic; the oracle mirrors with an ORDER BY
+    # (abs distance, ts) LIMIT 1 correlated subquery.
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select("user_id", F.col("ts").alias("p_ts"), "purchase_id")
+    )
+    return asof_ops.asof_join(
+        views,
+        purchases,
+        "user_id",
+        "ts",
+        "p_ts",
+        ["purchase_id"],
+        direction="nearest",
+    ).select("user_id", "event_id", "purchase_id")
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2127,6 +2155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18_shape": q_tpch_q18_shape,
     "tpch_q20_shape": q_tpch_q20_shape,
     "f_null_semantics": q_f_null_semantics,
+    "j8_asof_nearest": q_j8_asof_nearest,
 }
 
 
@@ -2821,6 +2850,22 @@ ORACLES: dict[str, str] = {
             GROUP BY l_suppkey, l_partkey
             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
                    > CAST(60 AS DECIMAL(18,2)))
+    """,
+    "j8_asof_nearest": """
+        WITH purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+                   MIN(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        )
+        SELECT v.user_id, v.event_id,
+               (SELECT p.purchase_id FROM purchases p
+                WHERE p.user_id = v.user_id
+                ORDER BY abs(epoch(CAST(v.ts AS TIMESTAMP))
+                             - epoch(p.p_ts)), p.p_ts
+                LIMIT 1) AS purchase_id
+        FROM events v
+        WHERE v.event_type = 'view'
     """,
     "f_null_semantics": """
         SELECT seg,
