@@ -1356,6 +1356,251 @@ def q_tpch_q7_shape(spark, sf):
     )
 
 
+def q_tpch_q6_shape(spark, sf):
+    # Forecasting-revenue-change (TPC-H Q6 shape): a pure scan-side
+    # aggregate — every predicate (ship year, discount band, quantity
+    # cap) is pushable, so at 100 TB this is a map-only parquet scan
+    # with row-group min/max pruning and a single partial+final agg of
+    # two numbers.  The discount band compares in DECIMAL(3,2): the
+    # stored doubles are near-hundredths and a half-up round to two
+    # places is unambiguous, where a raw double BETWEEN would make the
+    # selection hinge on the engines' float literal parsing.
+    li = _t(spark, sf, "lineitem")
+    disc2 = F.col("l_discount").cast("decimal(3,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (disc2 >= F.lit("0.05").cast("decimal(3,2)"))
+            & (disc2 <= F.lit("0.07").cast("decimal(3,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc2.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q10_shape(spark, sf):
+    # Returned-item reporting (TPC-H Q10 shape): revenue lost to
+    # returns per customer over one quarter, top 20.  The quarter
+    # filter prunes orders at the scan; the returnflag filter prunes
+    # lineitem; the customer join shuffles on the key while the
+    # 25-row nation dim broadcasts.  Total order on revenue then key
+    # makes the LIMIT deterministic.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q14_shape(spark, sf):
+    # Promotion-effect ratio (TPC-H Q14 shape): one month of lineitem
+    # joined to the part dim, conditional revenue over total revenue.
+    # Both sums are decimal-exact (order-free) and the single division
+    # happens once, in DOUBLE, on the two exact totals — so the ratio
+    # is bit-identical across engines.  part broadcasts; lineitem's
+    # month filter is scan-pushed.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_revenue_pct"),
+        "n_rows",
+    )
+
+
+def q_tpch_q15_shape(spark, sf):
+    # Top-supplier (TPC-H Q15 shape): per-supplier quarterly revenue,
+    # return the supplier(s) achieving the global maximum.  The revenue
+    # agg shuffles once on l_suppkey; the global max is an empty-key
+    # window over the (tiny, supplier-cardinality) aggregate — no
+    # second pass over the fact table and no driver round-trip.  Ties
+    # all surface (same as the reference SQL's = MAX(...) subquery).
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .alias("_rev")
+        )
+    )
+    w = Window.partitionBy()
+    top = (
+        rev.withColumn("_max", F.max("_rev").over(w))
+        .filter(F.col("_rev") == F.col("_max"))
+    )
+    return (
+        top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_shape(spark, sf):
+    # Small-quantity-order revenue (TPC-H Q17 shape): for one brand's
+    # small parts, revenue from orders below 20% of that part's average
+    # quantity.  The correlated AVG subquery becomes a per-part
+    # aggregate joined back to the same scan — both sides shuffle once
+    # on partkey (AQE reuses the partitioning for the join), and the
+    # tiny filtered part dim broadcasts into both.  The 20%-of-average
+    # threshold is evaluated multiplicatively in DECIMAL
+    # (5·qty·count < sum ⟺ qty < 0.2·avg), so no engine ever divides —
+    # boundary rows cannot flip on float division order.
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 5)
+    ).select("p_partkey")
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # quantities in integer hundredths (ROUND first: 0.35*100 is
+    # 34.99999... in IEEE and Spark's double->long cast truncates while
+    # DuckDB's rounds — ROUND makes both engines land on the integer)
+    qcents = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qcents).alias("_qty_sum"),
+        F.count(F.lit(1)).alias("_qty_cnt"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    small = (
+        li.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(qcents * 5 * F.col("_qty_cnt") < F.col("_qty_sum"))
+    )
+    return small.agg(
+        (F.sum(price).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_tpch_q19_shape(spark, sf):
+    # Discounted-revenue with disjunctive predicates (TPC-H Q19 shape):
+    # three OR'd (brand, size-band, quantity-band) branches evaluated
+    # after the part join.  Catalyst extracts the common
+    # quantity/size envelope... in practice the value here is that the
+    # OR-of-ANDs stays a codegen filter on the joined stream — one
+    # broadcast join, one pass, no union of three scans (the naive
+    # translation would read lineitem three times).
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty = F.col("l_quantity")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+        & (qty >= 1) & (qty <= 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10))
+        & (qty >= 10) & (qty <= 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+        & (qty >= 20) & (qty <= 30)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch1 | branch2 | branch3)
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q22_shape(spark, sf):
+    # Global-sales-opportunity (TPC-H Q22 shape): positive-balance
+    # customers from a nation subset who are above the subset's average
+    # balance and have no URGENT order (this corpus gives every
+    # customer at least one order, so the anti-join side is the
+    # priority-filtered subset to keep the result non-trivial).  The
+    # scalar AVG subquery becomes a tiny global aggregate broadcast
+    # into the filter; the NOT EXISTS becomes a left-anti join on the
+    # order side; the above-average test multiplies through by the
+    # count (bal·cnt > sum, integer cents) so no float division is
+    # compared.  At 100 TB: customer shuffles once for the anti-join,
+    # orders is consumed key-only.
+    c = _t(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11)
+        & (F.col("c_acctbal") > 0.0)
+    )
+    bcents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    stats = c.agg(
+        F.sum(bcents).alias("_bal_sum"), F.count(F.lit(1)).alias("_bal_cnt")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(bcents * F.col("_bal_cnt") > F.col("_bal_sum"))
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(bcents).cast("double") / F.lit(100.0)).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2208,6 +2453,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_null_semantics": q_f_null_semantics,
     "j8_asof_nearest": q_j8_asof_nearest,
     "tpch_q7_shape": q_tpch_q7_shape,
+    "tpch_q6_shape": q_tpch_q6_shape,
+    "tpch_q10_shape": q_tpch_q10_shape,
+    "tpch_q14_shape": q_tpch_q14_shape,
+    "tpch_q15_shape": q_tpch_q15_shape,
+    "tpch_q17_shape": q_tpch_q17_shape,
+    "tpch_q19_shape": q_tpch_q19_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
 }
 
 
@@ -2923,6 +3175,119 @@ ORACLES: dict[str, str] = {
           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "tpch_q6_shape": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND CAST(l_discount AS DECIMAL(3,2)) >= CAST('0.05' AS DECIMAL(3,2))
+          AND CAST(l_discount AS DECIMAL(3,2)) <= CAST('0.07' AS DECIMAL(3,2))
+          AND l_quantity < 24
+    """,
+    "tpch_q10_shape": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "tpch_q14_shape": """
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                          * (CAST(1 AS DECIMAL(18,2))
+                                             - CAST(l_discount AS DECIMAL(18,2)))
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "tpch_q15_shape": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS _rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE _rev = (SELECT MAX(_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17_shape": """
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qcents,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3' AND p_size < 5),
+        per_part AS (
+            SELECT l_partkey AS _pk,
+                   CAST(SUM(qcents) AS BIGINT) AS _qty_sum,
+                   COUNT(*) AS _qty_cnt
+            FROM li GROUP BY l_partkey)
+        SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_rows
+        FROM li JOIN per_part ON l_partkey = _pk
+        WHERE qcents * 5 * _qty_cnt < _qty_sum
+    """,
+    "tpch_q19_shape": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    "tpch_q22_shape": """
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bcents
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11) AND c_acctbal > 0.0),
+        stats AS (
+            SELECT CAST(SUM(bcents) AS BIGINT) AS _bal_sum,
+                   COUNT(*) AS _bal_cnt
+            FROM c)
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               CAST(SUM(bcents) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM c, stats
+        WHERE bcents * _bal_cnt > _bal_sum
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """,
     "j8_asof_nearest": """
         WITH purchases AS (

@@ -36,6 +36,9 @@ ALLOWED_NON_EQUI = {
     "corpus_overlap",
     "a10_approx_distinct",
     "a11_approx_percentile",
+    # scalar-subquery shape: 1-row global-average anchor crossJoined
+    # into the filter (TPC-H Q22's AVG(c_acctbal) subquery)
+    "tpch_q22_shape",
     # theta/range formulations that are themselves the operator under
     # test and are bucketed/bounded by construction
     "j5_range_join",
