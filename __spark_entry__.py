@@ -1601,6 +1601,96 @@ def q_tpch_q22_shape(spark, sf):
     )
 
 
+def q_tpch_q8_shape(spark, sf):
+    # National-market-share (TPC-H Q8 shape): of the ECONOMY-part
+    # revenue sold to EUROPE customers in 1996-97, what fraction came
+    # from NATION_5 suppliers, per year.  Two decimal-exact conditional
+    # sums per year and ONE double division on the exact totals — the
+    # classic ratio-of-aggregates kept bit-portable.  All three dims
+    # (part filtered, nation, region) broadcast; the two fact joins
+    # shuffle on their keys.
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n_c = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_s = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("_nat"),
+            F.sum(rev).alias("_all"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat").cast("double") / F.col("_all").cast("double")).alias(
+            "mkt_share"
+        ),
+        "n_rows",
+    ).orderBy("o_year")
+
+
+def q_tpch_q9_shape(spark, sf):
+    # Product-type-profit (TPC-H Q9 shape): profit on parts whose name
+    # contains 'widget', grouped by supplier nation and year.  The
+    # reference's ps_supplycost has no table here, so unit cost is
+    # proxied by p_retailprice — the shape (LIKE-filtered part dim
+    # broadcast into the fact, profit = revenue − cost·qty as an exact
+    # decimal expression, nation broadcast, two-key group) is what's
+    # under test.  At 100 TB the name filter prunes the broadcast dim
+    # to a sliver, so the fact scan joins against a small hash table.
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    profit = price * (F.lit(1).cast("decimal(18,2)") - disc) - cost
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2454,6 +2544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j8_asof_nearest": q_j8_asof_nearest,
     "tpch_q7_shape": q_tpch_q7_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
+    "tpch_q8_shape": q_tpch_q8_shape,
+    "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q10_shape": q_tpch_q10_shape,
     "tpch_q14_shape": q_tpch_q14_shape,
     "tpch_q15_shape": q_tpch_q15_shape,
@@ -3187,6 +3279,49 @@ ORACLES: dict[str, str] = {
           AND CAST(l_discount AS DECIMAL(3,2)) >= CAST('0.05' AS DECIMAL(3,2))
           AND CAST(l_discount AS DECIMAL(3,2)) <= CAST('0.07' AS DECIMAL(3,2))
           AND l_quantity < 24
+    """,
+    "tpch_q8_shape": """
+        WITH joined AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   n2.n_name AS supp_nation,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2))) AS rev
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_rows
+        FROM joined GROUP BY o_year ORDER BY o_year
+    """,
+    "tpch_q9_shape": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_profit,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
     """,
     "tpch_q10_shape": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
