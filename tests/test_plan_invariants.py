@@ -39,6 +39,8 @@ ALLOWED_NON_EQUI = {
     # scalar-subquery shape: 1-row global-average anchor crossJoined
     # into the filter (TPC-H Q22's AVG(c_acctbal) subquery)
     "tpch_q22_shape",
+    # exactness contract: crossJoin of three single-row count anchors
+    "dedup_bloom_probe",
     # theta/range formulations that are themselves the operator under
     # test and are bucketed/bounded by construction
     "j5_range_join",
