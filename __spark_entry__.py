@@ -36,6 +36,7 @@ from subgraph_extractor_spark.functions.uint256 import (
 from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
+from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
 from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
@@ -2081,6 +2082,47 @@ def q_dedup_bloom_probe(spark, sf):
     )
 
 
+def q_text_heavy_hitters(spark, sf):
+    # Corpus heavy-hitters under the count-min error contract
+    # (operators/freq.py): the sketch's estimates for the top-20 tokens
+    # must satisfy the CM one-sided guarantee — est >= exact always,
+    # est <= exact + 4N/width for this corpus (the hash family is
+    # fixed, so the estimates are deterministic and the bound is
+    # verified at both fixture scales).  The exact side doubles as the
+    # oracle anchor; at 100 TB the sketch alone answers, refreshed per
+    # batch by elementwise merge, with candidates from batch-local
+    # top-k.
+    d = _t(spark, sf, "documents")
+    trimmed = F.trim(F.lower(F.col("text")))
+    toks = d.filter(trimmed != "").select(
+        F.explode(F.split(trimmed, r"\s+")).alias("tok")
+    )
+    width = 1 << 16
+    sketch = freq_ops.cms_build(
+        toks, "tok", depth=4, width=width, num_shards=32
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(
+        F.col("n_exact").desc(), F.col("tok").asc()
+    ).limit(20)
+    est = freq_ops.cms_estimate(top, "tok", sketch)
+    total = exact.agg(F.sum("n_exact").alias("_n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n_exact",
+            (F.col("n_est") >= F.col("n_exact")).alias("est_ge_exact"),
+            (
+                F.col("n_est").cast("double")
+                <= F.col("n_exact").cast("double")
+                + F.lit(4.0) * F.col("_n_total").cast("double") / F.lit(float(width))
+            ).alias("est_within_bound"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+    )
+
+
 def q_corpus_overlap(spark, sf):
     # corpus-pair contamination estimate under the error-bound contract:
     # HLL inclusion-exclusion intersection (no key shuffle — the 100 TB
@@ -2618,6 +2660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17_shape": q_tpch_q17_shape,
     "tpch_q19_shape": q_tpch_q19_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
+    "text_heavy_hitters": q_text_heavy_hitters,
 }
 
 
@@ -3767,6 +3810,20 @@ ORACLES: dict[str, str] = {
         SELECT sha256(text) AS content_sha256,
                MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "text_heavy_hitters": """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS tok
+            FROM documents
+            WHERE trim(lower(text)) <> ''),
+        exact AS (
+            SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok)
+        SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+               TRUE AS est_ge_exact,
+               TRUE AS est_within_bound
+        FROM exact
+        ORDER BY n_exact DESC, tok ASC LIMIT 20
     """,
     "dedup_bloom_probe": """
         WITH batch AS (

@@ -52,6 +52,9 @@ HEADLINE = [
     "text_token_df",
     "text_bpe_tokens",
     "quality_linear_score",
+    # late-r4 addition: Bloom-accelerated incremental dedup end-to-end
+    # (sketch build + cogroup probe + residual anti-join at full sf)
+    "dedup_bloom_probe",
 ]
 
 

@@ -41,6 +41,8 @@ ALLOWED_NON_EQUI = {
     "tpch_q22_shape",
     # exactness contract: crossJoin of three single-row count anchors
     "dedup_bloom_probe",
+    # count-min contract: 1-row total-tokens anchor crossJoined in
+    "text_heavy_hitters",
     # theta/range formulations that are themselves the operator under
     # test and are bucketed/bounded by construction
     "j5_range_join",
