@@ -96,6 +96,27 @@ def test_incremental_bloom_path_is_exact(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_sketch_table_survives_parquet_roundtrip(spark, corpus, sketch,
+                                                 tmp_path):
+    """Durability: the sketch is a plain DataFrame — write to parquet,
+    read back, merge with a fresh batch, and probes behave identically
+    to the all-in-memory path."""
+    store = str(tmp_path / "bloom_store")
+    sketch.write.parquet(store)
+    stored = spark.read.parquet(store)
+    extra = spark.range(5000, 6000).select(
+        F.concat(F.lit("corpus-"), F.col("id")).alias("k")
+    )
+    refreshed = B.bloom_merge(
+        stored.unionByName(
+            B.bloom_build(extra, "k", SHARDS, BITS, HASHES)
+        )
+    )
+    both = corpus.unionByName(extra)
+    probed = B.bloom_probe(both, "k", refreshed, num_shards=SHARDS)
+    assert probed.filter(~F.col("maybe_in_corpus")).count() == 0
+
+
 def test_probe_empty_sketch_flags_all_false(spark, corpus):
     empty = B.bloom_build(
         corpus.filter(F.lit(False)), "k", SHARDS, BITS, HASHES

@@ -73,6 +73,27 @@ def test_merge_rejects_mixed_geometry(spark, skewed):
         FQ.cms_merge(a.unionByName(b)).collect()
 
 
+def test_sketch_table_survives_parquet_roundtrip(spark, skewed, tmp_path):
+    """Durability: parquet round-trip + merge with a fresh batch gives
+    the same counters as sketching the union in one pass."""
+    rows, stream = skewed
+    lo = stream.filter(F.col("k") <= "tok-5")
+    hi = stream.filter(F.col("k") > "tok-5")
+    store = str(tmp_path / "cms_store")
+    FQ.cms_build(lo, "k", depth=DEPTH, width=WIDTH,
+                 num_shards=SHARDS).write.parquet(store)
+    refreshed = FQ.cms_merge(
+        spark.read.parquet(store).unionByName(
+            FQ.cms_build(hi, "k", depth=DEPTH, width=WIDTH,
+                         num_shards=SHARDS)
+        )
+    ).first()
+    whole = FQ.cms_build(stream, "k", depth=DEPTH, width=WIDTH,
+                         num_shards=SHARDS).first()
+    assert refreshed["counters"] == whole["counters"]
+    assert refreshed["n_total"] == whole["n_total"]
+
+
 def test_tiny_width_collides_but_stays_one_sided(spark, skewed):
     rows, stream = skewed
     sk = FQ.cms_build(stream, "k", depth=2, width=16, num_shards=SHARDS)
