@@ -71,6 +71,27 @@ SHOW = [
         "HAVING-filtered decimal agg joined back on the group key + "
         "broadcast dim",
     ),
+    (
+        "tpch_q6_shape",
+        "scan-only agg: every predicate in PushedFilters, map-only "
+        "partial+final of two numbers",
+    ),
+    (
+        "tpch_q19_shape",
+        "disjunctive OR-of-ANDs stays one codegen filter after one "
+        "broadcast join — not three scans",
+    ),
+    (
+        "dedup_bloom_probe",
+        "Bloom build = one 24-byte-row shuffle into per-shard bitmap "
+        "tasks; cogroup probe ships each bitmap once; residual "
+        "anti-join only on Bloom-positive rows",
+    ),
+    (
+        "text_heavy_hitters",
+        "count-min build: sharded counter matrices summed once; "
+        "single-cogroup candidate estimation",
+    ),
 ]
 
 
