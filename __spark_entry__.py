@@ -38,6 +38,7 @@ from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
+from subgraph_extractor_spark.operators import passages as passage_ops
 from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
@@ -2477,6 +2478,40 @@ def q_dedup_chunks(spark, sf):
     )
 
 
+def q_dedup_passage_spans(spark, sf):
+    # substring-level dedup (ExactSubstr, Lee et al. ACL'22, token
+    # 8-grams): maximal duplicated-passage token spans, first corpus
+    # occurrence kept.  Three shuffles total — gram-hash window, doc-id
+    # span merge (+groupBy on the same partitioning).  sha256 gram keys
+    # here for bit-portability to the oracle; production uses xxhash64
+    # (operators/passages.py).
+    d = _t(spark, sf, "documents")
+    return passage_ops.duplicate_passage_spans(
+        d, "doc_id", "text", k=8, hash_name="sha256"
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
+def q_pipeline_remove_passages(spark, sf):
+    # end-to-end duplicate-passage removal: cut every later copy of a
+    # repeated >=8-token passage out of the text; documents without
+    # duplication pass through whitespace-normalized.  Token filtering
+    # is a codegen (token, index) HOF — document text never shuffles;
+    # only (id, pos, hash) rows move.
+    d = _t(spark, sf, "documents")
+    return passage_ops.remove_duplicate_passages(
+        d, "doc_id", "text", k=8, hash_name="sha256"
+    ).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens_kept").cast("int").alias("n_tokens_kept"),
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+    )
+
+
 def q_pipeline_pack_sequences(spark, sf):
     # greedy next-fit sequence packing into 512-token bins over 8 hash
     # shards; the stateful fold is not a window function, but the oracle
@@ -2661,6 +2696,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_shape": q_tpch_q19_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "dedup_passage_spans": q_dedup_passage_spans,
+    "pipeline_remove_passages": q_pipeline_remove_passages,
 }
 
 
@@ -4032,6 +4069,108 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # substring-level dedup: duplicate 8-gram occurrences (corpus-first
+    # kept) merged into maximal spans — gaps-and-islands over the
+    # duplicate positions, identical formulation to the Spark windows
+    "dedup_passage_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, u.pos AS pos, sha256(u.g) AS gh
+            FROM (SELECT doc_id,
+                       unnest([{'pos': i - 1,
+                                'g': array_to_string(t[i:i+7], ' ')}
+                               FOR i IN range(1, len(t) - 8 + 2)]) AS u
+                  FROM toks WHERE len(t) >= 8)
+        ), dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY gh
+                                          ORDER BY doc_id, pos) AS rn
+                FROM grams) WHERE rn > 1
+        ), grp AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM (SELECT doc_id, pos,
+                       CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) IS NULL
+                              OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS new_span
+                  FROM dup)
+        )
+        SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+               CAST(MAX(pos) + 8 AS INT) AS span_end
+        FROM grp GROUP BY doc_id, g
+    """,
+    # duplicate-passage removal: tokens surviving span coverage,
+    # re-joined in order; untouched docs pass through normalized
+    "pipeline_remove_passages": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, u.pos AS pos, sha256(u.g) AS gh
+            FROM (SELECT doc_id,
+                       unnest([{'pos': i - 1,
+                                'g': array_to_string(t[i:i+7], ' ')}
+                               FOR i IN range(1, len(t) - 8 + 2)]) AS u
+                  FROM toks WHERE len(t) >= 8)
+        ), dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY gh
+                                          ORDER BY doc_id, pos) AS rn
+                FROM grams) WHERE rn > 1
+        ), spans AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM (SELECT doc_id, pos,
+                       SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+                  FROM (SELECT doc_id, pos,
+                       CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) IS NULL
+                              OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS new_span
+                  FROM dup))
+            GROUP BY doc_id, g
+        ), tok_idx AS (
+            SELECT doc_id, u.i AS i, u.tok AS tok
+            FROM (SELECT doc_id,
+                       unnest([{'i': i - 1, 'tok': t[i]}
+                               FOR i IN range(1, len(t) + 1)]) AS u
+                  FROM toks)
+        ), kept AS (
+            SELECT ti.doc_id, ti.i, ti.tok
+            FROM tok_idx ti
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = ti.doc_id
+                                AND s.s <= ti.i AND ti.i < s.e)
+        )
+        SELECT d.doc_id,
+               coalesce(k.ct, '') AS clean_text,
+               CAST(coalesce(k.n, 0) AS INT) AS n_tokens_kept,
+               CAST(t_all.n - coalesce(k.n, 0) AS INT) AS n_tokens_removed
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct,
+                          COUNT(*) AS n
+                   FROM kept GROUP BY doc_id) k USING (doc_id)
+        JOIN (SELECT doc_id, len(t) AS n FROM toks) t_all USING (doc_id)
     """,
 }
 

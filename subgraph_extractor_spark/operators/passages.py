@@ -1,0 +1,189 @@
+"""Duplicate-passage detection & removal (substring-level dedup).
+
+Document-level dedup (``operators/dedup.py``) drops whole near-duplicate
+documents; this module removes *repeated passages inside otherwise-unique
+documents* — boilerplate headers, license blocks, templated navigation,
+quoted reposts — the ExactSubstr idea of Lee et al., "Deduplicating
+Training Data Makes Language Models Better" (ACL 2022), re-expressed for
+Spark at token-k-gram granularity:
+
+    an occurrence of a token k-gram is a *duplicate* iff the identical
+    k-gram content occurs anywhere else in the corpus at a strictly
+    smaller (doc id, token position).  The corpus-wide first occurrence
+    of every passage survives; every later copy is marked and can be
+    cut out of the text.
+
+Suffix automata don't distribute; this formulation is three Catalyst
+shuffles and nothing else:
+
+1. map-side: tokenize + slide a k-token window (codegen HOFs, no UDF),
+   hash each gram — one row per gram occurrence;
+2. shuffle 1 (gram hash): a window ``row_number`` per gram keyed by the
+   content hash picks the corpus-first occurrence; rows with rn > 1 are
+   duplicate occurrences.  The per-key window is bounded by the gram's
+   duplication factor, never by corpus size;
+3. shuffle 2 (doc id): classic gaps-and-islands span merge — overlapping
+   duplicate k-gram occurrences coalesce into maximal half-open token
+   spans [start, end).  The follow-up groupBy reuses the same hash
+   partitioning, so Catalyst plans one exchange for steps 3+4.
+
+At 100 TB the gram-hash shuffle dominates; rows are (id, pos, 64-bit
+hash) — no text moves after the map side.  ``hash_name="sha256"`` (hex
+string key, 2.5x wider) exists so the oracled queries are bit-portable
+to any SQL engine; production would run the default ``xxhash64``.
+
+Collision note: a 64-bit gram-hash collision can mark an innocent gram
+as duplicated.  At 10^12 grams the expected number of colliding *pairs*
+is ~27 (birthday bound), each clipping at most k tokens — negligible
+against trillions of tokens, and zero for the sha256 path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.dedup import tokens
+
+
+def _gram_structs(text: Column, k: int) -> Column:
+    """array<struct<pos:int, gram:string>> of every overlapping k-token
+    gram with its 0-based start token index.  Codegen HOF — no UDF."""
+    toks = tokens(text)
+    empty = F.array().cast("array<struct<pos:int,gram:string>>")
+    return F.when(F.size(toks) < k, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("gram"),
+            ),
+        )
+    )
+
+
+def duplicate_gram_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """(id, pos) of every k-gram occurrence whose content appears earlier
+    in the corpus (earlier = smaller (id, pos); the first occurrence is
+    NOT returned).  One map-side gram explosion + one gram-hash window."""
+    if hash_name == "xxhash64":
+        gram_hash = lambda c: F.xxhash64(c)  # noqa: E731
+    elif hash_name == "sha256":
+        gram_hash = lambda c: F.sha2(c, 256)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_name: {hash_name!r}")
+
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_gram_structs(F.col(text_col), k)).alias("_g"),
+    ).select(
+        "_id",
+        F.col("_g.pos").alias("pos"),
+        gram_hash(F.col("_g.gram")).alias("_gh"),
+    )
+    w = Window.partitionBy("_gh").orderBy("_id", "pos")
+    return (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("_id").alias(id_col), "pos")
+    )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """Maximal duplicated-passage token spans per document.
+
+    Returns (id, span_start, span_end): half-open [start, end) token
+    ranges covering exactly the union of all duplicate k-gram
+    occurrences (see ``duplicate_gram_occurrences``), merged where they
+    overlap or touch.  Gaps-and-islands: a new span starts where a
+    duplicate gram's start lies beyond every previous occurrence's
+    reach (``pos > max(prev pos) + k``... tracked as the running max of
+    end offsets); the running count of span starts labels the island.
+    """
+    dup = duplicate_gram_occurrences(df, id_col, text_col, k, hash_name)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), 1
+    ).otherwise(0)
+    spans = (
+        dup.withColumn("_new", new_span)
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+    return spans
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_name: str = "xxhash64",
+) -> DataFrame:
+    """Cut every duplicated passage out of the corpus.
+
+    Returns (id, clean_text, n_tokens_kept, n_tokens_removed) where
+    ``clean_text`` is the document's token stream minus all tokens
+    covered by a duplicate span, re-joined with single spaces (the
+    operator's tokenization is whitespace-normalizing by construction).
+    Documents with no duplicated passage pass through with their full
+    normalized token stream.
+
+    Spans arrive as a per-doc array via one aggregation on the span
+    output (same id-hash partitioning — no extra exchange beyond the
+    span merge), then token filtering is a codegen HOF over
+    (token, index): a token survives iff no span covers its index.
+    Span arrays are per-document and bounded by ``n_tokens/k``, so the
+    exists() probe is cheap; the document text never shuffles — spans
+    broadcast-or-shuffle-join back onto the source relation by id.
+    """
+    spans = duplicate_passage_spans(df, id_col, text_col, k, hash_name)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast(
+                "array<struct<span_start:int,span_end:int>>"
+            ),
+        ),
+    )
+    toks = tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (s["span_start"] <= i) & (i < s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).alias("n_tokens_kept"),
+        (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+    )
