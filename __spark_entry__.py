@@ -35,6 +35,7 @@ from subgraph_extractor_spark.functions.uint256 import (
 )
 from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
+from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
@@ -2478,6 +2479,48 @@ def q_dedup_chunks(spark, sf):
     )
 
 
+def _cdc_feed(spark, sf):
+    # the events stream as a CDC changelog: key=user_id, sequence=
+    # event_id (monotone, unique), 'error' events are account deletes
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+def q_cdc_latest_state(spark, sf):
+    # changelog compaction (MERGE-INTO semantics without a table
+    # format): latest row per key, deleted keys dropped — one hash
+    # shuffle on the key, per-key window bounded by key churn
+    feed = _cdc_feed(spark, sf)
+    return cdc_ops.compact_changelog(
+        feed, ["user_id"], "seq"
+    ).select("user_id", "seq", "op", "event_type", "value")
+
+
+def q_cdc_apply_incremental(spark, sf):
+    # incremental upsert: compact an arbitrary half of the feed into a
+    # tombstone-keeping snapshot, apply the other half as a change
+    # batch.  The parity split makes batches sequence-INTERLEAVED — the
+    # adversarial case where dropping tombstones would resurrect
+    # deleted keys — and the oracle is the full-feed compaction, so the
+    # driver hash certifies apply∘compact == compact(union) exactly.
+    feed = _cdc_feed(spark, sf)
+    snap = cdc_ops.compact_changelog(
+        feed.filter(F.col("seq") % 2 == 0),
+        ["user_id"], "seq", keep_tombstones=True,
+    )
+    return cdc_ops.apply_changelog(
+        snap, feed.filter(F.col("seq") % 2 == 1), ["user_id"], "seq"
+    ).select("user_id", "seq", "op", "event_type", "value")
+
+
 def q_dedup_passage_spans(spark, sf):
     # substring-level dedup (ExactSubstr, Lee et al. ACL'22, token
     # 8-grams): maximal duplicated-passage token spans, first corpus
@@ -2698,6 +2741,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_heavy_hitters": q_text_heavy_hitters,
     "dedup_passage_spans": q_dedup_passage_spans,
     "pipeline_remove_passages": q_pipeline_remove_passages,
+    "cdc_latest_state": q_cdc_latest_state,
+    "cdc_apply_incremental": q_cdc_apply_incremental,
 }
 
 
@@ -4069,6 +4114,29 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # changelog compaction: latest row per key, deletes drop the key
+    "cdc_latest_state": """
+        SELECT user_id, seq, op, event_type, value FROM (
+            SELECT user_id, event_id AS seq,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND op <> 'D'
+    """,
+    # incremental apply over a sequence-interleaved split must equal
+    # the full-feed compaction — same oracle text by construction
+    "cdc_apply_incremental": """
+        SELECT user_id, seq, op, event_type, value FROM (
+            SELECT user_id, event_id AS seq,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND op <> 'D'
     """,
     # substring-level dedup: duplicate 8-gram occurrences (corpus-first
     # kept) merged into maximal spans — gaps-and-islands over the
