@@ -2593,6 +2593,156 @@ def q_dedup_minhash_recall(spark, sf):
     return _pair_recall_contract(found, truth)
 
 
+def _partsupp_proxy(spark, sf):
+    # this corpus has no partsupp table; derive the part-supplier
+    # relation from lineitem with supply cost = MIN decimal-exact
+    # extended price (documented proxy, same join topology as partsupp)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "ps_cost"
+        )
+    )
+
+
+def q_tpch_q2_shape(spark, sf):
+    # TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    # the region's cheapest supplier(s).  The correlated MIN subquery
+    # becomes a window MIN over the part key — one shuffle on partkey,
+    # no join-back; dims (supplier⋈nation⋈region, part) broadcast.
+    ps = _partsupp_proxy(spark, sf)
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    c = ps.join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
+    w = Window.partitionBy("l_partkey")
+    c = c.withColumn("_mc", F.min("ps_cost").over(w)).filter(
+        F.col("ps_cost") == F.col("_mc")
+    )
+    return c.join(F.broadcast(p), c["l_partkey"] == p["p_partkey"]).select(
+        "p_partkey",
+        "p_type",
+        "s_name",
+        "n_name",
+        "s_acctbal",
+        F.col("ps_cost").cast("double").alias("supply_cost"),
+    )
+
+
+def q_tpch_q11_shape(spark, sf):
+    # TPC-H Q11 shape (important stock): per-part inventory value for
+    # one nation's suppliers, kept where it exceeds a fraction of that
+    # nation's grand total.  Partial aggregation before the join-free
+    # threshold; the grand total is a 1-row agg broadcast back — no
+    # second pass over the fact.  Exact decimal throughout; the only
+    # double appears per-row in the output cast.
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    nat = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    per_part = (
+        li.join(F.broadcast(nat), li["l_suppkey"] == nat["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_v"))
+    )
+    total = per_part.agg(
+        (F.sum("_v") * F.lit("0.001").cast("decimal(10,4)")).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_thr"))
+        .select(
+            "l_partkey",
+            F.col("_v").cast("double").alias("part_value"),
+        )
+    )
+
+
+def q_tpch_q12_shape(spark, sf):
+    # TPC-H Q12 shape (shipping-class priority counts): lineitem class
+    # (l_returnflag proxies l_shipmode — this corpus carries no ship
+    # mode) vs order priority split.  One shuffle join orders⋈lineitem
+    # on the order key, map-side CASE, two-group agg; sums CAST to
+    # BIGINT on the oracle side (DuckDB HUGEINT discipline).
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_returnflag").isin("R", "A"))
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    high = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q21_shape(spark, sf):
+    # TPC-H Q21 shape (suppliers who kept orders waiting): finished
+    # orders with >1 supplier where EXACTLY ONE supplier shipped late
+    # (late = shipped >60 days after order date; this corpus has no
+    # commit/receipt dates).  The classic EXISTS / NOT-EXISTS pair is
+    # re-expressed as per-(order,supplier) then per-order aggregates —
+    # two pipelined shuffles on the order key instead of two correlated
+    # probes of the fact, the formulation that survives 100×.
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+    )
+    waiting = (
+        per_os.filter(F.col("_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        waiting.join(
+            F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
     # per round).  Round-4 window: (a) the three r3-fail queries with
@@ -2743,6 +2893,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_remove_passages": q_pipeline_remove_passages,
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_apply_incremental": q_cdc_apply_incremental,
+    # completes all 22 TPC-H query shapes (Q1 = a3_pricing_summary)
+    "tpch_q2_shape": q_tpch_q2_shape,
+    "tpch_q11_shape": q_tpch_q11_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
+    "tpch_q21_shape": q_tpch_q21_shape,
 }
 
 
@@ -4114,6 +4269,86 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # Q2 shape: window-MIN replaces the correlated min-cost subquery
+    "tpch_q2_shape": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+            FROM lineitem GROUP BY 1, 2
+        ), eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), c AS (
+            SELECT ps.l_partkey, ps.ps_cost, eu.s_name, eu.s_acctbal,
+                   eu.n_name,
+                   MIN(ps_cost) OVER (PARTITION BY l_partkey) AS mc
+            FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+        )
+        SELECT p_partkey, p_type, s_name, n_name, s_acctbal,
+               CAST(ps_cost AS DOUBLE) AS supply_cost
+        FROM c JOIN part ON c.l_partkey = p_partkey
+        WHERE ps_cost = mc AND p_type = 'LARGE' AND p_size <= 10
+    """,
+    # Q11 shape: exact-decimal per-part value vs 0.001 of the total
+    "tpch_q11_shape": """
+        WITH nat AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        ), per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS v
+            FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+            GROUP BY 1
+        )
+        SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE v > (SELECT SUM(v) * CAST('0.001' AS DECIMAL(10,4))
+                   FROM per_part)
+    """,
+    # Q12 shape: priority split per shipping class; SUMs cast to BIGINT
+    "tpch_q12_shape": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('R', 'A')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    # Q21 shape: EXISTS/NOT-EXISTS re-expressed as two-level aggregates
+    "tpch_q21_shape": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate >
+                            o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), per_o AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp,
+                   SUM(late) AS n_late
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     # changelog compaction: latest row per key, deletes drop the key
     "cdc_latest_state": """

@@ -39,6 +39,8 @@ ALLOWED_NON_EQUI = {
     # scalar-subquery shape: 1-row global-average anchor crossJoined
     # into the filter (TPC-H Q22's AVG(c_acctbal) subquery)
     "tpch_q22_shape",
+    # same shape: Q11's 1-row grand-total threshold broadcast back
+    "tpch_q11_shape",
     # exactness contract: crossJoin of three single-row count anchors
     "dedup_bloom_probe",
     # count-min contract: 1-row total-tokens anchor crossJoined in
