@@ -40,6 +40,7 @@ from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
 from subgraph_extractor_spark.operators import passages as passage_ops
+from subgraph_extractor_spark.operators import retrieval as retrieval_ops
 from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
@@ -2593,6 +2594,21 @@ def q_dedup_minhash_recall(spark, sf):
     return _pair_recall_contract(found, truth)
 
 
+_BM25_TERMS = ["join", "stream", "vector"]  # sorted; accumulation order
+
+
+def q_text_bm25(spark, sf):
+    # BM25 retrieval (log-free deterministic idf variant — see
+    # operators/retrieval.py): one 1-row corpus-stats anchor broadcast
+    # onto a map-only codegen scoring scan, TakeOrdered top-20.  Every
+    # double op is an explicit left-associated chain mirrored verbatim
+    # in the oracle, so the driver hash checks the SCORES bit-exactly.
+    d = _t(spark, sf, "documents")
+    return retrieval_ops.bm25_topk(
+        d, "doc_id", "text", _BM25_TERMS, k=20
+    ).select("doc_id", "score", F.col("dl").cast("int").alias("dl"))
+
+
 def _partsupp_proxy(spark, sf):
     # this corpus has no partsupp table; derive the part-supplier
     # relation from lineitem with supply cost = MIN decimal-exact
@@ -2898,6 +2914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
     "tpch_q21_shape": q_tpch_q21_shape,
+    "text_bm25": q_text_bm25,
 }
 
 
@@ -4478,9 +4495,52 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _bm25_oracle_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of retrieval.bm25_scores: identical expression tree, with
+    every folded Python float (k1+1.0, 1.0-b) emitted via repr() so the
+    DuckDB literal parses to the same IEEE double Spark computed."""
+    terms = sorted(set(terms))
+    stats_cols = ", ".join(
+        "CAST(SUM(CASE WHEN list_contains(t, '%s') THEN 1 ELSE 0 END) "
+        "AS DOUBLE) AS df_%d" % (t, i)
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for i, t in enumerate(terms):
+        idf = f"((n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        tf = f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE)"
+        denom = (
+            f"({tf} + {k1!r} * ({(1.0 - b)!r} + "
+            f"{b!r} * CAST(len(t) AS DOUBLE) / (total_dl / n)))"
+        )
+        parts.append(f"({idf} * (({tf} * {(k1 + 1.0)!r}) / {denom}))")
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(len(t)) AS DOUBLE) AS total_dl,
+                   {stats_cols}
+            FROM toks
+        )
+        SELECT doc_id, {score} AS score, CAST(len(t) AS INT) AS dl
+        FROM toks, stats
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["text_lang"] = _lang_pred_sql()
+    out["text_bm25"] = _bm25_oracle_sql(_BM25_TERMS)
     # text_quality mirrors quality_features exactly (per-row IEEE math)
     d2 = "regexp_replace(concat(' ', trim(lower(text)), ' '), '\\s+', '  ', 'g')"
     stop_terms = " + ".join(

@@ -92,6 +92,32 @@ SHOW = [
         "count-min build: sharded counter matrices summed once; "
         "single-cogroup candidate estimation",
     ),
+    (
+        "dedup_passage_spans",
+        "substring dedup: map-side gram explosion, one gram-hash window "
+        "shuffle, one doc-id gaps-and-islands merge (window + groupBy "
+        "share the exchange)",
+    ),
+    (
+        "pipeline_remove_passages",
+        "passage removal: spans re-joined by doc id; (token,index) HOF "
+        "filter in codegen — text never shuffles",
+    ),
+    (
+        "cdc_apply_incremental",
+        "CDC upsert: union + one key-hash window; tombstone-keeping "
+        "snapshot folds in the delta with a single shuffle",
+    ),
+    (
+        "tpch_q21_shape",
+        "Q21 waiting-supplier: correlated EXISTS pair as two pipelined "
+        "order-key aggregations + broadcast supplier dim",
+    ),
+    (
+        "text_bm25",
+        "BM25: 1-row corpus-stats anchor broadcast onto a map-only "
+        "codegen scoring scan; TakeOrdered top-k, no full sort",
+    ),
 ]
 
 

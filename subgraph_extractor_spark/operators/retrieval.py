@@ -1,0 +1,123 @@
+"""Lexical retrieval scoring (BM25) over a document corpus.
+
+Training-data curation constantly ranks a corpus against a probe query:
+find documents resembling a benchmark (contamination triage), mine
+domain-relevant subsets, build retrieval baselines.  This implements
+Okapi BM25 as a *map-only codegen scan*:
+
+- corpus statistics (N, total token count, per-term document frequency
+  for the query's terms) come from ONE global aggregation — a 1-row
+  anchor crossJoin-broadcast back onto the scan (the scalar-subquery
+  shape used throughout this repo);
+- per-document scoring is pure whole-stage codegen: token counts via
+  array HOFs, the BM25 formula as an explicit left-associated chain of
+  IEEE double ops — zero Python, zero extra shuffle;
+- top-k is Spark's TakeOrdered (per-partition heap + driver merge of k
+  rows), so the full corpus is never sorted.
+
+Determinism contract (what makes the operator oracle-checkable
+cross-engine): the idf term uses the *log-free* monotone variant
+
+    idf(t) = (N - df(t) + 0.5) / (df(t) + 0.5)
+
+instead of its logarithm.  ``ln`` is libm-dependent (Java's StrictMath
+vs DuckDB's libm may differ in the last ulp); a single division of
+exactly-representable integers(+0.5) is bit-identical everywhere.  The
+ranking this produces differs from textbook BM25 (log damping is lost
+— common terms are punished more), but it is a fixed, documented,
+deterministic monotone transform of the same (tf, df, dl) evidence;
+swap ``idf_log=True`` for textbook scoring when cross-engine hashing
+is not required.
+
+All doubles flow through the exact same expression tree on both
+engines: tf, dl, df, N are exact integers; avgdl is one double
+division; k1/b are double literals; additions fold left in query-term
+sort order.  IEEE 754 makes every step reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.dedup import tokens
+
+
+def _tf(toks: Column, term: str) -> Column:
+    """Occurrences of ``term`` in the token array — codegen HOF."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_log: bool = False,
+) -> DataFrame:
+    """(id, score) for every document against ``query_terms``.
+
+    One global-stats aggregation + one map-only scoring scan.  Terms
+    are deduplicated and sorted so the floating-point accumulation
+    order is part of the operator's definition (determinism), not an
+    accident of input order.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(F.col(id_col), toks.alias("_toks"))
+
+    stats = with_toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size("_toks")).alias("_total_dl"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(
+                f"_df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored = with_toks.join(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_total_dl").cast("double") / n
+    dl = F.size("_toks").cast("double")
+    score = None
+    for i, t in enumerate(terms):
+        dfreq = F.col(f"_df_{i}").cast("double")
+        if idf_log:
+            idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        else:
+            idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+        tf = _tf(F.col("_toks"), t).cast("double")
+        term_score = idf * (
+            (tf * (k1 + 1.0))
+            / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        )
+        score = term_score if score is None else score + term_score
+    return scored.select(
+        F.col(id_col), score.alias("score"), F.size("_toks").alias("dl")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents by BM25 score; ties break on the id so the
+    result set is total-ordered (hash-stable).  TakeOrdered physical
+    plan — per-partition heap of k, never a full sort."""
+    return (
+        bm25_scores(df, id_col, text_col, query_terms, **kwargs)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

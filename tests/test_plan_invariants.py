@@ -41,6 +41,8 @@ ALLOWED_NON_EQUI = {
     "tpch_q22_shape",
     # same shape: Q11's 1-row grand-total threshold broadcast back
     "tpch_q11_shape",
+    # same shape: BM25's 1-row corpus-stats anchor broadcast back
+    "text_bm25",
     # exactness contract: crossJoin of three single-row count anchors
     "dedup_bloom_probe",
     # count-min contract: 1-row total-tokens anchor crossJoined in

@@ -1,0 +1,85 @@
+"""BM25 retrieval: hand-computed scores (exact float expectation),
+top-k tie determinism, empty-query guard, log variant."""
+
+import pytest
+
+from subgraph_extractor_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark streams join the vector table"),       # join x1, vector x1
+        (2, "join join join and more join here ok"),      # join x4
+        (3, "nothing relevant whatsoever in this text"),  # none
+        (4, ""),                                          # empty
+        (5, "vector vector"),                             # vector x2, dl 2
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _expected(docs, terms, k1=1.2, b=0.75):
+    """Pure-python replica of the operator's expression tree (same
+    float op order) — the scores must match BIT-exactly."""
+    toks = {i: t.strip().lower().split() for i, t in docs}
+    n = float(len(docs))
+    total_dl = float(sum(len(v) for v in toks.values()))
+    avgdl = total_dl / n
+    out = {}
+    for i, tk in toks.items():
+        dl = float(len(tk))
+        score = None
+        for term in sorted(set(terms)):
+            dfreq = float(sum(1 for v in toks.values() if term in v))
+            idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+            tf = float(tk.count(term))
+            s = idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+            score = s if score is None else score + s
+        out[i] = score
+    return out
+
+
+def test_scores_match_python_bitwise(corpus):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    exp = _expected(rows, ["join", "vector"])
+    got = {
+        r.doc_id: r.score
+        for r in R.bm25_scores(corpus, "doc_id", "text", ["join", "vector"])
+        .collect()
+    }
+    assert got == exp  # bit-exact float equality, not approx
+
+
+def test_ranking_sanity(corpus):
+    top = R.bm25_topk(corpus, "doc_id", "text", ["join", "vector"], k=5) \
+        .collect()
+    order = [r.doc_id for r in top]
+    # term-free docs rank last with score 0.0; doc 2 (4x join) beats 1
+    assert order.index(2) < order.index(3)
+    assert order.index(1) < order.index(3)
+    scores = {r.doc_id: r.score for r in top}
+    assert scores[3] == 0.0 and scores[4] == 0.0
+    # zero-score ties break by doc_id: 3 before 4
+    assert order.index(3) < order.index(4)
+
+
+def test_duplicate_terms_collapse(corpus):
+    a = R.bm25_scores(corpus, "doc_id", "text", ["join", "join"]).collect()
+    b = R.bm25_scores(corpus, "doc_id", "text", ["join"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_empty_query_raises(corpus):
+    with pytest.raises(ValueError):
+        R.bm25_scores(corpus, "doc_id", "text", [])
+
+
+def test_log_variant_orders_same_on_separable_corpus(corpus):
+    # textbook log idf is a monotone damping of the same evidence; on a
+    # corpus where doc ranks are driven by tf it preserves the ranking
+    lin = [r.doc_id for r in
+           R.bm25_topk(corpus, "doc_id", "text", ["join"], k=5).collect()]
+    log = [r.doc_id for r in
+           R.bm25_topk(corpus, "doc_id", "text", ["join"], k=5,
+                       idf_log=True).collect()]
+    assert lin == log
