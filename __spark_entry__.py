@@ -33,6 +33,7 @@ from subgraph_extractor_spark.functions.uint256 import (
     be_bytes_to_decimal38,
     uint256_to_be_bytes,
 )
+from subgraph_extractor_spark.operators import aggstate as aggstate_ops
 from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
@@ -2594,6 +2595,26 @@ def q_dedup_minhash_recall(spark, sf):
     return _pair_recall_contract(found, truth)
 
 
+def q_rollup_incremental(spark, sf):
+    # exact incremental view maintenance: algebraic aggregate state
+    # built per batch (parity split of lineitem), merged WITHOUT
+    # rescanning either batch, finalized to the served rollup.  The
+    # oracle is the single-pass groupBy over the union — the driver
+    # hash certifies merge(state(A), state(B)) == state(A ∪ B) to the
+    # bit (decimal-exact sums; avg is one double division at the end).
+    li = _t(spark, sf, "lineitem")
+    a = aggstate_ops.aggregate_state(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        ["l_returnflag", "l_linestatus"], "l_extendedprice",
+    )
+    b = aggstate_ops.aggregate_state(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        ["l_returnflag", "l_linestatus"], "l_extendedprice",
+    )
+    merged = aggstate_ops.merge_aggregate_states(a, b)
+    return aggstate_ops.finalize_aggregates(merged)
+
+
 _BM25_TERMS = ["join", "stream", "vector"]  # sorted; accumulation order
 
 
@@ -2915,6 +2936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12_shape": q_tpch_q12_shape,
     "tpch_q21_shape": q_tpch_q21_shape,
     "text_bm25": q_text_bm25,
+    "rollup_incremental": q_rollup_incremental,
 }
 
 
@@ -4286,6 +4308,23 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # incremental rollup: merged algebraic state must equal the
+    # single-pass aggregate over the union, bit-for-bit
+    "rollup_incremental": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sum_v,
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS min_v,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS max_v,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE)
+                   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_v
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
     """,
     # Q2 shape: window-MIN replaces the correlated min-cost subquery
     "tpch_q2_shape": """
