@@ -65,3 +65,44 @@ def read_manifest_files(table_dir: str) -> list[str]:
     return sorted(
         {md.row_group(i).column(0).file_path for i in range(md.num_row_groups)}
     )
+
+
+def vacuum_table(table_dir: str, dry_run: bool = True) -> list[str]:
+    """Garbage-collect data files the manifest no longer references.
+
+    Re-coarsening (SURVEY §2.11) supersedes fine partitions with coarse
+    ones; the manifest stops referencing the old files but they stay on
+    disk.  That is deliberate — the manifest is the consistency point,
+    and readers in flight may still hold the old snapshot — so cleanup
+    is a SEPARATE, explicitly-invoked step, exactly like Delta's VACUUM.
+
+    Only ``*.parquet`` files under ``table_dir`` are candidates; the
+    manifest itself, dotfiles, and ``_``-prefixed markers are never
+    touched.  With ``dry_run=True`` (the default) nothing is deleted —
+    the stale list is returned for inspection.  A missing manifest
+    raises (refusing to treat an uncommitted directory as all-stale).
+
+    Driver-side metadata operation by design: it lists file *names*
+    (O(#files), no data I/O) — the same scale class as the manifest
+    commit itself.
+    """
+    import pyarrow.fs as pafs
+
+    fs, base = fsio.resolve(table_dir)
+    referenced = {
+        posixpath.join(base, f) for f in read_manifest_files(table_dir)
+    }
+    stale = []
+    for fi in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
+        if fi.type != pafs.FileType.File:
+            continue
+        name = posixpath.basename(fi.path)
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        if fi.path not in referenced:
+            stale.append(fi.path)
+    stale.sort()
+    if not dry_run:
+        for p in stale:
+            fs.delete_file(p)
+    return stale

@@ -312,3 +312,64 @@ def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
     )
     q.awaitTermination(120)
     return spark.sql("select * from events_tumbling")
+
+
+# --------------------------------------------------------------------------
+# standing rollup: exact aggregate state maintained by foreachBatch
+# --------------------------------------------------------------------------
+
+def _latest_state_version(state_dir: str) -> tuple[int, str] | None:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [
+        (int(d[1:]), os.path.join(state_dir, d))
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def standing_rollup_sink(
+    spark,
+    state_dir: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+):
+    """foreachBatch sink maintaining an EXACT standing rollup from a
+    stream — the streaming face of ``operators.aggstate``: each
+    micro-batch is aggregated alone (touching only new data) and merged
+    into the persisted state table; history is never rescanned.
+
+    State versions are keyed by micro-batch id (``v{batch_id}``), which
+    makes a replayed batch after crash-recovery overwrite its own
+    version instead of double-counting — the standard foreachBatch
+    idempotence idiom.  Because the state algebra is exact decimal
+    (aggstate docstring), the served rollup is bit-identical to a batch
+    groupBy over everything ingested, whatever the batch boundaries —
+    the property the test certifies.
+    """
+    from subgraph_extractor_spark.operators import aggstate
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new = aggstate.aggregate_state(batch_df, list(group_cols), value_col)
+        latest = _latest_state_version(state_dir)
+        if latest is not None and latest[0] != batch_id:
+            new = aggstate.merge_aggregate_states(
+                spark.read.parquet(latest[1]), new
+            )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_standing_rollup(spark, state_dir: str) -> DataFrame:
+    """Finalized rollup from the latest persisted state — reads the
+    |groups|-row state table only, never the ingested history."""
+    from subgraph_extractor_spark.operators import aggstate
+
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no rollup state under {state_dir}")
+    return aggstate.finalize_aggregates(spark.read.parquet(latest[1]))

@@ -213,6 +213,61 @@ def test_recoarsening_manifest_supersedes_small_files(spark, tmp_path):
     )
 
 
+def test_vacuum_removes_only_superseded_files(spark, tmp_path):
+    """VACUUM after re-coarsening: dry-run lists exactly the files the
+    manifest dropped, real run deletes them, the committed snapshot is
+    byte-identical before and after, and a second vacuum is a no-op."""
+    from subgraph_extractor_spark.plans.manifest import vacuum_table
+
+    sizes = [32768, 1024]
+    cfg = {
+        **CONFIG,
+        "tables": {
+            "entity_versions": {
+                **CONFIG["tables"]["entity_versions"],
+                "partition_sizes": sizes,
+            }
+        },
+    }
+    out = str(tmp_path)
+    tables = {"entity_versions": _entity_df(spark)}
+    run_extraction(spark, cfg, tables, out, 18_448_000, 18_470_000)
+    td = _table_dir(out)
+    run_extraction(spark, cfg, tables, out, 18_448_000, 18_600_000)
+
+    referenced = set(read_manifest_files(td))
+    on_disk_before = {
+        os.path.relpath(os.path.join(dp, f), td)
+        for dp, _, fns in os.walk(td)
+        for f in fns
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    expected_stale = on_disk_before - referenced
+    assert expected_stale, "re-coarsening should have superseded files"
+
+    snapshot = _read_via_manifest(td)
+    stale = vacuum_table(td)  # dry run
+    assert {os.path.relpath(p, td) for p in stale} == expected_stale
+    assert all(os.path.exists(p) for p in stale)  # dry run deletes nothing
+
+    deleted = vacuum_table(td, dry_run=False)
+    assert deleted == stale
+    assert not any(os.path.exists(p) for p in deleted)
+    # the committed snapshot is untouched
+    assert _read_via_manifest(td).equals(snapshot)
+    assert vacuum_table(td, dry_run=False) == []
+
+
+def test_vacuum_refuses_uncommitted_dir(tmp_path):
+    from subgraph_extractor_spark.plans.manifest import vacuum_table
+
+    d = tmp_path / "nomanifest"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"junk")
+    with pytest.raises(FileNotFoundError):
+        vacuum_table(str(d))
+
+
 def test_extraction_with_timestamp_column(spark, sf_dir, tmp_path):
     """Regression: Spark's legacy INT96 timestamps vs pyarrow's INT64
     empty-partition placeholders must not split the manifest schema

@@ -374,3 +374,57 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == got1, got2
+
+
+def test_standing_rollup_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
+    """foreachBatch-maintained exact rollup state: two micro-batches of
+    the events feed merged incrementally must serve a rollup
+    bit-identical to the single-pass batch aggregate — whatever the
+    batch boundaries (exact decimal state algebra)."""
+    import os
+
+    from subgraph_extractor_spark.operators import aggstate
+    from subgraph_extractor_spark.streaming.demo import (
+        serve_standing_rollup,
+        standing_rollup_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tmp_path / "rollup_src"
+    stage.mkdir()
+    # two staged FILES (the source lists files, not dirs) ->
+    # maxFilesPerTrigger=1 forces two micro-batches
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        ev.filter(F.col("event_id") % 2 == 0).toArrow(),
+        str(stage / "p0.parquet"),
+    )
+    papq.write_table(
+        ev.filter(F.col("event_id") % 2 == 1).toArrow(),
+        str(stage / "p1.parquet"),
+    )
+
+    state_dir = str(tmp_path / "rollup_state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            standing_rollup_sink(spark, state_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert len(os.listdir(state_dir)) >= 2  # one state version per batch
+
+    got = sorted(map(tuple, serve_standing_rollup(spark, state_dir).collect()))
+    want = sorted(map(tuple, aggstate.finalize_aggregates(
+        aggstate.aggregate_state(ev, ["event_type"], "value")
+    ).collect()))
+    assert got == want
