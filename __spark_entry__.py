@@ -2793,7 +2793,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core.  Rotated out to make room: the raw rows-only pair/topk
     # queries (dedup_minhash / dedup_simhash / ann_lsh keep their r3
     # rows and their bench entries) and 7 three-round-green pure
-    # function surfaces untouched by this round's changes.
+    # function surfaces untouched by this round's changes.  Late round
+    # 4: six new pipeline operators (passage dedup x2, CDC x2, BM25,
+    # incremental rollup) enter for first rows, displacing six more
+    # 3-round-green untouched entries — every in-window query remains
+    # fully oracled.
     "w7_sessionize": q_w7_sessionize,
     "f_vector": q_f_vector,
     "pipeline_contamination": q_pipeline_contamination,
@@ -2815,20 +2819,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
+    # -- late-round-4 pipeline operators, in-window for their first
+    # driver rows (each swaps out a 3-round-green untouched entry:
+    # f_date, text_fingerprint, text_clean, pipeline_stable_split,
+    # a10_approx_distinct, a11_approx_percentile keep their r1-r3 rows)
+    "dedup_passage_spans": q_dedup_passage_spans,
+    "pipeline_remove_passages": q_pipeline_remove_passages,
+    "cdc_latest_state": q_cdc_latest_state,
+    "cdc_apply_incremental": q_cdc_apply_incremental,
+    "text_bm25": q_text_bm25,
+    "rollup_incremental": q_rollup_incremental,
     # -- stable oracled core --
-    "f_date": q_f_date,
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_lang": q_text_lang,
-    "text_fingerprint": q_text_fingerprint,
-    "text_clean": q_text_clean,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "pipeline_stable_split": q_pipeline_stable_split,
-    "a10_approx_distinct": q_a10_approx_distinct,
-    "a11_approx_percentile": q_a11_approx_percentile,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "sample_group_topk": q_sample_group_topk,
@@ -2926,17 +2934,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_shape": q_tpch_q19_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "text_heavy_hitters": q_text_heavy_hitters,
-    "dedup_passage_spans": q_dedup_passage_spans,
-    "pipeline_remove_passages": q_pipeline_remove_passages,
-    "cdc_latest_state": q_cdc_latest_state,
-    "cdc_apply_incremental": q_cdc_apply_incremental,
     # completes all 22 TPC-H query shapes (Q1 = a3_pricing_summary)
     "tpch_q2_shape": q_tpch_q2_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
     "tpch_q21_shape": q_tpch_q21_shape,
-    "text_bm25": q_text_bm25,
-    "rollup_incremental": q_rollup_incremental,
+    # rotated out of the r4 window for the late-round additions (green
+    # r1-r3, untouched this round)
+    "f_date": q_f_date,
+    "text_fingerprint": q_text_fingerprint,
+    "text_clean": q_text_clean,
+    "pipeline_stable_split": q_pipeline_stable_split,
+    "a10_approx_distinct": q_a10_approx_distinct,
+    "a11_approx_percentile": q_a11_approx_percentile,
 }
 
 
@@ -4539,6 +4549,7 @@ def _bm25_oracle_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     every folded Python float (k1+1.0, 1.0-b) emitted via repr() so the
     DuckDB literal parses to the same IEEE double Spark computed."""
     terms = sorted(set(terms))
+    terms = [t.replace("'", "''") for t in terms]
     stats_cols = ", ".join(
         "CAST(SUM(CASE WHEN list_contains(t, '%s') THEN 1 ELSE 0 END) "
         "AS DOUBLE) AS df_%d" % (t, i)

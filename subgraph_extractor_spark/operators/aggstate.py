@@ -41,6 +41,11 @@ def aggregate_state(
     """Per-group algebraic state over ``value_col``:
     (groups..., st_count, st_sum, st_min, st_max).  One shuffle on the
     group key; partial aggregation runs map-side as usual."""
+    bad = [c for c in [*group_cols, value_col] if c.startswith("st_")]
+    if bad:
+        raise ValueError(
+            f"column names {bad} collide with the st_* state namespace"
+        )
     v = F.col(value_col).cast(_STATE_DECIMAL)
     return df.groupBy(*group_cols).agg(
         F.count(value_col).alias("st_count"),

@@ -46,10 +46,16 @@ from pyspark.sql import functions as F
 from subgraph_extractor_spark.operators.dedup import tokens
 
 
+def _toks(text: Column) -> Column:
+    """tokens(), with NULL text behaving like empty text (NULL would
+    otherwise propagate through size() as -1 in the removal counters)."""
+    return F.coalesce(tokens(text), F.array().cast("array<string>"))
+
+
 def _gram_structs(text: Column, k: int) -> Column:
     """array<struct<pos:int, gram:string>> of every overlapping k-token
     gram with its 0-based start token index.  Codegen HOF — no UDF."""
-    toks = tokens(text)
+    toks = _toks(text)
     empty = F.array().cast("array<struct<pos:int,gram:string>>")
     return F.when(F.size(toks) < k, empty).otherwise(
         F.transform(
@@ -175,7 +181,7 @@ def remove_duplicate_passages(
             ),
         ),
     )
-    toks = tokens(F.col(text_col))
+    toks = _toks(F.col(text_col))
     covered = lambda i: F.exists(  # noqa: E731
         F.col("_spans"),
         lambda s: (s["span_start"] <= i) & (i < s["span_end"]),

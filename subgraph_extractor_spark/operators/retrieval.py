@@ -69,7 +69,9 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    toks = tokens(F.col(text_col))
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     with_toks = df.select(F.col(id_col), toks.alias("_toks"))
 
     stats = with_toks.agg(

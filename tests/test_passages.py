@@ -30,8 +30,10 @@ def corpus(spark):
         (5, ""),
         # doc 6: internal self-repetition (same 8-gram twice in one doc)
         (6, "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8"),
+        # doc 7: NULL text — must behave like empty, not poison counters
+        (7, None),
     ]
-    return spark.createDataFrame(rows, ["doc_id", "text"])
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
 def test_spans_known_corpus(corpus):
@@ -47,8 +49,8 @@ def test_spans_known_corpus(corpus):
     assert (2, 9, 9 + n_b) in spans
     # doc 3: boilerplate at tokens [8, 8+11)
     assert (3, 8, 8 + n_b) in spans
-    # docs 4/5: untouched
-    assert not any(d in (4, 5) for d, *_ in spans)
+    # docs 4/5/7: untouched (7 is NULL text)
+    assert not any(d in (4, 5, 7) for d, *_ in spans)
     # doc 6: the second copy of the 8-gram starts at token 9
     assert (6, 9, 17) in spans
     assert len(spans) == 3
@@ -60,7 +62,10 @@ def test_removal_known_corpus(corpus):
         for r in P.remove_duplicate_passages(corpus, "doc_id", "text", k=8)
         .collect()
     }
-    assert len(out) == 6
+    assert len(out) == 7
+    # NULL text behaves like empty text
+    assert out[7].clean_text == ""
+    assert out[7].n_tokens_kept == 0 and out[7].n_tokens_removed == 0
     # later boilerplate copies are cut, prose survives
     assert out[2].clean_text == "one two three four five six seven eight nine"
     assert out[3].clean_text == (

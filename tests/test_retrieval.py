@@ -14,14 +14,15 @@ def corpus(spark):
         (3, "nothing relevant whatsoever in this text"),  # none
         (4, ""),                                          # empty
         (5, "vector vector"),                             # vector x2, dl 2
+        (6, None),                                        # NULL text
     ]
-    return spark.createDataFrame(rows, ["doc_id", "text"])
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
 def _expected(docs, terms, k1=1.2, b=0.75):
     """Pure-python replica of the operator's expression tree (same
     float op order) — the scores must match BIT-exactly."""
-    toks = {i: t.strip().lower().split() for i, t in docs}
+    toks = {i: t.strip().lower().split() if t else [] for i, t in docs}
     n = float(len(docs))
     total_dl = float(sum(len(v) for v in toks.values()))
     avgdl = total_dl / n
