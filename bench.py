@@ -55,6 +55,12 @@ HEADLINE = [
     # late-r4 addition: Bloom-accelerated incremental dedup end-to-end
     # (sketch build + cogroup probe + residual anti-join at full sf)
     "dedup_bloom_probe",
+    # late-r4 pipeline operators (first recorded here for r5+)
+    "dedup_passage_spans",
+    "pipeline_remove_passages",
+    "cdc_apply_incremental",
+    "text_bm25",
+    "rollup_incremental",
 ]
 
 
