@@ -39,6 +39,7 @@ from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
+from subgraph_extractor_spark.operators import histogram as hist_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
 from subgraph_extractor_spark.operators import passages as passage_ops
 from subgraph_extractor_spark.operators import retrieval as retrieval_ops
@@ -2615,6 +2616,51 @@ def q_rollup_incremental(spark, sf):
     return aggstate_ops.finalize_aggregates(merged)
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 120000.0, 240  # width 500
+
+
+def q_a13_histogram_percentile(spark, sf):
+    # mergeable-histogram percentiles: state built per batch (parity
+    # split), merged without rescanning, percentile served from the
+    # 240-row state.  Output: estimate, exact percentile, and the
+    # one-bin-width bound check — ALL SQL-expressible, so the oracle
+    # hash certifies the merged estimate bit-exactly (unlike
+    # merge-order-sensitive quantile sketches).
+    li = _t(spark, sf, "lineitem")
+    mk = lambda pred: hist_ops.histogram_state(  # noqa: E731
+        li.filter(pred), "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    st = hist_ops.merge_histogram_states(
+        mk(F.col("l_orderkey") % 2 == 0), mk(F.col("l_orderkey") % 2 == 1)
+    )
+    ps = [0.5, 0.9, 0.99]
+    est = hist_ops.percentiles_from_histogram(st, ps)
+    exact = li.agg(
+        *[
+            F.percentile(F.col("l_extendedprice"), F.lit(p)).alias(
+                f"_ex_{i}"
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    exact_col = F.when(F.col("p") == 0.5, F.col("_ex_0")).when(
+        F.col("p") == 0.9, F.col("_ex_1")
+    ).otherwise(F.col("_ex_2"))
+    return (
+        est.join(F.broadcast(exact))
+        .select(
+            "p",
+            "est",
+            exact_col.alias("exact"),
+            (
+                (F.col("est") >= exact_col)
+                & ((F.col("est") - exact_col) <= F.lit(width))
+            ).alias("bound_ok"),
+        )
+    )
+
+
 _BM25_TERMS = ["join", "stream", "vector"]  # sorted; accumulation order
 
 
@@ -2947,6 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
+    "a13_histogram_percentile": q_a13_histogram_percentile,
 }
 
 
@@ -4318,6 +4365,54 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # mergeable-histogram percentiles: estimate, exact, one-bin bound
+    "a13_histogram_percentile": """
+        WITH hist AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(l_extendedprice AS DOUBLE) - 0.0)
+                       / ((120000.0 - 0.0) / 240)) AS BIGINT), 0), 239)
+                       AS bin,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), ranked AS (
+            SELECT bin,
+                   SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(n) OVER () AS total
+            FROM hist
+        ), ex AS (
+            SELECT quantile_cont(l_extendedprice, 0.5) AS ex0,
+                   quantile_cont(l_extendedprice, 0.9) AS ex1,
+                   quantile_cont(l_extendedprice, 0.99) AS ex2
+            FROM lineitem
+        ), est AS (
+            SELECT 0.5 AS p,
+                   (SELECT 0.0 + (MIN(bin) + 1) * ((120000.0 - 0.0) / 240)
+                    FROM ranked
+                    WHERE cum * 1000000 >= total * 500000) AS est
+            UNION ALL
+            SELECT 0.9,
+                   (SELECT 0.0 + (MIN(bin) + 1) * ((120000.0 - 0.0) / 240)
+                    FROM ranked
+                    WHERE cum * 1000000 >= total * 900000)
+            UNION ALL
+            SELECT 0.99,
+                   (SELECT 0.0 + (MIN(bin) + 1) * ((120000.0 - 0.0) / 240)
+                    FROM ranked
+                    WHERE cum * 1000000 >= total * 990000)
+        )
+        SELECT p, est,
+               CASE WHEN p = 0.5 THEN ex0
+                    WHEN p = 0.9 THEN ex1 ELSE ex2 END AS exact,
+               (est >= CASE WHEN p = 0.5 THEN ex0
+                            WHEN p = 0.9 THEN ex1 ELSE ex2 END)
+               AND ((est - CASE WHEN p = 0.5 THEN ex0
+                                WHEN p = 0.9 THEN ex1 ELSE ex2 END)
+                    <= ((120000.0 - 0.0) / 240)) AS bound_ok
+        FROM est, ex
     """,
     # incremental rollup: merged algebraic state must equal the
     # single-pass aggregate over the union, bit-for-bit

@@ -43,6 +43,8 @@ ALLOWED_NON_EQUI = {
     "tpch_q11_shape",
     # same shape: BM25's 1-row corpus-stats anchor broadcast back
     "text_bm25",
+    # same shape: histogram-percentile's 1-row exact anchor crossJoin
+    "a13_histogram_percentile",
     # exactness contract: crossJoin of three single-row count anchors
     "dedup_bloom_probe",
     # count-min contract: 1-row total-tokens anchor crossJoined in
