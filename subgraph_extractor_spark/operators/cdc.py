@@ -102,10 +102,15 @@ def apply_changelog(
     tagged = snapshot.select(*cols).withColumn(
         "_prio", F.lit(0)
     ).unionByName(changes.select(*cols).withColumn("_prio", F.lit(1)))
+    # tie order mirrors compact_changelog: at equal sequence the delete
+    # outranks the upsert REGARDLESS of which side it sits on — a
+    # change-batch upsert must not resurrect a same-version snapshot
+    # tombstone (apply∘compact == compact(union) depends on it).  The
+    # batch-priority bit only breaks genuine same-op replay ties.
     w = Window.partitionBy(*keys).orderBy(
         F.col(sequence_col).desc(),
-        F.col("_prio").desc(),
         (F.col(op_col) == delete_op).desc(),
+        F.col("_prio").desc(),
     )
     out = (
         tagged.withColumn("_rn", F.row_number().over(w))

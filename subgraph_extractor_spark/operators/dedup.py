@@ -98,11 +98,20 @@ def exact_dedup_incremental(
 # --------------------------------------------------------------------------
 
 def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens; empty string -> empty array."""
+    """Lowercased whitespace tokens; empty string -> empty array.
+    NULL propagates (callers that must count tokens use
+    ``tokens_or_empty``)."""
     trimmed = F.trim(F.lower(col))
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
+
+
+def tokens_or_empty(col: Column) -> Column:
+    """``tokens`` with NULL text behaving like empty text — the
+    null-safe variant for operators whose counters would otherwise be
+    poisoned by ``size(NULL) = -1`` (passage removal, BM25 lengths)."""
+    return F.coalesce(tokens(col), F.array().cast("array<string>"))
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

@@ -6,8 +6,10 @@ This module is the percentile face of the incremental-state family
 (`aggstate`, `sketches`, `bloom`, `freq`): a fixed-geometry equi-width
 histogram is a *mergeable* summary — per-bin counts add — so a standing
 histogram table absorbs each new batch without rescanning history, and
-any percentile is served from the |bins|-row state with a HARD error
-bound of one bin width on the value axis.
+any percentile is served from the |bins|-row state with a hard error
+bound of one bin width against the nearest-rank quantile (see
+``percentiles_from_histogram`` for the exact contract and how
+interpolating anchors differ).
 
 Everything is deterministic and SQL-expressible (bin index is a single
 floor-divide; the estimate is a cumulative-count walk), so unlike most
@@ -60,17 +62,28 @@ def histogram_state(
     )
 
 
-def merge_histogram_states(a: DataFrame, b: DataFrame) -> DataFrame:
+def merge_histogram_states(
+    a: DataFrame, b: DataFrame, check_geometry: bool = True
+) -> DataFrame:
     """Per-bin counts add.  Refuses mismatched geometries — a merged
-    histogram over different bin edges is silently meaningless."""
-    geoms = (
-        a.select(*_GEOM_COLS)
-        .unionByName(b.select(*_GEOM_COLS))
-        .distinct()
-        .collect()
-    )
-    if len(geoms) > 1:
-        raise ValueError(f"histogram geometry mismatch: {geoms}")
+    histogram over different bin edges is silently meaningless.
+
+    The geometry check runs the two state plans once (cheap when the
+    states are persisted tables — the normal standing-state case; for
+    one-shot in-plan composition where both states were just built with
+    the same literals, pass ``check_geometry=False`` to skip the extra
+    computation).  Grouping by the geometry columns keeps the merge
+    itself mismatch-safe either way: mismatched bins never add, they
+    surface as conflicting geometry rows downstream."""
+    if check_geometry:
+        geoms = (
+            a.select(*_GEOM_COLS)
+            .unionByName(b.select(*_GEOM_COLS))
+            .distinct()
+            .collect()
+        )
+        if len(geoms) > 1:
+            raise ValueError(f"histogram geometry mismatch: {geoms}")
     return (
         a.unionByName(b)
         .groupBy("bin", *_GEOM_COLS)
@@ -83,41 +96,56 @@ def percentiles_from_histogram(
     state: DataFrame, ps: list[float]
 ) -> DataFrame:
     """(p, est) for each requested percentile: the UPPER edge of the
-    first bin whose cumulative count reaches p * total.  Estimate error
-    is at most one bin width for in-range data; the walk runs over the
-    |bins|-row state only.  Deterministic: cumulative counts are exact
-    integers, the threshold comparison is done in integers scaled by
-    1e6 (p as parts-per-million), and the edge value is a single
-    lo + (bin+1) * width double expression."""
+    first bin whose cumulative count reaches ceil-at(p * total) — i.e.
+    the bin containing the nearest-rank p-th value.  The walk runs over
+    the |bins|-row state only, ONCE for all requested percentiles (the
+    p list explodes against the ranked state; no per-p re-scan).
+
+    Error contract: for in-range data, est lies in (v, v + width] where
+    v is the NEAREST-RANK quantile (the smallest value with cumulative
+    frequency >= p) — a hard one-bin-width bound on that definition.
+    Against an INTERPOLATING quantile (SQL ``quantile_cont`` /
+    Spark ``percentile``) the difference can exceed a bin width when
+    the interpolation crosses sparse bins; anchor contracts to the
+    interpolated value are corpus observations, not guarantees.
+
+    Deterministic: cumulative counts are exact integers, the threshold
+    comparison is integer (p scaled to parts-per-million), the edge is
+    a single lo + (bin+1) * width double expression."""
+    if not ps:
+        raise ValueError("ps must be non-empty")
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )
     ranked = state.withColumn(
         "_cum", F.sum("n").over(w_cum)
     ).withColumn("_total", F.sum("n").over(Window.partitionBy()))
-    ests = []
-    for p in ps:
-        ppm = int(round(p * 1_000_000))
-        hit = (
-            ranked.filter(
-                F.col("_cum") * 1_000_000 >= F.col("_total") * ppm
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.lit(int(round(p * 1_000_000))).alias("ppm"),
             )
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(p).alias("p"),
-                (
-                    F.col("hist_lo")
-                    + (F.col("bin") + 1)
-                    * (
-                        (F.col("hist_hi") - F.col("hist_lo"))
-                        / F.col("hist_bins")
-                    )
-                ).alias("est"),
-            )
+            for p in ps
+        ]
+    )
+    return (
+        ranked.select(
+            "bin", "_cum", "_total", *_GEOM_COLS,
+            F.explode(targets).alias("_t"),
         )
-        ests.append(hit)
-    out = ests[0]
-    for e in ests[1:]:
-        out = out.unionByName(e)
-    return out
+        .filter(F.col("_cum") * 1_000_000 >= F.col("_total") * F.col("_t.ppm"))
+        .groupBy(F.col("_t.p").alias("p"), *_GEOM_COLS)
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            "p",
+            (
+                F.col("hist_lo")
+                + (F.col("_bin") + 1)
+                * (
+                    (F.col("hist_hi") - F.col("hist_lo"))
+                    / F.col("hist_bins")
+                )
+            ).alias("est"),
+        )
+    )

@@ -43,13 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from subgraph_extractor_spark.operators.dedup import tokens
-
-
-def _toks(text: Column) -> Column:
-    """tokens(), with NULL text behaving like empty text (NULL would
-    otherwise propagate through size() as -1 in the removal counters)."""
-    return F.coalesce(tokens(text), F.array().cast("array<string>"))
+from subgraph_extractor_spark.operators.dedup import tokens_or_empty as _toks
 
 
 def _gram_structs(text: Column, k: int) -> Column:

@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from subgraph_extractor_spark.operators.dedup import tokens
+from subgraph_extractor_spark.operators.dedup import tokens_or_empty
 
 
 def _tf(toks: Column, term: str) -> Column:
@@ -69,9 +69,7 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    toks = F.coalesce(
-        tokens(F.col(text_col)), F.array().cast("array<string>")
-    )
+    toks = tokens_or_empty(F.col(text_col))
     with_toks = df.select(F.col(id_col), toks.alias("_toks"))
 
     stats = with_toks.agg(

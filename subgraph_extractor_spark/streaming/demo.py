@@ -352,12 +352,25 @@ def standing_rollup_sink(
     """
     from subgraph_extractor_spark.operators import aggstate
 
+    import os
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         new = aggstate.aggregate_state(batch_df, list(group_cols), value_col)
-        latest = _latest_state_version(state_dir)
-        if latest is not None and latest[0] != batch_id:
+        # merge with the newest version STRICTLY OLDER than this batch:
+        # a crash-replay of batch N must fold into v{N-1} again, not
+        # skip the merge (which would overwrite vN with N's rows alone,
+        # silently dropping all pre-N history), and not fold into its
+        # own half-written vN (double count)
+        versions = [
+            (int(d[1:]), os.path.join(state_dir, d))
+            for d in (
+                os.listdir(state_dir) if os.path.isdir(state_dir) else []
+            )
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        ]
+        if versions:
             new = aggstate.merge_aggregate_states(
-                spark.read.parquet(latest[1]), new
+                spark.read.parquet(max(versions)[1]), new
             )
         new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
 

@@ -49,6 +49,25 @@ def test_tombstone_guard_against_resurrection(spark):
     assert C.apply_changelog(naive, b, ["k"], "seq").count() == 1
 
 
+def test_same_sequence_delete_in_snapshot_beats_change_upsert(spark):
+    # delete and upsert emitted at the SAME version, split across
+    # batches: compact(union) kills the key, so apply∘compact must too
+    # (regression: batch priority must not outrank the delete tie rule)
+    a = _df(spark, [(1, 7, "D", None)])
+    b = _df(spark, [(1, 7, "U", "x")])
+    union_state = C.compact_changelog(a.unionByName(b), ["k"], "seq")
+    inc = C.apply_changelog(
+        C.compact_changelog(a, ["k"], "seq", keep_tombstones=True),
+        b, ["k"], "seq")
+    assert union_state.count() == 0
+    assert inc.count() == 0
+    # and mirrored: change-batch delete kills a same-seq snapshot upsert
+    inc2 = C.apply_changelog(
+        C.compact_changelog(b, ["k"], "seq", keep_tombstones=True),
+        a, ["k"], "seq")
+    assert inc2.count() == 0
+
+
 def test_apply_is_idempotent_on_replay(spark):
     a = _df(spark, [(1, 1, "U", "v1"), (2, 1, "U", "w1")])
     b = _df(spark, [(1, 2, "U", "v2"), (2, 2, "D", None)])

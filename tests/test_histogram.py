@@ -44,6 +44,30 @@ def test_out_of_range_clamps_to_edge_bins(spark):
     assert sum(st.values()) == 5  # NULL excluded
 
 
+def test_hard_bound_vs_nearest_rank_quantile(spark):
+    # the GUARANTEED bound: est in (v, v + width] where v is the
+    # nearest-rank quantile — including the sparse-bin case where the
+    # interpolated quantile_cont anchor sits several bins away
+    vals = [0.5, 9.5]  # p=0.5 interpolates to 5.0, nearest-rank is 0.5
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    st = H.histogram_state(df, "v", 0.0, 10.0, 10)
+    (r,) = H.percentiles_from_histogram(st, [0.5]).collect()
+    import math
+
+    sv = sorted(vals)
+    rank_v = sv[max(0, math.ceil(0.5 * len(sv)) - 1)]  # nearest-rank
+    assert rank_v < r.est <= rank_v + 1.0  # one bin width = 1.0
+
+
+def test_multiple_ps_single_pass_and_empty_guard(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    st = H.histogram_state(li, "l_extendedprice", 0.0, 120000.0, 240)
+    out = H.percentiles_from_histogram(st, [0.1, 0.5, 0.9])
+    assert {r.p for r in out.collect()} == {0.1, 0.5, 0.9}
+    with pytest.raises(ValueError, match="non-empty"):
+        H.percentiles_from_histogram(st, [])
+
+
 def test_percentile_bound_one_bin_width(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     st = H.histogram_state(li, "l_extendedprice", 0.0, 120000.0, 240)
@@ -53,6 +77,9 @@ def test_percentile_bound_one_bin_width(spark, sf_dir):
         F.percentile("l_extendedprice", F.lit(p)).alias(str(p))
         for p in [0.1, 0.5, 0.9, 0.99]
     ]).collect()[0]
+    # vs the INTERPOLATED anchor this is a fixture observation (dense
+    # bins), not the operator guarantee — see the nearest-rank test for
+    # the hard bound
     for p in [0.1, 0.5, 0.9, 0.99]:
         assert 0.0 <= est[p] - exact[str(p)] <= 500.0, (p, est[p], exact[str(p)])
 

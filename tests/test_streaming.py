@@ -428,3 +428,16 @@ def test_standing_rollup_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
         aggstate.aggregate_state(ev, ["event_type"], "value")
     ).collect()))
     assert got == want
+
+    # crash-replay: re-running a batch's fold under the SAME batch id
+    # must re-merge into the prior version, not overwrite the standing
+    # state with that batch alone (regression for replay-idempotence)
+    fold = standing_rollup_sink(spark, str(tmp_path / "replay_state"))
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    fold(even, 0)
+    fold(odd, 1)
+    fold(odd, 1)  # crash-replay of batch 1
+    replayed = sorted(map(tuple, serve_standing_rollup(
+        spark, str(tmp_path / "replay_state")).collect()))
+    assert replayed == want
