@@ -42,6 +42,7 @@ from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import histogram as hist_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
 from subgraph_extractor_spark.operators import passages as passage_ops
+from subgraph_extractor_spark.operators import profile as profile_ops
 from subgraph_extractor_spark.operators import retrieval as retrieval_ops
 from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
@@ -2616,6 +2617,17 @@ def q_rollup_incremental(spark, sf):
     return aggstate_ops.finalize_aggregates(merged)
 
 
+def q_profile_documents(spark, sf):
+    # table profiling: per-column row/null/distinct counts + typed
+    # min/max, ONE scan for all columns (multi-distinct via a single
+    # Expand; approx mode drops the Expand for petabyte profiling —
+    # exact here so the oracle hash checks every number)
+    d = _t(spark, sf, "documents")
+    return profile_ops.profile_table(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 120000.0, 240  # width 500
 
 
@@ -2998,9 +3010,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
-    # new late-r4 contract, not yet in the window (oracled; verified by
-    # the local harness this round; rotate in for a driver row in r5)
+    # new late-r4 contracts, not yet in the window (oracled; verified
+    # by the local harness this round; rotate in for driver rows in r5)
     "a13_histogram_percentile": q_a13_histogram_percentile,
+    "profile_documents": q_profile_documents,
 }
 
 
@@ -4372,6 +4385,41 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # per-column profile: one UNION ALL branch per profiled column
+    "profile_documents": """
+        SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+               CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+               NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'text', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(text) AS BIGINT),
+               CAST(COUNT(DISTINCT text) AS BIGINT),
+               NULL::DOUBLE, NULL::DOUBLE, MIN(text), MAX(text)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+               CAST(COUNT(DISTINCT lang) AS BIGINT),
+               NULL::DOUBLE, NULL::DOUBLE, MIN(lang), MAX(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(source) AS BIGINT),
+               CAST(COUNT(DISTINCT source) AS BIGINT),
+               NULL::DOUBLE, NULL::DOUBLE, MIN(source), MAX(source)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+               CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+               NULL::VARCHAR, NULL::VARCHAR
+        FROM documents
     """,
     # mergeable-histogram percentiles: estimate, exact, one-bin bound
     "a13_histogram_percentile": """
