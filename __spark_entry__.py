@@ -2661,9 +2661,13 @@ def q_a13_histogram_percentile(spark, sf):
         ]
     )
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
-    exact_col = F.when(F.col("p") == 0.5, F.col("_ex_0")).when(
-        F.col("p") == 0.9, F.col("_ex_1")
-    ).otherwise(F.col("_ex_2"))
+    # anchor mapping built from ps itself — editing ps cannot silently
+    # pair a percentile with the wrong exact column
+    exact_col = F.lit(None).cast("double")
+    for i, p in enumerate(ps):
+        exact_col = F.when(F.col("p") == p, F.col(f"_ex_{i}")).otherwise(
+            exact_col
+        )
     return (
         est.join(F.broadcast(exact))
         .select(
@@ -4431,6 +4435,7 @@ ORACLES: dict[str, str] = {
                    COUNT(*) AS n
             FROM lineitem
             WHERE l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
             GROUP BY 1
         ), ranked AS (
             SELECT bin,

@@ -87,8 +87,11 @@ def apply_changelog(
 
     The snapshot must carry the same columns (it does if it came from
     ``compact_changelog`` — including ``sequence_col`` and ``op_col``).
-    A change row beats a snapshot row at the same sequence, so replaying
-    a batch that was already folded in is a no-op (idempotent apply).
+    Sequence ties resolve by the same rule as ``compact_changelog`` —
+    the delete wins, whichever side it sits on — and only between rows
+    with the same op does the change batch beat the snapshot, which is
+    what makes replaying an already-folded batch a no-op (idempotent
+    apply) without letting a same-version upsert resurrect a tombstone.
     Pass a tombstone-keeping snapshot (and ``keep_tombstones=True`` on
     intermediate applies) when change batches are not sequence-ordered —
     see ``compact_changelog``.

@@ -52,8 +52,13 @@ def histogram_state(
     can refuse mismatched state."""
     if not (hi > lo) or bins < 1:
         raise ValueError(f"bad histogram geometry: [{lo}, {hi}) x {bins}")
+    v = F.col(value_col).cast("double")
     return (
-        df.filter(F.col(value_col).isNotNull())
+        # NULL and NaN both excluded: Spark's floor(NaN) casts to 0 —
+        # NaN rows would silently inflate bin 0 (and the same cast is a
+        # hard error on other engines, so excluding them is also what
+        # keeps the expression portable)
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(v))
         .groupBy(bin_of(F.col(value_col), lo, hi, bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("hist_lo", F.lit(float(lo)))
@@ -114,6 +119,9 @@ def percentiles_from_histogram(
     a single lo + (bin+1) * width double expression."""
     if not ps:
         raise ValueError("ps must be non-empty")
+    bad = [p for p in ps if not (0.0 < p <= 1.0)]
+    if bad:
+        raise ValueError(f"percentiles outside (0, 1]: {bad}")
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )

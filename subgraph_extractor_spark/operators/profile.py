@@ -42,8 +42,11 @@ def profile_table(
     """One row per profiled column:
     (col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str).  String min/max use binary collation (both
-    Spark and DuckDB defaults).  Unsupported types (arrays, structs,
-    binary) profile counts only (min/max NULL)."""
+    Spark and DuckDB defaults).  min/max are emitted ONLY for numeric
+    and string columns; every other type (date, timestamp, boolean,
+    array, struct, map, binary) profiles counts with NULL min/max —
+    a NULL there means "type not min/max-profiled", not "all null"
+    (read n_nulls for that)."""
     cols = columns if columns is not None else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in schema]

@@ -318,15 +318,24 @@ def run_memory_stream_demo(spark, events_path: str, window: str = "10 minutes"):
 # standing rollup: exact aggregate state maintained by foreachBatch
 # --------------------------------------------------------------------------
 
-def _latest_state_version(state_dir: str) -> tuple[int, str] | None:
+def _state_versions(state_dir: str) -> list[tuple[int, str]]:
     import os
 
     if not os.path.isdir(state_dir):
-        return None
-    versions = [
+        return []
+    return [
         (int(d[1:]), os.path.join(state_dir, d))
         for d in os.listdir(state_dir)
         if d.startswith("v") and d[1:].isdigit()
+    ]
+
+
+def _latest_state_version(
+    state_dir: str, before: int | None = None
+) -> tuple[int, str] | None:
+    versions = [
+        v for v in _state_versions(state_dir)
+        if before is None or v[0] < before
     ]
     return max(versions) if versions else None
 
@@ -352,25 +361,28 @@ def standing_rollup_sink(
     """
     from subgraph_extractor_spark.operators import aggstate
 
-    import os
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # a version NEWER than this batch means the directory holds
+        # state from a different run (checkpoint recreated, state_dir
+        # reused): merging lineages would double-count and serving the
+        # global max would return the dead run's rollup — refuse loudly
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
         new = aggstate.aggregate_state(batch_df, list(group_cols), value_col)
         # merge with the newest version STRICTLY OLDER than this batch:
         # a crash-replay of batch N must fold into v{N-1} again, not
         # skip the merge (which would overwrite vN with N's rows alone,
         # silently dropping all pre-N history), and not fold into its
         # own half-written vN (double count)
-        versions = [
-            (int(d[1:]), os.path.join(state_dir, d))
-            for d in (
-                os.listdir(state_dir) if os.path.isdir(state_dir) else []
-            )
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-        ]
-        if versions:
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
             new = aggstate.merge_aggregate_states(
-                spark.read.parquet(max(versions)[1]), new
+                spark.read.parquet(latest[1]), new
             )
         new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
 

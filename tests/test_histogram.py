@@ -33,6 +33,26 @@ def test_geometry_mismatch_raises(spark):
         H.histogram_state(df, "v", 10.0, 0.0, 10)
 
 
+def test_nan_excluded_like_null(spark):
+    # floor(NaN) casts to 0 in Spark — without the filter NaN rows
+    # would silently inflate bin 0 (and the same cast hard-errors on
+    # other engines)
+    df = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (None,)], "v double")
+    st = {r.bin: r.n for r in
+          H.histogram_state(df, "v", 0.0, 10.0, 10).collect()}
+    assert st == {1: 1}  # only the 1.0 row (bin 1); NaN/NULL excluded
+
+
+def test_percentile_range_guard(spark):
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    st = H.histogram_state(df, "v", 0.0, 10.0, 10)
+    with pytest.raises(ValueError, match="outside"):
+        H.percentiles_from_histogram(st, [1.5])
+    with pytest.raises(ValueError, match="outside"):
+        H.percentiles_from_histogram(st, [0.0])
+
+
 def test_out_of_range_clamps_to_edge_bins(spark):
     df = spark.createDataFrame(
         [(-5.0,), (0.0,), (9.9,), (10.0,), (99.0,), (None,)],

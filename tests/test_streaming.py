@@ -441,3 +441,11 @@ def test_standing_rollup_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
     replayed = sorted(map(tuple, serve_standing_rollup(
         spark, str(tmp_path / "replay_state")).collect()))
     assert replayed == want
+
+    # lineage guard: a fresh run (batch ids restarting at 0) against a
+    # state_dir that already holds newer versions must refuse instead
+    # of serving/merging the dead run's state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different run"):
+        fold(even, 0)
