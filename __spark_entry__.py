@@ -2617,6 +2617,43 @@ def q_rollup_incremental(spark, sf):
     return aggstate_ops.finalize_aggregates(merged)
 
 
+def _postings_csv(df):
+    return df.select(
+        "token",
+        "doc_freq",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings_csv"),
+    )
+
+
+def q_text_inverted_index(spark, sf):
+    # inverted index build: token -> sorted posting list, per-doc
+    # distinct BEFORE the token shuffle (a repeated token ships once
+    # per doc); hapax tail pruned; postings hash-checked through a
+    # string carrier (the quantization queries' array idiom)
+    d = _t(spark, sf, "documents")
+    return _postings_csv(
+        retrieval_ops.inverted_index(
+            d, "doc_id", "text", min_doc_freq=5
+        )
+    )
+
+
+def q_text_index_incremental(spark, sf):
+    # incremental index maintenance: two full half-corpus indexes
+    # merged at O(index) cost — the oracle is the single-pass index of
+    # the union, so the driver hash certifies merge == rebuild exactly
+    d = _t(spark, sf, "documents")
+    ix = lambda pred: retrieval_ops.inverted_index(  # noqa: E731
+        d.filter(pred), "doc_id", "text", min_doc_freq=1
+    )
+    merged = retrieval_ops.merge_inverted_indexes(
+        ix(F.col("doc_id") % 2 == 0), ix(F.col("doc_id") % 2 == 1)
+    )
+    return _postings_csv(merged.filter(F.col("doc_freq") >= 5))
+
+
 def q_profile_documents(spark, sf):
     # table profiling: per-column row/null/distinct counts + typed
     # min/max, ONE scan for all columns (multi-distinct via a single
@@ -3018,6 +3055,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by the local harness this round; rotate in for driver rows in r5)
     "a13_histogram_percentile": q_a13_histogram_percentile,
     "profile_documents": q_profile_documents,
+    "text_inverted_index": q_text_inverted_index,
+    "text_index_incremental": q_text_index_incremental,
 }
 
 
@@ -4389,6 +4428,42 @@ ORACLES: dict[str, str] = {
         FROM documents d
         LEFT JOIN bis b USING (doc_id)
         LEFT JOIN tris t USING (doc_id)
+    """,
+    # inverted index: per-doc distinct tokens -> sorted posting lists
+    "text_inverted_index": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ), per_doc AS (
+            SELECT DISTINCT doc_id, unnest(t) AS token FROM toks
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               array_to_string(list(CAST(doc_id AS VARCHAR)
+                                    ORDER BY doc_id), ',') AS postings_csv
+        FROM per_doc GROUP BY token
+        HAVING COUNT(*) >= 5
+    """,
+    # incremental merge == single-pass rebuild: identical oracle text
+    "text_index_incremental": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ), per_doc AS (
+            SELECT DISTINCT doc_id, unnest(t) AS token FROM toks
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               array_to_string(list(CAST(doc_id AS VARCHAR)
+                                    ORDER BY doc_id), ',') AS postings_csv
+        FROM per_doc GROUP BY token
+        HAVING COUNT(*) >= 5
     """,
     # per-column profile: one UNION ALL branch per profiled column
     "profile_documents": """

@@ -121,3 +121,87 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# inverted index
+# --------------------------------------------------------------------------
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_freq: int = 1,
+    postings_chunk_size: int | None = None,
+) -> DataFrame:
+    """Token -> sorted posting list over the corpus: (token, doc_freq,
+    postings array<id>).  One shuffle keyed by token; per-doc distinct
+    runs map-side BEFORE the shuffle, so a token repeated 100x in one
+    document ships once.
+
+    At web scale a stopword's posting list (10^8+ ids) cannot live in
+    one row: ``postings_chunk_size`` splits each token's sorted
+    postings into fixed-size chunks — (token, chunk_id, doc_freq,
+    postings) — bounding row size and task memory; readers intersect
+    chunk-wise.  ``min_doc_freq`` prunes the hapax tail (typically most
+    of the vocabulary) before any list is built.
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(tokens_or_empty(F.col(text_col)))
+            ).alias("token"),
+        )
+    )
+    if postings_chunk_size is None:
+        return (
+            tok.groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("doc_freq"),
+                F.sort_array(F.collect_list("_id")).alias("postings"),
+            )
+            .filter(F.col("doc_freq") >= min_doc_freq)
+        )
+    w = Window.partitionBy("token").orderBy("_id")
+    chunked = tok.withColumn(
+        "_chunk",
+        ((F.row_number().over(w) - 1) / postings_chunk_size).cast("long"),
+    )
+    per_token = Window.partitionBy("token")
+    return (
+        chunked.withColumn("doc_freq", F.count(F.lit(1)).over(per_token))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .groupBy("token", F.col("_chunk").alias("chunk_id"), "doc_freq")
+        .agg(F.sort_array(F.collect_list("_id")).alias("postings"))
+    )
+
+
+def merge_inverted_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two (unchunked) index states: postings union per token,
+    doc_freq recomputed from the merged list.  Cost is O(index size) —
+    the corpus text is never revisited, which is the incremental-
+    maintenance point.  Ids present in both sides collapse (idempotent
+    for re-indexed documents with unchanged content).
+
+    Merge FULL states (``min_doc_freq=1``): a pruned state has already
+    forgotten its low-frequency postings, so merging pruned states is
+    not equal to indexing the union — apply frequency pruning when
+    serving, after the merge."""
+    cols = ["token", "doc_freq", "postings"]
+    if a.columns != cols or b.columns != cols:
+        raise ValueError(
+            f"expected unchunked index states with columns {cols}"
+        )
+    return (
+        a.unionByName(b)
+        .select("token", F.explode("postings").alias("_id"))
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("_id")).alias("postings"),
+        )
+    )

@@ -84,3 +84,65 @@ def test_log_variant_orders_same_on_separable_corpus(corpus):
            R.bm25_topk(corpus, "doc_id", "text", ["join"], k=5,
                        idf_log=True).collect()]
     assert lin == log
+
+
+# --------------------------------------------------------------------------
+# inverted index
+# --------------------------------------------------------------------------
+
+def test_inverted_index_hand_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.token: (r.doc_freq, r.postings)
+           for r in R.inverted_index(df, "doc_id", "text").collect()}
+    assert out == {"a": (2, [1, 3]), "b": (2, [1, 2]), "c": (1, [2])}
+    # min_doc_freq prunes the hapax tail
+    pruned = {r.token for r in
+              R.inverted_index(df, "doc_id", "text", min_doc_freq=2)
+              .collect()}
+    assert pruned == {"a", "b"}
+
+
+def test_inverted_index_chunked(spark):
+    docs = [(i, "tok") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = R.inverted_index(
+        df, "doc_id", "text", postings_chunk_size=4).collect()
+    by_chunk = {r.chunk_id: r for r in rows}
+    assert [len(by_chunk[c].postings) for c in sorted(by_chunk)] == [4, 4, 2]
+    assert all(r.doc_freq == 10 for r in rows)
+    # chunks partition the sorted postings in order
+    flat = [i for c in sorted(by_chunk) for i in by_chunk[c].postings]
+    assert flat == list(range(10))
+
+
+def test_index_merge_equals_rebuild_and_is_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = R.inverted_index(docs, "doc_id", "text")
+    merged = R.merge_inverted_indexes(
+        R.inverted_index(docs.filter(F.col("doc_id") % 2 == 0),
+                         "doc_id", "text"),
+        R.inverted_index(docs.filter(F.col("doc_id") % 2 == 1),
+                         "doc_id", "text"),
+    )
+    want = sorted((r.token, r.doc_freq, r.postings) for r in full.collect())
+    got = sorted((r.token, r.doc_freq, r.postings) for r in merged.collect())
+    assert got == want
+    # idempotent: re-merging one side changes nothing
+    again = R.merge_inverted_indexes(
+        merged, R.inverted_index(docs.filter(F.col("doc_id") % 2 == 0),
+                                 "doc_id", "text"))
+    got2 = sorted((r.token, r.doc_freq, r.postings) for r in again.collect())
+    assert got2 == want
+
+
+def test_index_merge_refuses_chunked_state(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    chunked = R.inverted_index(df, "doc_id", "text", postings_chunk_size=2)
+    flat = R.inverted_index(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="unchunked"):
+        R.merge_inverted_indexes(flat, chunked)
