@@ -118,6 +118,26 @@ SHOW = [
         "BM25: 1-row corpus-stats anchor broadcast onto a map-only "
         "codegen scoring scan; TakeOrdered top-k, no full sort",
     ),
+    (
+        "rollup_incremental",
+        "exact mergeable agg state: two batch aggs + one state-sized "
+        "merge groupBy; history never rescanned",
+    ),
+    (
+        "a13_histogram_percentile",
+        "mergeable histogram: bounded |bins| state, one-pass multi-"
+        "percentile walk, 1-row exact anchor",
+    ),
+    (
+        "profile_documents",
+        "profiling: ONE scan for all columns (exact multi-distinct "
+        "via a single Expand)",
+    ),
+    (
+        "text_inverted_index",
+        "inverted index: per-doc distinct map-side, one token-keyed "
+        "shuffle into sorted posting lists",
+    ),
 ]
 
 
