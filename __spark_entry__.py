@@ -1874,9 +1874,25 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    # SimHash near-dup (no SQL oracle; property-tested)
+    # SimHash near-dup (no SQL oracle; property-tested; the portable
+    # twin below is the hash-checked face of the same banding pipeline)
     d = _t(spark, sf, "documents")
     return dedup_ops.simhash_dedup_pairs(d, "text", "doc_id", max_distance=3)
+
+
+def q_dedup_simhash_portable(spark, sf):
+    # SimHash banding under a FULL-VALUE cross-engine check (the
+    # winnowing md5_number_lower idiom applied to SimHash): the portable
+    # 63-bit md5 signature is recomputable in pure SQL, and pigeonhole
+    # banding (4 bands, hamming <= 3) is COMPLETE, so the oracle's
+    # brute-force all-pairs hamming join must reproduce every (id_a,
+    # id_b, hamming) row bit-exactly — a stronger statement than a
+    # recall contract: it certifies signature parity AND candidate
+    # completeness of the banded plan in one driver hash.
+    d = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    return dedup_ops.simhash_dedup_pairs_portable(
+        d, "text", "doc_id", max_distance=3
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -2886,22 +2902,23 @@ def q_tpch_q21_shape(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-4 window: (a) the three r3-fail queries with
-    # their HUGEINT-fixed oracles (w7_sessionize / f_vector /
-    # pipeline_contamination); (b) the 7 NEWLY-ORACLED contracts that
-    # replace r3's rows-only checks (exact-pair clusters x2, recall
-    # contracts for MinHash/LSH/IVF, exact-count emb_neardup, full-value
-    # portable-hash winnowing); (c) the 8 relational variants rotated
-    # out in r3, back for a fresh row (ADVICE r3: re-verify anything
-    # sharing code paths touched this round); (d) the stable oracled
-    # core.  Rotated out to make room: the raw rows-only pair/topk
-    # queries (dedup_minhash / dedup_simhash / ann_lsh keep their r3
-    # rows and their bench entries) and 7 three-round-green pure
-    # function surfaces untouched by this round's changes.  Late round
-    # 4: six new pipeline operators (passage dedup x2, CDC x2, BM25,
-    # incremental rollup) enter for first rows, displacing six more
-    # 3-round-green untouched entries — every in-window query remains
-    # fully oracled.
+    # per round).  Round-4 FINAL window — every slot goes to a query
+    # with NO prior driver row (or a red r3 row): (a) the three r3-fail
+    # queries with their HUGEINT-fixed oracles; (b) the newly-oracled
+    # contracts that replace r3's rows-only checks (exact-pair clusters
+    # x2, recall contracts for MinHash/LSH/incremental, full-value
+    # portable SimHash, exact-count emb_neardup, full-value winnowing,
+    # IVF); (c) every operator added in round 4 — passage dedup, CDC,
+    # BM25, inverted index, aggregate/histogram/HLL incremental state,
+    # profiling, quantized search, Bloom probe, heavy hitters, token-DF
+    # / BPE / linear-quality scoring, null-semantics, nearest as-of, and
+    # 16 of the 19 new TPC-H shapes.  Deferred to r5 (oracled +
+    # local-harness green, just out of budget): tpch_q6/q14/q19 and the
+    # rows-only dedup_incremental raw dump.  The displaced stable core
+    # keeps its r1-r3 green rows and is re-verified by the full local
+    # harness (scripts/check_correctness.py, 131 oracled queries) every
+    # session — the dtype-faithful checker is what makes local rows
+    # predictive of driver rows.
     "w7_sessionize": q_w7_sessionize,
     "f_vector": q_f_vector,
     "pipeline_contamination": q_pipeline_contamination,
@@ -2909,31 +2926,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_minhash_recall": q_dedup_minhash_recall,
+    "dedup_simhash_portable": q_dedup_simhash_portable,
     "dedup_incremental_recall": q_dedup_incremental_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
     "emb_neardup": q_emb_neardup,
-    # -- r3-rotated-out relational variants, back for a fresh row --
-    "s4_distinct_listing": q_s4_distinct_listing,
-    "p7_multi_target_mapping": q_p7_multi_target_mapping,
-    "p8_mapping_compiler": q_p8_mapping_compiler,
-    "j2_anti_join": q_j2_anti_join,
-    "j3_semi_join": q_j3_semi_join,
-    "a4_rollup": q_a4_rollup,
-    "a6_distinct_agg": q_a6_distinct_agg,
-    "a5_ngram_stats": q_a5_ngram_stats,
-    # -- late-round-4 pipeline operators, in-window for their first
-    # driver rows (each swaps out a 3-round-green untouched entry:
-    # f_date, text_fingerprint, text_clean, pipeline_stable_split,
-    # a10_approx_distinct, a11_approx_percentile keep their r1-r3 rows)
+    # -- round-4 pipeline operators, first driver rows --
     "dedup_passage_spans": q_dedup_passage_spans,
     "pipeline_remove_passages": q_pipeline_remove_passages,
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_apply_incremental": q_cdc_apply_incremental,
     "text_bm25": q_text_bm25,
     "rollup_incremental": q_rollup_incremental,
-    # -- stable oracled core --
+    "dedup_bloom_probe": q_dedup_bloom_probe,
+    "corpus_overlap": q_corpus_overlap,
+    "pipeline_dedup_corpus": q_pipeline_dedup_corpus,
+    "quality_linear_score": q_quality_linear_score,
+    "text_token_df": q_text_token_df,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "a12_hll_incremental": q_a12_hll_incremental,
+    "f_vector_quantize": q_f_vector_quantize,
+    "sim_topk_quantized": q_sim_topk_quantized,
+    "f_null_semantics": q_f_null_semantics,
+    "j8_asof_nearest": q_j8_asof_nearest,
+    "text_heavy_hitters": q_text_heavy_hitters,
+    "a13_histogram_percentile": q_a13_histogram_percentile,
+    "profile_documents": q_profile_documents,
+    "text_inverted_index": q_text_inverted_index,
+    "text_index_incremental": q_text_index_incremental,
+    # -- round-4 TPC-H shapes, first driver rows --
+    "tpch_q2_shape": q_tpch_q2_shape,
+    "tpch_q4_shape": q_tpch_q4_shape,
+    "tpch_q7_shape": q_tpch_q7_shape,
+    "tpch_q8_shape": q_tpch_q8_shape,
+    "tpch_q9_shape": q_tpch_q9_shape,
+    "tpch_q10_shape": q_tpch_q10_shape,
+    "tpch_q11_shape": q_tpch_q11_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
+    "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q15_shape": q_tpch_q15_shape,
+    "tpch_q16_shape": q_tpch_q16_shape,
+    "tpch_q17_shape": q_tpch_q17_shape,
+    "tpch_q18_shape": q_tpch_q18_shape,
+    "tpch_q20_shape": q_tpch_q20_shape,
+    "tpch_q21_shape": q_tpch_q21_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
+    # ---- end of the 50-query window ----
+    # -- deferred to the r5 window (oracled, local-harness green) --
+    "tpch_q6_shape": q_tpch_q6_shape,
+    "tpch_q14_shape": q_tpch_q14_shape,
+    "tpch_q19_shape": q_tpch_q19_shape,
+    "dedup_incremental": q_dedup_incremental,
+    # -- stable oracled core (green rows r1-r3; re-verified locally) --
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2958,20 +3003,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_matmul": q_sim_topk_matmul,
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
-    # Bloom-accelerated incremental dedup, oracled via its exactness
-    # contract — in-window for its first driver row (w1_latest_version,
-    # green r1+r3 and untouched, yields the slot)
-    "dedup_bloom_probe": q_dedup_bloom_probe,
-    # ---- end of the 50-query window ----
+    "s4_distinct_listing": q_s4_distinct_listing,
+    "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "p8_mapping_compiler": q_p8_mapping_compiler,
+    "j2_anti_join": q_j2_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "a4_rollup": q_a4_rollup,
+    "a6_distinct_agg": q_a6_distinct_agg,
+    "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
     # -- raw rows-only pair/topk queries (bench-comparable operator
     # output; r3 driver rows; their correctness now rides on the
-    # in-window recall contracts above) --
+    # in-window recall/portable contracts above) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_incremental": q_dedup_incremental,
-    "corpus_overlap": q_corpus_overlap,
-    "pipeline_dedup_corpus": q_pipeline_dedup_corpus,
     "ann_lsh": q_ann_lsh,
     # -- multi-round-green surfaces beyond the budget --
     "f_array": q_f_array,
@@ -3013,50 +3058,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string2": q_f_string2,
     "set_ops_all": q_set_ops_all,
     "tpch_q3_shape": q_tpch_q3_shape,
-    # -- r4 additions (beyond this round's window; rotate in r5) --
-    "tpch_q4_shape": q_tpch_q4_shape,
-    "tpch_q13_shape": q_tpch_q13_shape,
-    "tpch_q16_shape": q_tpch_q16_shape,
-    "quality_linear_score": q_quality_linear_score,
-    "text_token_df": q_text_token_df,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "a12_hll_incremental": q_a12_hll_incremental,
-    "f_vector_quantize": q_f_vector_quantize,
-    "sim_topk_quantized": q_sim_topk_quantized,
-    "tpch_q18_shape": q_tpch_q18_shape,
-    "tpch_q20_shape": q_tpch_q20_shape,
-    "f_null_semantics": q_f_null_semantics,
-    "j8_asof_nearest": q_j8_asof_nearest,
-    "tpch_q7_shape": q_tpch_q7_shape,
-    "tpch_q6_shape": q_tpch_q6_shape,
-    "tpch_q8_shape": q_tpch_q8_shape,
-    "tpch_q9_shape": q_tpch_q9_shape,
-    "tpch_q10_shape": q_tpch_q10_shape,
-    "tpch_q14_shape": q_tpch_q14_shape,
-    "tpch_q15_shape": q_tpch_q15_shape,
-    "tpch_q17_shape": q_tpch_q17_shape,
-    "tpch_q19_shape": q_tpch_q19_shape,
-    "tpch_q22_shape": q_tpch_q22_shape,
-    "text_heavy_hitters": q_text_heavy_hitters,
-    # completes all 22 TPC-H query shapes (Q1 = a3_pricing_summary)
-    "tpch_q2_shape": q_tpch_q2_shape,
-    "tpch_q11_shape": q_tpch_q11_shape,
-    "tpch_q12_shape": q_tpch_q12_shape,
-    "tpch_q21_shape": q_tpch_q21_shape,
-    # rotated out of the r4 window for the late-round additions (green
-    # r1-r3, untouched this round)
     "f_date": q_f_date,
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
-    # new late-r4 contracts, not yet in the window (oracled; verified
-    # by the local harness this round; rotate in for driver rows in r5)
-    "a13_histogram_percentile": q_a13_histogram_percentile,
-    "profile_documents": q_profile_documents,
-    "text_inverted_index": q_text_inverted_index,
-    "text_index_incremental": q_text_index_incremental,
 }
 
 
@@ -4317,6 +4324,42 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # Portable-SimHash full-value check: recompute the 63-bit md5
+    # signature per doc in pure SQL (token hash = md5_number_lower mod
+    # 2^63, bit-majority votes over the token multiset, ties -> 0), then
+    # brute-force every pair within hamming <= 3.  Pigeonhole banding is
+    # complete at 4 bands, so the Spark pipeline's banded output must
+    # equal this exactly — row set AND hamming values.
+    "dedup_simhash_portable": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 9223372036854775808 AS BIGINT)
+                       AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, b AS bit,
+                   SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(range(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(
+                       CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) END
+                   ), 0) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
     """,
     "text_winnowing": """
         WITH toks AS (

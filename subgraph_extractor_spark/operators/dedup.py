@@ -955,27 +955,72 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    max_distance: int = 3,
-    bands: int = 4,
-) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into
-    ``bands`` equal chunks (pigeonhole: any pair within hamming distance
-    ``bands - 1`` shares at least one chunk — candidate generation is
-    therefore COMPLETE, not probabilistic, for ``max_distance <= bands -
-    1``), equi-join on chunks, verify exact hamming distance.
-    Output: (id_a, id_b, hamming).
+def _simhash_md5_udf():
+    """Arrow-batched PORTABLE 63-bit SimHash — every ingredient has an
+    exact ANSI-SQL/DuckDB mirror, so the whole near-dup pair set is
+    cross-engine hash-checkable (the winnowing ``md5_64`` idiom, applied
+    to SimHash):
 
-    Scale envelope: bucket space is ``bands x 2^(64/bands)``.  The
-    default 4x16-bit banding has ~262k buckets — fine to ~10^7 docs, but
-    bucket occupancy (and the quadratic in-bucket join) grows linearly
-    beyond that.  At web scale pick FEWER, WIDER bands (e.g. ``bands=2``
-    → 2x2^32 buckets) and accept the tighter ``max_distance <= 1``
-    guarantee, or move to a 128-bit signature for both reach and
-    pruning."""
+    - tokens: lower → trim spaces → split on the RE2 ASCII ``\\s`` class
+      ``[\\t\\n\\f\\r ]+`` (``string_split_regex(trim(lower(text)),
+      '\\s+')`` in DuckDB, empty edge tokens kept) — NOT Python
+      ``str.split()``;
+    - token hash: lower 64 bits of MD5 (last 8 digest bytes,
+      little-endian — DuckDB's ``md5_number_lower``) reduced mod 2^63;
+    - signature: 63 bit-majority votes over the token multiset (ties →
+      0, bit 63 always 0, so the value is a non-negative BIGINT on both
+      engines).
+
+    Multiplicity counts (a repeated token votes repeatedly), exactly as
+    a SQL ``unnest`` + ``GROUP BY doc, bit`` recomputation does."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    _split = re.compile(r"[\t\n\f\r ]+").split
+
+    @pandas_udf(LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = _split(t.lower().strip(" ")) if t else []
+            if toks == [""]:
+                toks = []
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(w.encode("utf-8")).digest()[8:], "little"
+                    )
+                    % (1 << 63)
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (
+                (hs[:, None] >> np.arange(63, dtype=np.uint64)) & 1
+            ).astype(np.int32)  # (n_tokens, 63); bit i == (h >> i) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            out.append(sum(1 << i for i in range(63) if votes[i] > 0))
+        return pd.Series(out, dtype="int64")
+
+    return sim
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Banded near-dup pair generation + exact verification over a
+    precomputed signature table ``(_id, _sim)`` — the shared back half of
+    ``simhash_dedup_pairs`` / ``simhash_dedup_pairs_portable``, and the
+    entry point when signatures are persisted corpus state (continual
+    ingestion re-banding without re-hashing).  See
+    ``simhash_dedup_pairs`` for the pigeonhole guarantee and the scale
+    envelope of the band geometry."""
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_distance > bands - 1:
@@ -989,10 +1034,6 @@ def simhash_dedup_pairs(
     # Spark LONG literal; its two's-complement value -1 is the same bit
     # pattern, and bitwiseAND semantics only care about bits
     mask = -1 if width == 64 else (1 << width) - 1
-    sigs = _spread(df).select(
-        F.col(id_col).alias("_id"),
-        _simhash_udf()(F.col(text_col)).alias("_sim"),
-    )
     chunked = sigs.select(
         "_id",
         "_sim",
@@ -1039,6 +1080,57 @@ def simhash_dedup_pairs(
     )
     chunked.unpersist()
     return pairs
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``bands`` equal chunks (pigeonhole: any pair within hamming distance
+    ``bands - 1`` shares at least one chunk — candidate generation is
+    therefore COMPLETE, not probabilistic, for ``max_distance <= bands -
+    1``), equi-join on chunks, verify exact hamming distance.
+    Output: (id_a, id_b, hamming).
+
+    Scale envelope: bucket space is ``bands x 2^(64/bands)``.  The
+    default 4x16-bit banding has ~262k buckets — fine to ~10^7 docs, but
+    bucket occupancy (and the quadratic in-bucket join) grows linearly
+    beyond that.  At web scale pick FEWER, WIDER bands (e.g. ``bands=2``
+    → 2x2^32 buckets) and accept the tighter ``max_distance <= 1``
+    guarantee, or move to a 128-bit signature for both reach and
+    pruning."""
+    sigs = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        _simhash_udf()(F.col(text_col)).alias("_sim"),
+    )
+    return simhash_pairs_from_sigs(sigs, max_distance, bands)
+
+
+def simhash_dedup_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """``simhash_dedup_pairs`` on the PORTABLE md5 63-bit signature
+    (``_simhash_md5_udf``): identical banding pipeline, but every pair
+    row — ids, exact hamming distance — is reproducible in pure SQL, so
+    a DuckDB oracle can recompute the signature table and the brute-force
+    ``hamming <= d`` pair set and certify the banded pipeline's output
+    BIT-EXACTLY (candidate completeness is the pigeonhole guarantee, so
+    banded == brute-force, not approximately but equal).  Docs that
+    tokenize empty all share signature 0 — callers mirroring the SQL
+    oracle should pre-filter blank docs identically on both sides."""
+    sigs = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        _simhash_md5_udf()(F.col(text_col)).alias("_sim"),
+    )
+    return simhash_pairs_from_sigs(sigs, max_distance, bands)
 
 
 # --------------------------------------------------------------------------

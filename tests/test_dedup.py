@@ -320,6 +320,68 @@ def test_simhash_bands1_exact_signature_match(spark, docs):
     assert s1 == s4  # completeness at distance 0 is width-independent
 
 
+def test_simhash_portable_matches_python_reference(spark, docs):
+    """The portable md5 SimHash pipeline (banded) must equal a brute-force
+    pure-Python replica of its documented contract — SQL-mirror tokenizer,
+    md5_number_lower % 2^63 token hash, 63 bit-majority votes with ties
+    to 0, exact hamming <= d over ALL pairs.  This pins the kernel's
+    semantics independently of the DuckDB oracle (which recomputes the
+    same thing in SQL), and re-proves pigeonhole completeness on the
+    portable path."""
+    import hashlib
+    import re
+
+    rows = docs.limit(80).select("doc_id", "text").collect()
+    # edge docs the tokenizer contract calls out: edge tabs/newlines,
+    # repeated separators, near-identical texts for a non-trivial pair
+    rows += [
+        (90001, "alpha beta\tgamma\n"),
+        (90002, "\nalpha beta gamma"),
+        (90003, "alpha  beta gamma"),
+    ]
+    df = spark.createDataFrame(
+        [(int(i), t) for i, t in rows], ["doc_id", "text"]
+    ).filter(F.trim(F.col("text")) != "")
+
+    _split = re.compile(r"[\t\n\f\r ]+").split
+
+    def sig_of(t):
+        toks = _split(t.lower().strip(" ")) if t else []
+        if toks == [""]:
+            toks = []
+        votes = [0] * 63
+        for w in toks:
+            h = int.from_bytes(
+                hashlib.md5(w.encode("utf-8")).digest()[8:], "little"
+            ) % (1 << 63)
+            for i in range(63):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(63) if votes[i] > 0)
+
+    sigs = {
+        int(i): sig_of(t)
+        for i, t in rows
+        if t is not None and t.strip(" ") != ""
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dedup_pairs_portable(
+            df, "text", "doc_id", max_distance=3
+        ).collect()
+    }
+    assert got == want
+    assert any(h == 0 for _, _, h in got), (
+        "fixture should include at least one identical-signature pair"
+    )
+
+
 def test_shingle_kernel_mirrors_oracle_tokenizer(spark):
     """The shingle kernel must tokenize byte-for-byte like the DuckDB
     oracle's string_split_regex(trim(lower(text)), '\\s+') — including
