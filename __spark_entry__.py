@@ -40,6 +40,7 @@ from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import histogram as hist_ops
+from subgraph_extractor_spark.operators import lm as lm_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
 from subgraph_extractor_spark.operators import passages as passage_ops
 from subgraph_extractor_spark.operators import profile as profile_ops
@@ -1699,6 +1700,34 @@ def q_tpch_q9_shape(spark, sf):
     )
 
 
+def q_text_bigram_lm(spark, sf):
+    # trained bigram language model over the even-doc reference corpus
+    # (the training half of the CCNet-style perplexity-filter stage):
+    # adjacent-pair wordcount, map-side combined, hapax-ish tail pruned
+    # at min_count=3 — the full (w1, w2, cnt) model table is the query
+    # output, hash-checked bit-exactly against a DuckDB recomputation.
+    d = _t(spark, sf, "documents")
+    return lm_ops.bigram_counts(
+        d.filter(F.col("doc_id") % 2 == 0), "text", min_count=3
+    )
+
+
+def q_quality_lm_novelty(spark, sf):
+    # the scoring half: held-out odd docs scored against the even-doc
+    # reference bigram model (CCNet trains on Wikipedia, scores crawl).
+    # Integer evidence only — occurrences, reference hits, an exact
+    # integer-arithmetic gate boolean — so the whole novelty gate is
+    # bit-exactly oracle-checked (the float perplexity face is
+    # score_log_prob, python-replica-tested in tests/test_lm.py).
+    d = _t(spark, sf, "documents")
+    ref = lm_ops.bigram_counts(
+        d.filter(F.col("doc_id") % 2 == 0), "text", min_count=2
+    )
+    return lm_ops.score_novelty(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", ref
+    )
+
+
 def q_quality_linear_score(spark, sf):
     # Broadcast linear-model scoring (fastText-style linear layer over
     # hand features): score = w · x computed entirely in whole-stage
@@ -2970,10 +2999,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17_shape": q_tpch_q17_shape,
     "tpch_q18_shape": q_tpch_q18_shape,
     "tpch_q20_shape": q_tpch_q20_shape,
-    "tpch_q21_shape": q_tpch_q21_shape,
-    "tpch_q22_shape": q_tpch_q22_shape,
+    "text_bigram_lm": q_text_bigram_lm,
+    "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
     # -- deferred to the r5 window (oracled, local-harness green) --
+    "tpch_q21_shape": q_tpch_q21_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
     "tpch_q14_shape": q_tpch_q14_shape,
     "tpch_q19_shape": q_tpch_q19_shape,
@@ -4043,6 +4074,70 @@ ORACLES: dict[str, str] = {
         for name, pat in BPE_PATTERNS.items()
     )
     + " FROM documents",
+    # Bigram-LM training: adjacent-pair counts over the even-doc
+    # reference corpus, min_count=3.  Token stream is the standard
+    # mirror (trim spaces, lower, split \\s+, empty edge tokens kept).
+    "text_bigram_lm": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+            WHERE doc_id % 2 = 0
+        ),
+        bg AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, unnest(range(1, len(t))) AS i
+                  FROM toks WHERE len(t) >= 2)
+        )
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY w1, w2
+        HAVING COUNT(*) >= 3
+    """,
+    # Bigram-LM novelty gate: held-out odd docs scored against the
+    # even-doc reference model (min_count=2); per-doc occurrence and
+    # reference-hit counts with an integer-arithmetic gate boolean.
+    # Docs with <2 tokens emit (0, 0, TRUE) — mirrored by the outer
+    # left join from the full scored-doc list.
+    "quality_lm_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                        THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+')
+                   END AS t
+            FROM documents
+        ),
+        ref AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, unnest(range(1, len(t))) AS i
+                  FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2)
+            GROUP BY w1, w2
+            HAVING COUNT(*) >= 2
+        ),
+        occ AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                  FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 2)
+        ),
+        per_doc AS (
+            SELECT o.doc_id,
+                   COUNT(*) AS nb,
+                   SUM(CASE WHEN r.w1 IS NOT NULL THEN 1 ELSE 0 END) AS nh
+            FROM occ o
+            LEFT JOIN ref r ON o.w1 = r.w1 AND o.w2 = r.w2
+            GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(p.nh, 0) AS BIGINT) AS n_hits,
+               (COALESCE(p.nb, 0) - COALESCE(p.nh, 0)) * 2
+                   <= COALESCE(p.nb, 0) AS novelty_le_50
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """,
     "text_token_df": """
         WITH pairs AS (
             SELECT DISTINCT doc_id, tok

@@ -61,6 +61,16 @@ HEADLINE = [
     "cdc_apply_incremental",
     "text_bm25",
     "rollup_incremental",
+    # final r4 additions (first recorded here for r5+ comparability):
+    # incremental-state family tails + the portable-SimHash full-value
+    # pipeline (same banding as dedup_simhash, md5 signature kernel)
+    "a13_histogram_percentile",
+    "profile_documents",
+    "text_inverted_index",
+    "dedup_simhash_portable",
+    # bigram-LM novelty gate (train on even docs + score odd docs,
+    # end-to-end — the CCNet-style perplexity-filter stage)
+    "quality_lm_novelty",
 ]
 
 
