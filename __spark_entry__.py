@@ -46,6 +46,7 @@ from subgraph_extractor_spark.operators import passages as passage_ops
 from subgraph_extractor_spark.operators import profile as profile_ops
 from subgraph_extractor_spark.operators import retrieval as retrieval_ops
 from subgraph_extractor_spark.operators import sampling as sampling_ops
+from subgraph_extractor_spark.operators import semdedup as semdedup_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
 from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
@@ -2397,6 +2398,50 @@ def q_emb_neardup(spark, sf):
     return _pair_recall_contract(found, truth)
 
 
+def _exact_cosine_pairs(spark, sf, threshold):
+    """Exact all-pairs cosine >= threshold over the embeddings table —
+    the documented brute-force baseline (quadratic; fixture-scale only).
+    The scale path is dedup.embedding_neardup_pairs, recall-checked
+    against this same truth by the emb_neardup contract."""
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    par = spark.sparkContext.defaultParallelism
+    l, r = e.repartition(par).alias("l"), e.alias("r")
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn(
+            "_cos", sim_ops.cosine_similarity(F.col("l._v"), F.col("r._v"))
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+
+
+def q_pipeline_semdedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): semantic-duplicate clusters over
+    # embedding cosine space, ONE survivor per cluster (lowest id).
+    # Exact pair truth makes the whole pipeline bit-checkable: the
+    # DuckDB oracle rebuilds clusters via recursive-CTE reachability
+    # over the same exact cosine pairs and drops the same losers.  The
+    # production candidate path (sign-LSH + cogroup verify) is recall-
+    # contract-checked separately by emb_neardup.
+    emb = _t(spark, sf, "embeddings")
+    truth = _exact_cosine_pairs(spark, sf, 0.4)
+    out = semdedup_ops.semantic_dedup(emb, truth, "vec_id")
+    return out.select("vec_id", "label")
+
+
+def q_pipeline_semdedup_best(spark, sf):
+    # Same clusters, best-member survivor rule: highest label wins, ties
+    # to the lowest id (one deterministic max_by aggregate per cluster).
+    # Exercises the score_col path end-to-end against a window-ranked
+    # DuckDB oracle.
+    emb = _t(spark, sf, "embeddings")
+    truth = _exact_cosine_pairs(spark, sf, 0.4)
+    out = semdedup_ops.semantic_dedup(emb, truth, "vec_id", score_col="label")
+    return out.select("vec_id", "label")
+
+
 # Dict ORDER matters: the driver's correctness run checks entries in
 # declaration order with a budget (~50 in r01), so oracle-equipped queries
 # covering distinct SURVEY §2 rows come first; redundant variants of
@@ -3003,6 +3048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
     # -- deferred to the r5 window (oracled, local-harness green) --
+    "pipeline_semdedup": q_pipeline_semdedup,
+    "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4419,6 +4466,88 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # SemDeDup survivors, full-value: exact cosine pairs -> recursive-CTE
+    # reachability clusters -> drop every member that is not the
+    # cluster's representative.  Shares the exact-pair formulation with
+    # the emb_neardup oracle (DOUBLE-cast list_cosine_similarity).
+    "pipeline_semdedup": """
+        WITH RECURSIVE
+        pairs AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(
+                      [CAST(x AS DOUBLE) FOR x IN l.embedding],
+                      [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        members AS (
+            SELECT id AS member_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        reps AS (
+            SELECT cluster_id, MIN(member_id) AS rep_id
+            FROM members GROUP BY cluster_id
+        ),
+        losers AS (
+            SELECT m.member_id
+            FROM members m JOIN reps r USING (cluster_id)
+            WHERE m.member_id <> r.rep_id
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT member_id FROM losers)
+    """,
+    # Best-member survivor rule: highest label, ties to lowest id
+    # (window-ranked rep per cluster).
+    "pipeline_semdedup_best": """
+        WITH RECURSIVE
+        pairs AS (
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(
+                      [CAST(x AS DOUBLE) FOR x IN l.embedding],
+                      [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        members AS (
+            SELECT id AS member_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        ),
+        reps AS (
+            SELECT cluster_id, member_id AS rep_id FROM (
+                SELECT m.cluster_id, m.member_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY m.cluster_id
+                           ORDER BY e.label DESC, m.member_id ASC
+                       ) AS rn
+                FROM members m JOIN embeddings e ON e.vec_id = m.member_id
+            ) WHERE rn = 1
+        ),
+        losers AS (
+            SELECT m.member_id
+            FROM members m JOIN reps r USING (cluster_id)
+            WHERE m.member_id <> r.rep_id
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT member_id FROM losers)
     """,
     # Portable-SimHash full-value check: recompute the 63-bit md5
     # signature per doc in pure SQL (token hash = md5_number_lower mod
