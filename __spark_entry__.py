@@ -2431,6 +2431,21 @@ def q_pipeline_semdedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def q_pipeline_shuffle_shard(spark, sf):
+    # deterministic global shuffle for training export: shard + in-shard
+    # position are pure functions of (seed, doc_id) via md5, so the
+    # epoch permutation is engine-independent and the DuckDB oracle
+    # reproduces every (shard, pos) bit-exactly.  One shuffle (the
+    # per-shard rank window); shard count is the scale knob.
+    from subgraph_extractor_spark.operators import shuffling as shuffle_ops
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = shuffle_ops.deterministic_shuffle(d, "doc_id", 8, seed="ep0")
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("bigint").alias("pos")
+    )
+
+
 def q_pipeline_semdedup_best(spark, sf):
     # Same clusters, best-member survivor rule: highest label wins, ties
     # to the lowest id (one deterministic max_by aggregate per cluster).
@@ -3050,6 +3065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- deferred to the r5 window (oracled, local-harness green) --
     "pipeline_semdedup": q_pipeline_semdedup,
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
+    "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4466,6 +4482,22 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # Deterministic shuffle-shard, full-value: shard = first 16 digest
+    # bits mod 8, pos = rank of the digest within the shard — both pure
+    # md5 functions of (seed, id), so DuckDB reproduces the permutation
+    # bit-exactly ('0x'-string cast parses the hex).
+    "pipeline_shuffle_shard": """
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8
+                    AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8
+                   ORDER BY hx, doc_id
+               ) AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents)
     """,
     # SemDeDup survivors, full-value: exact cosine pairs -> recursive-CTE
     # reachability clusters -> drop every member that is not the

@@ -1,0 +1,90 @@
+"""Deterministic global shuffle + shard assignment for training-data
+export.
+
+A training pipeline needs the corpus in a reproducible pseudo-random
+order, split into a fixed number of shard files, such that (a) the
+order is independent of input partitioning, cluster size, and engine,
+(b) re-runs produce byte-identical shards, and (c) a new epoch is a new
+permutation derivable from a seed — no RNG state, no global sort of
+payload bytes.
+
+Construction: key every row by ``md5(seed || ':' || id)``.  The shard
+is the first 16 bits of the digest mod ``num_shards``; the position
+within the shard is the rank of the full digest hex string (ties broken
+by id, for the theoretical 2^-128 collision).  Both are pure functions
+of (seed, id) — engine-independent (md5 is bit-identical everywhere)
+and oracle-checkable in ANSI SQL.
+
+100 TB notes: the only shuffle is the repartition on ``shard``; the
+within-shard rank is a per-shard window, so shard count is the
+parallelism/memory knob — size shards to the training file size you
+want (e.g. 100k shards of ~1 GB), never fewer than cluster cores.  The
+global order (shard, pos) interleaves the corpus uniformly, so
+sequential readers of shard files see an unbiased sample stream.
+
+Reference parity: the reference engine has no shuffle/export-for-
+training surface; this is part of the LLM-pipeline extension mandated
+for the Spark rebuild (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def shuffle_key(id_col, seed: str):
+    """md5 hex digest of ``seed || ':' || id`` — the portable shuffle
+    sort key (string comparison over hex is digest-order comparison)."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Assign every row a ``shard`` (0..num_shards-1) and a dense 1-based
+    ``pos`` within its shard, both deterministic functions of
+    (seed, id).  Returns the input columns plus (shard, pos); read the
+    corpus in (shard, pos) order — or shard files concatenated — for the
+    epoch's permutation.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    hx = shuffle_key(F.col(id_col), seed)
+    shard = (
+        F.conv(F.substring(hx, 1, 4), 16, 10).cast("bigint") % num_shards
+    ).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_hx", id_col)
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_hx")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    seed: str = "epoch0",
+) -> None:
+    """Materialize the shuffled corpus as one Parquet directory per
+    shard (``shard=N/``), rows stored in shuffle order.  One shuffle:
+    repartition on the shard id co-locates each shard in one task, the
+    within-partition sort orders it, dynamic partitionBy writes it —
+    file content is byte-reproducible for a given (seed, corpus).
+    """
+    out = deterministic_shuffle(df, id_col, num_shards, seed)
+    (
+        out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,81 @@
+"""Deterministic shuffle-shard: permutation properties, seed/epoch
+independence, partitioning invariance, and the write path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.shuffling import (
+    deterministic_shuffle,
+    write_training_shards,
+)
+from subgraph_extractor_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+
+def _key(rows):
+    return sorted((r["shard"], r["pos"], r["doc_id"]) for r in rows)
+
+
+def test_is_permutation(spark, docs):
+    out = deterministic_shuffle(docs, "doc_id", 8, "ep0")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # every (shard, pos) unique; pos dense 1..n per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert 0 <= shard < 8
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # original columns intact
+    assert set(out.columns) == {"doc_id", "n_chars", "shard", "pos"}
+
+
+def test_reproducible_and_partitioning_invariant(spark, docs):
+    a = _key(deterministic_shuffle(docs, "doc_id", 8, "ep0").collect())
+    b = _key(
+        deterministic_shuffle(docs.repartition(13), "doc_id", 8, "ep0").collect()
+    )
+    assert a == b
+
+
+def test_epochs_differ(spark, docs):
+    a = _key(deterministic_shuffle(docs, "doc_id", 8, "ep0").collect())
+    b = _key(deterministic_shuffle(docs, "doc_id", 8, "ep1").collect())
+    assert a != b
+    # but both are permutations of the same ids
+    assert sorted(x[2] for x in a) == sorted(x[2] for x in b)
+
+
+def test_shards_roughly_balanced(spark, docs):
+    n = docs.count()
+    out = deterministic_shuffle(docs, "doc_id", 4, "ep0")
+    sizes = [
+        r["c"] for r in out.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    ]
+    assert len(sizes) == 4
+    assert max(sizes) < 2 * n / 4  # md5 uniformity at fixture scale
+
+
+def test_num_shards_validation(spark, docs):
+    with pytest.raises(ValueError):
+        deterministic_shuffle(docs, "doc_id", 0)
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    path = os.path.join(str(tmp_path), "shards")
+    write_training_shards(docs, path, "doc_id", 4, "ep0")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
+    # read-back content matches the in-memory shuffle assignment
+    mem = _key(deterministic_shuffle(docs, "doc_id", 4, "ep0").collect())
+    assert _key(back.collect()) == mem
