@@ -2431,6 +2431,52 @@ def q_pipeline_semdedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def q_text_bpe_train(spark, sf):
+    # distributed BPE merge training (Sennrich 2016) under a contract
+    # oracle: the exact word/token anchors and the FIRST learned merge
+    # (argmax adjacent char-pair, count DESC / left / right ties) are
+    # recomputed independently by DuckDB bit-exactly; deeper merges
+    # depend on iterated state no SQL engine expresses, so they are
+    # certified by (a) n_reconstruct_bad == 0 — decoding the encoded
+    # vocabulary reproduces every word, which fails if any learned
+    # merge or its application is wrong — and (b) the non-increasing
+    # best-count sequence (new pairs are bounded by the merge that
+    # created them).  Full merge-list equality vs a verbatim Sennrich
+    # reference is pytest-covered (test_bpe.py).
+    from subgraph_extractor_spark.operators import bpe as bpe_ops
+
+    d = _t(spark, sf, "documents")
+    wf = bpe_ops.word_freqs(d, "text").persist()
+    merges = bpe_ops.train_bpe(wf, num_merges=20, min_count=2)
+    enc = bpe_ops.encode_words(wf.select("word"), merges)
+    n_bad = enc.filter(
+        F.concat_ws("", F.col("tokens"))
+        != F.concat(F.col("word"), F.lit(bpe_ops.END_OF_WORD))
+    ).count()
+    anchors = wf.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("total_tokens"),
+    ).collect()[0]
+    wf.unpersist()
+    counts = [c for _, _, c in merges]
+    row = (
+        int(anchors["n_words"]),
+        int(anchors["total_tokens"]),
+        merges[0][0],
+        merges[0][1],
+        int(merges[0][2]),
+        int(len(merges)),
+        int(n_bad),
+        counts == sorted(counts, reverse=True),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_words bigint, total_tokens bigint, first_left string, "
+        "first_right string, first_count bigint, n_merges bigint, "
+        "n_reconstruct_bad bigint, merges_nonincreasing boolean",
+    )
+
+
 def q_pipeline_shuffle_shard(spark, sf):
     # deterministic global shuffle for training export: shard + in-shard
     # position are pure functions of (seed, doc_id) via md5, so the
@@ -3066,6 +3112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_semdedup": q_pipeline_semdedup,
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
+    "text_bpe_train": q_text_bpe_train,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4482,6 +4529,46 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # BPE training contract: word/token anchors and the FIRST merge are
+    # recomputed independently (argmax over adjacent char-pair counts,
+    # count DESC / left / right tie order, end-of-word marker included);
+    # n_merges / n_reconstruct_bad / merges_nonincreasing are the
+    # contract booleans the Spark side must earn (decode-of-encode
+    # equality fails if any deeper merge is wrong).
+    "text_bpe_train": """
+        WITH words AS (
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS w
+                FROM documents WHERE trim(text) <> ''
+            ) GROUP BY w
+        ),
+        syms AS (
+            SELECT freq,
+                   [substr(word, i, 1) FOR i IN range(1, len(word) + 1)]
+                       || ['</w>'] AS s
+            FROM words
+        ),
+        pairs AS (
+            SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq,
+                         unnest([{'a': s[i], 'b': s[i + 1]}
+                                 FOR i IN range(1, len(s))]) AS p
+                  FROM syms)
+            GROUP BY p.a, p.b
+        ),
+        best AS (
+            SELECT a, b, cnt FROM pairs ORDER BY cnt DESC, a, b LIMIT 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_words,
+               (SELECT CAST(SUM(freq) AS BIGINT) FROM words)
+                   AS total_tokens,
+               a AS first_left, b AS first_right, cnt AS first_count,
+               CAST(20 AS BIGINT) AS n_merges,
+               CAST(0 AS BIGINT) AS n_reconstruct_bad,
+               TRUE AS merges_nonincreasing
+        FROM best
     """,
     # Deterministic shuffle-shard, full-value: shard = first 16 digest
     # bits mod 8, pos = rank of the digest within the shard — both pure
