@@ -67,6 +67,46 @@ def read_manifest_files(table_dir: str) -> list[str]:
     )
 
 
+def manifest_file_rows(table_dir: str) -> dict[str, int]:
+    """Per referenced file: total committed row count, read from the
+    manifest footers only (O(#row-groups) metadata, no data I/O)."""
+    fs, base = fsio.resolve(table_dir)
+    md = pq.read_metadata(posixpath.join(base, "_metadata"), filesystem=fs)
+    rows: dict[str, int] = {}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        fp = rg.column(0).file_path
+        rows[fp] = rows.get(fp, 0) + rg.num_rows
+    return rows
+
+
+def manifest_diff(table_dir_old: str, table_dir_new: str) -> dict:
+    """What changed between two committed snapshots of the same table
+    (e.g. before/after an incremental extraction or a re-coarsening
+    pass): which files were added, which were superseded, and the row
+    delta — all from the two ``_metadata`` footers, no data I/O.
+
+    The reference's snapshot story (consolidated ``_metadata`` as the
+    atomic commit, cli.py:245-273,328) implies exactly this audit:
+    "which partitions did the last run add / replace, and how many rows
+    moved."  Returns ``{"added": {...}, "removed": {...}, "unchanged":
+    [...], "row_delta": int}`` where added/removed map file path ->
+    row count.  A file whose path persists is "unchanged" — partition
+    files are immutable by construction (re-coarsening writes NEW
+    paths), so path identity is content identity.
+    """
+    old = manifest_file_rows(table_dir_old)
+    new = manifest_file_rows(table_dir_new)
+    added = {f: n for f, n in new.items() if f not in old}
+    removed = {f: n for f, n in old.items() if f not in new}
+    return {
+        "added": added,
+        "removed": removed,
+        "unchanged": sorted(set(old) & set(new)),
+        "row_delta": sum(new.values()) - sum(old.values()),
+    }
+
+
 def vacuum_table(table_dir: str, dry_run: bool = True) -> list[str]:
     """Garbage-collect data files the manifest no longer references.
 

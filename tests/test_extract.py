@@ -258,6 +258,46 @@ def test_vacuum_removes_only_superseded_files(spark, tmp_path):
     assert vacuum_table(td, dry_run=False) == []
 
 
+def test_manifest_diff_between_snapshots(spark, tmp_path):
+    """Snapshot audit: diff two committed manifests (before/after an
+    incremental watermark advance) — added/removed files and the row
+    delta, all from the footers with no data I/O."""
+    import shutil
+
+    from subgraph_extractor_spark.plans.manifest import (
+        manifest_diff,
+        manifest_file_rows,
+    )
+
+    out = str(tmp_path / "out")
+    early_rows = [r for r in ROWS if r[1] < 18_700_000]
+    run_extraction(
+        spark, CONFIG, {"entity_versions": _entity_df(spark, early_rows)}, out,
+        earliest_block=18_000_000, latest_block=18_700_000,
+    )
+    td = _table_dir(out)
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    shutil.copy(os.path.join(td, "_metadata"), snap / "_metadata")
+
+    run_extraction(
+        spark, CONFIG, {"entity_versions": _entity_df(spark)}, out,
+        earliest_block=18_000_000, latest_block=19_000_000,
+    )
+    d = manifest_diff(str(snap), td)
+    assert d["row_delta"] == 3  # 3 late rows entered the snapshot
+    new_files = set(read_manifest_files(td))
+    old_files = set(manifest_file_rows(str(snap)))
+    assert set(d["added"]) == new_files - old_files and d["added"]
+    assert set(d["removed"]) == old_files - new_files
+    assert set(d["unchanged"]) == old_files & new_files
+    # per-file counts are consistent with the totals
+    assert sum(manifest_file_rows(td).values()) == 6
+    # identity diff is empty
+    same = manifest_diff(td, td)
+    assert not same["added"] and not same["removed"] and same["row_delta"] == 0
+
+
 def test_vacuum_refuses_uncommitted_dir(tmp_path):
     from subgraph_extractor_spark.plans.manifest import vacuum_table
 
