@@ -2492,6 +2492,21 @@ def q_pipeline_shuffle_shard(spark, sf):
     )
 
 
+def q_semdedup_approx(spark, sf):
+    # SemDeDup on the SCALE path: sign-LSH bucket candidates + exact
+    # cogrouped verification feed the cluster/survivor stages — the plan
+    # you'd run at 100 TB (the brute-force pipeline_semdedup variant is
+    # the fixture-scale bit-exact baseline).  Rows-only by design: each
+    # component carries its own oracle (emb_neardup recall contract,
+    # clusters recursive-CTE oracle, survivor rule full-value oracle).
+    emb = _t(spark, sf, "embeddings")
+    pairs = dedup_ops.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    ).select("id_a", "id_b")
+    out = semdedup_ops.semantic_dedup(emb, pairs, "vec_id")
+    return out.select("vec_id", "label")
+
+
 def q_pipeline_semdedup_best(spark, sf):
     # Same clusters, best-member survivor rule: highest label wins, ties
     # to the lowest id (one deterministic max_by aggregate per cluster).
@@ -3113,6 +3128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
     "text_bpe_train": q_text_bpe_train,
+    "semdedup_approx": q_semdedup_approx,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,

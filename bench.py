@@ -71,6 +71,13 @@ HEADLINE = [
     # bigram-LM novelty gate (train on even docs + score odd docs,
     # end-to-end — the CCNet-style perplexity-filter stage)
     "quality_lm_novelty",
+    # r4 continuation additions (first recorded here for r5+
+    # comparability): SemDeDup survivors on the scale path (LSH
+    # candidates -> exact verify -> CC -> one survivor per cluster),
+    # deterministic shuffle-shard permutation, BPE merge training
+    "semdedup_approx",
+    "pipeline_shuffle_shard",
+    "text_bpe_train",
 ]
 
 
