@@ -138,6 +138,16 @@ SHOW = [
         "inverted index: per-doc distinct map-side, one token-keyed "
         "shuffle into sorted posting lists",
     ),
+    (
+        "pipeline_shuffle_shard",
+        "deterministic shuffle-shard: md5 key + shard in codegen, ONE "
+        "shuffle (per-shard rank window) — shard count is the scale knob",
+    ),
+    (
+        "semdedup_approx",
+        "SemDeDup scale path: LSH band shuffle -> cogroup verify -> "
+        "CC label joins -> per-cluster max_by rep -> left-anti survivors",
+    ),
 ]
 
 
