@@ -2492,6 +2492,50 @@ def q_pipeline_shuffle_shard(spark, sf):
     )
 
 
+def q_pipeline_pretraining_e2e(spark, sf):
+    # the full corpus-to-training-export path in ONE composed Catalyst
+    # plan: exact dedup (keep lowest id per sha256) -> quality gate ->
+    # stable train split (md5 bucket) -> deterministic shuffle-shard of
+    # the train split (seed'd epoch permutation).  Every stage is a pure
+    # function of the data, so the DuckDB oracle replays the whole
+    # pipeline and the final (doc_id, shard, pos) export manifest
+    # hashes bit-exactly.  BPE tokenization and sequence packing compose
+    # downstream of this cut (text_bpe_train / pipeline_pack_sequences).
+    from subgraph_extractor_spark.operators import shuffling as shuffle_ops
+
+    d = _t(spark, sf, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    cleaned = (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio", n_punct / F.greatest(F.length("text"), F.lit(1))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens") >= 40)
+            & (F.col("punct_ratio") <= 0.1)
+        )
+        .select("doc_id", "n_tokens")
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digits = "0123456789abcdef"
+    b = (F.instr(F.lit(digits), F.substring(hx, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(digits), F.substring(hx, 2, 1)) - 1
+    )
+    train = cleaned.filter(b < 204)
+    out = shuffle_ops.deterministic_shuffle(train, "doc_id", 4, seed="ep0")
+    return out.select(
+        "doc_id", "n_tokens", "shard", F.col("pos").cast("bigint").alias("pos")
+    )
+
+
 def q_semdedup_approx(spark, sf):
     # SemDeDup on the SCALE path: sign-LSH bucket candidates + exact
     # cogrouped verification feed the cluster/survivor stages — the plan
@@ -3129,6 +3173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
     "text_bpe_train": q_text_bpe_train,
     "semdedup_approx": q_semdedup_approx,
+    "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4545,6 +4590,53 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # End-to-end pretraining-export replay: dedup-keep-first + quality
+    # gate + stable split + deterministic shuffle-shard, every stage a
+    # pure function of the data — the final export manifest (doc_id,
+    # shard, pos) hashes bit-exactly.
+    "pipeline_pretraining_e2e": """
+        WITH cleaned AS (
+            SELECT doc_id, n_tokens FROM (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text),
+                                                             '\\s+')) AS INT)
+                       END AS n_tokens,
+                       CAST(LENGTH(text)
+                            - LENGTH(regexp_replace(text, '[.,;:!?]', '',
+                                                    'g'))
+                            AS DOUBLE) / GREATEST(LENGTH(text), 1)
+                           AS punct_ratio,
+                       ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            )
+            WHERE rn = 1 AND n_tokens >= 40 AND punct_ratio <= 0.1
+        ),
+        train AS (
+            SELECT doc_id, n_tokens FROM cleaned
+            WHERE (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                  < 204
+        ),
+        keyed AS (
+            SELECT doc_id, n_tokens,
+                   md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM train
+        )
+        SELECT doc_id, n_tokens,
+               CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4
+                    AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS INTEGER)
+                                    % 4
+                   ORDER BY hx, doc_id
+               ) AS BIGINT) AS pos
+        FROM keyed
     """,
     # BPE training contract: word/token anchors and the FIRST merge are
     # recomputed independently (argmax over adjacent char-pair counts,
