@@ -2492,6 +2492,33 @@ def q_pipeline_shuffle_shard(spark, sf):
     )
 
 
+def q_sample_temperature(spark, sf):
+    # temperature mixture (mT5/XLM-R rebalancing) at tau=2: quotas are
+    # floor(sqrt(n_s) * sqrt(n_min)) — both factors IEEE correctly-
+    # rounded sqrt, so the mix is bit-portable and the FULL sampled row
+    # set is oracle-checkable (stable md5 rank order per stratum).
+    # Stratified by language — the skewed axis of this corpus (en is
+    # ~3.4x fr), i.e. the actual multilingual rebalancing use case.
+    d = _t(spark, sf, "documents")
+    out = sampling_ops.temperature_mixture_sample(
+        d, F.col("doc_id"), F.col("lang"), tau=2.0
+    )
+    return out.select("doc_id", F.col("_stratum").alias("lang"))
+
+
+def q_dedup_editdist(spark, sf):
+    # edit-distance verified near-dups: exact Jaccard candidates (the
+    # oracle-shared inverted-index formulation) verified by codegen
+    # Levenshtein at <= 30% of the longer text.  Full-value oracle —
+    # DuckDB recomputes every distance (byte==char on this ASCII
+    # corpus; see edit_distance_pairs docstring).
+    d = _t(spark, sf, "documents")
+    cands = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
+    return dedup_ops.edit_distance_pairs(
+        d, cands, "doc_id", "text", rel_threshold=0.3
+    )
+
+
 def q_pipeline_pretraining_e2e(spark, sf):
     # the full corpus-to-training-export path in ONE composed Catalyst
     # plan: exact dedup (keep lowest id per sha256) -> quality gate ->
@@ -3174,6 +3201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train": q_text_bpe_train,
     "semdedup_approx": q_semdedup_approx,
     "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
+    "dedup_editdist": q_dedup_editdist,
+    "sample_temperature": q_sample_temperature,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4590,6 +4619,46 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(
                   [CAST(x AS DOUBLE) FOR x IN l.embedding],
                   [CAST(x AS DOUBLE) FOR x IN r.embedding]) >= 0.4
+    """,
+    # Temperature mixture at tau=2: sqrt is correctly rounded per IEEE
+    # 754, so floor(sqrt(n_s)*sqrt(n_min)) quotas and the md5 rank
+    # order reproduce the full sampled row set bit-exactly.
+    "sample_temperature": """
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        ),
+        quotas AS (
+            SELECT lang,
+                   CAST(FLOOR(sqrt(CAST(n AS DOUBLE))
+                              * sqrt(CAST((SELECT MIN(n) FROM counts)
+                                          AS DOUBLE))) AS BIGINT) AS q
+            FROM counts
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rk
+            FROM documents d
+        )
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN quotas q USING (lang)
+        WHERE r.rk <= q.q
+    """,
+    # Edit-distance verified near-dups over the shared exact-Jaccard
+    # candidate formulation; every Levenshtein value recomputed.
+    "dedup_editdist": f"""
+        WITH
+        {_EXACT_JACCARD_PAIRS_SQL}
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM exact_pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        WHERE levenshtein(da.text, db.text)
+              <= 0.3 * GREATEST(LENGTH(da.text), LENGTH(db.text))
     """,
     # End-to-end pretraining-export replay: dedup-keep-first + quality
     # gate + stable split + deterministic shuffle-shard, every stage a

@@ -416,6 +416,51 @@ def _minhash_pairs_lazy(
     return bucket_pairs(buckets)
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    rel_threshold: float = 0.3,
+) -> DataFrame:
+    """Verify candidate near-duplicate pairs by Levenshtein edit
+    distance: keep (id_a, id_b, edit_dist) where the distance is at most
+    ``rel_threshold`` of the longer text.  The distance is JVM-side
+    codegen (``F.levenshtein`` — no UDF); texts are joined onto the
+    candidate pairs by id (two keyed shuffles), never all-pairs.
+
+    Scale notes: Levenshtein is O(len_a * len_b) per pair — feed LSH or
+    Jaccard CANDIDATES, never a cross join; for long documents verify a
+    bounded prefix or chunk fingerprints instead.  Cross-engine caveat:
+    Spark counts characters, DuckDB bytes — identical on ASCII corpora
+    (the oracle-checked fixture is ASCII; non-ASCII corpora should
+    treat the oracle as approximate at multi-byte positions).
+    """
+    t = df.select(F.col(id_col).alias("_eid"), F.col(text_col).alias("_et"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    bound = F.greatest(F.length("_ta"), F.length("_tb")) * F.lit(
+        rel_threshold
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(
+            t.select(
+                F.col("_eid").alias("id_a"), F.col("_et").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            t.select(
+                F.col("_eid").alias("id_b"), F.col("_et").alias("_tb")
+            ),
+            "id_b",
+        )
+        .withColumn("edit_dist", dist.cast("bigint"))
+        .filter(F.col("edit_dist") <= bound)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (set semantics).
     Empty-vs-empty is 0.0, not 1.0: two documents with no shingles share

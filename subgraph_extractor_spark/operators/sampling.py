@@ -158,3 +158,48 @@ def mixture_sample(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_quota"))
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    tau: float = 2.0,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-training
+    rebalancing rule of mT5 / XLM-R): sample stratum ``s`` proportional
+    to ``n_s^(1/tau)`` — ``tau=1`` keeps natural proportions, larger
+    ``tau`` flattens the head and upweights the tail.
+
+    The largest without-replacement mix with those proportions has the
+    closed form ``quota_s = floor(n_s^(1/tau) * n_min^(1-1/tau))`` (the
+    normalizing sum cancels against the binding smallest stratum), so no
+    cross-stratum float summation enters the quota — and for the default
+    ``tau=2`` both factors are ``sqrt``, which IEEE 754 requires to be
+    correctly rounded, making the quotas BIT-PORTABLE across engines
+    (general ``pow`` is not correctly rounded; non-2 temperatures are
+    deterministic per-engine but only approximately cross-engine).
+
+    Rows are chosen per stratum in stable (md5(key), key) order — the
+    same hash-order contract as ``mixture_sample``.  Plan: one tiny
+    stratum-count aggregate, quotas broadcast back, one shuffle for the
+    per-stratum rank window.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    a = 1.0 / tau
+    tagged = df.withColumn("_stratum", stratum)
+    counts = tagged.groupBy("_stratum").agg(F.count(F.lit(1)).alias("_n"))
+    everything = Window.partitionBy()
+    nmin = F.min("_n").over(everything)
+    if tau == 2.0:
+        scaled = F.sqrt(F.col("_n")) * F.sqrt(nmin)
+    else:
+        scaled = F.pow(F.col("_n"), F.lit(a)) * F.pow(nmin, F.lit(1.0 - a))
+    quotas = counts.select("_stratum", F.floor(scaled).alias("_quota"))
+    w = Window.partitionBy("_stratum").orderBy(F.md5(key.cast("string")), key)
+    return (
+        tagged.join(F.broadcast(quotas), "_stratum")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+    )

@@ -453,3 +453,31 @@ def test_incremental_minhash_mega_bucket_cap(spark):
     assert all(a > 5000 and b > 5000 for a, b in got), (
         "capped boilerplate bucket must not produce pairs"
     )
+
+
+def test_edit_distance_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),   # dist 2 from doc 1
+            (3, "a completely different text"),
+            (4, "the quick brown fox jumps"),    # exact dup of doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_pairs(
+            df, cands, "doc_id", "text", rel_threshold=0.3
+        ).collect()
+    }
+    # (1,2) within 30% of 26 chars; (1,4) identical; (1,3) too far
+    assert got == {(1, 2): 2, (1, 4): 0}
+    # a near pair NOT in the candidate set is never verified
+    strict = dedup.edit_distance_pairs(
+        df, cands.filter("id_b <> 4"), "doc_id", "text", 0.3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} == {(1, 2)}

@@ -344,3 +344,47 @@ def test_hll_sketch_table_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
     got = {r["event_type"]: r["n_distinct_est"] for r in merged_from_disk.collect()}
     want = {r["event_type"]: r["n_distinct_est"] for r in in_memory.collect()}
     assert got == want and got
+
+
+def test_temperature_mixture_quotas_and_order(docs):
+    """tau=2 quotas equal floor(sqrt(n_s * n_min)) computed in python;
+    the per-stratum selection follows the stable md5 rank order."""
+    import math
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    nmin = min(counts.values())
+    out = sampling.temperature_mixture_sample(
+        docs, F.col("doc_id"), F.col("lang"), tau=2.0
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        want = math.floor(math.sqrt(float(n)) * math.sqrt(float(nmin)))
+        assert got.get(lang, 0) == want, (lang, n, nmin)
+    # head stratum flattened, tail (min) kept ~whole
+    head = max(counts, key=counts.get)
+    assert got[head] < counts[head]
+    # deterministic under repartitioning
+    out2 = sampling.temperature_mixture_sample(
+        docs.repartition(13), F.col("doc_id"), F.col("lang"), tau=2.0
+    )
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+
+
+def test_temperature_mixture_tau_edges(docs, spark):
+    # tau=1 keeps natural proportions -> the whole corpus survives
+    n = docs.count()
+    full = sampling.temperature_mixture_sample(
+        docs, F.col("doc_id"), F.col("lang"), tau=1.0
+    )
+    assert full.count() == n
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture_sample(
+            docs, F.col("doc_id"), F.col("lang"), tau=0.0
+        )
