@@ -2492,6 +2492,15 @@ def q_pipeline_shuffle_shard(spark, sf):
     )
 
 
+def q_ann_projected(spark, sf):
+    # raw coarse-to-fine ANN output (bench-comparable); correctness
+    # rides on the ann_projected_recall contract
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.projected_topk_rerank(
+        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
+    )
+
+
 def q_ann_projected_recall(spark, sf):
     # coarse-to-fine ANN: deterministic md5 random projection 64->32
     # dims (weights are Catalyst literals, map-only), coarse top-150 per
@@ -3221,6 +3230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_editdist": q_dedup_editdist,
     "sample_temperature": q_sample_temperature,
     "ann_projected_recall": q_ann_projected_recall,
+    "ann_projected": q_ann_projected,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,

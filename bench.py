@@ -78,6 +78,11 @@ HEADLINE = [
     "semdedup_approx",
     "pipeline_shuffle_shard",
     "text_bpe_train",
+    # coarse-to-fine ANN: matmul top-150 in the 32-dim projected space,
+    # exact full-dim re-rank of the absolute candidate set
+    "ann_projected",
+    "sample_temperature",
+    "pipeline_pretraining_e2e",
 ]
 
 

@@ -754,8 +754,12 @@ def projected_topk_rerank(
     proj = random_projection(df, vec_col, out_dim, in_dim, seed).select(
         F.col(id_col), F.col(vec_col), F.col("_proj")
     )
+    # exact top-(k*expand) in the projected space via the sharded-matmul
+    # path (topk_matmul and brute_force_topk share the ranking contract,
+    # so candidates — and therefore recall — are identical; matmul is
+    # the one that scales: corpus shuffles once, FLOPs are BLAS)
     coarse_side = proj.select(id_col, F.col("_proj").alias("coarse_vec"))
-    coarse = brute_force_topk(
+    coarse = topk_matmul(
         coarse_side, coarse_side, "coarse_vec", id_col, k=k * expand
     )
     # re-rank candidates with the exact full-dim cosine: join the two
