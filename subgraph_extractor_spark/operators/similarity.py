@@ -744,9 +744,18 @@ def projected_topk_rerank(
     ``k * expand`` candidates per query, re-rank ONLY those with the
     exact full-dim cosine, return the top ``k``.  The production ANN
     pattern (coarse quantizer + re-rank) with a deterministic
-    projection; at 4x dim reduction the coarse pass costs 1/4 the FLOPs
-    and the re-rank touches k*expand rows per query instead of the
-    corpus.
+    projection: at 2x dim reduction the coarse pass costs half the
+    FLOPs, and the re-rank touches an ABSOLUTE number of rows per query
+    (k*expand), independent of corpus size.
+
+    Scale honesty: the coarse pass here is exact in the projected space
+    (FAISS-flat class) — for query-set-vs-corpus search that is the
+    right tool, but for corpus×corpus self-ANN it is still quadratic in
+    FLOPs (cheaper by the dim ratio, not asymptotically).  At
+    full-corpus scale compose :func:`random_projection` with
+    ``ann_topk_lsh``/``ivf_topk`` instead — the projection cuts every
+    downstream distance computation by the same ratio while those
+    prune candidates sub-quadratically.
 
     Output (query_id, neighbor_id, rank), same contract as
     brute_force_topk; recall against the full-dim exact baseline is

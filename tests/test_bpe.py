@@ -119,3 +119,34 @@ def test_merge_table_shape(spark):
         (1, "a", "b", 7),
         (2, "ab", "c", 3),
     ]
+
+
+def test_merge_word_matches_sennrich_regex_property():
+    """merge_word == Sennrich's regex replace (non-overlapping,
+    left-to-right) for random symbol sequences and random pairs."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    syms_st = st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "bc", "</w>"]),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(syms_st, st.sampled_from(["a", "b", "c", "ab"]),
+           st.sampled_from(["a", "b", "c", "bc", "</w>"]))
+    def check(syms, a, b):
+        # Sennrich: spaces separate symbols; replace 'a b' by 'ab'
+        pattern = re.compile(
+            r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)"
+        )
+        want = pattern.sub(
+            (a + b).replace("\\", "\\\\"), " ".join(syms)
+        ).split(" ") if syms else []
+        want = [w for w in want if w != ""]
+        assert merge_word(list(syms), a, b) == want, (syms, a, b)
+
+    check()
