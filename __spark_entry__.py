@@ -2532,6 +2532,15 @@ def q_sample_temperature(spark, sf):
     return out.select("doc_id", F.col("_stratum").alias("lang"))
 
 
+def q_dedup_containment(spark, sf):
+    # asymmetric containment near-dups: |A∩B| / min(|A|,|B|) >= 0.9 —
+    # catches embedded-document relations symmetric Jaccard misses.
+    # Full-value oracle: one exact-integer division per pair is IEEE
+    # bit-identical across engines.
+    d = _t(spark, sf, "documents")
+    return dedup_ops.containment_pairs(d, "text", "doc_id", 3, 0.9)
+
+
 def q_dedup_editdist(spark, sf):
     # edit-distance verified near-dups: exact Jaccard candidates (the
     # oracle-shared inverted-index formulation) verified by codegen
@@ -3231,6 +3240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature": q_sample_temperature,
     "ann_projected_recall": q_ann_projected_recall,
     "ann_projected": q_ann_projected,
+    "dedup_containment": q_dedup_containment,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4679,6 +4689,32 @@ ORACLES: dict[str, str] = {
         SELECT r.doc_id, r.lang
         FROM ranked r JOIN quotas q USING (lang)
         WHERE r.rk <= q.q
+    """,
+    # Asymmetric containment pairs: same inverted-index gram-join shape
+    # as the Jaccard fragment, containment = shared / min sizes.
+    "dedup_containment": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, len(toks) - 1)]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        )
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / LEAST(na, nb) AS containment
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i,
+                   any_value(a.n) AS na, any_value(b.n) AS nb
+            FROM (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram
+                  FROM sh) a
+            JOIN (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram
+                  FROM sh) b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        WHERE CAST(i AS DOUBLE) / LEAST(na, nb) >= 0.9
     """,
     # Edit-distance verified near-dups over the shared exact-Jaccard
     # candidate formulation; every Levenshtein value recomputed.

@@ -481,3 +481,29 @@ def test_edit_distance_pairs(spark):
         df, cands.filter("id_b <> 4"), "doc_id", "text", 0.3
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} == {(1, 2)}
+
+
+def test_containment_catches_embedded_document(spark):
+    """A short doc fully embedded in a long one: Jaccard is low (the
+    union is dominated by the long doc) but containment is 1.0."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    long_doc = filler + " " + short + " " + filler.replace("w", "v")
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated text here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "text", "doc_id", 3, 0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert not any(3 in p for p in got)
+    # the same pair is invisible to symmetric Jaccard at any real
+    # threshold: shared grams are a sliver of the union
+    from subgraph_extractor_spark.operators.dedup import word_shingles
+    a = set(df.filter("doc_id=1").select(
+        word_shingles(F.col("text"), 3).alias("g")).head()["g"])
+    b = set(df.filter("doc_id=2").select(
+        word_shingles(F.col("text"), 3).alias("g")).head()["g"])
+    assert len(a & b) / len(a | b) < 0.05
