@@ -2431,6 +2431,27 @@ def q_pipeline_semdedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def q_pipeline_shard_append(spark, sf):
+    # continual-ingestion shard append under an adversarial parity
+    # split: even docs form the standing sharded corpus, odd docs are
+    # the new batch routed by the same hash rule with positions
+    # CONTINUING per shard.  The union is a pure function of the data,
+    # so the full (doc_id, shard, pos) layout hashes bit-exactly —
+    # certifying both position stability and the continuation rule.
+    from subgraph_extractor_spark.operators import shuffling as shuffle_ops
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    standing = shuffle_ops.deterministic_shuffle(old, "doc_id", 4, "ep0")
+    appended = shuffle_ops.append_to_shards(
+        new, shuffle_ops.shard_counts(standing), "doc_id", 4, "ep0"
+    )
+    return standing.unionByName(appended).select(
+        "doc_id", "shard", F.col("pos").cast("bigint").alias("pos")
+    )
+
+
 def q_text_bpe_train(spark, sf):
     # distributed BPE merge training (Sennrich 2016) under a contract
     # oracle: the exact word/token anchors and the FIRST learned merge
@@ -3241,6 +3262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_projected_recall": q_ann_projected_recall,
     "ann_projected": q_ann_projected,
     "dedup_containment": q_dedup_containment,
+    "pipeline_shard_append": q_pipeline_shard_append,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4815,6 +4837,37 @@ ORACLES: dict[str, str] = {
                CAST(0 AS BIGINT) AS n_reconstruct_bad,
                TRUE AS merges_nonincreasing
         FROM best
+    """,
+    # Shard append under the parity split: odd-doc ranks continue after
+    # each shard's even-doc count; the union layout is replayed exactly.
+    "pipeline_shard_append": """
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hx,
+                   doc_id % 2 = 0 AS is_old
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, is_old,
+                   CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4
+                        AS INTEGER) AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY
+                           CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4,
+                           doc_id % 2
+                       ORDER BY hx, doc_id
+                   ) AS rk
+            FROM keyed
+        ),
+        base AS (
+            SELECT shard, COUNT(*) AS n_old
+            FROM placed WHERE is_old GROUP BY shard
+        )
+        SELECT p.doc_id, p.shard,
+               CAST(CASE WHEN p.is_old THEN p.rk
+                         ELSE p.rk + COALESCE(b.n_old, 0) END
+                    AS BIGINT) AS pos
+        FROM placed p LEFT JOIN base b USING (shard)
     """,
     # Deterministic shuffle-shard, full-value: shard = first 16 digest
     # bits mod 8, pos = rank of the digest within the shard — both pure

@@ -88,3 +88,46 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def shard_counts(sharded: DataFrame) -> DataFrame:
+    """(shard, n_rows) of an existing sharded corpus — the standing
+    state `append_to_shards` continues from (tiny aggregate; at scale
+    read it from the shard manifest instead of scanning data)."""
+    return sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def append_to_shards(
+    new_df: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Continual ingestion for the shuffled-shard layout: route a NEW
+    batch to its shards with the same (seed, id) hash rule and assign
+    positions CONTINUING after each shard's existing row count — standing
+    rows never move (training jobs can resume mid-shard), the batch
+    lands deterministically, and re-running the same batch yields the
+    same placement.
+
+    ``counts`` is (shard, n_rows) from :func:`shard_counts` (or the
+    shard manifest).  Shards absent from ``counts`` start at position 1.
+    Note the result is position-stable, NOT equal to a from-scratch
+    shuffle of the union — for a freshly permuted epoch, re-shuffle with
+    a new seed instead.
+
+    Plan: the batch shuffles once (per-shard rank window); counts is a
+    broadcast-sized join.  Returns the new rows with (shard, pos).
+    """
+    placed = deterministic_shuffle(new_df, id_col, num_shards, seed)
+    base = counts.select(
+        "shard", F.col("n_rows").cast("long").alias("_base")
+    )
+    return (
+        placed.join(F.broadcast(base), "shard", "left")
+        .withColumn(
+            "pos", (F.col("pos") + F.coalesce("_base", F.lit(0))).cast("int")
+        )
+        .drop("_base")
+    )

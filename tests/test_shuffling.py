@@ -79,3 +79,39 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     # read-back content matches the in-memory shuffle assignment
     mem = _key(deterministic_shuffle(docs, "doc_id", 4, "ep0").collect())
     assert _key(back.collect()) == mem
+
+
+def test_append_to_shards_continues_positions(spark, docs):
+    from subgraph_extractor_spark.operators.shuffling import (
+        append_to_shards,
+        shard_counts,
+    )
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    standing = deterministic_shuffle(old, "doc_id", 4, "ep0")
+    counts = shard_counts(standing)
+    appended = append_to_shards(new, counts, "doc_id", 4, "ep0")
+
+    base = {r["shard"]: r["n_rows"] for r in counts.collect()}
+    by_shard_old = {}
+    for r in standing.collect():
+        by_shard_old.setdefault(r["shard"], []).append(r["pos"])
+    by_shard_new = {}
+    for r in appended.collect():
+        by_shard_new.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard_new.items():
+        start = base.get(shard, 0)
+        # appended positions are dense and start right after standing
+        assert sorted(poss) == list(range(start + 1, start + 1 + len(poss)))
+        # no collision with standing positions
+        assert not set(poss) & set(by_shard_old.get(shard, []))
+    # same hash rule: a doc lands in the same shard either way
+    full = deterministic_shuffle(docs, "doc_id", 4, "ep0")
+    shard_of = {r["doc_id"]: r["shard"] for r in full.collect()}
+    for r in appended.collect():
+        assert shard_of[r["doc_id"]] == r["shard"]
+    # idempotent re-run
+    again = append_to_shards(new, counts, "doc_id", 4, "ep0")
+    assert sorted((r["shard"], r["pos"], r["doc_id"]) for r in again.collect()) \
+        == sorted((r["shard"], r["pos"], r["doc_id"]) for r in appended.collect())
