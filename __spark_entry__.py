@@ -2431,6 +2431,52 @@ def q_pipeline_semdedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def q_quality_classifier(spark, sf):
+    # classifier-based corpus filtering (the GPT-3/LLaMA pipeline
+    # stage), here as FILTER DISTILLATION: train a hashed-bag-of-words
+    # logistic regression on even docs labeled by the heuristic quality
+    # gate, score the held-out odd docs.  L-BFGS coefficients are
+    # tree-aggregated floats (not bit-portable), so the contract is the
+    # a10 pattern: exact split-count anchors + a held-out accuracy
+    # bound (measured 0.976 at sf0.01; base rate 0.66).
+    from subgraph_extractor_spark.operators import classifier as clf_ops
+
+    d = _t(spark, sf, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    )
+    lab = d.withColumn(
+        "ok",
+        (
+            (n_tokens >= 40)
+            & (n_punct / F.greatest(F.length("text"), F.lit(1)) <= 0.1)
+        ).cast("double"),
+    )
+    train = lab.filter(F.col("doc_id") % 2 == 0)
+    test = lab.filter(F.col("doc_id") % 2 == 1)
+    model = clf_ops.train_text_classifier(train, "text", "ok")
+    scored = clf_ops.score_documents(model, test, "text")
+    n_correct = scored.filter(
+        F.col("prediction") == F.col("ok")
+    ).agg(F.count(F.lit(1)).alias("_nc"))
+    n_tr = train.agg(F.count(F.lit(1)).alias("n_train"))
+    n_te = test.agg(F.count(F.lit(1)).alias("n_test"))
+    return (
+        n_tr.crossJoin(n_te)
+        .crossJoin(n_correct)
+        .select(
+            "n_train",
+            "n_test",
+            (F.col("_nc") >= 0.9 * F.col("n_test")).alias(
+                "holdout_acc_ge_090"
+            ),
+        )
+    )
+
+
 def q_pipeline_shard_append(spark, sf):
     # continual-ingestion shard append under an adversarial parity
     # split: even docs form the standing sharded corpus, odd docs are
@@ -3263,6 +3309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_projected": q_ann_projected,
     "dedup_containment": q_dedup_containment,
     "pipeline_shard_append": q_pipeline_shard_append,
+    "quality_classifier": q_quality_classifier,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4837,6 +4884,16 @@ ORACLES: dict[str, str] = {
                CAST(0 AS BIGINT) AS n_reconstruct_bad,
                TRUE AS merges_nonincreasing
         FROM best
+    """,
+    # Classifier distillation contract: exact split anchors + held-out
+    # accuracy bound (the oracle recomputes only the anchors; the
+    # boolean is the bound the Spark model must earn).
+    "quality_classifier": """
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 2 = 0) AS n_train,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 2 = 1) AS n_test,
+               TRUE AS holdout_acc_ge_090
     """,
     # Shard append under the parity split: odd-doc ranks continue after
     # each shard's even-doc count; the union layout is replayed exactly.

@@ -53,6 +53,17 @@ ALLOWED_NON_EQUI = {
     # test and are bucketed/bounded by construction
     "j5_range_join",
     "j7_state_asof",
+    # exact cosine all-pairs baseline (the documented fixture-scale
+    # truth side of the SemDeDup survivor oracles)
+    "pipeline_semdedup",
+    "pipeline_semdedup_best",
+    # sharded-matmul coarse pass broadcast-replicates the query set per
+    # shard (same documented asymmetry as sim_topk_matmul), and the
+    # recall contract crossJoins 1-row anchors
+    "ann_projected",
+    "ann_projected_recall",
+    # classifier contract: crossJoin of three single-row count anchors
+    "quality_classifier",
 }
 
 _BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
