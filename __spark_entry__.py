@@ -858,6 +858,22 @@ def q_f_map(spark, sf):
     )
 
 
+def _with_event_micros(ev, out_col="_us"):
+    """Session-timezone-independent integer epoch micros of events.ts,
+    for every fixture encoding (long nanos / NTZ / timestamp) — the
+    shared derivation of the sessionize/resample/cohort queries."""
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanosAsLong passthrough
+        return ev.withColumn(
+            out_col, F.floor(F.col("ts") / F.lit(1000)).cast("long")
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        from subgraph_extractor_spark.sources.readers import ntz_epoch_micros
+
+        return ev.withColumn(out_col, ntz_epoch_micros(F.col("ts")))
+    return ev.withColumn(out_col, F.unix_micros(F.col("ts")))
+
+
 def q_w7_sessionize(spark, sf):
     # batch sessionization: 30-min inactivity gap starts a new session —
     # lag + conditional + running sum over one user-partitioned window
@@ -2431,6 +2447,35 @@ def q_pipeline_semdedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def _events_with_seconds(spark, sf):
+    ev = _with_event_micros(_t(spark, sf, "events"))
+    return ev.withColumn(
+        "_sec", F.floor(F.col("_us") / F.lit(1_000_000)).cast("long")
+    )
+
+
+def q_ts_resample(spark, sf):
+    # dense per-user daily grid with zero-filled silent days — the
+    # gap-fill/resample surface charting and featurization need; grid
+    # via codegen sequence(), one (user, bucket) join.  Integer epoch
+    # arithmetic end to end, so the full grid hashes bit-exactly.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _events_with_seconds(spark, sf)
+    out = ts_ops.resample_counts(ev, "_sec", "user_id", interval_s=86400)
+    return out.select("user_id", "bucket_start", "n_events")
+
+
+def q_ts_cohort_retention(spark, sf):
+    # weekly cohort retention matrix: users bucketed by first-seen week,
+    # counted in each later week they return — two hash aggregates over
+    # one scan shape, all-integer arithmetic, full-value oracle.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _events_with_seconds(spark, sf)
+    return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
+
+
 def q_quality_classifier(spark, sf):
     # classifier-based corpus filtering (the GPT-3/LLaMA pipeline
     # stage), here as FILTER DISTILLATION: train a hashed-bag-of-words
@@ -3310,6 +3355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "pipeline_shard_append": q_pipeline_shard_append,
     "quality_classifier": q_quality_classifier,
+    "ts_resample": q_ts_resample,
+    "ts_cohort_retention": q_ts_cohort_retention,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4884,6 +4931,53 @@ ORACLES: dict[str, str] = {
                CAST(0 AS BIGINT) AS n_reconstruct_bad,
                TRUE AS merges_nonincreasing
         FROM best
+    """,
+    # Dense daily grid with zero fill: integer epoch bucketing, range()
+    # grid per user span, left join — replayed exactly.
+    "ts_resample": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS sec
+            FROM events
+        ),
+        b AS (
+            SELECT user_id, sec - sec % 86400 AS bucket_start,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+            FROM b GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(range(lo, hi + 86400, 86400)) AS bucket_start
+            FROM span
+        )
+        SELECT g.user_id, CAST(g.bucket_start AS BIGINT) AS bucket_start,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN b USING (user_id, bucket_start)
+    """,
+    # Weekly cohort retention: first-seen week per user, distinct
+    # (user, week) visits re-expressed as offsets from the cohort.
+    "ts_cohort_retention": """
+        WITH e AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) // 604800 * 604800 AS p
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1),
+        v AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   CAST((e.p - f.cohort) // 604800 AS BIGINT)
+                       AS period_offset
+            FROM e JOIN f USING (user_id)
+        )
+        SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM v GROUP BY 1, 2
     """,
     # Classifier distillation contract: exact split anchors + held-out
     # accuracy bound (the oracle recomputes only the anchors; the

@@ -1,0 +1,116 @@
+"""Time-series resampling and cohort analytics over event streams.
+
+The OLAP surfaces a telemetry/event corpus needs beyond plain windowed
+aggregation: dense regular time grids (gap-fill — downstream charting
+and ML featurization require a row per bucket, present or not) and
+cohort retention matrices (the product-analytics staple).
+
+Spark-first: the time grid is ``sequence()`` + ``explode`` over each
+key's observed span (codegen — no driver-side calendar), joined against
+the bucketed aggregate; retention is two aggregates over the same scan.
+Everything is engine-portable integer arithmetic on epoch seconds, so
+the driver queries hash bit-exactly against SQL replays.
+
+100 TB notes: the grid explode is bounded by span/interval per key —
+size the interval so a key's grid fits a task (a year of hourly buckets
+is 8.8k rows); the gap-fill join is one shuffle keyed by (key, bucket);
+retention is two hash aggregates with map-side partials.
+
+Reference parity: none (the reference has no time-series surface);
+LLM-pipeline/analytics extension (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def epoch_bucket(ts: Column, interval_s: int) -> Column:
+    """Bucket start as epoch seconds floored to the interval —
+    integer arithmetic, identical in any SQL dialect."""
+    secs = ts.cast("long")
+    return (secs - secs % interval_s).cast("long")
+
+
+def resample_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    interval_s: int = 3600,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Dense per-key time grid: one row per (key, bucket) for EVERY
+    interval between the key's first and last event, with the bucket's
+    event count (and sum of ``value_col`` if given) — zeros where the
+    key was silent.  Output: (key, bucket_start, n_events[, sum_value]).
+
+    Plan: one bucketed aggregate; one tiny per-key span aggregate whose
+    grid explodes via sequence() (codegen); one left join keyed by
+    (key, bucket).  The grid side is the small one — it carries no
+    payload, only (key, bucket).
+    """
+    b = epoch_bucket(F.col(ts_col), interval_s)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    per_bucket = (
+        events.select(F.col(key_col), b.alias("bucket_start"),
+                      *( [F.col(value_col)] if value_col else [] ))
+        .groupBy(key_col, "bucket_start")
+        .agg(*aggs)
+    )
+    span = events.select(F.col(key_col), b.alias("_b")).groupBy(key_col).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(interval_s))
+        ).alias("bucket_start"),
+    )
+    fills = {"n_events": F.lit(0).cast("bigint")}
+    if value_col:
+        fills["sum_value"] = F.lit(0.0)
+    out = grid.join(per_bucket, [key_col, "bucket_start"], "left")
+    for c, zero in fills.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), zero))
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    period_s: int = 86400 * 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-event
+    period (the cohort), counted in every later period they return.
+    Output (cohort, period_offset, n_active) — offset 0 is the cohort
+    size itself; n_active at offset k = distinct users of that cohort
+    seen k periods after their first.
+
+    Two aggregates over one scan shape: first-event per user (one
+    shuffle by user), then distinct users per (cohort, offset) — the
+    distinct rides the same (user, cohort, offset) grouping, so no
+    expensive count-distinct state.
+    """
+    b = epoch_bucket(F.col(ts_col), period_s)
+    firsts = events.select(F.col(key_col), b.alias("_p")).groupBy(
+        key_col
+    ).agg(F.min("_p").alias("cohort"))
+    visits = (
+        events.select(F.col(key_col), b.alias("_p"))
+        .distinct()
+        .join(firsts, key_col)
+        .select(
+            key_col,
+            "cohort",
+            ((F.col("_p") - F.col("cohort")) / period_s)
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .distinct()
+    )
+    return visits.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

@@ -1,0 +1,69 @@
+"""Time-series resample/gap-fill and cohort retention on hand corpora."""
+
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.timeseries import (
+    cohort_retention,
+    epoch_bucket,
+    resample_counts,
+)
+
+DAY = 86400
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "sec", "value"])
+
+
+def test_resample_fills_gaps_with_zeros(spark):
+    # user 1 active day 0 and day 3 -> days 1, 2 must appear with 0
+    rows = [(1, 0, 1.0), (1, 10, 2.0), (1, 3 * DAY + 5, 4.0),
+            (2, DAY, 8.0)]
+    out = resample_counts(_ev(spark, rows), "sec", "user_id", DAY, "value")
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (2, 3.0),
+        (1, DAY): (0, 0.0),
+        (1, 2 * DAY): (0, 0.0),
+        (1, 3 * DAY): (1, 4.0),
+        (2, DAY): (1, 8.0),
+    }
+
+
+def test_resample_without_value_col(spark):
+    rows = [(1, 0, 1.0), (1, 2 * DAY, 1.0)]
+    out = resample_counts(_ev(spark, rows), "sec", "user_id", DAY)
+    assert "sum_value" not in out.columns
+    assert out.count() == 3
+
+
+def test_epoch_bucket_integer_floor(spark):
+    df = spark.range(1).select(
+        epoch_bucket(F.lit(100_000), 3600).alias("b")
+    )
+    assert df.head()["b"] == 100_000 - 100_000 % 3600
+
+
+def test_cohort_retention_offsets(spark):
+    W = 604800
+    rows = [
+        # cohort week 0: users 1, 2; user 1 returns weeks 1 and 2,
+        # user 2 never returns
+        (1, 0, 0.0), (1, W + 5, 0.0), (1, 2 * W + 5, 0.0),
+        (2, 10, 0.0),
+        # cohort week 1: user 3, returns week 2; duplicate visits in
+        # one week count once
+        (3, W + 1, 0.0), (3, W + 2, 0.0), (3, 2 * W + 9, 0.0),
+    ]
+    out = cohort_retention(_ev(spark, rows), "sec", "user_id", W)
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): 2, (0, 1): 1, (0, 2): 1,
+        (W, 0): 1, (W, 1): 1,
+    }
