@@ -883,18 +883,7 @@ def q_w7_sessionize(spark, sf):
     # encoding (long nanos / NTZ / timestamp), so no driver-session
     # timezone or NTZ setting can move a boundary; the window also
     # orders by the integer, not the timestamp.
-    ev = _t(spark, sf, "events")
-    ts_type = ev.schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):  # nanosAsLong passthrough
-        ev = ev.withColumn(
-            "_us", F.floor(F.col("ts") / F.lit(1000)).cast("long")
-        )
-    elif isinstance(ts_type, T.TimestampNTZType):
-        from subgraph_extractor_spark.sources.readers import ntz_epoch_micros
-
-        ev = ev.withColumn("_us", ntz_epoch_micros(F.col("ts")))
-    else:  # TimestampType: an instant — unix_micros is zone-free
-        ev = ev.withColumn("_us", F.unix_micros(F.col("ts")))
+    ev = _with_event_micros(_t(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
     us = F.col("_us")
     new_sess = F.when(
