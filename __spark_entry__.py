@@ -2465,6 +2465,19 @@ def q_ts_cohort_retention(spark, sf):
     return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
 
 
+def q_ts_funnel(spark, sf):
+    # ordered funnel view -> click -> purchase under min-chain
+    # semantics (step i's time = earliest qualifying event at/after
+    # step i-1's time) — k filtered min-aggregates + keyed joins, no
+    # per-user event arrays; all-integer micros, full-value oracle.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _with_event_micros(_t(spark, sf, "events"))
+    return ts_ops.funnel_counts(
+        ev, "_us", "user_id", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def q_quality_classifier(spark, sf):
     # classifier-based corpus filtering (the GPT-3/LLaMA pipeline
     # stage), here as FILTER DISTILLATION: train a hashed-bag-of-words
@@ -3346,6 +3359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "ts_resample": q_ts_resample,
     "ts_cohort_retention": q_ts_cohort_retention,
+    "ts_funnel": q_ts_funnel,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4967,6 +4981,35 @@ ORACLES: dict[str, str] = {
         SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM v GROUP BY 1, 2
+    """,
+    # Ordered funnel, min-chain semantics replayed step by step.
+    "ts_funnel": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t,
+                   event_type
+            FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(t) AS st FROM e
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(t) AS st
+            FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t >= s1.st GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(t) AS st
+            FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND t >= s2.st GROUP BY 1
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
     """,
     # Classifier distillation contract: exact split anchors + held-out
     # accuracy bound (the oracle recomputes only the anchors; the

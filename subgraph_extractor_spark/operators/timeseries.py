@@ -114,3 +114,54 @@ def cohort_retention(
     return visits.groupBy("cohort", "period_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel completion counts: a user reaches step i when an
+    event of type ``steps[i]`` occurs AT OR AFTER the user's earliest
+    completion of step i-1 (the min-chain semantics: each step's time
+    is the earliest qualifying event, so ties on the boundary count and
+    results are order-deterministic without any sequence fold).
+
+    Output (step, step_name, n_users), step 1-based; n_users is
+    monotonically non-increasing down the funnel.
+
+    Plan: one filtered min-aggregate per step, each joined against the
+    previous step's per-user time — k keyed shuffles for a k-step
+    funnel, no collect, no UDF, no per-user event arrays (a user with
+    millions of events costs the same as one with ten).
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    t = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(type_col).alias("_ty"),
+    )
+    prev = None
+    out_rows = []
+    for i, step in enumerate(steps):
+        cur = t.filter(F.col("_ty") == step)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("_k", F.col("_st").alias("_prev")), "_k"
+            ).filter(F.col("_t") >= F.col("_prev"))
+        cur = cur.groupBy("_k").agg(F.min("_t").alias("_st"))
+        out_rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out

@@ -67,3 +67,30 @@ def test_cohort_retention_offsets(spark):
         (0, 0): 2, (0, 1): 1, (0, 2): 1,
         (W, 0): 1, (W, 1): 1,
     }
+
+
+def test_funnel_min_chain_semantics(spark):
+    rows = [
+        # user 1 completes the full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        # user 2: click BEFORE view, then no later click -> stops at view
+        (2, 10, "click"), (2, 20, "view"), (2, 30, "buy"),
+        # user 3: tie on the boundary counts (click at view's instant)
+        (3, 10, "view"), (3, 10, "click"),
+        # user 4: never views
+        (4, 5, "click"), (4, 6, "buy"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "sec", "event_type"])
+    from subgraph_extractor_spark.operators.timeseries import funnel_counts
+
+    out = {
+        r["step"]: (r["step_name"], r["n_users"])
+        for r in funnel_counts(
+            ev, "sec", "user_id", "event_type", ["view", "click", "buy"]
+        ).collect()
+    }
+    assert out == {1: ("view", 3), 2: ("click", 2), 3: ("buy", 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_counts(ev, "sec", "user_id", "event_type", [])
