@@ -84,6 +84,11 @@ HEADLINE = [
     "ann_projected",
     "sample_temperature",
     "pipeline_pretraining_e2e",
+    # time-series analytics family (quality_classifier not benched:
+    # L-BFGS training is an offline job like text_bpe_train)
+    "ts_resample",
+    "ts_cohort_retention",
+    "ts_funnel",
 ]
 
 
