@@ -2465,6 +2465,30 @@ def q_ts_cohort_retention(spark, sf):
     return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
 
 
+def q_dataset_fingerprint(spark, sf):
+    # order-insensitive corpus equality certificate: 60-bit md5 row
+    # terms summed mod 2^61-1 — partitioning/order/engine independent,
+    # so DuckDB replays the exact certificate (the row-level analogue
+    # of the reference's _metadata manifest commit).
+    from subgraph_extractor_spark.operators import fingerprint as fp_ops
+
+    d = _t(spark, sf, "documents")
+    return fp_ops.dataset_fingerprint(
+        d, ["doc_id", "lang", "n_chars", "source", "text"]
+    )
+
+
+def q_dataset_fingerprint_groups(spark, sf):
+    # incremental form: per-language certificates — compare exports
+    # group by group, re-ship only differing groups.
+    from subgraph_extractor_spark.operators import fingerprint as fp_ops
+
+    d = _t(spark, sf, "documents")
+    return fp_ops.grouped_fingerprints(
+        d, "lang", ["doc_id", "n_chars", "source", "text"]
+    )
+
+
 def q_ts_funnel(spark, sf):
     # ordered funnel view -> click -> purchase under min-chain
     # semantics (step i's time = earliest qualifying event at/after
@@ -3360,6 +3384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_resample": q_ts_resample,
     "ts_cohort_retention": q_ts_cohort_retention,
     "ts_funnel": q_ts_funnel,
+    "dataset_fingerprint": q_dataset_fingerprint,
+    "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "tpch_q6_shape": q_tpch_q6_shape,
@@ -4981,6 +5007,46 @@ ORACLES: dict[str, str] = {
         SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM v GROUP BY 1, 2
+    """,
+    # Dataset fingerprint: identical canonical form (US-joined,
+    # RS-wrapped NULL sentinel), identical 60-bit md5 terms, identical
+    # modulus — the certificate transfers across engines by design.
+    "dataset_fingerprint": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
+                             AS BIGINT))
+                    % 2305843009213693951 AS BIGINT) AS fingerprint
+        FROM (
+            SELECT concat_ws(chr(31),
+                       coalesce(CAST(doc_id AS VARCHAR),
+                                chr(30) || 'NULL' || chr(30)),
+                       coalesce(lang, chr(30) || 'NULL' || chr(30)),
+                       coalesce(CAST(n_chars AS VARCHAR),
+                                chr(30) || 'NULL' || chr(30)),
+                       coalesce(source, chr(30) || 'NULL' || chr(30)),
+                       coalesce(text, chr(30) || 'NULL' || chr(30))
+                   ) AS canon
+            FROM documents
+        )
+    """,
+    "dataset_fingerprint_groups": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
+                             AS BIGINT))
+                    % 2305843009213693951 AS BIGINT) AS fingerprint
+        FROM (
+            SELECT lang,
+                   concat_ws(chr(31),
+                       coalesce(CAST(doc_id AS VARCHAR),
+                                chr(30) || 'NULL' || chr(30)),
+                       coalesce(CAST(n_chars AS VARCHAR),
+                                chr(30) || 'NULL' || chr(30)),
+                       coalesce(source, chr(30) || 'NULL' || chr(30)),
+                       coalesce(text, chr(30) || 'NULL' || chr(30))
+                   ) AS canon
+            FROM documents
+        )
+        GROUP BY lang
     """,
     # Ordered funnel, min-chain semantics replayed step by step.
     "ts_funnel": """

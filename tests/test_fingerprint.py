@@ -1,0 +1,62 @@
+"""Dataset content fingerprints: multiset semantics, layout
+independence, sensitivity, and canonical-form edge cases."""
+
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.fingerprint import (
+    dataset_fingerprint,
+    grouped_fingerprints,
+)
+
+
+def _fp(df, cols=None):
+    r = dataset_fingerprint(df, cols).head()
+    return (r["n_rows"], r["fingerprint"])
+
+
+def test_layout_and_order_independent(spark, sf_dir):
+    from subgraph_extractor_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "text"]
+    a = _fp(d, cols)
+    b = _fp(d.repartition(17), cols)
+    c = _fp(d.orderBy(F.desc("doc_id")), cols)
+    assert a == b == c
+
+
+def test_detects_any_single_row_change(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], ["id", "v"]
+    )
+    dropped = spark.createDataFrame([(1, "a"), (3, "c")], ["id", "v"])
+    duped = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    f = _fp(base)
+    assert _fp(changed) != f
+    assert _fp(dropped) != f
+    assert _fp(duped) != f  # multiset: duplicates change the sum
+
+
+def test_null_distinct_from_null_string_and_empty(spark):
+    a = spark.createDataFrame([(1, None)], "id int, v string")
+    b = spark.createDataFrame([(1, "NULL")], "id int, v string")
+    c = spark.createDataFrame([(1, "")], "id int, v string")
+    assert len({_fp(a)[1], _fp(b)[1], _fp(c)[1]}) == 3
+
+
+def test_grouped_fingerprints_localize_differences(spark):
+    a = spark.createDataFrame(
+        [("x", 1, "p"), ("x", 2, "q"), ("y", 3, "r")], ["g", "id", "v"]
+    )
+    b = spark.createDataFrame(
+        [("x", 1, "p"), ("x", 2, "q"), ("y", 3, "R")], ["g", "id", "v"]
+    )
+    fa = {r["g"]: r["fingerprint"] for r in grouped_fingerprints(a, "g").collect()}
+    fb = {r["g"]: r["fingerprint"] for r in grouped_fingerprints(b, "g").collect()}
+    assert fa["x"] == fb["x"]
+    assert fa["y"] != fb["y"]
