@@ -86,3 +86,17 @@ def grouped_fingerprints(
         .cast("long")
         .alias("fingerprint"),
     )
+
+
+def merge_fingerprints(fps: DataFrame) -> DataFrame:
+    """Combine per-batch/per-group certificates into the union's
+    certificate WITHOUT rescanning data: modular sums add, so
+    fingerprint(A ∪ B) = (fp_A + fp_B) mod 2^61-1 and row counts add —
+    the incremental/streaming face (fold each micro-batch's one-row
+    certificate into standing state; bit-identical to fingerprinting
+    the full corpus in one pass, merge-order-free)."""
+    return fps.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        (F.sum(F.col("fingerprint").cast("decimal(38,0)"))
+         % F.lit(MERSENNE_61)).cast("long").alias("fingerprint"),
+    )

@@ -60,3 +60,22 @@ def test_grouped_fingerprints_localize_differences(spark):
     fb = {r["g"]: r["fingerprint"] for r in grouped_fingerprints(b, "g").collect()}
     assert fa["x"] == fb["x"]
     assert fa["y"] != fb["y"]
+
+
+def test_merge_equals_single_pass(spark, sf_dir):
+    from subgraph_extractor_spark.operators.fingerprint import (
+        merge_fingerprints,
+    )
+    from subgraph_extractor_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "text"]
+    whole = dataset_fingerprint(d, cols)
+    parts = dataset_fingerprint(
+        d.filter(F.col("doc_id") % 3 == 0), cols
+    ).unionByName(
+        dataset_fingerprint(d.filter(F.col("doc_id") % 3 == 1), cols)
+    ).unionByName(
+        dataset_fingerprint(d.filter(F.col("doc_id") % 3 == 2), cols)
+    )
+    assert merge_fingerprints(parts).head() == whole.head()
