@@ -148,6 +148,21 @@ SHOW = [
         "SemDeDup scale path: LSH band shuffle -> cogroup verify -> "
         "CC label joins -> per-cluster max_by rep -> left-anti survivors",
     ),
+    (
+        "ts_resample",
+        "gap-fill: bucketed agg + codegen sequence() grid + one "
+        "(key,bucket) join — zero rows materialize only in the grid side",
+    ),
+    (
+        "ts_funnel",
+        "min-chain funnel: filtered min-agg per step + keyed joins, "
+        "no per-user arrays",
+    ),
+    (
+        "dataset_fingerprint",
+        "content certificate: map-side md5 terms, ONE partial "
+        "aggregate — no data shuffle",
+    ),
 ]
 
 
