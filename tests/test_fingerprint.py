@@ -79,3 +79,50 @@ def test_merge_equals_single_pass(spark, sf_dir):
         dataset_fingerprint(d.filter(F.col("doc_id") % 3 == 2), cols)
     )
     assert merge_fingerprints(parts).head() == whole.head()
+
+
+def test_streaming_certificate_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch-folded certificates: two micro-batches' one-row
+    fingerprints merged incrementally equal the single-pass batch
+    fingerprint of the whole feed — whatever the batch boundaries."""
+    import pyarrow.parquet as papq
+
+    from subgraph_extractor_spark.operators.fingerprint import (
+        merge_fingerprints,
+    )
+    from subgraph_extractor_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    stage = tmp_path / "fp_src"
+    stage.mkdir()
+    papq.write_table(
+        ev.filter(F.col("event_id") % 2 == 0).toArrow(),
+        str(stage / "p0.parquet"),
+    )
+    papq.write_table(
+        ev.filter(F.col("event_id") % 2 == 1).toArrow(),
+        str(stage / "p1.parquet"),
+    )
+    state = str(tmp_path / "fp_state")
+
+    def fold(batch_df, batch_id):
+        dataset_fingerprint(batch_df).write.mode("append").parquet(state)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    parts = spark.read.parquet(state)
+    assert parts.count() == 2  # one certificate per micro-batch
+    assert (
+        merge_fingerprints(parts).head()
+        == dataset_fingerprint(ev).head()
+    )
