@@ -2465,6 +2465,16 @@ def q_ts_cohort_retention(spark, sf):
     return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
 
 
+def q_ts_sliding(spark, sf):
+    # hopping-window counts, batch face: 1h windows hopping 30min via a
+    # codegen sequence() explode (each event fans into interval/hop
+    # windows — no self-join); integer epoch grid, full-value oracle.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _events_with_seconds(spark, sf)
+    return ts_ops.sliding_counts(ev, "_sec", 3600, 1800)
+
+
 def q_dataset_fingerprint(spark, sf):
     # order-insensitive corpus equality certificate: 60-bit md5 row
     # terms summed mod 2^61-1 — partitioning/order/engine independent,
@@ -3384,6 +3394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_resample": q_ts_resample,
     "ts_cohort_retention": q_ts_cohort_retention,
     "ts_funnel": q_ts_funnel,
+    "ts_sliding": q_ts_sliding,
     "dataset_fingerprint": q_dataset_fingerprint,
     "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
     "tpch_q21_shape": q_tpch_q21_shape,
@@ -5007,6 +5018,23 @@ ORACLES: dict[str, str] = {
         SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM v GROUP BY 1, 2
+    """,
+    # Hopping windows: every event fans into interval/hop aligned
+    # window starts via range() — replayed exactly.
+    "ts_sliding": """
+        SELECT CAST(ws AS BIGINT) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT unnest(range(
+                       CAST(FLOOR((sec - 3600) / 1800.0) AS BIGINT) * 1800
+                           + 1800,
+                       CAST(FLOOR(sec / 1800.0) AS BIGINT) * 1800 + 1,
+                       1800)) AS ws
+            FROM (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                              AS BIGINT) AS sec
+                  FROM events)
+        )
+        GROUP BY ws
     """,
     # Dataset fingerprint: identical canonical form (US-joined,
     # RS-wrapped NULL sentinel), identical 60-bit md5 terms, identical

@@ -165,3 +165,36 @@ def funnel_counts(
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str,
+    interval_s: int,
+    hop_s: int,
+) -> DataFrame:
+    """Hopping/sliding window counts, batch face (the streaming face is
+    ``streaming.sliding_counts_stream``): every event lands in the
+    ``interval_s / hop_s`` hop-aligned windows that contain it, via a
+    codegen sequence() explode — no self-join, no per-window scans.
+    Output (window_start, n_events); ``hop_s`` must divide
+    ``interval_s`` (windows stay hop-aligned).
+    """
+    if interval_s % hop_s != 0:
+        raise ValueError(
+            f"hop_s ({hop_s}) must divide interval_s ({interval_s})"
+        )
+    t = F.col(ts_col).cast("long")
+    # smallest hop-aligned start strictly greater than t - interval ...
+    # = floor((t - interval)/hop)*hop + hop; largest = floor(t/hop)*hop
+    lo = (F.floor((t - interval_s) / hop_s) * hop_s + hop_s).cast("long")
+    hi = (F.floor(t / hop_s) * hop_s).cast("long")
+    return (
+        events.select(
+            F.explode(F.sequence(lo, hi, F.lit(hop_s))).alias(
+                "window_start"
+            )
+        )
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -94,3 +94,20 @@ def test_funnel_min_chain_semantics(spark):
 
     with _pytest.raises(ValueError):
         funnel_counts(ev, "sec", "user_id", "event_type", [])
+
+
+def test_sliding_counts_membership(spark):
+    # interval 10, hop 5: event at t=12 belongs to windows 5 and 10;
+    # t=4 belongs to -5 (hop-aligned: 0 and -5... floor((4-10)/5)*5+5 = -5) and 0
+    ev = spark.createDataFrame([(12,), (4,)], ["sec"])
+    from subgraph_extractor_spark.operators.timeseries import sliding_counts
+
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in sliding_counts(ev, "sec", 10, 5).collect()
+    }
+    assert got == {-5: 1, 0: 1, 5: 1, 10: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_counts(ev, "sec", 10, 3)
