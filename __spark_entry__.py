@@ -4923,10 +4923,10 @@ ORACLES: dict[str, str] = {
             FROM train
         )
         SELECT doc_id, n_tokens,
-               CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4
+               CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 4
                     AS INTEGER) AS shard,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS INTEGER)
+                   PARTITION BY CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)
                                     % 4
                    ORDER BY hx, doc_id
                ) AS BIGINT) AS pos
@@ -5041,8 +5041,8 @@ ORACLES: dict[str, str] = {
     # modulus — the certificate transfers across engines by design.
     "dataset_fingerprint": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
-                             AS BIGINT))
+               CAST(COALESCE(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
+                                      AS BIGINT)), 0)
                     % 2305843009213693951 AS BIGINT) AS fingerprint
         FROM (
             SELECT concat_ws(chr(31),
@@ -5059,8 +5059,8 @@ ORACLES: dict[str, str] = {
     """,
     "dataset_fingerprint_groups": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
-                             AS BIGINT))
+               CAST(COALESCE(SUM(CAST(('0x' || substr(md5(canon), 1, 15))
+                                      AS BIGINT)), 0)
                     % 2305843009213693951 AS BIGINT) AS fingerprint
         FROM (
             SELECT lang,
@@ -5126,11 +5126,11 @@ ORACLES: dict[str, str] = {
         ),
         placed AS (
             SELECT doc_id, is_old,
-                   CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4
+                   CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 4
                         AS INTEGER) AS shard,
                    ROW_NUMBER() OVER (
                        PARTITION BY
-                           CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 4,
+                           CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 4,
                            doc_id % 2
                        ORDER BY hx, doc_id
                    ) AS rk
@@ -5152,10 +5152,10 @@ ORACLES: dict[str, str] = {
     # bit-exactly ('0x'-string cast parses the hex).
     "pipeline_shuffle_shard": """
         SELECT doc_id,
-               CAST(CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8
+               CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
                     AS INTEGER) AS shard,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8
+                   PARTITION BY CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
                    ORDER BY hx, doc_id
                ) AS BIGINT) AS pos
         FROM (SELECT doc_id,

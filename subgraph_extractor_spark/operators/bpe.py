@@ -177,7 +177,7 @@ def encode_corpus(
     vocab = encode_words(
         stream.select("word").distinct(), merges
     )
-    return (
+    encoded = (
         stream.join(vocab, "word")
         .groupBy(id_col)
         .agg(
@@ -190,6 +190,12 @@ def encode_corpus(
                 )
             ).alias("tokens")
         )
+    )
+    # NULL / empty-text docs explode to zero rows — restore them with an
+    # empty token array so the (id, tokens) per-document contract holds
+    return docs.select(id_col).join(encoded, id_col, "left").select(
+        id_col,
+        F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
     )
 
 

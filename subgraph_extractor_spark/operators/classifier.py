@@ -68,11 +68,14 @@ def score_documents(
     model,
     df: DataFrame,
     text_col: str,
-    num_features: int = 1 << 15,
+    num_features: int | None = None,
 ) -> DataFrame:
     """Map-only scoring pass: original columns plus ``prediction``
-    (argmax class, double).  ``num_features`` must match training."""
-    feats = _featurize(df, text_col, num_features)
+    (argmax class, double).  Feature width is read from the model
+    (``model.numFeatures``) so it can never drift from training;
+    ``num_features`` remains only as an explicit override."""
+    nf = num_features or int(model.numFeatures)
+    feats = _featurize(df, text_col, nf)
     return model.transform(feats).drop("_toks", "_features", "rawPrediction",
                                        "probability")
 
@@ -82,7 +85,7 @@ def classifier_filter(
     df: DataFrame,
     text_col: str,
     keep_class: float = 1.0,
-    num_features: int = 1 << 15,
+    num_features: int | None = None,
 ) -> DataFrame:
     """Keep documents the classifier assigns to ``keep_class`` — the
     quality-filter composition (train on curated-vs-crawl labels, keep

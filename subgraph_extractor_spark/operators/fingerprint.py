@@ -63,7 +63,9 @@ def dataset_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFra
     cols = sorted(df.columns) if cols is None else list(cols)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.sum(row_term(cols)) % F.lit(MERSENNE_61))
+        # coalesce: the EMPTY corpus gets the well-defined certificate 0,
+        # not NULL (NULL = NULL comparisons would report spurious diffs)
+        (F.coalesce(F.sum(row_term(cols)), F.lit(0)) % F.lit(MERSENNE_61))
         .cast("long")
         .alias("fingerprint"),
     )

@@ -65,13 +65,18 @@ def cluster_representatives(
         score.select(F.col(id_col), F.col(score_col).alias("_score")),
         id_col,
     )
-    # max_by on a struct: compare score first, then -id so the LOWEST id
-    # wins among equal scores (struct comparison is lexicographic).
-    return scored.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col(id_col),
-            F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid")),
-        ).alias("rep_id")
+    # two-stage argmax: max score per cluster, then the LOWEST id among
+    # members achieving it.  (A single max_by over struct(score, -id)
+    # would be one aggregate, but negation only exists for numeric ids —
+    # string/UUID ids would silently break the documented tie rule.)
+    best = scored.groupBy("cluster_id").agg(F.max("_score").alias("_best"))
+    return (
+        scored.join(best, "cluster_id")
+        # null-safe: a cluster whose every score is NULL falls back to
+        # the lowest-id rule instead of losing its representative
+        .filter(F.col("_score").eqNullSafe(F.col("_best")))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("rep_id"))
     )
 
 

@@ -9,7 +9,7 @@ permutation derivable from a seed — no RNG state, no global sort of
 payload bytes.
 
 Construction: key every row by ``md5(seed || ':' || id)``.  The shard
-is the first 16 bits of the digest mod ``num_shards``; the position
+is the first 48 bits of the digest mod ``num_shards``; the position
 within the shard is the rank of the full digest hex string (ties broken
 by id, for the theoretical 2^-128 collision).  Both are pure functions
 of (seed, id) — engine-independent (md5 is bit-identical everywhere)
@@ -53,8 +53,11 @@ def deterministic_shuffle(
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     hx = shuffle_key(F.col(id_col), seed)
+    # 48 hash bits (12 hex digits): supports shard counts far beyond the
+    # 100k-shard scale with mod bias <= 2^-48 per shard (4 digits would
+    # cap distinct shards at 65536 and give non-divisor counts 2x skew)
     shard = (
-        F.conv(F.substring(hx, 1, 4), 16, 10).cast("bigint") % num_shards
+        F.conv(F.substring(hx, 1, 12), 16, 10).cast("bigint") % num_shards
     ).cast("int")
     from pyspark.sql import Window
 
@@ -126,8 +129,10 @@ def append_to_shards(
     )
     return (
         placed.join(F.broadcast(base), "shard", "left")
+        # pos stays LONG: a standing shard past 2^31 rows must not wrap
+        # an int cast into negative/duplicate positions
         .withColumn(
-            "pos", (F.col("pos") + F.coalesce("_base", F.lit(0))).cast("int")
+            "pos", (F.col("pos") + F.coalesce("_base", F.lit(0))).cast("long")
         )
         .drop("_base")
     )

@@ -27,9 +27,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def epoch_bucket(ts: Column, interval_s: int) -> Column:
     """Bucket start as epoch seconds floored to the interval —
-    integer arithmetic, identical in any SQL dialect."""
+    integer arithmetic, identical in any SQL dialect.  pmod, not %:
+    the remainder must be non-negative so pre-1970 instants floor to
+    the bucket CONTAINING them instead of rounding toward zero."""
     secs = ts.cast("long")
-    return (secs - secs % interval_s).cast("long")
+    return (secs - F.pmod(secs, F.lit(interval_s))).cast("long")
 
 
 def resample_counts(
@@ -59,8 +61,12 @@ def resample_counts(
         .groupBy(key_col, "bucket_start")
         .agg(*aggs)
     )
-    span = events.select(F.col(key_col), b.alias("_b")).groupBy(key_col).agg(
-        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    # span derives from the SMALL per-bucket aggregate, not a second
+    # scan+shuffle of the raw events (min/max of present buckets equal
+    # min/max of event buckets by construction)
+    span = per_bucket.groupBy(key_col).agg(
+        F.min("bucket_start").alias("_lo"),
+        F.max("bucket_start").alias("_hi"),
     )
     grid = span.select(
         key_col,
@@ -70,7 +76,11 @@ def resample_counts(
     )
     fills = {"n_events": F.lit(0).cast("bigint")}
     if value_col:
-        fills["sum_value"] = F.lit(0.0)
+        # zero literal typed from the aggregate, so a long/decimal sum
+        # is not silently promoted to double by the gap fill
+        fills["sum_value"] = F.lit(0).cast(
+            dict(per_bucket.dtypes)["sum_value"]
+        )
     out = grid.join(per_bucket, [key_col, "bucket_start"], "left")
     for c, zero in fills.items():
         out = out.withColumn(c, F.coalesce(F.col(c), zero))
@@ -109,7 +119,8 @@ def cohort_retention(
             .cast("long")
             .alias("period_offset"),
         )
-        .distinct()
+        # no second distinct: rows are already unique on (key, _p) and
+        # (cohort, period_offset) is a function of (key, _p)
     )
     return visits.groupBy("cohort", "period_offset").agg(
         F.count(F.lit(1)).alias("n_active")
