@@ -2465,6 +2465,36 @@ def q_ts_cohort_retention(spark, sf):
     return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
 
 
+def q_a14_mad_outliers(spark, sf):
+    # robust outlier detection: per-group median / median-absolute-
+    # deviation (MAD) and the count beyond 3*MAD — the robust-statistics
+    # face of profiling.  Exact interpolated percentiles are bit-equal
+    # across engines (the a9 result), |x-med| and the 3*MAD boundary are
+    # single IEEE ops on identical doubles, so the full row set hashes.
+    o = _t(spark, sf, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    j = o.join(med, "o_orderpriority").withColumn(
+        "_ad", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = j.groupBy("o_orderpriority").agg(
+        F.percentile("_ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        j.join(mad, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("_ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_ts_sliding(spark, sf):
     # hopping-window counts, batch face: 1h windows hopping 30min via a
     # codegen sequence() explode (each event fans into interval/hop
@@ -3395,6 +3425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cohort_retention": q_ts_cohort_retention,
     "ts_funnel": q_ts_funnel,
     "ts_sliding": q_ts_sliding,
+    "a14_mad_outliers": q_a14_mad_outliers,
     "dataset_fingerprint": q_dataset_fingerprint,
     "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
     "tpch_q21_shape": q_tpch_q21_shape,
@@ -5018,6 +5049,31 @@ ORACLES: dict[str, str] = {
         SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM v GROUP BY 1, 2
+    """,
+    # Robust MAD outliers: exact interpolated medians (bit-equal per
+    # the a9 result), one IEEE op per derived value.
+    "a14_mad_outliers": """
+        WITH med AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5) AS med
+            FROM orders GROUP BY 1
+        ),
+        j AS (
+            SELECT o.o_orderpriority, m.med,
+                   ABS(o.o_totalprice - m.med) AS ad
+            FROM orders o JOIN med m USING (o_orderpriority)
+        ),
+        mad AS (
+            SELECT o_orderpriority, quantile_cont(ad, 0.5) AS mad
+            FROM j GROUP BY 1
+        )
+        SELECT j.o_orderpriority,
+               any_value(j.med) AS med, any_value(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN j.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM j JOIN mad USING (o_orderpriority)
+        GROUP BY 1
     """,
     # Hopping windows: every event fans into interval/hop aligned
     # window starts via range() — replayed exactly.
