@@ -2465,6 +2465,33 @@ def q_ts_cohort_retention(spark, sf):
     return ts_ops.cohort_retention(ev, "_sec", "user_id", period_s=604800)
 
 
+def q_ts_moving_avg(spark, sf):
+    # 7-day moving average over the GAP-FILLED daily grid — the
+    # composition that motivates gap-fill: without zero rows a rolling
+    # frame silently skips silent days and overstates activity.  The
+    # average is emitted as one exact integer sum divided once, so it
+    # hashes bit-exactly (built-in avg() may sum in engine-specific
+    # types; sum/count division is a single IEEE op on both engines).
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _events_with_seconds(spark, sf)
+    grid = ts_ops.resample_counts(ev, "_sec", "user_id", interval_s=86400)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(-6, 0)
+    )
+    return grid.select(
+        "user_id",
+        "bucket_start",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
+
+
 def q_a14_mad_outliers(spark, sf):
     # robust outlier detection: per-group median / median-absolute-
     # deviation (MAD) and the count beyond 3*MAD — the robust-statistics
@@ -3426,6 +3453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_funnel": q_ts_funnel,
     "ts_sliding": q_ts_sliding,
     "a14_mad_outliers": q_a14_mad_outliers,
+    "ts_moving_avg": q_ts_moving_avg,
     "dataset_fingerprint": q_dataset_fingerprint,
     "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
     "tpch_q21_shape": q_tpch_q21_shape,
@@ -5049,6 +5077,41 @@ ORACLES: dict[str, str] = {
         SELECT CAST(cohort AS BIGINT) AS cohort, period_offset,
                CAST(COUNT(*) AS BIGINT) AS n_active
         FROM v GROUP BY 1, 2
+    """,
+    # Moving average over the replayed gap-filled grid; same ROWS frame,
+    # one exact-integer sum, one division.
+    "ts_moving_avg": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS sec
+            FROM events
+        ),
+        b AS (
+            SELECT user_id, sec - sec % 86400 AS bucket_start,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+            FROM b GROUP BY 1
+        ),
+        grid AS (
+            SELECT s.user_id,
+                   unnest(range(s.lo, s.hi + 86400, 86400)) AS bucket_start
+            FROM span s
+        ),
+        filled AS (
+            SELECT g.user_id, CAST(g.bucket_start AS BIGINT) AS bucket_start,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+            FROM grid g LEFT JOIN b USING (user_id, bucket_start)
+        )
+        SELECT user_id, bucket_start, n_events,
+               CAST(SUM(n_events) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS ma7
+        FROM filled
+        WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     # Robust MAD outliers: exact interpolated medians (bit-equal per
     # the a9 result), one IEEE op per derived value.
