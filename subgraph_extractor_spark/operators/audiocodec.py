@@ -1,0 +1,114 @@
+"""Library-free WAV (RIFF PCM) audio codec + feature kernel.
+
+WAV is the audio analogue of PPM/BMP: fully parseable with stdlib
+struct + numpy, so the audio modality's decode and feature-extraction
+kernels can be REAL in this container (no soundfile/librosa), just like
+the image codecs in :mod:`imagecodec`.  Supported: 16-bit PCM,
+1..8 channels, any sample rate; the strict-grammar parser walks RIFF
+chunks (skipping unknown ones) and refuses anything it cannot parse
+exactly, so malformed payloads take the caller's digest fallback rather
+than yielding garbage features.
+
+Reference parity: none (no media surface in the reference engine);
+multimodal extension (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, channels) int16 array -> RIFF/WAVE PCM payload."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    byte_rate = rate * ch * 2
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, rate, byte_rate, block_align, 16
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff_len = 4 + len(fmt) + len(data_hdr) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data_hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM payload -> (rate, (n, channels) int16 array).
+    Walks chunks, skips unknown ones, raises ValueError on anything
+    that is not clean 16-bit PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, i)
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            fmt_tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None or not ch or not (1 <= ch <= 8):
+        raise ValueError("missing fmt/data chunk or bad channel count")
+    if len(data) % (2 * ch):
+        raise ValueError("data chunk not frame-aligned")
+    arr = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return int(rate), arr.copy()
+
+
+def audio_features(payload: bytes) -> list[float]:
+    """Real 8-dim audio features from a PCM WAV payload:
+    [rate, channels, duration_s, rms, peak, zero_crossing_rate,
+     mean_abs, dc_offset] — all normalized floats where sensible."""
+    rate, s = decode_wav(payload)
+    x = s.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    n = len(mono)
+    zcr = (
+        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        / max(n - 1, 1)
+    )
+    return [
+        float(rate),
+        float(s.shape[1]),
+        n / float(rate) if rate else 0.0,
+        float(np.sqrt((mono**2).mean())) if n else 0.0,
+        float(np.abs(x).max()) if n else 0.0,
+        zcr,
+        float(np.abs(mono).mean()) if n else 0.0,
+        float(mono.mean()) if n else 0.0,
+    ]
+
+
+def media_feature_decoder(payload: bytes | None, kind: str) -> list[float]:
+    """``multimodal.set_decoder`` kernel covering BOTH real modalities:
+    images through :func:`imagecodec.image_feature_decoder`, audio
+    through :func:`audio_features`; anything unparseable (or video —
+    sample frames first via extract_video_frames) takes the digest
+    fallback, so mixed batches never fail."""
+    import hashlib
+
+    from subgraph_extractor_spark.operators.imagecodec import (
+        image_feature_decoder,
+    )
+
+    raw = b"" if payload is None else bytes(payload)
+    if kind == "audio":
+        try:
+            return audio_features(raw)
+        except (ValueError, struct.error):
+            digest = hashlib.sha256(raw).digest()
+            return [b / 255.0 for b in digest[:8]]
+    return image_feature_decoder(payload, kind)

@@ -280,3 +280,73 @@ def test_ppm_video_split_roundtrip_and_errors():
         split_ppm_video(blob[:-5])  # truncated last frame
     with _pytest.raises(ValueError):
         split_ppm_video(b"JUNK" + blob)
+
+
+def test_wav_codec_roundtrip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from subgraph_extractor_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    mono = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and back.shape == (800, 1)
+    assert np.array_equal(back[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, back2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and np.array_equal(back2, stereo)
+    # python's own stdlib reader agrees with our encoder
+    import io
+    import wave
+
+    wf = wave.open(io.BytesIO(encode_wav(mono, 8000)))
+    assert (wf.getframerate(), wf.getnchannels(), wf.getsampwidth(),
+            wf.getnframes()) == (8000, 1, 2, 800)
+    for junk in (b"", b"RIFFxxxx", encode_wav(mono, 8000)[:-3]):
+        with _pytest.raises(ValueError):
+            decode_wav(junk)
+
+
+def test_real_audio_features_end_to_end(spark):
+    """Audio features through the full mapInPandas plumbing: a silent
+    clip and a loud clip are separable on rms/peak; junk audio falls
+    back to the digest, never failing the batch."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators.audiocodec import (
+        encode_wav,
+        media_feature_decoder,
+    )
+    from subgraph_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        set_decoder,
+    )
+
+    silent = encode_wav(np.zeros(1600, dtype=np.int16), 16000)
+    t = np.arange(1600)
+    loud = encode_wav(
+        (25000 * np.sign(np.sin(2 * np.pi * 100 * t / 16000))).astype(np.int16),
+        16000,
+    )
+    rows = [
+        (1, "audio", silent, ("audio/wav", None, None, 100)),
+        (2, "audio", loud, ("audio/wav", None, None, 100)),
+        (3, "audio", b"not wav", ("audio/junk", None, None, 100)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    set_decoder(media_feature_decoder)
+    try:
+        got = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    finally:
+        from subgraph_extractor_spark.operators.multimodal import _fake_decode
+        set_decoder(_fake_decode)
+    # [rate, ch, dur, rms, peak, zcr, mean_abs, dc]
+    assert got[1][0] == 16000.0 and abs(got[1][2] - 0.1) < 1e-6  # float32 array
+    assert got[1][3] == 0.0 and got[2][3] > 0.5
+    assert got[2][4] > 0.7
+    assert len(got[3]) == 8 and got[3][0] <= 1.0  # digest fallback
