@@ -1,0 +1,111 @@
+"""Fluent CorpusPipeline: chains reproduce the individual operators'
+semantics, stay lazy, and compose end to end."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.pipeline import CorpusPipeline
+from subgraph_extractor_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_chain_matches_manual_composition(spark, docs):
+    got = (
+        CorpusPipeline(docs)
+        .dedup_exact()
+        .quality_gate(min_tokens=40, max_punct_ratio=0.1)
+        .split("train")
+        .df
+    )
+    from subgraph_extractor_spark.operators.dedup import exact_dedup
+    from subgraph_extractor_spark.operators.sampling import split_assign
+
+    text = F.col("text")
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[.,;:!?]", "")
+    )
+    want = (
+        exact_dedup(docs, "text", "doc_id")
+        .filter(
+            (n_tokens >= 40)
+            & (n_punct / F.greatest(F.length(text), F.lit(1)) <= 0.1)
+        )
+        .filter(split_assign(F.col("doc_id")) == "train")
+    )
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in want.select("doc_id").collect())
+    assert got.count() > 0
+
+
+def test_chain_is_lazy_single_plan(spark, docs):
+    p = (
+        CorpusPipeline(docs)
+        .quality_gate()
+        .split("train")
+        .shuffle_shards(4, "ep0")
+    )
+    # no action has run; the chain is one analyzable plan
+    plan = p.df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "InMemory" in plan
+
+
+def test_decontaminate_drops_benchmark_copies(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated content about spark pipelines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    out = CorpusPipeline(corpus).decontaminate(bench, n=3, threshold=0.5).df
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_temperature_mix_and_shards_compose(spark, docs):
+    out = (
+        CorpusPipeline(docs)
+        .temperature_mix("lang", tau=2.0)
+        .shuffle_shards(4, "ep0")
+        .df
+    )
+    rows = out.collect()
+    assert rows and {"shard", "pos"} <= set(out.columns)
+    assert "_stratum" not in out.columns and "_rk" not in out.columns
+
+
+def test_write_shards_action(spark, docs, tmp_path):
+    path = os.path.join(str(tmp_path), "out")
+    CorpusPipeline(docs.select("doc_id", "text")).quality_gate().write_shards(
+        path, 4, "ep0"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() > 0 and "shard" in back.columns
+
+
+def test_minhash_and_passage_steps_run(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+            (2, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+            (3, "entirely different text with its own unique words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = CorpusPipeline(corpus).dedup_minhash(threshold=0.5).df
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3]  # doc 2 is the near-dup loser
+    cleaned = CorpusPipeline(corpus).remove_duplicate_passages(k=8).df
+    assert cleaned.count() == 3  # text cut, rows kept
