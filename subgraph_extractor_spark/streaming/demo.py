@@ -398,3 +398,72 @@ def serve_standing_rollup(spark, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no rollup state under {state_dir}")
     return aggstate.finalize_aggregates(spark.read.parquet(latest[1]))
+
+
+def shard_append_sink(
+    spark,
+    data_dir: str,
+    state_dir: str,
+    id_col: str,
+    num_shards: int,
+    seed: str = "epoch0",
+):
+    """foreachBatch sink for CONTINUAL shuffled-shard ingestion — the
+    streaming face of ``operators.shuffling.append_to_shards``: each
+    micro-batch routes to shards by the standing (seed, id) hash rule
+    with positions continuing after the persisted per-shard counts, so
+    the growing corpus is always a valid training layout (standing rows
+    never move; readers resume mid-shard across ingestion).
+
+    Idempotence follows the standing-rollup idiom: batch rows land in
+    ``data_dir/batch={id}`` (a replayed batch overwrites its own
+    directory) and the counts state advances as ``state_dir/v{id}``,
+    merged from the newest version STRICTLY older than the batch — a
+    crash-replay recomputes the same placement instead of double-
+    advancing the counts.  The same newer-version lineage guard as the
+    rollup sink refuses state from a different run.
+    """
+    from subgraph_extractor_spark.operators.shuffling import (
+        append_to_shards,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; use a fresh "
+                "state_dir (or restore the matching checkpoint)"
+            )
+        latest = _latest_state_version(state_dir, before=batch_id)
+        counts = (
+            batch_df.sparkSession.read.parquet(latest[1])
+            if latest is not None
+            else batch_df.sparkSession.createDataFrame(
+                [], "shard int, n_rows long"
+            )
+        )
+        placed = append_to_shards(
+            batch_df, counts, id_col, num_shards, seed
+        )
+        placed.write.mode("overwrite").parquet(
+            f"{data_dir}/batch={batch_id}"
+        )
+        batch_counts = placed.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("_n_new")
+        )
+        new_counts = (
+            counts.join(batch_counts, "shard", "full")
+            .select(
+                "shard",
+                (
+                    F.coalesce("n_rows", F.lit(0))
+                    + F.coalesce("_n_new", F.lit(0))
+                ).alias("n_rows"),
+            )
+        )
+        new_counts.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+
+    return fold
