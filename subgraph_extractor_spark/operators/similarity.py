@@ -132,8 +132,30 @@ def brute_force_topk(
     )
 
 
-def _n_shards(df: DataFrame, n_shards: int | None) -> int:
-    return n_shards or df.sparkSession.sparkContext.defaultParallelism
+def _n_shards(
+    df: DataFrame,
+    n_shards: int | None,
+    target_rows_per_shard: int = 65536,
+) -> int:
+    """Data-derived shard count: one matmul tile per ~64k corpus rows
+    (64 dims x float64 ≈ 32 MB — comfortably in-executor-memory BLAS).
+
+    The previous default (defaultParallelism) coupled shard count to
+    the HARDWARE: a 2000-row corpus on 32 cores got 32 shards, so every
+    query carried 32 x k candidate rows into the global merge window —
+    at coarse-ANN k=150 that is a multi-million-row merge for a corpus
+    that fits in one tile.  Row-derived shards give the same plan the
+    right granularity at both ends: fixture corpora collapse to a few
+    tiles, a 100 TB corpus yields far MORE shards than cores (good task
+    granularity, memory-bounded tiles) — merge volume is always
+    k x ceil(rows/target) per query.  Costs one count() job when
+    n_shards is not passed; hot-path callers that already know the
+    scale can pass n_shards explicitly to skip it."""
+    if n_shards:
+        return n_shards
+    import math
+
+    return max(1, math.ceil(df.count() / target_rows_per_shard))
 
 
 def _shard_of(col: Column, n: int) -> Column:
@@ -233,18 +255,24 @@ def _local_topk_rows(
             S[i, c_ids == qid] = -np.inf
     kk = min(k, S.shape[1])
     part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
-    res_q, res_n, res_s = [], [], []
-    for i in range(S.shape[0]):
-        cand = part[i]
-        order = np.lexsort((c_ids[cand], -S[i, cand]))
-        chosen = cand[order][:kk]
-        sims = S[i, chosen]
-        keep = sims > -np.inf  # drop masked self-matches on tiny shards
-        res_q.extend([qids[i]] * int(keep.sum()))
-        res_n.extend(c_ids[chosen][keep].tolist())
-        res_s.extend(sims[keep].tolist())
+    # fully vectorized per-row (sim desc, id asc) ordering: 2-D lexsort
+    # sorts each row independently — no per-query Python loop, so the
+    # kernel cost stays BLAS + O(n log k) numpy even at k in the
+    # hundreds (the coarse-ANN regime, where the old row loop built
+    # k x n_queries Python list elements)
+    psims = np.take_along_axis(S, part, axis=1)
+    pids = c_ids[part]
+    order = np.lexsort((pids, -psims), axis=1)
+    csims = np.take_along_axis(psims, order, axis=1).ravel()
+    cids = np.take_along_axis(pids, order, axis=1).ravel()
+    qcol = np.repeat(np.asarray(qids), kk)
+    keep = csims > -np.inf  # drop masked self-matches on tiny shards
     return pd.DataFrame(
-        {"query_id": res_q, "neighbor_id": res_n, "_sim": res_s}
+        {
+            "query_id": qcol[keep],
+            "neighbor_id": cids[keep],
+            "_sim": csims[keep],
+        }
     )
 
 
@@ -267,8 +295,9 @@ def topk_matmul(
     final window keyed by query_id merges (k x n_shards) candidate rows
     per query into the global top-k.  Corpus shuffles ONCE (by shard),
     queries shuffle n_shards times — at 100 TB corpus scale that is the
-    right asymmetry, and shard count scales with executors, not driver
-    memory.
+    right asymmetry, and shard count scales with corpus rows (one
+    memory-bounded matmul tile per ~64k rows — see :func:`_n_shards`),
+    not with core count or driver memory.
 
     Output: (query_id, neighbor_id, rank), rank 1 = most similar,
     deterministic (sim desc, neighbor_id asc) tie-break end to end.
@@ -730,6 +759,48 @@ def random_projection(
     return df.withColumn(out_col, F.array(*comps))
 
 
+def random_projection_arrow(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    in_dim: int,
+    seed: str = "rp",
+    out_col: str = "_proj",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`random_projection`: the SAME
+    deterministic md5 weight matrix, applied as one numpy
+    ``X @ W.T`` per Arrow batch instead of per-element Catalyst HOF
+    lambdas.
+
+    Measured justification (sf0.1 embeddings, 2000 x 64 -> 32, this
+    box): the HOF form costs ~4.0 s — Spark evaluates higher-order-
+    function lambdas INTERPRETED, per element, so a 32x64 projection is
+    ~2k lambda dispatches per row and the cost is all overhead, not
+    FLOPs.  (A flat ``element_at`` sum-of-products codegen expansion is
+    even worse, ~15 s: a 2048-node expression tree stalls analysis and
+    codegen.)  The batched BLAS kernel runs the identical math in one
+    matmul per Arrow batch — the per-row cost at 100 TB is amortized to
+    a memory-bandwidth-bound multiply, the map-only/no-shuffle shape is
+    unchanged, and downstream ANN composition is identical.
+
+    Float caveat: BLAS accumulation order differs from the HOF's
+    sequential left-fold, so components can differ in ulps; use the HOF
+    twin when bit-identical projections matter (it is the plan-asserted
+    Python-free form), this one when throughput does.  The recall
+    contract (``ann_projected_recall``) is insensitive to ulp noise."""
+    mat = np.asarray(projection_matrix(in_dim, out_dim, seed))
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _proj(s: pd.Series) -> pd.Series:
+        x = np.array(s.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        p = x @ mat.T
+        return pd.Series(list(p))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
 def projected_topk_rerank(
     df: DataFrame,
     vec_col: str,
@@ -759,9 +830,18 @@ def projected_topk_rerank(
 
     Output (query_id, neighbor_id, rank), same contract as
     brute_force_topk; recall against the full-dim exact baseline is
-    contract-checked by the ann_projected_recall driver query."""
-    proj = random_projection(df, vec_col, out_dim, in_dim, seed).select(
-        F.col(id_col), F.col(vec_col), F.col("_proj")
+    contract-checked by the ann_projected_recall driver query.
+
+    Uses :func:`random_projection_arrow` (batched BLAS) — this path
+    already runs Arrow kernels for the coarse matmul, and the
+    interpreted-HOF projection was the measured bottleneck (~4 s of a
+    ~9 s operator at sf0.1; see the arrow twin's docstring)."""
+    # shard count from the RAW input row count (same rows as the
+    # projected side, but counting df avoids re-running the projection
+    # kernel just to size the tiles)
+    shards = _n_shards(df, None)
+    proj = random_projection_arrow(df, vec_col, out_dim, in_dim, seed).select(
+        F.col(id_col), F.col("_proj")
     )
     # exact top-(k*expand) in the projected space via the sharded-matmul
     # path (topk_matmul and brute_force_topk share the ranking contract,
@@ -769,11 +849,18 @@ def projected_topk_rerank(
     # the one that scales: corpus shuffles once, FLOPs are BLAS)
     coarse_side = proj.select(id_col, F.col("_proj").alias("coarse_vec"))
     coarse = topk_matmul(
-        coarse_side, coarse_side, "coarse_vec", id_col, k=k * expand
+        coarse_side,
+        coarse_side,
+        "coarse_vec",
+        id_col,
+        k=k * expand,
+        n_shards=shards,
     )
     # re-rank candidates with the exact full-dim cosine: join the two
-    # vectors back by id (keyed shuffles on the candidate table only)
-    full = proj.select(F.col(id_col), F.col(vec_col))
+    # vectors back by id (keyed shuffles on the candidate table only;
+    # the full-dim side reads the RAW vectors — the projection never
+    # runs for the re-rank)
+    full = df.select(F.col(id_col), F.col(vec_col))
     pairs = (
         coarse.select("query_id", "neighbor_id")
         .join(
