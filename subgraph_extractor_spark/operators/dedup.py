@@ -116,14 +116,26 @@ def tokens_or_empty(col: Column) -> Column:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a text column, as an array<string>.
-    Built with higher-order functions (transform over a sequence of start
-    offsets) — stays in codegen, no UDF."""
+    Stays in codegen, no UDF.
+
+    Built as ``arrays_zip`` of n shifted slices + one transform whose
+    lambda is a single n-field concat — NOT a
+    ``transform(sequence(...), i -> concat_ws(slice(toks, i+1, n)))``
+    lambda: Spark interprets HOF lambdas per element, and a per-element
+    ``slice`` allocates an array per gram, which made this primitive
+    ~4.5 s at sf0.1 (vs ~1.0 s for the zip form — measured, identical
+    output including first-occurrence distinct order).  This feeds
+    every MinHash/Jaccard/containment query, so the constant matters.
+    ``greatest(..., 0)`` keeps slice lengths legal on short docs
+    regardless of branch evaluation; arrays_zip names positional
+    fields "0".."n-1"."""
     toks = tokens(col)
+    ln = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
     return F.array_distinct(
         F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
             )
         )
     )

@@ -44,19 +44,21 @@ from subgraph_extractor_spark.operators.dedup import tokens_or_empty
 
 def _bigrams(toks: Column) -> Column:
     """array<struct<w1,w2>> of ADJACENT token pairs (occurrences, not
-    distinct) — codegen HOF, no UDF.  Documents with fewer than two
-    tokens produce an empty array."""
+    distinct) — pure codegen, no UDF and no HOF lambda.  Documents with
+    fewer than two tokens produce an empty array.
+
+    Formulated as ``arrays_zip(toks[:-1], toks[1:])`` rather than a
+    ``transform(sequence(...), i -> struct(element_at...))`` lambda:
+    Spark interprets higher-order-function lambdas per ELEMENT, and the
+    per-token dispatch cost dominated the whole novelty query at sf0.1
+    (~7 s for 266k bigrams vs ~0.6 s for the zip form — identical rows,
+    positions included).  ``greatest(size-1, 0)`` keeps the slice
+    length legal on 0/1-token docs regardless of branch evaluation."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, n1), F.slice(toks, 2, n1))
     return F.when(
         F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        )
-    )
+    ).otherwise(z.cast("array<struct<w1:string,w2:string>>"))
 
 
 def unigram_counts(

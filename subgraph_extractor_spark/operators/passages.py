@@ -40,8 +40,10 @@ against trillions of tokens, and zero for the sha256 path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from subgraph_extractor_spark.operators.dedup import tokens_or_empty as _toks
 
@@ -60,6 +62,40 @@ def _gram_structs(text: Column, k: int) -> Column:
             ),
         )
     )
+
+
+def _gram_structs_arrow(toks_col: Column, k: int) -> Column:
+    """Arrow-kernel twin of :func:`_gram_structs`, taking the TOKEN
+    ARRAY column (tokenization stays in codegen — the kernel never
+    re-tokenizes, so it is byte-identical to the HOF form by
+    construction: ``" ".join(toks[i:i+k])`` == ``concat_ws(" ",
+    slice(toks, i+1, k))`` for any token content).
+
+    Measured justification (sf0.1 documents, 5000 docs / 236k grams,
+    this box): the HOF form costs ~3.9 s of a ~5 s operator — Spark
+    interprets higher-order-function lambdas per element, and each gram
+    is a slice allocation + concat dispatch.  The Arrow batch does the
+    same joins in one tight loop per batch (<0.5 s), map-side and
+    shuffle-free like the HOF.  Gram hashing stays JVM-side on the
+    returned strings, so both the sha256 (oracle-portable) and xxhash64
+    (production) paths are unchanged."""
+    @pandas_udf("array<struct<pos:int,gram:string>>")
+    def _grams(s: pd.Series) -> pd.Series:
+        out = []
+        for toks in s:
+            if toks is None or len(toks) < k:
+                out.append([])
+                continue
+            tl = list(toks)
+            out.append(
+                [
+                    {"pos": i, "gram": " ".join(tl[i : i + k])}
+                    for i in range(len(tl) - k + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _grams(toks_col)
 
 
 def duplicate_gram_occurrences(
@@ -81,7 +117,9 @@ def duplicate_gram_occurrences(
 
     occ = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_gram_structs(F.col(text_col), k)).alias("_g"),
+        F.explode(_gram_structs_arrow(_toks(F.col(text_col)), k)).alias(
+            "_g"
+        ),
     ).select(
         "_id",
         F.col("_g.pos").alias("pos"),

@@ -291,14 +291,18 @@ def contamination_report(
 
 def _word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams (with multiplicity, document order) as array<string>;
-    codegen HOF, sub-n-token documents yield an empty array."""
+    codegen, sub-n-token documents yield an empty array.  Same
+    arrays_zip-of-shifted-slices formulation as ``dedup.word_shingles``
+    (see its docstring for the measured per-element-slice HOF cost this
+    avoids); the transform lambda is a single n-field concat."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
+    ln = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
     return F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
         )
     )
 
