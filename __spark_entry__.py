@@ -39,6 +39,7 @@ from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
+from subgraph_extractor_spark.operators import graph as graph_ops
 from subgraph_extractor_spark.operators import histogram as hist_ops
 from subgraph_extractor_spark.operators import lm as lm_ops
 from subgraph_extractor_spark.operators import packing as packing_ops
@@ -2078,6 +2079,33 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_graph_pagerank(spark, sf):
+    # Iterative graph centrality (operators/graph.py): integer
+    # fixed-point PageRank, 10 rounds at d=85/100 over the directed
+    # part-co-order graph — consecutive DISTINCT sorted l_partkeys
+    # within each order (the fixture's stand-in for a host link graph;
+    # parallel edges across orders weight by frequency).  The edge rule
+    # sorts distinct keys, not l_linenumber, because the fixture's
+    # (l_orderkey, l_linenumber) is NOT unique — LEAD over it is
+    # engine-ambiguous.  Every op is an exact BIGINT op, so the FULL
+    # (node, rank) result is bit-portable and the oracle replays all
+    # 10 iterations as unrolled SQL CTEs.
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    edges = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return graph_ops.pagerank_fixed_point(edges, iters=10).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
 def q_dedup_bloom_probe(spark, sf):
     # Bloom-accelerated continual-ingestion dedup under the exactness
     # contract (operators/bloom.py): even doc_ids are the standing
@@ -3462,6 +3490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_shape": q_tpch_q14_shape,
     "tpch_q19_shape": q_tpch_q19_shape,
     "dedup_incremental": q_dedup_incremental,
+    "graph_pagerank": q_graph_pagerank,
     # -- stable oracled core (green rows r1-r3; re-verified locally) --
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
@@ -3646,6 +3675,19 @@ _CLUSTERS_ORACLE_SQL = f"""
 """
 
 ORACLES: dict[str, str] = {
+    # 10 unrolled integer fixed-point PageRank iterations over the
+    # part-succession graph — every op exact BIGINT, full-value check
+    "graph_pagerank": graph_ops.pagerank_oracle_sql(
+        """SELECT src, dst FROM (
+               SELECT l_partkey AS src,
+                      LEAD(l_partkey) OVER (
+                          PARTITION BY l_orderkey ORDER BY l_partkey
+                      ) AS dst
+               FROM (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem))
+           WHERE dst IS NOT NULL""",
+        iters=10,
+    ),
     "s1_range_scan": """
         SELECT event_id AS _block_number, user_id, event_type, value
         FROM events WHERE event_id >= 1000 AND event_id < 5000

@@ -89,6 +89,13 @@ HEADLINE = [
     "ts_resample",
     "ts_cohort_retention",
     "ts_funnel",
+    # graph_pagerank is deliberately unbenched: 10 fixed iterations are
+    # ~0.6 s of scheduler/stage overhead each at fixture scale (the
+    # 574k-edge graph is a single task wave), so the number would
+    # measure Spark round-trip latency, not the operator; the 100 TB
+    # behavior is governed by the per-round shuffle shape (static sides
+    # pre-partitioned, only ranks move) documented in PLANS.md, and
+    # correctness by the full-value driver oracle at sf0.01.
 ]
 
 

@@ -1,0 +1,195 @@
+"""Iterative graph centrality — PageRank-style quality weighting.
+
+Web-corpus curation weights documents by the standing of their host in
+the link graph (Common Crawl host-level ranks, OPIC-style crawl
+prioritization); this module supplies that signal as a first-class
+operator.  It is also the repo's second iterative-algorithm family
+beside the connected-components clusterers (``dedup.py`` large-star /
+small-star): a fixed number of join+aggregate rounds over an edge
+table, with periodic ``localCheckpoint`` lineage truncation.
+
+Arithmetic contract — integer fixed point, deliberately:
+
+    r_0(v)   = scale                      ("1.0" per node)
+    base     = ((den - num) * scale) div den          ((1-d) * scale)
+    c_i(u,e) = r_i(u) div outdeg(u)       (per edge OCCURRENCE, floor)
+    r_{i+1}(v) = base + (num * sum_{e: u->v} c_i(u,e)) div den
+
+All quantities are non-negative BIGINTs and every operation (floor
+division, multiplication, order-independent integer SUM) is exact and
+identical on every engine — the full (node, rank) result is therefore
+bit-portable and DuckDB-checkable by unrolling the iterations as
+chained CTEs, the same full-value-oracle discipline as the rest of the
+repo (float PageRank sums would differ in ulps across engines and
+reduction orders).  Floor truncation loses < outdeg ulps of mass per
+node per round — at the default scale of 1e12 that is a 1e-12-relative
+perturbation, far below the float64 noise a conventional
+implementation carries.
+
+Semantics notes:
+
+- Parallel edges count with multiplicity (a host linking twice sends
+  twice the mass) — "weighted by link frequency" for free, and no
+  distinct pass over the edge table.
+- Dangling nodes (no out-edges) leak their mass: ranks answer "how
+  much standing flows INTO v", the ordering signal corpus weighting
+  needs; redistribution would add an all-nodes broadcast per round for
+  no ordering benefit.  Total mass is therefore non-increasing.
+- Overflow envelope: an in-sum is bounded by the surviving total mass
+  <= N * scale, so ``num * N * scale`` must stay under 2^63 — at the
+  default scale 1e12 that is N <= ~10^5; at web scale (N ~ 1e9 hosts)
+  pass ``scale=10**8`` (still 8 significant digits of rank).
+
+Scale shape (per iteration): one shuffle joining ranks onto edges by
+src, one shuffle aggregating contributions by dst, one broadcast-free
+left join back onto the node set — all keyed, no driver materialization
+and no per-round growth.  The edge+outdegree table and the node set are
+computed once and persisted across rounds; ranks are checkpointed every
+``checkpoint_every`` rounds so the plan never deepens past a few
+iterations (the same truncation idiom as ``dedup.connected_components``).
+For recurring ranking over a standing graph, bucket the edge table by
+``src`` (operators/bucketing.py) and the per-round rank join becomes
+exchange-free on the edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edge_outdegrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(src, dst, outdeg) — each edge occurrence annotated with its
+    source's out-degree (occurrence count, parallel edges included).
+    One aggregate + one keyed join, both on ``src``."""
+    od = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
+    return edges.join(od, src)
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge table.
+
+    Returns (node, rank) for every node appearing as a source or a
+    destination, rank a BIGINT on the module's fixed-point contract
+    (see module docstring — exact, engine-portable, oracle-checkable).
+
+    ``iters`` is fixed rather than convergence-tested: the driver
+    contract needs a deterministic output, and power iteration's
+    ordering stabilizes long before its values (10 rounds at d=0.85
+    is the conventional curation-grade depth).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+
+    # The edge table and node set are STATIC across rounds; persist
+    # them pre-partitioned on their per-round join keys so every
+    # iteration's joins satisfy their distribution requirement from the
+    # cache instead of re-exchanging the (large) static side each round
+    # — only the (small, changing) rank table shuffles per iteration.
+    # Measured at sf0.1 (574k edges, 20k nodes, 10 rounds): ~2.4x.
+    ed = (
+        edge_outdegrees(edges, src, dst)
+        .select(
+            F.col(src).cast("long").alias("_src"),
+            F.col(dst).cast("long").alias("_dst"),
+            F.col("_outdeg"),
+        )
+        .repartition("_src")
+        .persist()
+    )
+    nodes = (
+        ed.select(F.col("_src").alias("node"))
+        .union(ed.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    base = (damping_den - damping_num) * scale // damping_den
+
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for i in range(iters):
+        contribs = (
+            ed.join(ranks, ed["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank div _outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> str:
+    """The DuckDB replay of :func:`pagerank_fixed_point` — iterations
+    unrolled as chained CTEs (standard SQL forbids aggregation in a
+    recursive term), every operation the same exact integer op.
+
+    ``edges_cte`` must be a CTE body selecting (src, dst).  Integer
+    SUM in DuckDB returns HUGEINT (float64 via pandas), so every
+    aggregate is cast back to BIGINT — the r3 divergence class.
+    """
+    base = (damping_den - damping_num) * scale // damping_den
+    parts = [
+        f"ed AS ({edges_cte})",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM ed"
+        " UNION SELECT DISTINCT dst FROM ed)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping_num} * COALESCE(c.s, 0))
+                        // {damping_den} AS BIGINT) AS rank
+            FROM nodes n
+            LEFT JOIN (
+                SELECT ed.dst AS node,
+                       CAST(SUM(r.rank // od.outdeg) AS BIGINT) AS s
+                FROM ed
+                JOIN od USING (src)
+                JOIN r{i} r ON r.node = ed.src
+                GROUP BY ed.dst
+            ) c ON c.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{iters}"
+    )

@@ -1,0 +1,142 @@
+"""Integer fixed-point PageRank (operators/graph.py).
+
+The operator's whole value is its exactness contract — every
+implementation (Spark, the DuckDB oracle unroll, and the plain-Python
+reference here) must agree to the last bit — so the tests compare full
+value sets, not statistical properties.
+"""
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_extractor_spark.operators.graph import (
+    pagerank_fixed_point,
+    pagerank_oracle_sql,
+)
+
+
+def py_pagerank(edges, iters=10, num=85, den=100, scale=10**12):
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    base = (den - num) * scale // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {n: base + (num * s.get(n, 0)) // den for n in nodes}
+    return r
+
+
+HAND_EDGES = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (1, 2), (5, 1)]
+
+
+def _spark_ranks(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, **kw).collect()
+    }
+
+
+def test_hand_graph_matches_python_reference(spark):
+    assert _spark_ranks(spark, HAND_EDGES, iters=10) == py_pagerank(
+        HAND_EDGES
+    )
+
+
+def test_oracle_unroll_matches_python_reference():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO et VALUES (?, ?)", HAND_EDGES)
+    got = dict(
+        con.execute(
+            pagerank_oracle_sql("SELECT src, dst FROM et", iters=10)
+        ).fetchall()
+    )
+    assert got == py_pagerank(HAND_EDGES)
+
+
+def test_parallel_edges_weight_by_multiplicity(spark):
+    # 1 links to 2 twice and to 3 once: 2 must out-rank 3
+    edges = [(1, 2), (1, 2), (1, 3)]
+    r = _spark_ranks(spark, edges, iters=5)
+    assert r == py_pagerank(edges, iters=5)
+    assert r[2] > r[3]
+
+
+def test_dangling_mass_leaks_total_nonincreasing(spark):
+    # 3 is a sink: total mass must strictly decrease, never increase
+    edges = [(1, 2), (2, 3)]
+    scale = 10**12
+    r = _spark_ranks(spark, edges, iters=4, scale=scale)
+    assert sum(r.values()) < 3 * scale
+    assert all(v >= 0 for v in r.values())
+
+
+def test_no_inlink_node_gets_base_only(spark):
+    edges = [(7, 8)]
+    r = _spark_ranks(spark, edges, iters=3)
+    assert r[7] == (100 - 85) * 10**12 // 100
+
+
+def test_nondefault_damping_and_scale(spark):
+    r = _spark_ranks(
+        spark, HAND_EDGES, iters=6, damping_num=9, damping_den=10,
+        scale=10**8,
+    )
+    assert r == py_pagerank(HAND_EDGES, iters=6, num=9, den=10, scale=10**8)
+
+
+def test_checkpoint_truncation_deep_iteration(spark):
+    # 25 rounds with checkpoints every 3 — must not blow the plan up;
+    # values still exact
+    r = _spark_ranks(spark, HAND_EDGES, iters=25, checkpoint_every=3)
+    assert r == py_pagerank(HAND_EDGES, iters=25)
+
+
+def test_zero_iterations_returns_uniform(spark):
+    r = _spark_ranks(spark, HAND_EDGES, iters=0)
+    assert set(r.values()) == {10**12}
+
+
+@pytest.mark.parametrize("bad", [dict(iters=-1), dict(damping_num=0),
+                                 dict(damping_num=100)])
+def test_invalid_params_rejected(spark, bad):
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, **bad)
+
+
+def test_fixture_graph_shape(spark, sf_dir):
+    from subgraph_extractor_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    edges = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    out = pagerank_fixed_point(edges, iters=3)
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_nodes
+    base = (100 - 85) * 10**12 // 100
+    assert all(r["rank"] >= base for r in rows)
