@@ -93,6 +93,8 @@ def pagerank_fixed_point(
         raise ValueError("iters must be >= 0")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
 
     # The edge table and node set are STATIC across rounds; persist
     # them pre-partitioned on their per-round join keys so every
@@ -100,11 +102,14 @@ def pagerank_fixed_point(
     # cache instead of re-exchanging the (large) static side each round
     # — only the (small, changing) rank table shuffles per iteration.
     # Measured at sf0.1 (574k edges, 20k nodes, 10 rounds): ~2.4x.
+    # Node ids keep their own type (host strings, hashes, ints — any
+    # equi-joinable type works; an id cast here would silently NULL
+    # non-numeric ids and destroy the result).
     ed = (
         edge_outdegrees(edges, src, dst)
         .select(
-            F.col(src).cast("long").alias("_src"),
-            F.col(dst).cast("long").alias("_dst"),
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
             F.col("_outdeg"),
         )
         .repartition("_src")
@@ -117,6 +122,22 @@ def pagerank_fixed_point(
         .repartition("node")
         .persist()
     )
+    # Enforce the overflow envelope at runtime: an in-sum is bounded by
+    # the surviving total mass <= N * scale, so num * N * scale must
+    # stay under 2^63.  Spark's non-ANSI long arithmetic would WRAP
+    # silently past that (while the DuckDB oracle's HUGEINT would not —
+    # exactly the cross-engine divergence the integer contract exists
+    # to prevent), so this is a hard error, not a docstring.  nodes is
+    # persisted and needed anyway; the count is one tiny job.
+    n_nodes = nodes.count()
+    if damping_num * n_nodes * scale >= 1 << 63:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"overflow envelope exceeded: damping_num*N*scale = "
+            f"{damping_num}*{n_nodes}*{scale} >= 2^63; lower `scale` "
+            f"(e.g. 10**8 ranks ~1e9 nodes with 8 significant digits)"
+        )
     base = (damping_den - damping_num) * scale // damping_den
 
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))

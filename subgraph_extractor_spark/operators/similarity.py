@@ -135,27 +135,47 @@ def brute_force_topk(
 def _n_shards(
     df: DataFrame,
     n_shards: int | None,
-    target_rows_per_shard: int = 65536,
+    target_bytes_per_shard: int = 32 << 20,
 ) -> int:
-    """Data-derived shard count: one matmul tile per ~64k corpus rows
-    (64 dims x float64 ≈ 32 MB — comfortably in-executor-memory BLAS).
+    """Data-derived shard count: one matmul tile per ~32 MB of corpus
+    (≈64k rows of 64-dim float64 — comfortably in-executor-memory BLAS).
 
-    The previous default (defaultParallelism) coupled shard count to
-    the HARDWARE: a 2000-row corpus on 32 cores got 32 shards, so every
-    query carried 32 x k candidate rows into the global merge window —
+    A defaultParallelism default would couple shard count to the
+    HARDWARE: a 2000-row corpus on 32 cores gets 32 shards, so every
+    query carries 32 x k candidate rows into the global merge window —
     at coarse-ANN k=150 that is a multi-million-row merge for a corpus
-    that fits in one tile.  Row-derived shards give the same plan the
+    that fits in one tile.  Size-derived shards give the same plan the
     right granularity at both ends: fixture corpora collapse to a few
     tiles, a 100 TB corpus yields far MORE shards than cores (good task
     granularity, memory-bounded tiles) — merge volume is always
-    k x ceil(rows/target) per query.  Costs one count() job when
-    n_shards is not passed; hot-path callers that already know the
-    scale can pass n_shards explicitly to skip it."""
+    k x ceil(size/target) per query.
+
+    The size comes from Catalyst's optimized-plan statistics
+    (``sizeInBytes``), NOT an eager ``count()``: shard count only
+    affects performance, never results (the two-level top-k is exact
+    for any sharding), so an estimate is the right tool — and plan
+    construction stays side-effect-free (no job runs just to size
+    tiles; an eager count here re-executed each caller's upstream
+    pipeline once per query build).  When the estimate is unavailable
+    or degenerate (Spark propagates a huge default through nodes it
+    cannot estimate, e.g. some Python-UDF subtrees), fall back to
+    defaultParallelism.  Callers that know their scale can pass
+    ``n_shards`` explicitly."""
     if n_shards:
         return n_shards
     import math
 
-    return max(1, math.ceil(df.count() / target_rows_per_shard))
+    size = None
+    try:
+        # py4j hands scala BigInt back as a Python int
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        pass
+    if size is None or size <= 0 or size > 1 << 52:
+        return max(1, df.sparkSession.sparkContext.defaultParallelism)
+    return max(1, math.ceil(size / target_bytes_per_shard))
 
 
 def _shard_of(col: Column, n: int) -> Column:
@@ -787,16 +807,35 @@ def random_projection_arrow(
     sequential left-fold, so components can differ in ulps; use the HOF
     twin when bit-identical projections matter (it is the plan-asserted
     Python-free form), this one when throughput does.  The recall
-    contract (``ann_projected_recall``) is insensitive to ulp noise."""
+    contract (``ann_projected_recall``) is insensitive to ulp noise.
+    Dirty-row divergence from the HOF twin: NULL or wrong-length
+    vectors project to NULL here (the HOF form emits an array of NULL
+    components for short vectors) — either way downstream cosine ranks
+    drop the row rather than the task."""
     mat = np.asarray(projection_matrix(in_dim, out_dim, seed))
+
+    in_dim_ = in_dim
 
     @pandas_udf(ArrayType(DoubleType()))
     def _proj(s: pd.Series) -> pd.Series:
-        x = np.array(s.tolist(), dtype=np.float64)
-        if x.size == 0:
-            return pd.Series([], dtype=object)
-        p = x @ mat.T
-        return pd.Series(list(p))
+        # NULL / wrong-length vectors project to NULL (a corpus
+        # pipeline sees dirty rows; one bad row must not fail the
+        # batch matmul or, worse, the task).  Valid rows are stacked
+        # into one BLAS matmul; the guard also keeps the output Series
+        # the same length as the input for all-invalid batches.
+        vals = s.tolist()
+        valid = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == in_dim_
+        ]
+        out = [None] * len(vals)
+        if valid:
+            x = np.array([vals[i] for i in valid], dtype=np.float64)
+            p = x @ mat.T
+            for j, i in enumerate(valid):
+                out[i] = p[j]
+        return pd.Series(out, dtype=object)
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
 
@@ -836,9 +875,9 @@ def projected_topk_rerank(
     already runs Arrow kernels for the coarse matmul, and the
     interpreted-HOF projection was the measured bottleneck (~4 s of a
     ~9 s operator at sf0.1; see the arrow twin's docstring)."""
-    # shard count from the RAW input row count (same rows as the
-    # projected side, but counting df avoids re-running the projection
-    # kernel just to size the tiles)
+    # shard count from the RAW input's plan-size estimate (same rows
+    # as the projected side, but the raw scan has reliable Catalyst
+    # stats where the projection kernel's subtree may not)
     shards = _n_shards(df, None)
     proj = random_projection_arrow(df, vec_col, out_dim, in_dim, seed).select(
         F.col(id_col), F.col("_proj")

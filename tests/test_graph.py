@@ -106,11 +106,32 @@ def test_zero_iterations_returns_uniform(spark):
 
 
 @pytest.mark.parametrize("bad", [dict(iters=-1), dict(damping_num=0),
-                                 dict(damping_num=100)])
+                                 dict(damping_num=100),
+                                 dict(checkpoint_every=0)])
 def test_invalid_params_rejected(spark, bad):
     e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
     with pytest.raises(ValueError):
         pagerank_fixed_point(e, **bad)
+
+
+def test_string_node_ids_supported(spark):
+    # host-graph ids are strings; they must rank, not silently NULL out
+    edges = [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+             ("a.com", "c.com")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    r = {row["node"]: row["rank"]
+         for row in pagerank_fixed_point(e, iters=6).collect()}
+    int_edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    exp = py_pagerank(int_edges, iters=6)
+    assert r == {"a.com": exp[1], "b.com": exp[2], "c.com": exp[3]}
+
+
+def test_overflow_envelope_is_enforced(spark):
+    # 3 nodes at a scale where num*N*scale >= 2^63 must refuse to run
+    # (Spark longs would wrap silently; the oracle's HUGEINT would not)
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="overflow envelope"):
+        pagerank_fixed_point(e, iters=2, scale=2**61)
 
 
 def test_fixture_graph_shape(spark, sf_dir):
