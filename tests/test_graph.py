@@ -134,6 +134,18 @@ def test_overflow_envelope_is_enforced(spark):
         pagerank_fixed_point(e, iters=2, scale=2**61)
 
 
+def test_partitioning_independence(spark):
+    # integer arithmetic makes ranks a pure function of the edge
+    # multiset — input layout must not matter
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    a = {r["node"]: r["rank"]
+         for r in pagerank_fixed_point(e, iters=7).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank_fixed_point(
+             e.repartition(13), iters=7).collect()}
+    assert a == b
+
+
 def test_fixture_graph_shape(spark, sf_dir):
     from subgraph_extractor_spark.sources import load_table
 
