@@ -2090,9 +2090,16 @@ def q_graph_pagerank(spark, sf):
     # engine-ambiguous.  Every op is an exact BIGINT op, so the FULL
     # (node, rank) result is bit-portable and the oracle replays all
     # 10 iterations as unrolled SQL CTEs.
+    edges = _part_co_order_edges(spark, sf)
+    return graph_ops.pagerank_fixed_point(edges, iters=10).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
+def _part_co_order_edges(spark, sf):
     li = _t(spark, sf, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    edges = (
+    return (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .select(
@@ -2101,9 +2108,24 @@ def q_graph_pagerank(spark, sf):
         )
         .filter(F.col("dst").isNotNull())
     )
-    return graph_ops.pagerank_fixed_point(edges, iters=10).select(
-        F.col("node").cast("bigint").alias("node"), "rank"
+
+
+def q_graph_pagerank_seeded(spark, sf):
+    # Personalized PageRank: restart mass only on the seed set (parts
+    # with key % 7 == 0 — the "trusted domain list" of a curation
+    # pipeline), so rank measures standing RELATIVE to the seeds.
+    # Same exact-integer contract; oracle replays the seed gating in
+    # the unrolled CTEs.
+    edges = _part_co_order_edges(spark, sf)
+    li = _t(spark, sf, "lineitem")
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .filter(F.col("node") % 7 == 0)
+        .distinct()
     )
+    return graph_ops.pagerank_fixed_point(
+        edges, iters=10, seeds=seeds
+    ).select(F.col("node").cast("bigint").alias("node"), "rank")
 
 
 def q_dedup_bloom_probe(spark, sf):
@@ -3491,6 +3513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_shape": q_tpch_q19_shape,
     "dedup_incremental": q_dedup_incremental,
     "graph_pagerank": q_graph_pagerank,
+    "graph_pagerank_seeded": q_graph_pagerank_seeded,
     # -- stable oracled core (green rows r1-r3; re-verified locally) --
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
@@ -3687,6 +3710,21 @@ ORACLES: dict[str, str] = {
                      FROM lineitem))
            WHERE dst IS NOT NULL""",
         iters=10,
+    ),
+    # personalized variant: same unroll, restart mass gated to the
+    # key % 7 seed set
+    "graph_pagerank_seeded": graph_ops.pagerank_oracle_sql(
+        """SELECT src, dst FROM (
+               SELECT l_partkey AS src,
+                      LEAD(l_partkey) OVER (
+                          PARTITION BY l_orderkey ORDER BY l_partkey
+                      ) AS dst
+               FROM (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem))
+           WHERE dst IS NOT NULL""",
+        iters=10,
+        seeds_cte="""SELECT DISTINCT l_partkey AS node FROM lineitem
+                     WHERE l_partkey % 7 = 0""",
     ),
     "s1_range_scan": """
         SELECT event_id AS _block_number, user_id, event_type, value

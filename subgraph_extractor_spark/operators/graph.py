@@ -77,6 +77,8 @@ def pagerank_fixed_point(
     damping_den: int = 100,
     scale: int = 10**12,
     checkpoint_every: int = 3,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge table.
 
@@ -88,6 +90,14 @@ def pagerank_fixed_point(
     contract needs a deterministic output, and power iteration's
     ordering stabilizes long before its values (10 rounds at d=0.85
     is the conventional curation-grade depth).
+
+    ``seeds`` switches to PERSONALIZED PageRank (restart mass only on
+    the seed set — rank becomes "standing relative to a trusted seed
+    list", the corpus-curation relevance signal): seed nodes start at
+    ``scale`` and receive the ``(1-d)`` restart term, all other nodes
+    start at 0 and receive contributions only.  Seed ids not present
+    in the graph are ignored; the arithmetic contract (and therefore
+    the oracle unroll, via ``seeds_cte``) is unchanged.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -115,13 +125,23 @@ def pagerank_fixed_point(
         .repartition("_src")
         .persist()
     )
-    nodes = (
+    node_set = (
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .persist()
     )
+    if seeds is None:
+        node_set = node_set.withColumn("_seed", F.lit(1))
+    else:
+        marker = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(1))
+        )
+        node_set = node_set.join(marker, "node", "left").select(
+            "node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed")
+        )
+    nodes = node_set.repartition("node").persist()
     # Enforce the overflow envelope at runtime: an in-sum is bounded by
     # the surviving total mass <= N * scale, so num * N * scale must
     # stay under 2^63.  Spark's non-ANSI long arithmetic would WRAP
@@ -139,8 +159,14 @@ def pagerank_fixed_point(
             f"(e.g. 10**8 ranks ~1e9 nodes with 8 significant digits)"
         )
     base = (damping_den - damping_num) * scale // damping_den
+    # seed-gated restart term and start mass (uniform case: every node
+    # is a seed, so these reduce to the plain formulation)
+    base_term = F.when(F.col("_seed") == 1, F.lit(base)).otherwise(
+        F.lit(0)
+    )
+    start = F.when(F.col("_seed") == 1, F.lit(scale)).otherwise(F.lit(0))
 
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    ranks = nodes.select("node", start.cast("long").alias("rank"))
     for i in range(iters):
         contribs = (
             ed.join(ranks, ed["_src"] == ranks["node"])
@@ -154,7 +180,7 @@ def pagerank_fixed_point(
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_term
                 + F.expr(
                     f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
                 )
@@ -176,28 +202,50 @@ def pagerank_oracle_sql(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    seeds_cte: str | None = None,
 ) -> str:
     """The DuckDB replay of :func:`pagerank_fixed_point` — iterations
     unrolled as chained CTEs (standard SQL forbids aggregation in a
     recursive term), every operation the same exact integer op.
 
-    ``edges_cte`` must be a CTE body selecting (src, dst).  Integer
-    SUM in DuckDB returns HUGEINT (float64 via pandas), so every
-    aggregate is cast back to BIGINT — the r3 divergence class.
+    ``edges_cte`` must be a CTE body selecting (src, dst);
+    ``seeds_cte``, when given, one selecting (node) — the personalized
+    restart set, mirrored exactly as the Spark side's seed gating.
+    Integer SUM in DuckDB returns HUGEINT (float64 via pandas), so
+    every aggregate is cast back to BIGINT — the r3 divergence class.
     """
     base = (damping_den - damping_num) * scale // damping_den
     parts = [
         f"ed AS ({edges_cte})",
         "od AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src)",
-        "nodes AS (SELECT DISTINCT src AS node FROM ed"
-        " UNION SELECT DISTINCT dst FROM ed)",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
     ]
+    if seeds_cte is None:
+        parts.append(
+            "nodes AS (SELECT node, 1 AS seed FROM ("
+            "SELECT DISTINCT src AS node FROM ed"
+            " UNION SELECT DISTINCT dst FROM ed))"
+        )
+    else:
+        parts.append(f"sd AS ({seeds_cte})")
+        parts.append(
+            "nodes AS (SELECT n.node,"
+            " CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed"
+            " FROM (SELECT DISTINCT src AS node FROM ed"
+            " UNION SELECT DISTINCT dst FROM ed) n"
+            " LEFT JOIN (SELECT DISTINCT node FROM sd) s"
+            " ON s.node = n.node)"
+        )
+    parts.append(
+        f"r0 AS (SELECT node,"
+        f" CAST(CASE WHEN seed = 1 THEN {scale} ELSE 0 END AS BIGINT)"
+        f" AS rank FROM nodes)"
+    )
     for i in range(iters):
         parts.append(
             f"""r{i + 1} AS (
             SELECT n.node,
-                   CAST({base} + ({damping_num} * COALESCE(c.s, 0))
+                   CAST(CASE WHEN n.seed = 1 THEN {base} ELSE 0 END
+                        + ({damping_num} * COALESCE(c.s, 0))
                         // {damping_den} AS BIGINT) AS rank
             FROM nodes n
             LEFT JOIN (

@@ -134,6 +134,84 @@ def test_overflow_envelope_is_enforced(spark):
         pagerank_fixed_point(e, iters=2, scale=2**61)
 
 
+def py_ppr(edges, seeds, iters=10, num=85, den=100, scale=10**12):
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seedset = set(seeds) & set(nodes)
+    base = (den - num) * scale // den
+    r = {n: (scale if n in seedset else 0) for n in nodes}
+    for _ in range(iters):
+        sm = defaultdict(int)
+        for u, v in edges:
+            sm[v] += r[u] // outdeg[u]
+        r = {
+            n: (base if n in seedset else 0) + (num * sm.get(n, 0)) // den
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_matches_python_reference(spark):
+    seeds = [1, 4, 99]  # 99 not in the graph: must be ignored
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=10, seeds=sd).collect()
+    }
+    assert got == py_ppr(HAND_EDGES, seeds)
+
+
+def test_personalized_oracle_matches_python_reference():
+    seeds = [1, 4, 99]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE et (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO et VALUES (?, ?)", HAND_EDGES)
+    con.execute("CREATE TABLE st (node BIGINT)")
+    con.executemany("INSERT INTO st VALUES (?)", [(s,) for s in seeds])
+    got = dict(
+        con.execute(
+            pagerank_oracle_sql(
+                "SELECT src, dst FROM et",
+                iters=10,
+                seeds_cte="SELECT node FROM st",
+            )
+        ).fetchall()
+    )
+    assert got == py_ppr(HAND_EDGES, seeds)
+
+
+def test_personalized_nonseed_unreachable_gets_zero(spark):
+    # 5 only links OUT; with seeds={1} it gets no restart mass and no
+    # contributions from upstream of it — rank exactly 0
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    sd = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=5, seeds=sd).collect()
+    }
+    assert got[5] == 0
+    assert got == py_ppr(HAND_EDGES, [1], iters=5)
+
+
+def test_all_nodes_seeded_equals_plain(spark):
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    every = spark.createDataFrame(
+        [(n,) for n in range(1, 6)], "node long"
+    )
+    a = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=6, seeds=every).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=6).collect()
+    }
+    assert a == b
+
+
 def test_partitioning_independence(spark):
     # integer arithmetic makes ranks a pure function of the edge
     # multiset — input layout must not matter
