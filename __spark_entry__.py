@@ -2758,17 +2758,27 @@ def q_ann_projected(spark, sf):
 
 def q_ann_projected_recall(spark, sf):
     # coarse-to-fine ANN: deterministic md5 random projection 64->32
-    # dims (weights are Catalyst literals, map-only), coarse top-150 per
-    # query, exact full-dim re-rank to top-5 — the production
-    # coarse-quantizer + re-rank pattern.  Contract: recall >= 0.8 vs
-    # the in-query exact baseline (measured 0.89 at sf0.01; this
-    # fixture's near-random embeddings are the WORST case for metric
-    # projections — clustered real-text embeddings do far better).
-    # Candidate count is absolute (k*expand=150/query), so the re-rank
-    # cost is corpus-size-independent at scale.
+    # dims, coarse pass in the projected space, exact full-dim re-rank
+    # to top-5 — the production coarse-quantizer + re-rank pattern.
+    # Contract: recall >= 0.8 vs the in-query exact baseline (measured
+    # 0.89 at sf0.01; this fixture's near-random embeddings are the
+    # WORST case for metric projections — clustered real-text
+    # embeddings do far better).  On near-RANDOM vectors recall tracks
+    # the candidate COVERAGE FRACTION, not an absolute candidate count
+    # (a projection preserves distances, but random distances
+    # concentrate, so the coarse ordering is noisy) — a fixed expand
+    # that passes at sf0.01 therefore fails at sf0.1 (found by running
+    # this harness at both scales).  The contract query scales expand
+    # to keep ~30% coverage of the fixture corpus; real clustered
+    # embeddings are where the absolute-expand deployment (the raw
+    # ann_projected query keeps expand=30) earns its cost model.
     emb = _t(spark, sf, "embeddings")
+    k = 5
+    n = emb.count()
+    expand = max(30, -(-3 * n // (10 * k)))  # ceil(0.3 * n / k)
     ann = sim_ops.projected_topk_rerank(
-        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
+        emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64,
+        expand=expand,
     )
     return _ann_recall_contract(emb, ann, 0.8)
 
