@@ -25,7 +25,6 @@ ALLOWED_NON_EQUI = {
     "ann_lsh_recall",
     "ann_ivf",
     "sim_topk_quantized",  # recall contract: brute-force baseline + anchors
-    "dedup_ngram_jaccard",  # all-pairs exact Jaccard baseline (sampled)
     # deliberate broadcast-replication of the SMALL query set onto every
     # corpus shard (the right asymmetry: corpus shuffles once, queries
     # are tiny) — shows up as a BNLJ with a bounded broadcast side
