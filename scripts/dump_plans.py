@@ -47,6 +47,17 @@ SHOW = [
         "one shuffle on the hash shard; FlatMapGroupsInPandas greedy fold",
     ),
     (
+        "graph_pagerank",
+        "iterative centrality: per-round keyed joins against the "
+        "pre-partitioned static edge/node caches (only ranks shuffle); "
+        "lineage truncated by localCheckpoint every 3 rounds",
+    ),
+    (
+        "dedup_ngram_jaccard",
+        "exact Jaccard via inverted-index gram equi-join — work bounded "
+        "by gram-sharing pairs, no nested-loop all-pairs",
+    ),
+    (
         "tpch_q16_shape",
         "distinct-pair collapse BEFORE the joins; broadcast anti + "
         "broadcast dim; count-distinct on pre-distinct pairs",
