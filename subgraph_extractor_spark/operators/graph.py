@@ -79,6 +79,7 @@ def pagerank_fixed_point(
     checkpoint_every: int = 3,
     seeds: DataFrame | None = None,
     seed_col: str = "node",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge table.
 
@@ -98,6 +99,18 @@ def pagerank_fixed_point(
     start at 0 and receive contributions only.  Seed ids not present
     in the graph are ignored; the arithmetic contract (and therefore
     the oracle unroll, via ``seeds_cte``) is unchanged.
+
+    ``init_ranks`` (a (node, rank) table) WARM-STARTS the iteration —
+    the incremental face, same as the repo's other standing-state
+    operators: resume a long power iteration from a checkpointed rank
+    table, or re-rank a grown graph from the previous epoch's ranks
+    (far fewer rounds to ordering stability than a cold start).  The
+    iteration is a pure deterministic function of (graph, start
+    vector), so the CONTINUATION LAW holds exactly and is the tested
+    contract: iterate(init=r_i, k) == iterate(init=r_0, i + k) bit for
+    bit.  Nodes absent from ``init_ranks`` (new nodes after growth)
+    start at the cold-start value for their seed status; extra ids in
+    ``init_ranks`` that left the graph are ignored.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -166,7 +179,16 @@ def pagerank_fixed_point(
     )
     start = F.when(F.col("_seed") == 1, F.lit(scale)).otherwise(F.lit(0))
 
-    ranks = nodes.select("node", start.cast("long").alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("node", start.cast("long").alias("rank"))
+    else:
+        prev = init_ranks.select(
+            F.col("node"), F.col("rank").cast("long").alias("_prev")
+        )
+        ranks = nodes.join(prev, "node", "left").select(
+            "node",
+            F.coalesce(F.col("_prev"), start.cast("long")).alias("rank"),
+        )
     for i in range(iters):
         contribs = (
             ed.join(ranks, ed["_src"] == ranks["node"])

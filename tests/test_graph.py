@@ -212,6 +212,57 @@ def test_all_nodes_seeded_equals_plain(spark):
     assert a == b
 
 
+def test_warm_start_continuation_law(spark):
+    # iterate(init=r_i, k) must equal iterate(init=r_0, i+k) BIT FOR
+    # BIT — the checkpoint/resume and epoch-over-epoch contract
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    r6 = pagerank_fixed_point(e, iters=6)
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=4, init_ranks=r6).collect()
+    }
+    cold = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(e, iters=10).collect()
+    }
+    assert resumed == cold
+
+
+def test_warm_start_on_grown_graph(spark):
+    # new nodes absent from the standing ranks start cold; stale ids
+    # that left the graph are ignored — exact vs a python replay
+    e0 = HAND_EDGES
+    grown = e0 + [(6, 1), (1, 6)]
+    e = spark.createDataFrame(grown, "src long, dst long")
+    standing = py_pagerank(e0, iters=10)
+    standing[77] = 123  # stale id no longer in the graph
+    init = spark.createDataFrame(
+        list(standing.items()), "node long, rank long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(
+            e, iters=3, init_ranks=init
+        ).collect()
+    }
+    # python replay of the same warm start
+    from collections import defaultdict as dd
+
+    outdeg = dd(int)
+    for s, _ in grown:
+        outdeg[s] += 1
+    nodes = sorted({s for s, _ in grown} | {d for _, d in grown})
+    scale, num, den = 10**12, 85, 100
+    base = (den - num) * scale // den
+    r = {n: standing.get(n, scale) for n in nodes}
+    for _ in range(3):
+        sm = dd(int)
+        for u, v in grown:
+            sm[v] += r[u] // outdeg[u]
+        r = {n: base + (num * sm.get(n, 0)) // den for n in nodes}
+    assert got == r
+
+
 def test_partitioning_independence(spark):
     # integer arithmetic makes ranks a pure function of the edge
     # multiset — input layout must not matter
