@@ -3443,6 +3443,56 @@ def q_tpch_q21_shape(spark, sf):
     )
 
 
+def q_sketch_kmv_overlap(spark, sf):
+    # corpus-level contamination screening: two overlapping corpora
+    # (doc_id % 3 carves ~2/3 slices sharing the %3==2 third), each
+    # reduced to a k=64 KMV sketch (k smallest 60-bit md5 hashes of the
+    # distinct texts), overlap estimated sketch-against-sketch without
+    # rescanning either corpus (Beyer et al., SIGMOD'07).  Every output
+    # is integer evidence plus ONE division, so the full row is
+    # bit-portable and the DuckDB oracle replays the whole construction.
+    from subgraph_extractor_spark.operators import sketches as sk_ops
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 3 != 0)
+    b = d.filter(F.col("doc_id") % 3 != 1)
+    k = 64
+    return sk_ops.kmv_jaccard(
+        sk_ops.kmv_sketch(a, "text", k=k),
+        sk_ops.kmv_sketch(b, "text", k=k),
+        k=k,
+    )
+
+
+def q_sketch_kmv_distinct(spark, sf):
+    # per-language distinct-text estimate off the standing KMV sketch
+    # row (2 KB per group): full sketches use the (k-1)·H/h_k order-
+    # statistic estimator, short sketches ARE the exact count.  Both
+    # branches are single IEEE ops from exactly-converted integers, so
+    # the estimates hash bit-exactly against the DuckDB replay.
+    from subgraph_extractor_spark.operators import sketches as sk_ops
+
+    d = _t(spark, sf, "documents")
+    k = 64
+    return sk_ops.kmv_distinct_estimate(
+        sk_ops.kmv_sketch(d, "text", k=k, group_cols=["lang"]), k=k
+    ).select("lang", "n_distinct_est")
+
+
+def q_sample_pps(spark, sf):
+    # probability-proportional-to-size systematic sampling: n=100 draws
+    # along the cumulative token-count line in stable md5 order, so
+    # long documents are selected with proportionally higher
+    # multiplicity — the importance-weighted corpus draw.  All integer
+    # arithmetic (distributed two-level prefix sum + `div`), full
+    # (doc_id, weight, mult) set bit-portable.
+    d = _t(spark, sf, "documents")
+    w = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    return sampling_ops.pps_systematic_sample(d, "doc_id", w, 100)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
     # per round).  Round-4 FINAL window — every slot goes to a query
@@ -3632,6 +3682,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
+    # continuation-session additions (outside the frozen r4 window;
+    # rotate into r5 with the README plan): KMV corpus-overlap
+    # sketches and PPS systematic sampling
+    "sketch_kmv_overlap": q_sketch_kmv_overlap,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sample_pps": q_sample_pps,
 }
 
 
@@ -5963,6 +6019,74 @@ ORACLES: dict[str, str] = {
                           COUNT(*) AS n
                    FROM kept GROUP BY doc_id) k USING (doc_id)
         JOIN (SELECT doc_id, len(t) AS n FROM toks) t_all USING (doc_id)
+    """,
+    # KMV overlap: replay the 60-bit md5 hash, the two k=64 sketches,
+    # the union sketch, and the Beyer et al. intersection count —
+    # integers plus one double division, bit-identical to Spark.
+    "sketch_kmv_overlap": """
+        WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+                    FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+             hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+                    FROM documents WHERE doc_id % 3 <> 1 AND text IS NOT NULL),
+             ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+             skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+             su AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+                    ORDER BY h LIMIT 64),
+             hits AS (SELECT COUNT(*) AS c FROM su
+                      WHERE h IN (SELECT h FROM ska)
+                        AND h IN (SELECT h FROM skb)),
+             uk AS (SELECT COUNT(*) AS c FROM su)
+        SELECT CAST(hits.c AS INT) AS overlap_hits,
+               CAST(uk.c AS INT) AS union_k,
+               CAST(hits.c AS DOUBLE) / CAST(uk.c AS DOUBLE) AS jaccard_est
+        FROM hits, uk
+    """,
+    # KMV distinct estimate: (k-1)*H as an exact double literal product
+    # (63 has 6 mantissa bits, 2^60 is a power of two -> the product is
+    # exactly representable, matching Spark's folded Python float);
+    # int64 -> double casts are correctly rounded on both engines.
+    "sketch_kmv_distinct": """
+        WITH h AS (SELECT DISTINCT lang,
+                          CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+                   FROM documents WHERE text IS NOT NULL),
+             rk AS (SELECT lang, h,
+                           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                    FROM h),
+             sk AS (SELECT lang, COUNT(*) AS sz,
+                           MAX(CASE WHEN rn = 64 THEN h END) AS hk
+                    FROM rk WHERE rn <= 64 GROUP BY lang)
+        SELECT lang,
+               CASE WHEN sz >= 64
+                    THEN (63.0 * 1152921504606846976.0) / CAST(hk AS DOUBLE)
+                    ELSE CAST(sz AS DOUBLE) END AS n_distinct_est
+        FROM sk
+    """,
+    # PPS systematic sampling: single-window replay of the distributed
+    # two-level prefix sum (same (md5, id) line order), HUGEINT-safe
+    # cumulative sums with `//` floor division, CAST to BIGINT at the
+    # emit boundary (the r3 HUGEINT lesson).
+    "sample_pps": """
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END AS BIGINT) AS wt,
+                   md5('pps' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        wp AS (SELECT * FROM w WHERE wt > 0),
+        c AS (SELECT doc_id, wt,
+                     SUM(wt) OVER (ORDER BY hx, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+                     SUM(wt) OVER () AS tot
+              FROM wp)
+        SELECT doc_id,
+               wt AS weight,
+               CAST((cum * 100) // tot - ((cum - wt) * 100) // tot AS BIGINT) AS mult
+        FROM c
+        WHERE (cum * 100) // tot - ((cum - wt) * 100) // tot >= 1
     """,
 }
 

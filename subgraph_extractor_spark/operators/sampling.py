@@ -203,3 +203,102 @@ def temperature_mixture_sample(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_quota"))
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: draw ``n``
+    of the cumulative-weight line, so row i is selected with expected
+    multiplicity ``n * w_i / W`` — importance-weighted corpus sampling
+    (weight = token count, quality score, domain priority) where plain
+    Bernoulli over-represents short/low-value documents.
+
+    Rows are laid on the line in stable (md5(salt || id), id) order — a
+    deterministic permutation, so the sample is a pure function of the
+    data (same reproducibility contract as every sampler here).  With
+    cumulative weight C_i, row i is emitted with multiplicity
+    ``floor(C_i * n / W) - floor(C_{i-1} * n / W)`` — classic systematic
+    PPS: exactly ``n`` total draws, rows with w_i >= W/n are ALWAYS
+    selected (multiplicity >= 1 deterministically).  All arithmetic is
+    64-bit integer (the W * n < 2**63 envelope is enforced in-plan via
+    ``assert_true`` — Spark's non-ANSI longs would wrap silently where
+    the DuckDB oracle's HUGEINT would not), so the full (id, mult)
+    result is bit-portable.
+
+    Scale shape: a global cumulative sum cannot be one window at 100 TB,
+    so it is the standard two-level distributed prefix sum — 256
+    hash-prefix buckets (the bucket is the first byte of the ordering
+    hash, so bucket order IS hash order) get per-bucket window cumsums
+    in parallel, a 256-row bucket-offset table is window-summed alone,
+    and offsets broadcast back.  One data shuffle (bucket+sort), one
+    broadcast join.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        weight.cast("long").alias("_w"),
+        hx.alias("_hx"),
+        (_hex_digit(hx, 1) * 16 + _hex_digit(hx, 2)).alias("_bkt"),
+    ).filter(F.col("_w") > 0)
+    wloc = (
+        Window.partitionBy("_bkt")
+        .orderBy("_hx", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum_loc", F.sum("_w").over(wloc))
+    btot = base.groupBy("_bkt").agg(F.sum("_w").alias("_bw"))
+    woff = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bw").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_bw").over(Window.partitionBy()).alias("_W"),
+    )
+    # both join sides derive from `base`, so the self-join lineage must
+    # be alias-qualified, and the projected names must not collide with
+    # names living below the projection (Spark 4's hybrid analyzer also
+    # resolves against hidden lineage attributes, so re-projecting `_w`
+    # as `_w` reads as ambiguous)
+    j = local.alias("L").join(
+        F.broadcast(offsets.alias("R")),
+        F.col("L._bkt") == F.col("R._bkt"),
+    )
+    lined = j.select(
+        F.col("L." + id_col),
+        F.col("L._w").alias("_wv"),
+        (F.col("R._off") + F.col("L._cum_loc")).alias("_cumv"),
+        F.col("R._W").alias("_Wt"),
+    )
+    # in-plan overflow envelope: every product below is bounded by W*n
+    guard = F.assert_true(
+        F.col("_Wt") <= F.lit(((1 << 63) - 1) // n),
+        F.lit(
+            f"pps overflow envelope: total_weight * n must stay under "
+            f"2^63 (n={n}); rescale the weights"
+        ),
+    )
+    # `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    # stops being exact past 2^53 — SQL `div` keeps the whole
+    # computation in 64-bit integers (operands nonnegative, so
+    # trunc == floor; DuckDB's `//` matches).
+    mult = F.expr(f"(_cumv * {n}) div _Wt") - F.expr(
+        f"((_cumv - _wv) * {n}) div _Wt"
+    )
+    return (
+        lined.select(
+            id_col,
+            F.col("_wv").alias("weight"),
+            (mult + F.coalesce(guard.cast("long"), F.lit(0))).alias(
+                "mult"
+            ),
+        )
+        .filter(F.col("mult") >= 1)
+    )

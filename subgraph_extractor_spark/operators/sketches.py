@@ -18,7 +18,7 @@ estimate error model is the HLL standard error for the chosen lgConfigK
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,4 +55,183 @@ def estimate_distinct(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
     return sketches.select(
         *group_cols,
         F.hll_sketch_estimate(F.col("_sketch")).alias("n_distinct_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: engine-portable corpus-overlap
+# estimation.
+#
+# HLL above answers "how many distinct" but its sketch bytes are
+# DataSketches-internal — only Spark can read them, and it cannot
+# estimate the OVERLAP of two corpora.  The KMV sketch is the portable
+# complement: the k smallest 60-bit md5 hashes of the distinct values.
+# Every operation on it is integer comparison, so the sketch itself,
+# its merge, and the derived Jaccard estimate are bit-identical across
+# engines (DuckDB replays them exactly) — the same portability contract
+# as dataset fingerprints (fingerprint.py), applied to set similarity.
+#
+# The 100 TB pattern: keep one standing KMV row per corpus / snapshot /
+# partition (k longs ≈ 2 KB).  "How much does the new crawl overlap the
+# training set?" then compares two sketch rows — |S_k(A∪B) ∩ A_k ∩ B_k|
+# / k estimates Jaccard (Beyer et al., SIGMOD'07) — without rescanning
+# either corpus.  This is corpus-level contamination screening; the
+# per-document gate (text_analysis.contamination) answers the row-level
+# question.
+#
+# Reference parity: the reference engine has no sketch surface at all
+# (SURVEY §2 A-rows); this extends the training-data-pipeline family.
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = 1 << 60  # hash domain: 15 hex digits of md5
+
+
+def kmv_hash(value) -> "F.Column":
+    """60-bit engine-portable hash: first 15 hex digits of md5 of the
+    value's string form.  DuckDB replay:
+    ``CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group KMV sketch: ascending array of the k smallest distinct
+    60-bit hashes of ``value_col`` (NULLs excluded).  Groups with fewer
+    than k distinct values keep them all (the estimate is then exact).
+
+    Scale shape: map-side partial DISTINCT on (group, hash) feeds one
+    shuffle; the per-group rank prune sorts only distinct hashes.  For
+    very-high-cardinality groups pass ``prune_threshold`` = a standing
+    estimate of the group's distinct count (e.g. from the previous
+    sketch): uniform hashes put the k smallest below ~8·k/n of the
+    space, so the filter discards ~everything map-side BEFORE the
+    shuffle and cannot change the result (it only prunes values that
+    can never be among the k smallest — the 8x safety margin makes a
+    short survivor set astronomically unlikely, and the merge/estimate
+    contract tolerates a short sketch by treating it as exact).
+    """
+    gcols = list(group_cols or [])
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, kmv_hash(F.col(value_col)).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
+    )
+
+
+def kmv_sketch_pruned(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    distinct_estimate: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """`kmv_sketch` with the map-side threshold prune applied: only
+    hashes below ``8·k/distinct_estimate`` of the space survive to the
+    shuffle.  Identical output whenever the estimate is not a gross
+    UNDER-estimate (the prune keeps ≥ the true k smallest); use the
+    previous refresh's estimate, which drifts slowly."""
+    thresh = min(
+        _KMV_SPACE - 1,
+        (8 * k * _KMV_SPACE) // max(1, distinct_estimate),
+    )
+    gcols = list(group_cols or [])
+    pruned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, kmv_hash(F.col(value_col)).alias("_h"))
+        .filter(F.col("_h") <= F.lit(thresh))
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int, group_cols: list[str] | None = None) -> DataFrame:
+    """Union-merge stacked sketch tables back to one sketch per group:
+    k smallest of the union of the arrays.  Incremental refresh shuffles
+    only sketch rows — same state discipline as `merge_sketch_tables`."""
+    gcols = list(group_cols or [])
+    exploded = sketches.select(*gcols, F.explode("_kmv").alias("_h")).distinct()
+    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
+    )
+
+
+def kmv_distinct_estimate(sketches: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate per sketch row: a full sketch (|S| = k)
+    estimates (k-1)·H / h_(k) (uniform order statistics); a short
+    sketch saw every distinct value, so its size IS the count.  Both
+    branches are single IEEE ops from exactly-converted integers —
+    bit-portable."""
+    size = F.size("_kmv")
+    kth = F.element_at("_kmv", k).cast("double")
+    est = F.when(
+        size >= k,
+        F.lit(float(k - 1) * float(_KMV_SPACE)) / kth,
+    ).otherwise(size.cast("double"))
+    return sketches.withColumn("n_distinct_est", est)
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int,
+    join_cols: list[str] | None = None,
+) -> DataFrame:
+    """Jaccard estimate between paired sketch rows (cross-corpus overlap
+    screening).  With ``join_cols`` the two tables pair per group key;
+    without, both must be single-row (global corpus sketches).
+
+    Estimator (Beyer et al., SIGMOD'07): S = k smallest of A∪B (itself
+    the KMV sketch of the union), J ≈ |S ∩ A ∩ B| / |S|.  Short-sketch
+    degenerate case (|A∪B| < k): S is the whole union, the estimate is
+    EXACT.  Emits the integer evidence (`overlap_hits`, `union_k`) and
+    the one-division double `jaccard_est` — all bit-portable."""
+    gcols = list(join_cols or [])
+    a = sketch_a.select(*gcols, F.col("_kmv").alias("_kmv_a"))
+    b = sketch_b.select(*gcols, F.col("_kmv").alias("_kmv_b"))
+    if gcols:
+        paired = a.join(b, gcols, "inner")
+    else:
+        paired = a.crossJoin(b)  # 1x1: two single-row sketch tables
+    s_union = F.slice(
+        F.array_sort(F.array_union("_kmv_a", "_kmv_b")), 1, k
+    )
+    inter = F.array_intersect("_kmv_a", "_kmv_b")
+    hits = F.size(F.array_intersect(s_union, inter))
+    union_k = F.size(s_union)
+    return paired.select(
+        *gcols,
+        hits.alias("overlap_hits"),
+        union_k.alias("union_k"),
+        (hits.cast("double") / union_k.cast("double")).alias(
+            "jaccard_est"
+        ),
     )

@@ -63,6 +63,9 @@ ALLOWED_NON_EQUI = {
     "ann_projected_recall",
     # classifier contract: crossJoin of three single-row count anchors
     "quality_classifier",
+    # KMV overlap: 1x1 crossJoin of two single-row corpus sketch tables
+    # (kilobytes each) — the sketch-vs-sketch comparison IS the operator
+    "sketch_kmv_overlap",
 }
 
 _BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
