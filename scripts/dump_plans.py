@@ -174,6 +174,12 @@ SHOW = [
         "content certificate: map-side md5 terms, ONE partial "
         "aggregate — no data shuffle",
     ),
+    (
+        "sample_pps",
+        "PPS sampling: distributed two-level prefix sum — 256 "
+        "hash-prefix buckets cumsum in parallel, 256-row offset table "
+        "broadcasts back; no global single-partition window",
+    ),
 ]
 
 

@@ -62,10 +62,13 @@ def estimate_distinct(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
 # KMV (k-minimum-values) sketches: engine-portable corpus-overlap
 # estimation.
 #
-# HLL above answers "how many distinct" but its sketch bytes are
-# DataSketches-internal — only Spark can read them, and it cannot
-# estimate the OVERLAP of two corpora.  The KMV sketch is the portable
-# complement: the k smallest 60-bit md5 hashes of the distinct values.
+# HLL above answers "how many distinct", and inclusion-exclusion over
+# HLL unions gives an overlap estimate (dedup.corpus_overlap_estimate)
+# — but the sketch bytes are DataSketches-internal (only Spark reads
+# them), and the I-E estimate needs an error-bound contract because the
+# subtraction amplifies the relative error.  The KMV sketch is the
+# portable complement: the k smallest 60-bit md5 hashes of the distinct
+# values.
 # Every operation on it is integer comparison, so the sketch itself,
 # its merge, and the derived Jaccard estimate are bit-identical across
 # engines (DuckDB replays them exactly) — the same portability contract
