@@ -114,10 +114,9 @@ def kmv_sketch(
     estimate of the group's distinct count (e.g. from the previous
     sketch): uniform hashes put the k smallest below ~8·k/n of the
     space, so the filter discards ~everything map-side BEFORE the
-    shuffle and cannot change the result (it only prunes values that
-    can never be among the k smallest — the 8x safety margin makes a
-    short survivor set astronomically unlikely, and the merge/estimate
-    contract tolerates a short sketch by treating it as exact).
+    shuffle; with the estimate within 8x of the truth the filter keeps
+    every true member of the k smallest, so the result is unchanged
+    (see `kmv_sketch_pruned` for the exact safety condition).
     """
     gcols = list(group_cols or [])
     hashed = (
@@ -145,9 +144,13 @@ def kmv_sketch_pruned(
 ) -> DataFrame:
     """`kmv_sketch` with the map-side threshold prune applied: only
     hashes below ``8·k/distinct_estimate`` of the space survive to the
-    shuffle.  Identical output whenever the estimate is not a gross
-    UNDER-estimate (the prune keeps ≥ the true k smallest); use the
-    previous refresh's estimate, which drifts slowly."""
+    shuffle.  The true k-th smallest hash sits near ``k/n_true`` of the
+    space, so the prune keeps ≥ the true k smallest whenever
+    ``distinct_estimate ≤ 8·n_true`` — i.e. identical output unless the
+    estimate is a gross (>8x) OVER-estimate, which tightens the
+    threshold past real members.  Under-estimates only loosen it (more
+    survivors, same result).  Use the previous refresh's estimate,
+    which drifts slowly in the incremental pattern."""
     thresh = min(
         _KMV_SPACE - 1,
         (8 * k * _KMV_SPACE) // max(1, distinct_estimate),

@@ -467,3 +467,55 @@ def shard_append_sink(
         )
 
     return fold
+
+
+def kmv_sketch_sink(
+    spark,
+    state_dir: str,
+    value_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+):
+    """foreachBatch sink maintaining standing KMV corpus sketches — the
+    streaming face of ``operators.sketches.kmv_sketch``: each
+    micro-batch is sketched alone (touching only new data) and
+    k-min-merged into the persisted sketch table, so corpus-overlap /
+    distinct-estimate questions are answered from kilobytes of state
+    while the stream keeps ingesting.  Same ``v{batch_id}`` idempotence
+    and newer-version lineage guard as ``standing_rollup_sink``; the
+    merge law sketch(A) ∪ sketch(B) == sketch(A ∪ B) (certified in
+    tests) makes the served sketch bit-identical to a one-shot sketch
+    of everything ingested, whatever the batch boundaries.
+    """
+    from subgraph_extractor_spark.operators import sketches as sk
+
+    gcols = list(group_cols)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        new = sk.kmv_sketch(batch_df, value_col, k=k, group_cols=gcols)
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
+            new = sk.kmv_merge(
+                spark.read.parquet(latest[1]).unionByName(new),
+                k=k,
+                group_cols=gcols,
+            )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_kmv_sketch(spark, state_dir: str) -> DataFrame:
+    """Latest persisted sketch table — feed to ``kmv_jaccard`` /
+    ``kmv_distinct_estimate`` without touching the ingested history."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no kmv state under {state_dir}")
+    return spark.read.parquet(latest[1])
