@@ -220,7 +220,10 @@ def pps_systematic_sample(
 
     Rows are laid on the line in stable (md5(salt || id), id) order — a
     deterministic permutation, so the sample is a pure function of the
-    data (same reproducibility contract as every sampler here).  With
+    data (same reproducibility contract as every sampler here).
+    ``id_col`` must be unique: duplicate ids tie the ordering key, so
+    their relative cumsum order — and therefore which duplicate absorbs
+    a draw boundary — would be partitioning-dependent.  With
     cumulative weight C_i, row i is emitted with multiplicity
     ``floor(C_i * n / W) - floor(C_{i-1} * n / W)`` — classic systematic
     PPS: exactly ``n`` total draws, rows with w_i >= W/n are ALWAYS

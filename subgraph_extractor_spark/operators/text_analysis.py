@@ -431,3 +431,53 @@ def token_df_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.min("_df").alias("min_token_df"),
         )
     )
+
+
+def compression_ratio(text: Column, level: int = 6) -> Column:
+    """zlib-deflate compression ratio ``len(compress(utf8)) /
+    len(utf8)`` — the entropy face of quality filtering (the
+    "compression filter" of Gopher-lineage pipelines): boilerplate and
+    templated spam compress far below natural prose, while random /
+    binary junk refuses to compress at all.  Complements
+    `repetition_features`, which counts EXPLICIT n-gram repetition —
+    deflate's LZ77 window also catches long-range and approximate
+    redundancy those integer signals miss.
+
+    Arrow-batched stdlib-zlib kernel (map-only, no shuffle; bytes never
+    leave the executor).  Deterministic for a fixed zlib version +
+    level, and a pure function of the text — but NOT engine-portable
+    (no SQL zlib), so the driver query ships rows-only and correctness
+    rides on the pytest python-replica pin, like the LM log-prob face.
+    NULL and empty texts yield NULL (a 0-byte payload has no ratio).
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or t == "":
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append(len(zlib.compress(b, level)) / len(b))
+        return pd.Series(out, dtype="float64")
+
+    return ratio(text)
+
+
+def compression_gate(
+    df: DataFrame,
+    text_col: str,
+    min_ratio: float = 0.25,
+    max_ratio: float = 1.05,
+) -> DataFrame:
+    """Keep rows whose compression ratio lies in [min_ratio, max_ratio]
+    — drop the hyper-compressible (boilerplate / repetition farms) and
+    the incompressible (random strings, base64 blobs, wrong-charset
+    mojibake).  NULL-ratio rows (empty text) are dropped."""
+    r = compression_ratio(F.col(text_col))
+    return df.filter(r.between(min_ratio, max_ratio))

@@ -263,3 +263,82 @@ def test_bpe_tokens_adversarial_cross_engine(spark):
     }
     assert got == want
     assert got[1] == (3, 2, 0, 1)  # 'a', 'b' words + one \x0b other-run
+
+
+# ---------------------------------------------------------------- zlib
+# compression-ratio quality signal
+
+
+def test_compression_ratio_matches_python_replica(spark, sf_dir):
+    import zlib
+
+    from subgraph_extractor_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+    from subgraph_extractor_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in d.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    for r in d.select("doc_id", "text").collect():
+        t = r["text"]
+        if t is None or t == "":
+            assert got[r["doc_id"]] is None
+        else:
+            b = t.encode("utf-8")
+            assert got[r["doc_id"]] == len(zlib.compress(b, 6)) / len(b)
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(4000))
+    # varied prose (measured ratio ~0.53): random draws from a
+    # moderate vocabulary — word structure compresses, content doesn't
+    rng2 = random.Random(11)
+    vocab = [
+        "".join(rng2.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng2.randint(3, 9)))
+        for _ in range(800)
+    ]
+    prose = " ".join(rng2.choice(vocab) for _ in range(600)) + "."
+    rows = [
+        (1, prose),                            # varied text (~0.53)
+        (2, "buy now click here " * 200),      # boilerplate (~0.014)
+        (3, noise),                            # random junk (~0.67)
+        (4, ""),                               # empty
+        (5, None),                             # null
+    ]
+    from subgraph_extractor_spark.operators.text_analysis import (
+        compression_gate,
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r["cr"]
+        for r in df.select(
+            "id", compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert got[2] < got[1] < got[3]      # boilerplate << prose << noise
+    assert got[3] > 0.5                  # random text barely compresses
+    assert got[2] < 0.05                 # repetition farm collapses
+    assert got[4] is None and got[5] is None
+
+    # default max_ratio=1.05 targets binary/already-compressed junk;
+    # alphanumeric noise sits ~0.65, so tighten the knob to drop it
+    kept = {
+        r["id"]
+        for r in compression_gate(df, "text", max_ratio=0.6).collect()
+    }  # prose ~0.53 sits inside [0.25, 0.6]; noise ~0.67 is out
+    assert 2 not in kept                 # boilerplate dropped
+    assert 3 not in kept                 # noise dropped
+    assert 4 not in kept and 5 not in kept
+    assert 1 in kept
