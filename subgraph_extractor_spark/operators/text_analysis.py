@@ -478,6 +478,11 @@ def compression_gate(
     """Keep rows whose compression ratio lies in [min_ratio, max_ratio]
     — drop the hyper-compressible (boilerplate / repetition farms) and
     the incompressible (random strings, base64 blobs, wrong-charset
-    mojibake).  NULL-ratio rows (empty text) are dropped."""
+    mojibake).  NULL-ratio rows (empty text) are dropped.
+
+    Caveat: deflate's fixed ~11-byte overhead dominates very short
+    texts (a few dozen bytes can exceed ratio 1.0 on natural prose —
+    measured on the fixture corpus), so compose AFTER a minimum-length
+    gate rather than letting max_ratio double as a length filter."""
     r = compression_ratio(F.col(text_col))
     return df.filter(r.between(min_ratio, max_ratio))
