@@ -79,6 +79,10 @@ HEADLINE = [
     # text_bpe_train (20 argmax rounds = an offline training job, ~80s;
     # driver-oracled at sf0.01 instead).
     "pipeline_shuffle_shard",
+    # continuation-session additions (first recorded here for r5+
+    # comparability): KMV corpus-overlap sketching and PPS sampling
+    "sketch_kmv_overlap",
+    "sample_pps",
     # coarse-to-fine ANN: matmul top-150 in the 32-dim projected space,
     # exact full-dim re-rank of the absolute candidate set
     "ann_projected",

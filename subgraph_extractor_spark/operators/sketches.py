@@ -98,6 +98,33 @@ def kmv_hash(value) -> "F.Column":
     ).cast("long")
 
 
+_KMV_SALTS = 256
+
+
+def _k_smallest(hashed: DataFrame, k: int, gcols: list[str]) -> DataFrame:
+    """k smallest distinct ``_h`` per group, as the sorted ``_kmv``
+    array — two-level selection so no single task ever sorts a group's
+    full distinct-hash set: level 1 partitions each group into 256
+    salt buckets (``_h % 256``) and rank-prunes each to its k smallest
+    IN PARALLEL (every member of the true global k smallest lives in
+    some bucket, so per-bucket k-min provably loses nothing); level 2
+    rank-prunes the ≤ 256·k survivors per group — bounded work
+    regardless of corpus size."""
+    w1 = Window.partitionBy(*gcols, "_salt").orderBy("_h")
+    w2 = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    return (
+        hashed.withColumn("_salt", F.col("_h") % _KMV_SALTS)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     value_col: str,
@@ -109,14 +136,12 @@ def kmv_sketch(
     than k distinct values keep them all (the estimate is then exact).
 
     Scale shape: map-side partial DISTINCT on (group, hash) feeds one
-    shuffle; the per-group rank prune sorts only distinct hashes.  For
-    very-high-cardinality groups pass ``prune_threshold`` = a standing
-    estimate of the group's distinct count (e.g. from the previous
-    sketch): uniform hashes put the k smallest below ~8·k/n of the
-    space, so the filter discards ~everything map-side BEFORE the
-    shuffle; with the estimate within 8x of the truth the filter keeps
-    every true member of the k smallest, so the result is unchanged
-    (see `kmv_sketch_pruned` for the exact safety condition).
+    shuffle; the k-smallest selection is the two-level `_k_smallest`
+    (per-salt-bucket prune in parallel, then the bounded survivor set)
+    so even the UNGROUPED corpus-wide sketch never sorts all distinct
+    hashes in one task.  For very-high-cardinality inputs
+    `kmv_sketch_pruned` additionally discards ~everything map-side
+    BEFORE the shuffle using a standing distinct-count estimate.
     """
     gcols = list(group_cols or [])
     hashed = (
@@ -124,15 +149,7 @@ def kmv_sketch(
         .select(*gcols, kmv_hash(F.col(value_col)).alias("_h"))
         .distinct()
     )
-    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
-        Window.partitionBy(F.lit(1)).orderBy("_h")
-    )
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*gcols)
-        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
-    )
+    return _k_smallest(hashed, k, gcols)
 
 
 def kmv_sketch_pruned(
@@ -162,15 +179,7 @@ def kmv_sketch_pruned(
         .filter(F.col("_h") <= F.lit(thresh))
         .distinct()
     )
-    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
-        Window.partitionBy(F.lit(1)).orderBy("_h")
-    )
-    return (
-        pruned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*gcols)
-        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
-    )
+    return _k_smallest(pruned, k, gcols)
 
 
 def kmv_merge(sketches: DataFrame, k: int, group_cols: list[str] | None = None) -> DataFrame:
@@ -179,15 +188,7 @@ def kmv_merge(sketches: DataFrame, k: int, group_cols: list[str] | None = None) 
     only sketch rows — same state discipline as `merge_sketch_tables`."""
     gcols = list(group_cols or [])
     exploded = sketches.select(*gcols, F.explode("_kmv").alias("_h")).distinct()
-    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
-        Window.partitionBy(F.lit(1)).orderBy("_h")
-    )
-    return (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*gcols)
-        .agg(F.array_sort(F.collect_list("_h")).alias("_kmv"))
-    )
+    return _k_smallest(exploded, k, gcols)
 
 
 def kmv_distinct_estimate(sketches: DataFrame, k: int) -> DataFrame:
