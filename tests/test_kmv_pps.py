@@ -310,3 +310,31 @@ def test_kmv_streaming_sink_matches_batch(spark, docs, tmp_path):
     # lineage guard: an older batch id than the standing max refuses
     with pytest.raises(ValueError):
         fold(last_batch, 0)
+
+
+def test_kmv_jaccard_grouped_pairs_by_key(spark, docs):
+    # per-group sketch comparison: overlap of even vs odd doc slices
+    # WITHIN each language, paired on the lang key
+    k = 10 ** 6  # short-sketch regime -> estimates are exact
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r["lang"]: (r["overlap_hits"], r["union_k"])
+        for r in sk.kmv_jaccard(
+            sk.kmv_sketch(a, "text", k=k, group_cols=["lang"]),
+            sk.kmv_sketch(b, "text", k=k, group_cols=["lang"]),
+            k=k,
+            join_cols=["lang"],
+        ).collect()
+    }
+    rows_a, rows_b = {}, {}
+    for rows, src in ((rows_a, a), (rows_b, b)):
+        for r in src.select("lang", "text").collect():
+            if r["text"] is not None:
+                rows.setdefault(r["lang"], set()).add(_h60(r["text"]))
+    for lang in set(rows_a) & set(rows_b):
+        inter = len(rows_a[lang] & rows_b[lang])
+        union = len(rows_a[lang] | rows_b[lang])
+        assert got[lang] == (inter, union), lang
+    # inner join: languages present on only one side don't pair
+    assert set(got) == set(rows_a) & set(rows_b)
