@@ -243,3 +243,33 @@ def split_ppm_video(payload: bytes) -> list[bytes]:
     if not frames:
         raise ValueError("empty video payload")
     return frames
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): integer luma → nearest-neighbor
+    resample to 9×8 → horizontal-gradient sign bits, row-major, MSB
+    first.  All-integer arithmetic (BT.601 luma ×1000: 299R+587G+114B),
+    so the signature is a pure deterministic function of the pixels —
+    the perceptual analogue of the text SimHash, robust to re-encoding,
+    small local noise, and (via the 9×8 resample) uniform rescaling."""
+    px = pixels.astype(np.int64)
+    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    g = resize_nearest(luma[:, :, None], 9, 8)[:, :, 0]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    # two's-complement into int64: Spark/DuckDB longs share the pattern
+    return int(h.astype(np.int64))
+
+
+def image_dhash(payload: bytes | None) -> int | None:
+    """dHash of an encoded image payload (PPM/BMP by magic); junk or
+    undecodable bytes yield None — the mixed-batch contract again."""
+    if payload is None:
+        return None
+    try:
+        _, pixels = sniff_and_decode(bytes(payload))
+        return dhash64(pixels)
+    except (ValueError, struct.error, IndexError):
+        return None

@@ -295,3 +295,59 @@ def synthetic_ppm_videos(spark, n: int = 8, seed: int = 11) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_dhash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual signature table ``(_id, _sim)`` for the image rows of a
+    media DataFrame: 64-bit dHash (imagecodec.dhash64 — integer luma,
+    9×8 resample, gradient signs) via one Arrow-batched mapInPandas
+    pass; payload bytes never leave the executor.  Non-image rows and
+    undecodable payloads drop out (NULL signature) rather than failing
+    the task — the media family's mixed-batch contract."""
+    from subgraph_extractor_spark.operators.imagecodec import image_dhash
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_sim", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "_id": img["media_id"],
+                    "_sim": [
+                        image_dhash(None if p is None else bytes(p))
+                        for p in img["payload"]
+                    ],
+                }
+            )
+
+    return (
+        media.mapInPandas(hash_batches, schema=sig_schema)
+        .filter(F.col("_sim").isNotNull())
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual image near-dup pairs — the image face of SimHash
+    dedup, composed from the existing machinery: dHash signatures feed
+    ``dedup.simhash_pairs_from_sigs`` (pigeonhole banding on the
+    64-bit signature + exact hamming verification), so the pair
+    generation inherits that operator's completeness guarantee
+    (hamming ≤ bands-1) and scale shape (band equi-join, never
+    all-pairs).  Transitive clusters / survivor selection compose
+    downstream exactly as for text (``dedup.duplicate_clusters``,
+    ``semdedup``)."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_pairs_from_sigs(
+        image_dhash_signatures(media),
+        max_distance=max_distance,
+        bands=bands,
+    )

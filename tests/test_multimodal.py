@@ -350,3 +350,77 @@ def test_real_audio_features_end_to_end(spark):
     assert got[1][3] == 0.0 and got[2][3] > 0.5
     assert got[2][4] > 0.7
     assert len(got[3]) == 8 and got[3][0] <= 1.0  # digest fallback
+
+
+# ------------------------------------------------------- perceptual dedup
+
+
+def test_dhash64_properties():
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+
+    h_base = ic.dhash64(base)
+    assert h_base == ic.dhash64(base.copy())          # deterministic
+
+    # uniform 2x nearest upscale resamples back to the same 9x8 grid
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    assert ic.dhash64(up) == h_base
+
+    # a few local pixel edits barely move the hash
+    noisy = base.copy()
+    noisy[5, 7] = 0
+    noisy[20, 33] = 255
+    def ham(a, b):
+        return bin((a ^ b) & (1 << 64) - 1).count("1")
+    assert ham(ic.dhash64(noisy), h_base) <= 6
+
+    # unrelated content is far (random hashes differ on ~32 bits)
+    assert ham(ic.dhash64(other), h_base) >= 16
+
+    # junk payloads yield None, never raise
+    assert ic.image_dhash(b"not an image") is None
+    assert ic.image_dhash(None) is None
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[3, 3] = 0
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+    def meta(w, h):
+        return ("image/x-ppm", w, h, None)
+
+    rows = [
+        (1, "image", bytearray(ic.encode_ppm(base)), meta(24, 24)),
+        (2, "image", bytearray(ic.encode_ppm(noisy)), meta(24, 24)),
+        (3, "image", bytearray(ic.encode_bmp(up)), meta(48, 48)),
+        (4, "image", bytearray(ic.encode_ppm(other)), meta(24, 24)),
+        (5, "image", bytearray(b"junk bytes"), meta(1, 1)),  # undecodable
+        (6, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 99)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(media, max_distance=3).collect()
+    }
+    # near-dups found across containers (PPM noisy, BMP upscale)...
+    assert (1, 2) in pairs and (1, 3) in pairs
+    # ...unrelated content, junk, and non-image rows never pair
+    flat = {i for p in pairs for i in p}
+    assert 4 not in flat and 5 not in flat and 6 not in flat
