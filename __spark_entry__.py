@@ -1931,6 +1931,54 @@ def q_dedup_simhash_portable(spark, sf):
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_image_dhash_pairs(spark, sf):
+    # Driver surface for the perceptual image-dedup family
+    # (operators/multimodal.py:300-353 + operators/imagecodec.dhash64):
+    # a deterministic 16-image fixture corpus — 4 groups of {base PPM,
+    # near-twin PPM (one inverted 9x8-grid cell -> hamming 1-2),
+    # inverted-stripe cousin PPM (hamming ~35, must NOT pair), 2x
+    # nearest-upscaled BMP re-encode (hamming 0 across containers)} —
+    # plus an undecodable junk row and an audio row that must drop out.
+    # The DuckDB oracle replays the pair machinery over golden dHash
+    # signature literals (the Python hash itself is property-tested in
+    # tests/test_multimodal.py): pigeonhole banding at 4 bands is
+    # COMPLETE for hamming <= 3, so the banded Spark plan must produce
+    # exactly the brute-force pair set — row set AND hamming values.
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rows = []
+    for g in range(4):
+        rng = np.random.default_rng(1000 + g)
+        base = rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+        near = base.copy()
+        near[0:5, 0:4] = 255 - near[0:5, 0:4]
+        cousin = base.copy()
+        cousin[:, 0:18] = 255 - cousin[:, 0:18]
+        up = base.repeat(2, axis=0).repeat(2, axis=1)
+        ppm = ("image/x-portable-pixmap", 36, 36, None)
+        rows.append((10 * g + 1, "image", bytearray(ic.encode_ppm(base)), ppm))
+        rows.append((10 * g + 2, "image", bytearray(ic.encode_ppm(near)), ppm))
+        rows.append((10 * g + 3, "image", bytearray(ic.encode_ppm(cousin)), ppm))
+        rows.append(
+            (10 * g + 4, "image", bytearray(ic.encode_bmp(up)),
+             ("image/bmp", 72, 72, None))
+        )
+    rows.append(
+        (97, "image", bytearray(b"junk bytes"),
+         ("image/x-portable-pixmap", 1, 1, None))
+    )
+    rows.append(
+        (98, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 99))
+    )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return mm.image_near_dup_pairs(media, max_distance=3, bands=4).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard over a 1-in-2 doc sample — the verification
     # face of near-dedup (the LSH-restricted variant is dedup_minhash).
@@ -3495,27 +3543,79 @@ def q_sample_pps(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-4 FINAL window — every slot goes to a query
-    # with NO prior driver row (or a red r3 row): (a) the three r3-fail
-    # queries with their HUGEINT-fixed oracles; (b) the newly-oracled
-    # contracts that replace r3's rows-only checks (exact-pair clusters
-    # x2, recall contracts for MinHash/LSH/incremental, full-value
-    # portable SimHash, exact-count emb_neardup, full-value winnowing,
-    # IVF); (c) every operator added in round 4 — passage dedup, CDC,
-    # BM25, inverted index, aggregate/histogram/HLL incremental state,
-    # profiling, quantized search, Bloom probe, heavy hitters, token-DF
-    # / BPE / linear-quality scoring, null-semantics, nearest as-of, and
-    # 16 of the 19 new TPC-H shapes.  Deferred to r5 (oracled +
-    # local-harness green, just out of budget): tpch_q6/q14/q19 and the
-    # rows-only dedup_incremental raw dump.  The displaced stable core
-    # keeps its r1-r3 green rows and is re-verified by the full local
-    # harness (scripts/check_correctness.py, 131 oracled queries) every
-    # session — the dtype-faithful checker is what makes local rows
-    # predictive of driver rows.
+    # per round).  Round-5 window: every slot goes to a query with NO
+    # prior driver row or the OLDEST driver evidence — (a) the 32
+    # queries that had never sat in a driver window (session-3/4
+    # additions: semdedup, shuffle-shard, BPE training, dataset
+    # fingerprints, PageRank, KMV sketches, PPS/temperature sampling,
+    # the time-series family, containment/edit-distance dedup, the
+    # quality classifier, projected ANN, the e2e pretraining pipeline,
+    # the last 5 TPC-H shapes, and the 3 rows-only raw twins whose
+    # oracled contracts are green); (b) image_dhash_pairs, new this
+    # round — first driver surface for the perceptual image-dedup
+    # family (golden-signature differential oracle); (c) 17 rotations
+    # whose only driver row dates from round 1 (cube/grouping-sets/
+    # pivot/stats aggs, subqueries, outer/state-asof joins, top-k, set
+    # ops, skew salting, downscale/clamp/uint256 mappings, TPC-H
+    # Q3/Q5).  The displaced round-4 window (all 50 green in
+    # CORRECTNESS_r04) moves to the stable core below and stays covered
+    # by the full local harness (scripts/check_correctness.py) every
+    # session.
+    "pipeline_semdedup": q_pipeline_semdedup,
+    "pipeline_semdedup_best": q_pipeline_semdedup_best,
+    "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
+    "pipeline_shard_append": q_pipeline_shard_append,
+    "text_bpe_train": q_text_bpe_train,
+    "dataset_fingerprint": q_dataset_fingerprint,
+    "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_pagerank_seeded": q_graph_pagerank_seeded,
+    "sketch_kmv_overlap": q_sketch_kmv_overlap,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sample_pps": q_sample_pps,
+    "sample_temperature": q_sample_temperature,
+    "ts_resample": q_ts_resample,
+    "ts_cohort_retention": q_ts_cohort_retention,
+    "ts_funnel": q_ts_funnel,
+    "ts_sliding": q_ts_sliding,
+    "ts_moving_avg": q_ts_moving_avg,
+    "a14_mad_outliers": q_a14_mad_outliers,
+    "dedup_containment": q_dedup_containment,
+    "dedup_editdist": q_dedup_editdist,
+    "quality_classifier": q_quality_classifier,
+    "ann_projected_recall": q_ann_projected_recall,
+    "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
+    "ann_projected": q_ann_projected,
+    "semdedup_approx": q_semdedup_approx,
+    "dedup_incremental": q_dedup_incremental,
+    "tpch_q6_shape": q_tpch_q6_shape,
+    "tpch_q14_shape": q_tpch_q14_shape,
+    "tpch_q19_shape": q_tpch_q19_shape,
+    "tpch_q21_shape": q_tpch_q21_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
+    "image_dhash_pairs": q_image_dhash_pairs,
+    "a4_cube": q_a4_cube,
+    "a4_grouping_sets": q_a4_grouping_sets,
+    "a7_pivot": q_a7_pivot,
+    "a8_stats": q_a8_stats,
+    "f_in_subquery": q_f_in_subquery,
+    "f_scalar_subquery": q_f_scalar_subquery,
+    "j3_full_outer": q_j3_full_outer,
+    "j7_state_asof": q_j7_state_asof,
+    "o5_topk": q_o5_topk,
+    "p4_downscale": q_p4_downscale,
+    "p5_clamp_validity": q_p5_clamp_validity,
+    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
+    "set_ops": q_set_ops,
+    "set_ops_all": q_set_ops_all,
+    "skew_salted_agg": q_skew_salted_agg,
+    "tpch_q3_shape": q_tpch_q3_shape,
+    "tpch_q5_shape": q_tpch_q5_shape,
+    # ---- end of the 50-query window ----
+    # -- stable core: green driver rows r1-r4; re-verified locally --
     "w7_sessionize": q_w7_sessionize,
     "f_vector": q_f_vector,
     "pipeline_contamination": q_pipeline_contamination,
-    # -- newly-oracled contracts (first oracle-checked driver rows) --
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -3525,7 +3625,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "text_winnowing": q_text_winnowing,
     "emb_neardup": q_emb_neardup,
-    # -- round-4 pipeline operators, first driver rows --
     "dedup_passage_spans": q_dedup_passage_spans,
     "pipeline_remove_passages": q_pipeline_remove_passages,
     "cdc_latest_state": q_cdc_latest_state,
@@ -3548,7 +3647,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": q_profile_documents,
     "text_inverted_index": q_text_inverted_index,
     "text_index_incremental": q_text_index_incremental,
-    # -- round-4 TPC-H shapes, first driver rows --
     "tpch_q2_shape": q_tpch_q2_shape,
     "tpch_q4_shape": q_tpch_q4_shape,
     "tpch_q7_shape": q_tpch_q7_shape,
@@ -3565,38 +3663,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q20_shape": q_tpch_q20_shape,
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
-    # ---- end of the 50-query window ----
-    # -- deferred to the r5 window (oracled, local-harness green) --
-    "pipeline_semdedup": q_pipeline_semdedup,
-    "pipeline_semdedup_best": q_pipeline_semdedup_best,
-    "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
-    "text_bpe_train": q_text_bpe_train,
-    "semdedup_approx": q_semdedup_approx,
-    "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
-    "dedup_editdist": q_dedup_editdist,
-    "sample_temperature": q_sample_temperature,
-    "ann_projected_recall": q_ann_projected_recall,
-    "ann_projected": q_ann_projected,
-    "dedup_containment": q_dedup_containment,
-    "pipeline_shard_append": q_pipeline_shard_append,
-    "quality_classifier": q_quality_classifier,
-    "ts_resample": q_ts_resample,
-    "ts_cohort_retention": q_ts_cohort_retention,
-    "ts_funnel": q_ts_funnel,
-    "ts_sliding": q_ts_sliding,
-    "a14_mad_outliers": q_a14_mad_outliers,
-    "ts_moving_avg": q_ts_moving_avg,
-    "dataset_fingerprint": q_dataset_fingerprint,
-    "dataset_fingerprint_groups": q_dataset_fingerprint_groups,
-    "tpch_q21_shape": q_tpch_q21_shape,
-    "tpch_q22_shape": q_tpch_q22_shape,
-    "tpch_q6_shape": q_tpch_q6_shape,
-    "tpch_q14_shape": q_tpch_q14_shape,
-    "tpch_q19_shape": q_tpch_q19_shape,
-    "dedup_incremental": q_dedup_incremental,
-    "graph_pagerank": q_graph_pagerank,
-    "graph_pagerank_seeded": q_graph_pagerank_seeded,
-    # -- stable oracled core (green rows r1-r3; re-verified locally) --
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3630,13 +3696,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "w1_latest_version": q_w1_latest_version,
-    # -- raw rows-only pair/topk queries (bench-comparable operator
-    # output; r3 driver rows; their correctness now rides on the
-    # in-window recall/portable contracts above) --
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
-    # -- multi-round-green surfaces beyond the budget --
     "f_array": q_f_array,
     "f_collect": q_f_collect,
     "f_udaf": q_f_udaf,
@@ -3648,15 +3710,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_lag_delta": q_w2_lag_delta,
     "w3_running_sum": q_w3_running_sum,
     "w6_rank_stats": q_w6_rank_stats,
-    "o5_topk": q_o5_topk,
-    "set_ops": q_set_ops,
-    "j7_state_asof": q_j7_state_asof,
-    "tpch_q5_shape": q_tpch_q5_shape,
-    "skew_salted_agg": q_skew_salted_agg,
-    "a7_pivot": q_a7_pivot,
-    "f_in_subquery": q_f_in_subquery,
-    "f_scalar_subquery": q_f_scalar_subquery,
-    "a8_stats": q_a8_stats,
     "f_width_bucket": q_f_width_bucket,
     "f_json": q_f_json,
     "f_string": q_f_string,
@@ -3664,30 +3717,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_conditional": q_f_conditional,
     "f_cast": q_f_cast,
     "s5_preview_limit": q_s5_preview_limit,
-    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
-    "a4_grouping_sets": q_a4_grouping_sets,
-    "p4_downscale": q_p4_downscale,
-    "p5_clamp_validity": q_p5_clamp_validity,
-    "j3_full_outer": q_j3_full_outer,
-    "a4_cube": q_a4_cube,
     "w4_analytics": q_w4_analytics,
     "w5_range_frame": q_w5_range_frame,
     "f_date2": q_f_date2,
     "f_string2": q_f_string2,
-    "set_ops_all": q_set_ops_all,
-    "tpch_q3_shape": q_tpch_q3_shape,
     "f_date": q_f_date,
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
-    # continuation-session additions (outside the frozen r4 window;
-    # rotate into r5 with the README plan): KMV corpus-overlap
-    # sketches and PPS systematic sampling
-    "sketch_kmv_overlap": q_sketch_kmv_overlap,
-    "sketch_kmv_distinct": q_sketch_kmv_distinct,
-    "sample_pps": q_sample_pps,
 }
 
 
@@ -5565,6 +5604,36 @@ ORACLES: dict[str, str] = {
         SELECT l.doc_id AS id_a, r.doc_id AS id_b,
                CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
         FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    # Image-dedup contract: golden dHash signatures of the deterministic
+    # 16-image fixture (computed once from the in-repo PPM/BMP codecs;
+    # the hash function itself is property-tested in pytest — binary
+    # decode has no DuckDB surface), brute-forced to all pairs within
+    # hamming <= 3.  Banding completeness makes this a full differential
+    # check of the pair-generation plan.
+    "image_dhash_pairs": """
+        WITH sigs(id, sig) AS (VALUES
+            (CAST(1 AS BIGINT), CAST(8311334474830002914 AS BIGINT)),
+            (2, -912037562024772894),
+            (3, -8383676846758442478),
+            (4, 8311334474830002914),
+            (11, 2704286653514830003),
+            (12, -6519085383339945805),
+            (13, -3064850613957547957),
+            (14, 2704286653514830003),
+            (21, -7342464473405674772),
+            (22, -7342464473405674772),
+            (23, 7701906940578386452),
+            (24, -7342464473405674772),
+            (31, 3627388145102410787),
+            (32, -5559955094733401053),
+            (33, -3843854492408077101),
+            (34, 3627388145102410787)
+        )
+        SELECT l.id AS id_a, r.id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        FROM sigs l JOIN sigs r ON l.id < r.id
         WHERE bit_count(xor(l.sig, r.sig)) <= 3
     """,
     "text_winnowing": """
