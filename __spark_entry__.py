@@ -2844,6 +2844,13 @@ def q_ann_projected_recall(spark, sf):
     # ann_projected query keeps expand=30) earns its cost model.
     emb = _t(spark, sf, "embeddings")
     k = 5
+    # Eager count at construction, deliberately (ADVICE r4 flagged it vs
+    # the side-effect-free discipline of commit 8383051): the contract's
+    # coverage-fraction math needs the EXACT corpus cardinality — a
+    # Catalyst sizeInBytes estimate (the _n_shards approach) that
+    # under-counts would undershoot the ~30% coverage target and flake
+    # the recall >= 0.8 floor.  Over a raw parquet scan count() is a
+    # footer-metadata job (no data read), so the cost is one tiny job.
     n = emb.count()
     expand = max(30, -(-3 * n // (10 * k)))  # ceil(0.3 * n / k)
     ann = sim_ops.projected_topk_rerank(

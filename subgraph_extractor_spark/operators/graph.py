@@ -155,13 +155,14 @@ def pagerank_fixed_point(
             "node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed")
         )
     nodes = node_set.repartition("node").persist()
-    # Enforce the overflow envelope at runtime: an in-sum is bounded by
-    # the surviving total mass <= N * scale, so num * N * scale must
+    # Overflow envelope, part 1 (cold-start mass): an in-sum is bounded
+    # by the surviving total mass <= N * scale, so num * N * scale must
     # stay under 2^63.  Spark's non-ANSI long arithmetic would WRAP
     # silently past that (while the DuckDB oracle's HUGEINT would not —
     # exactly the cross-engine divergence the integer contract exists
     # to prevent), so this is a hard error, not a docstring.  nodes is
-    # persisted and needed anyway; the count is one tiny job.
+    # persisted and needed anyway; the count is one tiny job.  Warm
+    # starts are re-checked against their ACTUAL initial mass below.
     n_nodes = nodes.count()
     if damping_num * n_nodes * scale >= 1 << 63:
         ed.unpersist()
@@ -189,6 +190,32 @@ def pagerank_fixed_point(
             "node",
             F.coalesce(F.col("_prev"), start.cast("long")).alias("rank"),
         )
+        # Overflow envelope, part 2 (warm-start mass): the N*scale bound
+        # above assumes cold-start ranks <= scale.  A rank table
+        # checkpointed under a LARGER scale (or any external table) can
+        # carry more mass, and per-round mass only contracts toward the
+        # stationary total, so the first rounds' in-sums are bounded by
+        # the actual initial positive mass, not N*scale.  Sum through
+        # DECIMAL so the guard itself cannot wrap; one tiny job over the
+        # N-row rank table, warm-start path only.
+        init_mass = (
+            ranks.agg(
+                F.sum(
+                    F.greatest(F.col("rank"), F.lit(0)).cast("decimal(38,0)")
+                ).alias("m")
+            ).collect()[0]["m"]
+        )
+        init_mass = int(init_mass or 0)
+        if damping_num * max(init_mass, n_nodes * scale) >= 1 << 63:
+            ed.unpersist()
+            nodes.unpersist()
+            raise ValueError(
+                f"overflow envelope exceeded for warm start: "
+                f"damping_num * init_mass = {damping_num}*{init_mass} "
+                f">= 2^63; the init_ranks table carries more mass than "
+                f"N*scale = {n_nodes}*{scale} — rescale it to this "
+                f"run's `scale` before resuming"
+            )
     for i in range(iters):
         contribs = (
             ed.join(ranks, ed["_src"] == ranks["node"])

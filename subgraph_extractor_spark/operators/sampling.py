@@ -280,12 +280,22 @@ def pps_systematic_sample(
         (F.col("R._off") + F.col("L._cum_loc")).alias("_cumv"),
         F.col("R._W").alias("_Wt"),
     )
-    # in-plan overflow envelope: every product below is bounded by W*n
+    # in-plan overflow envelope: every product below is bounded by W*n.
+    # The window SUMs above have already run by the time this evaluates,
+    # so a total weight W past 2^63 would have wrapped FIRST — typically
+    # to a negative _Wt that would sail under the upper bound (ADVICE
+    # r4).  The _Wt > 0 arm catches that wrap (weights are filtered
+    # > 0, so a legitimate total is strictly positive); the _cumv >= 0
+    # arm catches a per-bucket wrap even if the global sum happens to
+    # wrap back into positive range.
     guard = F.assert_true(
-        F.col("_Wt") <= F.lit(((1 << 63) - 1) // n),
+        (F.col("_Wt") > 0)
+        & (F.col("_Wt") <= F.lit(((1 << 63) - 1) // n))
+        & (F.col("_cumv") >= 0),
         F.lit(
             f"pps overflow envelope: total_weight * n must stay under "
-            f"2^63 (n={n}); rescale the weights"
+            f"2^63 (n={n}) and cumulative sums must not wrap; rescale "
+            f"the weights"
         ),
     )
     # `div`, not `/`: Spark's `/` on longs is DOUBLE division, which

@@ -220,10 +220,23 @@ def kmv_jaccard(
     the KMV sketch of the union), J ≈ |S ∩ A ∩ B| / |S|.  Short-sketch
     degenerate case (|A∪B| < k): S is the whole union, the estimate is
     EXACT.  Emits the integer evidence (`overlap_hits`, `union_k`) and
-    the one-division double `jaccard_est` — all bit-portable."""
+    the one-division double `jaccard_est` — all bit-portable.
+
+    Empty-sketch convention (ADVICE r4): a global groupBy over an EMPTY
+    corpus still emits one sketch row with an empty array, and two such
+    rows would pair to union_k = 0 and a NULL jaccard_est that silently
+    drops out of downstream `jaccard_est >= t` filters.  Empty sketch
+    rows are therefore filtered BEFORE pairing — an empty corpus has no
+    overlap to estimate, and the resulting no-row output is the same
+    semantics one-sided groups already get from the inner join."""
     gcols = list(join_cols or [])
-    a = sketch_a.select(*gcols, F.col("_kmv").alias("_kmv_a"))
-    b = sketch_b.select(*gcols, F.col("_kmv").alias("_kmv_b"))
+    nonempty = F.size("_kmv") > 0
+    a = sketch_a.filter(nonempty).select(
+        *gcols, F.col("_kmv").alias("_kmv_a")
+    )
+    b = sketch_b.filter(nonempty).select(
+        *gcols, F.col("_kmv").alias("_kmv_b")
+    )
     if gcols:
         paired = a.join(b, gcols, "inner")
     else:

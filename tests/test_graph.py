@@ -302,3 +302,18 @@ def test_fixture_graph_shape(spark, sf_dir):
     assert len(rows) == n_nodes
     base = (100 - 85) * 10**12 // 100
     assert all(r["rank"] >= base for r in rows)
+
+
+def test_warm_start_overflow_envelope_uses_actual_mass(spark):
+    # ADVICE r4: a warm start whose checkpointed ranks carry more mass
+    # than N*scale (e.g. a table checkpointed under a larger scale) must
+    # refuse to run, even though the cold-start envelope passes.
+    e = spark.createDataFrame(HAND_EDGES, "src long, dst long")
+    big = spark.createDataFrame(
+        [(1, 1 << 61), (2, 1 << 61), (3, 1 << 61)], "node long, rank long"
+    )
+    with pytest.raises(ValueError, match="warm start"):
+        pagerank_fixed_point(e, iters=2, init_ranks=big)
+    # ...and a sane warm start at this scale still runs
+    warm = pagerank_fixed_point(e, iters=1)
+    assert pagerank_fixed_point(e, iters=1, init_ranks=warm).count() > 0

@@ -338,3 +338,34 @@ def test_kmv_jaccard_grouped_pairs_by_key(spark, docs):
         assert got[lang] == (inter, union), lang
     # inner join: languages present on only one side don't pair
     assert set(got) == set(rows_a) & set(rows_b)
+
+
+def test_pps_wrapped_total_weight_is_caught(spark):
+    # ADVICE r4: if the TOTAL weight itself exceeds 2^63 the window sums
+    # wrap before the envelope guard evaluates — a wrapped (negative)
+    # _Wt used to sail under the upper bound.  Enough 2^61 weights to
+    # push W past 2^63 must now hard-error, not emit garbage.
+    df = spark.createDataFrame(
+        [(i, 1 << 61) for i in range(6)], ["id", "w"]
+    )
+    with pytest.raises(Exception):
+        sampling_ops.pps_systematic_sample(
+            df, "id", F.col("w"), 1
+        ).collect()
+
+
+def test_kmv_jaccard_empty_sketch_rows_drop_out(spark):
+    # ADVICE r4: two empty corpora yield one empty-array sketch row
+    # each; pairing them used to produce union_k=0 and a NULL
+    # jaccard_est row.  Convention: empty sketch rows are filtered
+    # before pairing -> no output row (same as one-sided groups).
+    empty = sk.kmv_sketch(
+        spark.createDataFrame([], "doc_id long, text string"), "text", k=16
+    )
+    full = sk.kmv_sketch(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]),
+        "text", k=16,
+    )
+    assert sk.kmv_jaccard(empty, empty, 16).count() == 0
+    assert sk.kmv_jaccard(empty, full, 16).count() == 0
+    assert sk.kmv_jaccard(full, full, 16).count() == 1
