@@ -2860,6 +2860,39 @@ def q_ann_projected_recall(spark, sf):
     return _ann_recall_contract(emb, ann, 0.8)
 
 
+def q_ann_projected_lsh(spark, sf):
+    # raw output of the SUB-QUADRATIC coarse-to-fine composition
+    # (projection -> sign-LSH in projected space -> full-dim re-rank,
+    # similarity.projected_lsh_topk) — the shape the flat coarse pass's
+    # own docstring prescribes at corpus x corpus scale, now a
+    # first-class operator.  Bench-comparable deployment parameters
+    # (absolute expand=30, the candidate cost model); correctness rides
+    # on the ann_projected_lsh_recall contract.
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.projected_lsh_topk(
+        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
+    )
+
+
+def q_ann_projected_lsh_recall(spark, sf):
+    # recall contract for the projected+LSH composition.  DOUBLE
+    # approximation (projection distance noise x LSH candidate recall),
+    # so the floor is looser than either stage alone: measured 0.81 at
+    # sf0.01 / 0.86 at sf0.1 with the same coverage-scaled expand as
+    # ann_projected_recall (near-random fixture vectors are the worst
+    # case — coarse ordering noise tracks coverage fraction, hence the
+    # exact-count expand math; see that query's comment).  Floor 0.75.
+    emb = _t(spark, sf, "embeddings")
+    k = 5
+    n = emb.count()
+    expand = max(30, -(-3 * n // (10 * k)))  # ceil(0.3 * n / k)
+    ann = sim_ops.projected_lsh_topk(
+        emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64,
+        expand=expand,
+    )
+    return _ann_recall_contract(emb, ann, 0.75)
+
+
 def q_sample_temperature(spark, sf):
     # temperature mixture (mT5/XLM-R rebalancing) at tau=2: quotas are
     # floor(sqrt(n_s) * sqrt(n_min)) — both factors IEEE correctly-
@@ -3619,6 +3652,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # ---- end of the 50-query window ----
+    # -- new in r5 (rotate into the r6 window): sub-quadratic
+    # projected+LSH ANN composition, raw twin + recall contract --
+    "ann_projected_lsh": q_ann_projected_lsh,
+    "ann_projected_lsh_recall": q_ann_projected_lsh_recall,
     # -- stable core: green driver rows r1-r4; re-verified locally --
     "w7_sessionize": q_w7_sessionize,
     "f_vector": q_f_vector,
@@ -5081,6 +5118,11 @@ ORACLES: dict[str, str] = {
     "ann_projected_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                TRUE AS recall_ge_080
+        FROM embeddings
+    """,
+    "ann_projected_lsh_recall": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_075
         FROM embeddings
     """,
     "emb_neardup": """

@@ -86,6 +86,10 @@ HEADLINE = [
     # coarse-to-fine ANN: matmul top-150 in the 32-dim projected space,
     # exact full-dim re-rank of the absolute candidate set
     "ann_projected",
+    # r5: the sub-quadratic composition (projection -> sign-LSH in the
+    # projected space -> full-dim re-rank) the flat coarse pass's scale
+    # caveat prescribes — first recorded r5 for r6+ comparability
+    "ann_projected_lsh",
     "sample_temperature",
     "pipeline_pretraining_e2e",
     # time-series analytics family (quality_classifier not benched:
@@ -100,6 +104,25 @@ HEADLINE = [
     # behavior is governed by the per-round shuffle shape (static sides
     # pre-partitioned, only ranks move) documented in PLANS.md, and
     # correctness by the full-value driver oracle at sf0.01.
+]
+
+
+# FROZEN comparability subsets (VERDICT r4: headline_queries_total_time
+# changed meaning as the list grew, making rounds incomparable).  These
+# lists never change; their subtotals are emitted under "subtotals" in
+# the output JSON every round.  common19 = the intersection of the r1
+# and r4 recorded query sets (r1 recorded 12.57 s); common24 adds the
+# five entries first recorded in r3.
+COMMON_19 = [
+    "a3_pricing_summary", "ann_lsh", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "extract_events", "f_window_tumbling",
+    "j1_catalog_join_chain", "j5_range_join", "j6_asof_join", "o5_topk",
+    "s1_range_scan", "sim_topk_matmul", "skew_salted_agg", "text_lang",
+    "text_tokens", "tpch_q3_shape", "tpch_q5_shape", "w1_latest_version",
+]
+COMMON_24 = COMMON_19 + [
+    "bucketed_build", "bucketed_join", "dedup_chunks",
+    "extract_lineitem_3level", "pipeline_contamination",
 ]
 
 
@@ -125,7 +148,27 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from subgraph_extractor_spark import get_spark
 
+    # Quiet-host gate (VERDICT r4: the recorded r4 run started at
+    # loadavg 5.71 and every untouched query inflated ~1.5x — run
+    # conditions, not regressions, but the recorded number is what the
+    # gate reads).  Wait up to $SPARK_GRAFT_LOAD_WAIT seconds (default
+    # 120) for the 1-minute loadavg to drop below
+    # $SPARK_GRAFT_LOAD_GATE (default 2.0), then proceed either way —
+    # a bench that refuses to run is worse than a flagged one — and
+    # echo the gate outcome in the output JSON so inflated numbers are
+    # attributable.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    waited = 0.0
+    while os.getloadavg()[0] >= gate and waited < wait_budget:
+        time.sleep(5)
+        waited += 5
     load_start = round(os.getloadavg()[0], 2)
+    load_gate = {
+        "threshold": gate,
+        "waited_sec": waited,
+        "met": load_start < gate,
+    }
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -291,6 +334,17 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
 
     total = round(sum(timings.values()), 3)
+    # frozen-subset subtotals: comparable round-over-round regardless of
+    # how the full headline list grows (missing entries reported so a
+    # subtotal can never silently cover fewer queries)
+    subtotals = {}
+    for label, subset in (("common19_r1", COMMON_19), ("common24_r3", COMMON_24)):
+        present = [q for q in subset if q in timings]
+        subtotals[label] = round(sum(timings[q] for q in present), 3)
+        if len(present) != len(subset):
+            subtotals[label + "_missing"] = [
+                q for q in subset if q not in timings
+            ]
     session = dict(BENCH_CONFS)
     session["master"] = spark.sparkContext.master
     session["defaultParallelism"] = spark.sparkContext.defaultParallelism
@@ -315,6 +369,8 @@ def main() -> None:
                 # multi-second spikes; a high load average alongside
                 # inflated numbers means environment, not regression
                 "loadavg_1m_start_end": [load_start, round(os.getloadavg()[0], 2)],
+                "load_gate": load_gate,
+                "subtotals": subtotals,
                 "session": session,
                 # one-time costs amortized over every subsequent join in
                 # production — reported for transparency, not steady-state

@@ -895,10 +895,19 @@ def projected_topk_rerank(
         k=k * expand,
         n_shards=shards,
     )
-    # re-rank candidates with the exact full-dim cosine: join the two
-    # vectors back by id (keyed shuffles on the candidate table only;
-    # the full-dim side reads the RAW vectors — the projection never
-    # runs for the re-rank)
+    return _full_dim_rerank(df, coarse, vec_col, id_col, k)
+
+
+def _full_dim_rerank(
+    df: DataFrame, coarse: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exact full-dimension cosine re-rank of a coarse candidate table
+    ``(query_id, neighbor_id, ...)`` down to top-``k`` — the shared back
+    half of every coarse-to-fine ANN here.  Joins the RAW vectors back
+    by id (keyed shuffles on the candidate table only — the coarse pass
+    bounded it to an absolute number of rows per query, so the re-rank
+    cost is independent of corpus size), scores, and window-merges per
+    query."""
     full = df.select(F.col(id_col), F.col(vec_col))
     pairs = (
         coarse.select("query_id", "neighbor_id")
@@ -925,3 +934,53 @@ def projected_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def projected_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    out_dim: int = 32,
+    in_dim: int = 64,
+    bits: int = 120,
+    bands: int = 24,
+    expand: int = 4,
+    seed: str = "rp",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Sub-quadratic coarse-to-fine self-ANN — the composition
+    :func:`projected_topk_rerank`'s scale caveat prescribes: a
+    deterministic md5 random projection (``in_dim`` → ``out_dim``,
+    batched BLAS, map-only) feeds :func:`ann_topk_lsh` IN THE PROJECTED
+    SPACE for candidate top-``k*expand``, and the exact full-dim cosine
+    re-ranks those to top-``k``.
+
+    Why this is the 100 TB shape where the flat coarse pass is not:
+    LSH banding prunes candidate generation SUB-quadratically (band
+    equi-join over hashed buckets — pairs considered scale with bucket
+    occupancy, not corpus²), while the projection cuts every signature
+    and distance computation in the coarse stage by the dim ratio; the
+    re-rank then touches an absolute ``k*expand`` rows per query.  FLOP
+    count: flat coarse = n²·out_dim; this = n·bits·out_dim (signatures)
+    + bucket-local candidate scoring + n·k·expand·in_dim (re-rank).
+
+    Output ``(query_id, neighbor_id, rank)``, the module's shared ANN
+    contract; recall is contract-checked by the
+    ``ann_projected_lsh_recall`` driver query (double approximation —
+    projection noise × LSH recall — so its floor is looser than either
+    alone; see the query docstring)."""
+    proj = random_projection_arrow(
+        df, vec_col, out_dim, in_dim, seed
+    ).select(F.col(id_col), F.col("_proj"))
+    coarse = ann_topk_lsh(
+        proj,
+        "_proj",
+        id_col,
+        k=k * expand,
+        dim=out_dim,
+        bits=bits,
+        bands=bands,
+        n_shards=n_shards,
+    )
+    return _full_dim_rerank(df, coarse, vec_col, id_col, k)

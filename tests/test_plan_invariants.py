@@ -61,6 +61,10 @@ ALLOWED_NON_EQUI = {
     # recall contract crossJoins 1-row anchors
     "ann_projected",
     "ann_projected_recall",
+    # projected+LSH composition: the LSH coarse pass itself is pure
+    # band equi-join (no BNLJ — that is the point); only the RECALL
+    # CONTRACT's brute-force baseline + 1-row anchors are non-equi
+    "ann_projected_lsh_recall",
     # classifier contract: crossJoin of three single-row count anchors
     "quality_classifier",
     # KMV overlap: 1x1 crossJoin of two single-row corpus sketch tables

@@ -206,3 +206,34 @@ def test_projected_rerank_contract(spark, sf_dir):
         assert ranks == [1, 2, 3], (q, lst)
         neighbors = [nb for _, nb in lst]
         assert len(set(neighbors)) == 3 and q not in neighbors
+
+
+def test_projected_lsh_composition_recall_and_shape(spark, emb):
+    """The sub-quadratic coarse-to-fine composition (projection ->
+    sign-LSH in projected space -> full-dim re-rank): top-k contract
+    shape (contiguous ranks from 1, unique neighbors, no self-pairs —
+    LSH may yield fewer than k candidates for sparse-bucket queries)
+    and solid recall vs brute force despite the double approximation.
+    The driver contract (ann_projected_lsh_recall) holds the 0.75
+    coverage-scaled floor at sf0.01/sf0.1; this fixture check uses the
+    same coverage-scaled expand."""
+    k = 5
+    n = emb.count()
+    expand = max(30, -(-3 * n // (10 * k)))
+    exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
+    approx = similarity.projected_lsh_topk(
+        emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64, expand=expand
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"composition recall too low: {recall}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q, lst in by_q.items():
+        ranks = sorted(rk for rk, _ in lst)
+        assert ranks == list(range(1, len(lst) + 1)), (q, lst)
+        neighbors = [nb for _, nb in lst]
+        assert len(set(neighbors)) == len(neighbors) and q not in neighbors
