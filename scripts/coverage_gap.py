@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Driver-coverage gap report: diff the declared ``queries()`` registry
+against the union of all recorded ``CORRECTNESS_r*.json`` driver rows
+and print (a) queries that have NEVER had a driver-checked row, (b) the
+round each checked query was last seen in — the judge's union-coverage
+discipline folded into the repo (VERDICT r4 next-round item 7).
+
+Parses the QUERIES literal from source (no Spark import needed) so it
+runs in milliseconds; the declaration-order prefix of 50 is the window
+the next driver round will check.
+
+Usage: python scripts/coverage_gap.py [--repo DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+
+def declared_queries(repo: str) -> list[str]:
+    src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    m = re.search(
+        r"QUERIES: dict\[str, Callable\[\[SparkSession, str\], DataFrame\]\]"
+        r" = \{\n(.*?)\n\}\n",
+        src,
+        re.S,
+    )
+    if not m:
+        raise SystemExit("could not locate the QUERIES literal")
+    return re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(1), re.M)
+
+
+def driver_rows(repo: str) -> dict[str, list[int]]:
+    seen: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        for name in json.load(open(path)):
+            seen.setdefault(name, []).append(rnd)
+    return seen
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args()
+
+    declared = declared_queries(args.repo)
+    seen = driver_rows(args.repo)
+
+    never = [q for q in declared if q not in seen]
+    window = declared[:50]
+    pending = [q for q in never if q in window]
+
+    print(f"declared queries: {len(declared)}")
+    print(f"driver-checked at least once: {len([q for q in declared if q in seen])}")
+    print(f"never driver-checked: {len(never)}")
+    if never:
+        for q in never:
+            mark = " (in current window — next round)" if q in pending else ""
+            print(f"  - {q}{mark}")
+    stale = sorted(
+        ((q, max(r)) for q, r in seen.items() if q in declared),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    print("oldest driver evidence (rotation candidates):")
+    for q, r in stale:
+        print(f"  - {q}: last checked r{r}")
+    # non-zero exit if a never-checked query is ALSO outside the window
+    # (it cannot get a row next round — a rotation planning bug)
+    unrotated = [q for q in never if q not in window]
+    if unrotated:
+        print(
+            f"WARNING: {len(unrotated)} never-checked queries are outside "
+            f"the 50-slot window: {unrotated}"
+        )
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,12 @@ WINDOW_50 = [
     "f_in_subquery", "f_scalar_subquery", "j3_full_outer",
     "j7_state_asof", "o5_topk", "p4_downscale", "p5_clamp_validity",
     "p6_uint256_roundtrip", "set_ops", "set_ops_all",
-    "skew_salted_agg", "tpch_q3_shape", "tpch_q5_shape",
+    "skew_salted_agg", "ann_projected_lsh", "ann_projected_lsh_recall",
 ]
 
 # rows-only by design (LSH banding / zlib / raw pair dumps whose
 # correctness rides on an oracled contract twin)
-ROWS_ONLY = {"ann_projected", "semdedup_approx", "dedup_incremental"}
+ROWS_ONLY = {"ann_projected", "semdedup_approx", "dedup_incremental", "ann_projected_lsh"}
 
 
 def test_driver_window_is_frozen():
