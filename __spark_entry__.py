@@ -1979,6 +1979,108 @@ def q_image_dhash_pairs(spark, sf):
     )
 
 
+def q_audio_spectral_pairs(spark, sf):
+    # Driver surface for perceptual AUDIO dedup (multimodal.
+    # audio_near_dup_pairs + audiocodec.spectral_hash64): deterministic
+    # 16-clip WAV fixture corpus — 4 groups of {base tone-sweep, 0.6x
+    # gain rip (hamming 0: energy comparisons are scale-free),
+    # dither-noise copy (hamming 1-5 — pairs iff <= 3, exercising the
+    # boundary), unrelated-noise cousin (~30, never pairs)} — plus an
+    # undecodable junk row and an image row that must drop out.  Same
+    # golden-signature differential oracle as image_dhash_pairs:
+    # pigeonhole banding at 4 bands is complete for hamming <= 3, so
+    # the banded Spark plan must equal the oracle's brute-force pair
+    # set over the signature literals exactly.
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rate = 8000
+    rows = []
+    for g in range(4):
+        rng = np.random.default_rng(2000 + g)
+        t = np.arange(rate) / rate
+        f1, f2 = 200 + 90 * g, 700 + 210 * g
+        base = (
+            np.sin(2 * np.pi * f1 * t) * 9000
+            + np.sin(2 * np.pi * f2 * t * (1 + t / 2)) * 5000
+            + rng.normal(0, 400, len(t))
+        ).astype(np.int16)[:, None]
+        gain = (base * 0.6).astype(np.int16)
+        dither = (
+            base.astype(np.float64) + rng.normal(0, 120, base.shape)
+        ).clip(-32768, 32767).astype(np.int16)
+        cousin = rng.normal(0, 9000, base.shape).astype(np.int16)
+        wav = ("audio/x-wav", None, None, 1000)
+        for off, s in ((1, base), (2, gain), (3, dither), (4, cousin)):
+            rows.append(
+                (10 * g + off, "audio",
+                 bytearray(ac.encode_wav(s, rate)), wav)
+            )
+    rows.append(
+        (97, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9))
+    )
+    rows.append(
+        (98, "image",
+         bytearray(ic.encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))),
+         ("image/x-portable-pixmap", 4, 4, None))
+    )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return mm.audio_near_dup_pairs(media, max_distance=3, bands=4).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def q_video_dhash_pairs(spark, sf):
+    # Driver surface for perceptual VIDEO dedup (multimodal.
+    # video_near_dup_pairs + imagecodec.video_majority_dhash —
+    # per-frame dHash aggregated by bitwise majority vote):
+    # deterministic 16-video fixture corpus — 4 groups of {5-frame
+    # correlated base, frame-rate-doubled re-encode (hamming 0: every
+    # majority preserved), dropped-last-frame cut (hamming 0-1),
+    # unrelated-content cousin (~30, never pairs)} — plus junk and an
+    # audio row that must drop out.  Golden-signature differential
+    # oracle; banding completeness as in image_dhash_pairs.
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rows = []
+    for g in range(4):
+        rng = np.random.default_rng(3000 + g)
+        base_frame = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        corr = []
+        for i in range(5):
+            fr = base_frame.copy()
+            fr[i : i + 3, i : i + 3] = 255 - fr[i : i + 3, i : i + 3]
+            corr.append(fr)
+        doubled = [fr for fr in corr for _ in range(2)]
+        dropped = corr[:-1]
+        other = [
+            rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+            for _ in range(5)
+        ]
+        meta = ("video/x-ppm-stream", 24, 24, 5000)
+        for off, fs in ((1, corr), (2, doubled), (3, dropped), (4, other)):
+            rows.append(
+                (10 * g + off, "video",
+                 bytearray(ic.encode_ppm_video(fs)), meta)
+            )
+    rows.append(
+        (97, "video", bytearray(b"junk"), ("video/x-ppm-stream", 1, 1, 9))
+    )
+    rows.append(
+        (98, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9))
+    )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    return mm.video_near_dup_pairs(media, max_distance=3, bands=4).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # exact n-gram Jaccard over a 1-in-2 doc sample — the verification
     # face of near-dedup (the LSH-restricted variant is dedup_minhash).
@@ -3656,6 +3758,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_projected_lsh": q_ann_projected_lsh,
     "ann_projected_lsh_recall": q_ann_projected_lsh_recall,
     # ---- end of the 50-query window ----
+    # -- new in r5 (rotate into the r6 window): audio/video perceptual
+    # dedup driver surfaces, golden-signature differential oracles --
+    "audio_spectral_pairs": q_audio_spectral_pairs,
+    "video_dhash_pairs": q_video_dhash_pairs,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -5681,6 +5787,58 @@ ORACLES: dict[str, str] = {
             (32, -5559955094733401053),
             (33, -3843854492408077101),
             (34, 3627388145102410787)
+        )
+        SELECT l.id AS id_a, r.id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        FROM sigs l JOIN sigs r ON l.id < r.id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    # Audio/video twins of the image-dedup contract: golden perceptual
+    # signatures of the deterministic fixtures (spectral_hash64 /
+    # video_majority_dhash, both property-tested in pytest), pairs
+    # brute-forced within hamming <= 3.
+    "audio_spectral_pairs": """
+        WITH sigs(id, sig) AS (VALUES
+            (CAST(1 AS BIGINT), CAST(-4872407512451277184 AS BIGINT)),
+            (2, -4872407512451277184),
+            (3, -6025610526394556798),
+            (4, -5549134072543909418),
+            (11, -6836569512060512882),
+            (12, -6836569512060512882),
+            (13, -6836569512094038641),
+            (14, -2343128058324872965),
+            (21, -6891187088596686645),
+            (22, -6891187088596686645),
+            (23, -6891188185960830773),
+            (24, -6675845397105807614),
+            (31, 6728272737119650966),
+            (32, 6728272737119650966),
+            (33, 6728272737119683734),
+            (34, 6364585374976362288)
+        )
+        SELECT l.id AS id_a, r.id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        FROM sigs l JOIN sigs r ON l.id < r.id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    "video_dhash_pairs": """
+        WITH sigs(id, sig) AS (VALUES
+            (CAST(1 AS BIGINT), CAST(-7822847404171169179 AS BIGINT)),
+            (2, -7822847404171169179),
+            (3, -7840861802680651163),
+            (4, -8060688743383181818),
+            (11, -8887808324385630893),
+            (12, -8887808324385630893),
+            (13, -8923837121404594861),
+            (14, 5400857519384290907),
+            (21, -5320357038307715447),
+            (22, -5320357038307715447),
+            (23, -5320357038307715447),
+            (24, -6151576143417102688),
+            (31, 8541526980726369893),
+            (32, 8541526980726369893),
+            (33, 8505498183707405925),
+            (34, 1666771977524917206)
         )
         SELECT l.id AS id_a, r.id AS id_b,
                CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming

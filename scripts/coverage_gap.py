@@ -47,6 +47,13 @@ def driver_rows(repo: str) -> dict[str, list[int]]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="exit 1 if a never-checked query is outside the window "
+        "(use when repacking the window at a round boundary; queries "
+        "added MID-round legitimately wait for the next repack)",
+    )
     args = ap.parse_args()
 
     declared = declared_queries(args.repo)
@@ -70,15 +77,17 @@ def main() -> None:
     print("oldest driver evidence (rotation candidates):")
     for q, r in stale:
         print(f"  - {q}: last checked r{r}")
-    # non-zero exit if a never-checked query is ALSO outside the window
-    # (it cannot get a row next round — a rotation planning bug)
+    # a never-checked query outside the window cannot get a row next
+    # round — a planning bug at a round boundary, expected transiently
+    # for queries added mid-round (they wait for the next repack)
     unrotated = [q for q in never if q not in window]
     if unrotated:
         print(
-            f"WARNING: {len(unrotated)} never-checked queries are outside "
-            f"the 50-slot window: {unrotated}"
+            f"NOTE: {len(unrotated)} never-checked queries are outside "
+            f"the 50-slot window (rotate at the next repack): {unrotated}"
         )
-        sys.exit(1)
+        if args.strict:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -112,3 +112,57 @@ def media_feature_decoder(payload: bytes | None, kind: str) -> list[float]:
             digest = hashlib.sha256(raw).digest()
             return [b / 255.0 for b in digest[:8]]
     return image_feature_decoder(payload, kind)
+
+def spectral_hash64(rate: int, samples: np.ndarray) -> int:
+    """64-bit spectral difference hash — the audio analogue of
+    :func:`imagecodec.dhash64`: mono-mix, 9 equal time segments, power
+    spectrum per segment (rfft) binned into 8 equal-fraction-of-Nyquist
+    bands, bit = band energy rose from segment t to t+1 (8x8 grid of
+    time-gradient signs, row-major, MSB first).
+
+    Invariances (measured in tests): exact under uniform gain (energy
+    comparisons are scale-free — 0.5x/0.7x int16 requantization hashes
+    identically), exact under channel-layout changes (mono mix), and
+    within a few bits under low-level additive noise (dither at -40 dB
+    flips <= ~3 of 64 bits).  NOT time-alignment invariant: trimming
+    shifts every segment boundary, the same way dHash is not
+    crop-invariant — near-dup detection targets re-encodes/gain rips,
+    not clip excerpts (containment over windowed sub-hashes would be
+    the excerpt tool).  Deterministic float pipeline (fixed segment
+    boundaries, numpy rfft, strict comparisons), so equal payloads
+    always hash equal."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    mono = (s.astype(np.float64) / 32768.0).mean(axis=1)
+    n = len(mono)
+    if n < 18:  # need >= 2 samples per segment for a spectrum
+        raise ValueError("audio too short for a 9-segment spectral hash")
+    seg = [(i * n) // 9 for i in range(10)]
+    energy = np.zeros((9, 8))
+    for t in range(9):
+        spec = np.abs(np.fft.rfft(mono[seg[t] : seg[t + 1]])) ** 2
+        m = len(spec)
+        bb = [(b * m) // 8 for b in range(9)]
+        for b in range(8):
+            if bb[b + 1] > bb[b]:
+                energy[t, b] = spec[bb[b] : bb[b + 1]].sum()
+    bits = (energy[1:, :] > energy[:-1, :]).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    # two's-complement into int64: Spark/DuckDB longs share the pattern
+    return int(h.astype(np.int64))
+
+
+def audio_spectral_hash(payload: bytes | None) -> int | None:
+    """Spectral hash of an encoded WAV payload; junk, undecodable, or
+    too-short audio yields None — the media family's mixed-batch
+    contract (one bad row must not fail the task)."""
+    if payload is None:
+        return None
+    try:
+        rate, samples = decode_wav(bytes(payload))
+        return spectral_hash64(rate, samples)
+    except (ValueError, struct.error, IndexError):
+        return None

@@ -273,3 +273,32 @@ def image_dhash(payload: bytes | None) -> int | None:
         return dhash64(pixels)
     except (ValueError, struct.error, IndexError):
         return None
+
+def video_majority_dhash(payload: bytes | None) -> int | None:
+    """64-bit perceptual video signature: per-frame :func:`dhash64` over
+    the PPM stream's frames, aggregated by BITWISE MAJORITY VOTE (ties
+    → 0) — SimHash's aggregation rule applied to frame hashes.  The
+    vote makes the signature invariant under frame-rate doubling (every
+    frame duplicated → same majorities), robust to a dropped or
+    inserted frame, and — since dHash is itself invariant under uniform
+    nearest upscaling — stable across per-frame re-encodes; ordering of
+    frames does not matter (dedup targets content, re-cuts are a
+    different operator).  Junk, undecodable, or frame-less payloads
+    yield None (mixed-batch contract)."""
+    if payload is None:
+        return None
+    try:
+        frames = split_ppm_video(bytes(payload))
+        if not frames:
+            return None
+        votes = np.zeros(64, dtype=np.int64)
+        for fr in frames:
+            u = dhash64(decode_ppm(fr)) & ((1 << 64) - 1)
+            for b in range(64):
+                votes[b] += 1 if (u >> (63 - b)) & 1 else -1
+        h = np.uint64(0)
+        for b in range(64):
+            h = (h << np.uint64(1)) | np.uint64(1 if votes[b] > 0 else 0)
+        return int(h.astype(np.int64))
+    except (ValueError, struct.error, IndexError):
+        return None

@@ -297,15 +297,16 @@ def synthetic_ppm_videos(spark, n: int = 8, seed: int = 11) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def image_dhash_signatures(media: DataFrame) -> DataFrame:
-    """Perceptual signature table ``(_id, _sim)`` for the image rows of a
-    media DataFrame: 64-bit dHash (imagecodec.dhash64 — integer luma,
-    9×8 resample, gradient signs) via one Arrow-batched mapInPandas
-    pass; payload bytes never leave the executor.  Non-image rows and
-    undecodable payloads drop out (NULL signature) rather than failing
-    the task — the media family's mixed-batch contract."""
-    from subgraph_extractor_spark.operators.imagecodec import image_dhash
-
+def _perceptual_signatures(
+    media: DataFrame, kind: str, hash_fn
+) -> DataFrame:
+    """Shared signature plumbing for every perceptual-media hash:
+    ``(_id, _sim)`` for the rows of one ``kind`` via one Arrow-batched
+    mapInPandas pass; payload bytes never leave the executor.  Rows of
+    other kinds and undecodable payloads drop out (NULL signature)
+    rather than failing the task — the media family's mixed-batch
+    contract.  ``hash_fn(payload_bytes) -> int | None`` runs
+    executor-side per row."""
     sig_schema = T.StructType(
         [
             T.StructField("_id", T.LongType()),
@@ -315,13 +316,13 @@ def image_dhash_signatures(media: DataFrame) -> DataFrame:
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            img = pdf[pdf["kind"] == "image"]
+            sel = pdf[pdf["kind"] == kind]
             yield pd.DataFrame(
                 {
-                    "_id": img["media_id"],
+                    "_id": sel["media_id"],
                     "_sim": [
-                        image_dhash(None if p is None else bytes(p))
-                        for p in img["payload"]
+                        hash_fn(None if p is None else bytes(p))
+                        for p in sel["payload"]
                     ],
                 }
             )
@@ -330,6 +331,41 @@ def image_dhash_signatures(media: DataFrame) -> DataFrame:
         media.mapInPandas(hash_batches, schema=sig_schema)
         .filter(F.col("_sim").isNotNull())
     )
+
+
+def image_dhash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual signature table ``(_id, _sim)`` for the image rows of a
+    media DataFrame: 64-bit dHash (imagecodec.dhash64 — integer luma,
+    9×8 resample, gradient signs).  See :func:`_perceptual_signatures`
+    for the shared batch/NULL contract."""
+    from subgraph_extractor_spark.operators.imagecodec import image_dhash
+
+    return _perceptual_signatures(media, "image", image_dhash)
+
+
+def audio_spectral_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual signature table for the audio rows: 64-bit spectral
+    difference hash (audiocodec.spectral_hash64 — 9 time segments × 8
+    Nyquist-fraction bands, time-gradient sign bits; gain- and
+    channel-layout-invariant).  Same contract as the image face."""
+    from subgraph_extractor_spark.operators.audiocodec import (
+        audio_spectral_hash,
+    )
+
+    return _perceptual_signatures(media, "audio", audio_spectral_hash)
+
+
+def video_dhash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual signature table for the video rows: per-frame dHash
+    aggregated by bitwise majority vote
+    (imagecodec.video_majority_dhash) — frame-rate- and frame-order-
+    invariant, robust to dropped/inserted frames.  Same contract as
+    the image face."""
+    from subgraph_extractor_spark.operators.imagecodec import (
+        video_majority_dhash,
+    )
+
+    return _perceptual_signatures(media, "video", video_majority_dhash)
 
 
 def image_near_dup_pairs(
@@ -348,6 +384,40 @@ def image_near_dup_pairs(
 
     return _dedup.simhash_pairs_from_sigs(
         image_dhash_signatures(media),
+        max_distance=max_distance,
+        bands=bands,
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual audio near-dup pairs — gain rips, channel-layout
+    changes, and dither-level re-encodes of the same recording.  The
+    audio face of the same composition as :func:`image_near_dup_pairs`:
+    spectral signatures feed ``dedup.simhash_pairs_from_sigs`` and
+    inherit its pigeonhole completeness (hamming ≤ bands-1) and band
+    equi-join scale shape; clusters/survivors compose downstream
+    unchanged."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_pairs_from_sigs(
+        audio_spectral_signatures(media),
+        max_distance=max_distance,
+        bands=bands,
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual video near-dup pairs — frame-rate doubles, re-encodes,
+    and dropped-frame variants of the same content.  The video face of
+    the same composition; see :func:`image_near_dup_pairs`."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+
+    return _dedup.simhash_pairs_from_sigs(
+        video_dhash_signatures(media),
         max_distance=max_distance,
         bands=bands,
     )

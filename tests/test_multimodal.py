@@ -424,3 +424,152 @@ def test_image_near_dup_pairs_end_to_end(spark):
     # ...unrelated content, junk, and non-image rows never pair
     flat = {i for p in pairs for i in p}
     assert 4 not in flat and 5 not in flat and 6 not in flat
+
+
+def test_spectral_hash64_properties():
+    """Audio hash invariances: exact under gain requantization and
+    channel-layout change; a few bits under dither-level noise; far for
+    unrelated content; junk -> None."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    rng = np.random.default_rng(7)
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    base = (
+        np.sin(2 * np.pi * 440 * t) * 8000
+        + np.sin(2 * np.pi * 1200 * t * (1 + t / 4)) * 6000
+        + rng.normal(0, 500, len(t))
+    ).astype(np.int16)[:, None]
+    h0 = ac.spectral_hash64(rate, base)
+    assert h0 == ac.spectral_hash64(rate, base.copy())        # deterministic
+    assert ac.spectral_hash64(rate, (base * 0.7).astype(np.int16)) == h0
+    assert ac.spectral_hash64(rate, np.repeat(base, 2, axis=1)) == h0
+    noisy = (
+        base.astype(np.float64) + rng.normal(0, 100, base.shape)
+    ).clip(-32768, 32767).astype(np.int16)
+    assert ham(ac.spectral_hash64(rate, noisy), h0) <= 4
+    other = rng.normal(0, 8000, base.shape).astype(np.int16)
+    assert ham(ac.spectral_hash64(rate, other), h0) >= 12
+    assert ac.audio_spectral_hash(b"not audio") is None
+    assert ac.audio_spectral_hash(None) is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ac.spectral_hash64(rate, base[:10])  # too short
+
+
+def test_video_majority_dhash_properties():
+    """Video hash invariances: exact under frame-rate doubling and
+    frame reordering; stable under a dropped frame; junk -> None."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    rng = np.random.default_rng(21)
+    frames = [
+        rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    vid = ic.encode_ppm_video(frames)
+    h0 = ic.video_majority_dhash(vid)
+    doubled = ic.encode_ppm_video([f for f in frames for _ in range(2)])
+    assert ic.video_majority_dhash(doubled) == h0
+    reordered = ic.encode_ppm_video(frames[::-1])
+    assert ic.video_majority_dhash(reordered) == h0
+    # Drop-stability holds for CORRELATED frames (the real-video case:
+    # consecutive frames share most content, so per-frame hashes agree
+    # on most bits and majorities survive one removal).  Uncorrelated
+    # random frames are the adversarial worst case — 3-2 votes flip —
+    # which is exactly why dedup targets re-encodes, not re-cuts.
+    base_frame = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    corr = []
+    for i in range(5):
+        f = base_frame.copy()
+        f[i : i + 3, i : i + 3] = 255 - f[i : i + 3, i : i + 3]
+        corr.append(f)
+    hc = ic.video_majority_dhash(ic.encode_ppm_video(corr))
+    dropped = ic.encode_ppm_video(corr[:-1])
+    assert ham(ic.video_majority_dhash(dropped), hc) <= 4
+    other = ic.encode_ppm_video(
+        [rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(5)]
+    )
+    assert ham(ic.video_majority_dhash(other), h0) >= 12
+    assert ic.video_majority_dhash(b"junk") is None
+    assert ic.video_majority_dhash(None) is None
+
+
+def test_audio_video_near_dup_pairs_end_to_end(spark):
+    """Both new modality faces through the banded pair machinery in one
+    mixed corpus: audio gain-rip pairs with its original, video
+    frame-doubled re-encode pairs with its original, unrelated content
+    and junk and cross-kind rows never pair."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = (
+        np.sin(2 * np.pi * 330 * t) * 9000
+        + np.sin(2 * np.pi * 990 * t * (1 + t / 2)) * 5000
+        + rng.normal(0, 400, len(t))
+    ).astype(np.int16)[:, None]
+    tone_gain = (tone * 0.6).astype(np.int16)
+    tone_other = rng.normal(0, 9000, tone.shape).astype(np.int16)
+
+    frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    frames_other = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)
+    ]
+
+    rows = [
+        (1, "audio", bytearray(ac.encode_wav(tone, rate)),
+         ("audio/x-wav", None, None, 1000)),
+        (2, "audio", bytearray(ac.encode_wav(tone_gain, rate)),
+         ("audio/x-wav", None, None, 1000)),
+        (3, "audio", bytearray(ac.encode_wav(tone_other, rate)),
+         ("audio/x-wav", None, None, 1000)),
+        (4, "audio", bytearray(b"RIFFjunk"),
+         ("audio/x-wav", None, None, 9)),
+        (11, "video", bytearray(ic.encode_ppm_video(frames)),
+         ("video/x-ppm-stream", 16, 16, 4000)),
+        (12, "video",
+         bytearray(ic.encode_ppm_video([f for f in frames for _ in (0, 1)])),
+         ("video/x-ppm-stream", 16, 16, 8000)),
+        (13, "video", bytearray(ic.encode_ppm_video(frames_other)),
+         ("video/x-ppm-stream", 16, 16, 4000)),
+        (14, "image", bytearray(ic.encode_ppm(frames[0])),
+         ("image/x-portable-pixmap", 16, 16, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    apairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dup_pairs(media, max_distance=3).collect()
+    }
+    assert (1, 2) in apairs
+    aflat = {i for p in apairs for i in p}
+    assert 3 not in aflat and 4 not in aflat and 11 not in aflat
+
+    vpairs = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(media, max_distance=3).collect()
+    }
+    assert (11, 12) in vpairs
+    vflat = {i for p in vpairs for i in p}
+    assert 13 not in vflat and 1 not in vflat and 14 not in vflat
