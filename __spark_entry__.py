@@ -50,6 +50,7 @@ from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import semdedup as semdedup_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
+from subgraph_extractor_spark.operators import urls as url_ops
 from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
 
 
@@ -1979,6 +1980,69 @@ def q_image_dhash_pairs(spark, sf):
     )
 
 
+def q_url_canonical_dedup(spark, sf):
+    # URL canonicalization + exact URL dedup (operators/urls.py): two
+    # deterministically-messy raw variants per pair-group g = doc_id
+    # div 2 — the even doc gets upper-cased scheme+host, the http
+    # default port, a trailing slash, utm tracking params, unsorted
+    # surviving params, and a fragment; the odd doc is nearly clean —
+    # both must canonicalize to the same URL, and the min-id survivor
+    # rule keeps the even doc.  The oracle does NOT run a second
+    # parser: it derives the EXPECTED canonical directly from g (the
+    # synthesis parameters are the ground truth), so a shared parsing
+    # misunderstanding cannot cancel out.
+    d = _t(spark, sf, "documents").select("doc_id")
+    g = F.expr("doc_id div 2")
+    suffix = (
+        F.when(g % 3 == 0, F.lit(".co.uk"))
+        .when(g % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".github.io"))
+    )
+    host = F.concat(F.lit("site"), (g % 37).cast("string"), suffix)
+    path = F.concat(F.lit("/Articles/"), g.cast("string"))
+    messy = F.concat(
+        F.lit("HTTP://"), F.upper(host), F.lit(":80"), path,
+        F.lit("/?utm_source=feed&b=2&a=1#sec"),
+    )
+    cleanish = F.concat(
+        F.lit("http://"), host, path, F.lit("?b=2&a=1")
+    )
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, messy)
+        .otherwise(cleanish)
+        .alias("url"),
+    )
+    return url_ops.url_exact_dedup(raw, "url", "doc_id")
+
+
+def q_url_domain_cap(spark, sf):
+    # per-registrable-domain document cap (the crawl-curation guard
+    # against mega-site dominance, operators/urls.py): hosts
+    # sub{0..2}.d{0..6}.com collapse to 7 registrable domains (the
+    # subdomain spread is the point — the cap must bucket by eTLD+1,
+    # not hostname), cap 10 per domain in stable md5(salt||id) order.
+    # Full row set oracled: DuckDB replays the same md5 ranking and
+    # derives the domain from the synthesis parameters directly.
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".d"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"),
+    )
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = url_ops.domain_cap_sample(raw, "url", "doc_id", cap=10)
+    return out.select(
+        "doc_id", F.col("_domain").alias("domain"),
+        F.col("_rk").cast("bigint").alias("rk"),
+    )
+
+
 def q_audio_spectral_pairs(spark, sf):
     # Driver surface for perceptual AUDIO dedup (multimodal.
     # audio_near_dup_pairs + audiocodec.spectral_hash64): deterministic
@@ -3762,6 +3826,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup driver surfaces, golden-signature differential oracles --
     "audio_spectral_pairs": q_audio_spectral_pairs,
     "video_dhash_pairs": q_video_dhash_pairs,
+    # -- new in r5 (rotate into the r6 window): URL canonicalization
+    # dedup + per-registrable-domain cap, ground-truth oracles --
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "url_domain_cap": q_url_domain_cap,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -5792,6 +5860,40 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
         FROM sigs l JOIN sigs r ON l.id < r.id
         WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    # URL canonicalization dedup: the oracle derives the EXPECTED
+    # canonical form and survivor straight from the synthesis
+    # parameters (g = doc_id div 2) — ground truth, not a second
+    # parser.  Survivor = min doc_id = the MESSY even variant, so the
+    # check fails unless Spark's canonicalizer actually collapsed it.
+    "url_canonical_dedup": """
+        WITH grp AS (
+            SELECT doc_id // 2 AS g, MIN(doc_id) AS survivor
+            FROM documents GROUP BY doc_id // 2
+        )
+        SELECT 'http://site' || CAST(g % 37 AS VARCHAR) ||
+               CASE g % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                    ELSE '.github.io' END ||
+               '/Articles/' || CAST(g AS VARCHAR) || '?a=1&b=2'
+                   AS canonical_url,
+               CAST(survivor AS BIGINT) AS doc_id
+        FROM grp
+    """,
+    # Per-domain cap: replay the registrable domain from the synthesis
+    # parameters and the SAME stable md5(salt||id) ranking.
+    "url_domain_cap": """
+        WITH ranked AS (
+            SELECT doc_id,
+                   'd' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 7
+                       ORDER BY md5('domcap' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10
     """,
     # Audio/video twins of the image-dedup contract: golden perceptual
     # signatures of the deterministic fixtures (spectral_hash64 /
