@@ -1980,6 +1980,36 @@ def q_image_dhash_pairs(spark, sf):
     )
 
 
+def q_quality_compression_gate(spark, sf):
+    # Driver surface for the zlib compression-ratio quality gate
+    # (text_analysis.compression_gate) — previously pytest-only (no SQL
+    # zlib).  Golden-survivor contract over a deterministic 6-doc
+    # fixture whose ratios sit FAR from the [0.25, 1.05] boundaries
+    # (prose ~0.70-0.76 keep; repetition farms ~0.11-0.13 drop-low;
+    # a 40-char random-printable string ~1.20 drop-high via deflate's
+    # fixed overhead; empty text -> NULL drop), so the expected
+    # survivor set {1, 5} is robust to any zlib build.  The oracle is
+    # the survivor literal — a golden-value contract like the
+    # perceptual-media family, since deflate has no DuckDB surface; the
+    # RATIO computation itself is pinned by the python-replica pytest.
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog while the "
+            "weather stays mild and the market closes early for the "
+            "holiday season in the northern provinces."),
+        (2, " ".join(["spam"] * 30)),
+        (3, "qZ7#kV2@pL9$mX4&nB8*rT5!wJ3^dF6%hG1(yU0)"),
+        (4, ""),
+        (5, "Long-form natural prose carries enough novel structure "
+            "that deflate lands in the healthy middle band: sentences "
+            "vary, vocabulary shifts, and clauses rarely repeat "
+            "verbatim, yet the text is far from random noise so the "
+            "compressor still finds purchase."),
+        (6, "ab" * 50),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    return ta.compression_gate(d, "text").select("doc_id")
+
+
 def q_url_canonical_dedup(spark, sf):
     # URL canonicalization + exact URL dedup (operators/urls.py): two
     # deterministically-messy raw variants per pair-group g = doc_id
@@ -3830,6 +3860,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup + per-registrable-domain cap, ground-truth oracles --
     "url_canonical_dedup": q_url_canonical_dedup,
     "url_domain_cap": q_url_domain_cap,
+    # -- new in r5 (rotate into the r6 window): compression-gate golden
+    # survivor contract (previously pytest-only) --
+    "quality_compression_gate": q_quality_compression_gate,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -5860,6 +5893,13 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
         FROM sigs l JOIN sigs r ON l.id < r.id
         WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    # Compression-gate golden-survivor contract: deflate has no DuckDB
+    # surface, so the oracle is the expected survivor literal (ratios
+    # sit far from the gate boundaries — see the query comment).
+    "quality_compression_gate": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM (VALUES (1), (5)) AS t(doc_id)
     """,
     # URL canonicalization dedup: the oracle derives the EXPECTED
     # canonical form and survivor straight from the synthesis

@@ -90,6 +90,9 @@ HEADLINE = [
     # projected space -> full-dim re-rank) the flat coarse pass's scale
     # caveat prescribes — first recorded r5 for r6+ comparability
     "ann_projected_lsh",
+    # r5: URL canonicalization + exact URL dedup (codegen string/array
+    # algebra + one survivor shuffle) — first recorded r5
+    "url_canonical_dedup",
     "sample_temperature",
     "pipeline_pretraining_e2e",
     # time-series analytics family (quality_classifier not benched:
