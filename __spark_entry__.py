@@ -1980,6 +1980,62 @@ def q_image_dhash_pairs(spark, sf):
     )
 
 
+def q_audio_excerpt_containment(spark, sf):
+    # Driver surface for audio EXCERPT detection (multimodal.
+    # audio_excerpt_matches + audiocodec.audio_window_hashes): 3 source
+    # clips (3 s each, distinct tone-sweep content), each with one
+    # hop-aligned 0.6x-gain-ripped 1 s excerpt (must contain at 1.0),
+    # one unrelated noise clip and a junk row (must never pair).  The
+    # DuckDB oracle replays the distinct-hash inverted-index join and
+    # containment math over the golden (id, window, hash) literals —
+    # the window-hash kernel itself is property-tested in pytest
+    # (alignment contract, silence suppression) — so this is a full
+    # differential check of the pair/containment machinery.
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rate = 8000
+    rows = []
+    for g in range(3):
+        rng = np.random.default_rng(4000 + g)
+        t = np.arange(rate * 3) / rate
+        f1, f2 = 250 + 80 * g, 800 + 150 * g
+        orig = (
+            np.sin(2 * np.pi * f1 * t) * 8000
+            + np.sin(2 * np.pi * f2 * t * (1 + t / 6)) * 5000
+            + rng.normal(0, 300, len(t))
+        ).astype(np.int16)[:, None]
+        exc = (orig[rate : 2 * rate] * 0.6).astype(np.int16)
+        wav = ("audio/x-wav", None, None, 3000)
+        rows.append(
+            (10 * g + 1, "audio", bytearray(ac.encode_wav(orig, rate)), wav)
+        )
+        rows.append(
+            (10 * g + 2, "audio", bytearray(ac.encode_wav(exc, rate)),
+             ("audio/x-wav", None, None, 1000))
+        )
+    rng = np.random.default_rng(4999)
+    other = rng.normal(0, 8000, (rate * 3, 1)).astype(np.int16)
+    rows.append(
+        (99, "audio", bytearray(ac.encode_wav(other, rate)),
+         ("audio/x-wav", None, None, 3000))
+    )
+    rows.append(
+        (97, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9))
+    )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_excerpt_matches(media, min_containment=0.8)
+    return out.select(
+        "id_a", "id_b",
+        F.col("matched").cast("bigint").alias("matched"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "containment",
+    )
+
+
 def q_quality_compression_gate(spark, sf):
     # Driver surface for the zlib compression-ratio quality gate
     # (text_analysis.compression_gate) — previously pytest-only (no SQL
@@ -3863,6 +3919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): compression-gate golden
     # survivor contract (previously pytest-only) --
     "quality_compression_gate": q_quality_compression_gate,
+    # -- new in r5 (rotate into the r6 window): audio excerpt
+    # detection, golden window-hash differential oracle --
+    "audio_excerpt_containment": q_audio_excerpt_containment,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -5893,6 +5952,53 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
         FROM sigs l JOIN sigs r ON l.id < r.id
         WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    """,
+    # Audio excerpt containment: the oracle replays the distinct-hash
+    # inverted-index join + containment math over golden (id, window,
+    # hash) literals (the kernel is pytest-pinned) — a full
+    # differential check of the pair/containment machinery.
+    "audio_excerpt_containment": """
+        WITH wh(id, widx, h) AS (VALUES
+            (CAST(1 AS BIGINT), 0, CAST(-64950624650903648 AS BIGINT)),
+            (1, 1, -5611427277645668437),
+            (1, 2, -3152800123197652781),
+            (1, 3, -2314848150361198635),
+            (1, 4, -9151577333053647881),
+            (2, 0, -3152800123197652781),
+            (11, 0, -6721694534371049600),
+            (11, 1, 9187487135182119071),
+            (11, 2, -67412277223759984),
+            (11, 3, 6313783890540228366),
+            (11, 4, -1069593924553809122),
+            (12, 0, -67412277223759984),
+            (21, 0, -2170907843789538148),
+            (21, 1, 3523890650470649744),
+            (21, 2, 2150292141351338158),
+            (21, 3, -7927071556594922104),
+            (21, 4, -35061878001564414),
+            (22, 0, 2150292141351338158),
+            (99, 0, 7108950769245711927),
+            (99, 1, 1253195688737017724),
+            (99, 2, 6747652559410953251),
+            (99, 3, -4077730041286821994),
+            (99, 4, 4352926862783721486)
+        ),
+        dsig AS (SELECT DISTINCT id, h FROM wh),
+        counts AS (SELECT id, COUNT(*) AS n FROM dsig GROUP BY id),
+        m AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS matched
+            FROM dsig a JOIN dsig b ON a.h = b.h AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT m.id_a, m.id_b,
+               CAST(m.matched AS BIGINT) AS matched,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+        FROM m
+        JOIN counts ca ON ca.id = m.id_a
+        JOIN counts cb ON cb.id = m.id_b
+        WHERE CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
     """,
     # Compression-gate golden-survivor contract: deflate has no DuckDB
     # surface, so the oracle is the expected survivor literal (ratios

@@ -166,3 +166,47 @@ def audio_spectral_hash(payload: bytes | None) -> int | None:
         return spectral_hash64(rate, samples)
     except (ValueError, struct.error, IndexError):
         return None
+
+def audio_window_hashes(
+    payload: bytes | None,
+    win_s: float = 1.0,
+    hop_s: float = 0.5,
+    energy_floor: float = 1e-6,
+) -> "list[tuple[int, int]] | None":
+    """Sliding-window spectral sub-hashes of a WAV payload — the
+    EXCERPT face of audio identity (the whole-clip
+    :func:`spectral_hash64` is deliberately not trim-invariant; this
+    is the tool for clip-inside-recording detection, the audio
+    analogue of the text passage/containment operators).
+
+    Returns [(window_index, hash), ...] for every full ``win_s``-second
+    window at ``hop_s`` hops.  Each window hashes its own samples only,
+    so an excerpt cut at a hop-aligned offset reproduces the original's
+    window hashes EXACTLY (and gain rips still match — the hash is
+    scale-free).  Near-silent windows (mean-square power below
+    ``energy_floor``) are suppressed: they carry no identity and would
+    otherwise form one degenerate mega-bucket in the downstream
+    inverted-index join (the same reason chunk dedup drops boilerplate
+    chunks).  Detection contract: excerpts cut at arbitrary offsets
+    match only their hop-aligned windows — halve ``hop_s`` to tighten
+    the offset grid.  Junk or undecodable payloads yield None."""
+    if payload is None:
+        return None
+    try:
+        rate, s = decode_wav(bytes(payload))
+        win, hop = int(rate * win_s), int(rate * hop_s)
+        if win < 18 or hop < 1:
+            return None
+        out = []
+        i = 0
+        idx = 0
+        while i + win <= s.shape[0]:
+            seg = s[i : i + win]
+            mono = (seg.astype(np.float64) / 32768.0).mean(axis=1)
+            if float((mono**2).mean()) >= energy_floor:
+                out.append((idx, spectral_hash64(rate, seg)))
+            i += hop
+            idx += 1
+        return out
+    except (ValueError, struct.error, IndexError):
+        return None

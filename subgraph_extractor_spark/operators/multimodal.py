@@ -421,3 +421,109 @@ def video_near_dup_pairs(
         max_distance=max_distance,
         bands=bands,
     )
+
+
+def audio_window_signatures(
+    media: DataFrame, win_s: float = 1.0, hop_s: float = 0.5
+) -> DataFrame:
+    """Sliding-window sub-hash table ``(_id, _widx, _h)`` for the audio
+    rows — the excerpt-detection signature state (see
+    audiocodec.audio_window_hashes for the alignment contract and
+    silence suppression).  One Arrow-batched mapInPandas pass; payload
+    bytes never leave the executor; junk rows contribute nothing."""
+    from subgraph_extractor_spark.operators.audiocodec import (
+        audio_window_hashes,
+    )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_widx", T.IntegerType()),
+            T.StructField("_h", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["kind"] == "audio"]
+            ids, widxs, hs = [], [], []
+            for mid, p in zip(sel["media_id"], sel["payload"]):
+                wh = audio_window_hashes(
+                    None if p is None else bytes(p), win_s, hop_s
+                )
+                for widx, h in wh or []:
+                    ids.append(mid)
+                    widxs.append(widx)
+                    hs.append(h)
+            yield pd.DataFrame({"_id": ids, "_widx": widxs, "_h": hs})
+
+    return media.mapInPandas(hash_batches, schema=sig_schema)
+
+
+def audio_excerpt_matches(
+    media: DataFrame,
+    win_s: float = 1.0,
+    hop_s: float = 0.5,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Clip-inside-recording detection: pairs (id_a, id_b) where the
+    smaller side's distinct window hashes are ≥ ``min_containment``
+    contained in the other's — the audio analogue of the text
+    containment operator, same inverted-index shape: distinct (id,
+    hash) sets equi-join on the hash (work bounded by genuinely shared
+    windows; silence suppression killed the degenerate bucket), one
+    pair aggregation, denominators broadcast back by id.
+
+    Output: (id_a, id_b, matched, n_a, n_b, containment) with id_a <
+    id_b and containment = matched / least(n_a, n_b) — an excerpt cut
+    at a hop-aligned offset from its source scores 1.0 even after a
+    gain rip."""
+    sigs = audio_window_signatures(media, win_s, hop_s)
+    # distinct hash sets per clip: window POSITION does not matter for
+    # containment, and repeated content inside one clip must not
+    # inflate the match count
+    dsig = sigs.select("_id", "_h").distinct()
+    # persist: both the self-join sides and the count aggregate below
+    # re-read this Python-kernel subtree (same double-execution hazard
+    # as every signature self-join here — see PLANS.md)
+    dsig = dsig.persist()
+    dsig.count()
+    counts = dsig.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = dsig.alias("a"), dsig.alias("b")
+    matched = (
+        a.join(
+            b,
+            on=[
+                F.col("a._h") == F.col("b._h"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    out = (
+        matched.join(
+            counts.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("matched").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "matched", "n_a", "n_b", "containment")
+        .localCheckpoint(eager=True)
+    )
+    dsig.unpersist()
+    return out

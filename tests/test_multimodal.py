@@ -573,3 +573,70 @@ def test_audio_video_near_dup_pairs_end_to_end(spark):
     assert (11, 12) in vpairs
     vflat = {i for p in vpairs for i in p}
     assert 13 not in vflat and 1 not in vflat and 14 not in vflat
+
+
+def test_audio_window_hashes_alignment_and_silence(spark):
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+
+    rng = np.random.default_rng(5)
+    rate = 8000
+    t = np.arange(rate * 3) / rate
+    orig = (
+        np.sin(2 * np.pi * 300 * t) * 8000
+        + np.sin(2 * np.pi * 900 * t * (1 + t / 6)) * 5000
+        + rng.normal(0, 300, len(t))
+    ).astype(np.int16)[:, None]
+    wav = ac.encode_wav(orig, rate)
+    wh = ac.audio_window_hashes(wav)
+    assert len(wh) == 5  # 3s at win=1s hop=0.5s
+    # hop-aligned gain-ripped excerpt reproduces the original's hashes
+    exc = (orig[rate : 2 * rate] * 0.6).astype(np.int16)
+    wh_exc = ac.audio_window_hashes(ac.encode_wav(exc, rate))
+    assert {h for _, h in wh_exc} <= {h for _, h in wh}
+    # silence suppression: an all-zero clip contributes nothing
+    silent = np.zeros((rate * 2, 1), dtype=np.int16)
+    assert ac.audio_window_hashes(ac.encode_wav(silent, rate)) == []
+    # junk -> None
+    assert ac.audio_window_hashes(b"not audio") is None
+    assert ac.audio_window_hashes(None) is None
+
+
+def test_audio_excerpt_matches_end_to_end(spark):
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import audiocodec as ac
+    from subgraph_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_excerpt_matches,
+    )
+
+    rng = np.random.default_rng(5)
+    rate = 8000
+    t = np.arange(rate * 3) / rate
+    orig = (
+        np.sin(2 * np.pi * 300 * t) * 8000
+        + np.sin(2 * np.pi * 900 * t * (1 + t / 6)) * 5000
+        + rng.normal(0, 300, len(t))
+    ).astype(np.int16)[:, None]
+    exc = (orig[rate : 2 * rate] * 0.6).astype(np.int16)
+    other = rng.normal(0, 8000, orig.shape).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(ac.encode_wav(orig, rate)),
+         ("audio/x-wav", None, None, 3000)),
+        (2, "audio", bytearray(ac.encode_wav(exc, rate)),
+         ("audio/x-wav", None, None, 1000)),
+        (3, "audio", bytearray(ac.encode_wav(other, rate)),
+         ("audio/x-wav", None, None, 3000)),
+        (4, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9)),
+        (5, "image", bytearray(b"P6junk"), ("image/x-ppm", 1, 1, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in audio_excerpt_matches(media).collect()
+    }
+    assert set(got) == {(1, 2)}
+    m = got[(1, 2)]
+    assert m["containment"] == 1.0 and m["n_b"] == 1 and m["matched"] == 1
