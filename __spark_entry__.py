@@ -2036,6 +2036,60 @@ def q_audio_excerpt_containment(spark, sf):
     )
 
 
+def q_video_frame_containment(spark, sf):
+    # Driver surface for video frame-set containment (multimodal.
+    # video_frame_containment): 2 source videos (6 distinct frames
+    # each), each with a half-frame-rate decimation and a 3-frame trim
+    # (both contain at 1.0) — while decimation-vs-trim shares only 2 of
+    # 3 frames (0.667, correctly below the 0.8 floor) — plus an
+    # unrelated video, junk, and an audio row that never pair.  The
+    # oracle replays the distinct-hash containment math over golden
+    # (id, frame, hash) literals, same machinery check as
+    # audio_excerpt_containment.
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rows = []
+    for g in range(2):
+        rng = np.random.default_rng(5000 + g)
+        frames = [
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(6)
+        ]
+        meta = ("video/x-ppm-stream", 16, 16, 6000)
+        for off, fs in ((1, frames), (2, frames[::2]), (3, frames[:3])):
+            rows.append(
+                (10 * g + off, "video",
+                 bytearray(ic.encode_ppm_video(fs)), meta)
+            )
+    rng = np.random.default_rng(5999)
+    rows.append(
+        (99, "video",
+         bytearray(ic.encode_ppm_video(
+             [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+              for _ in range(6)]
+         )),
+         ("video/x-ppm-stream", 16, 16, 6000))
+    )
+    rows.append(
+        (97, "video", bytearray(b"junk"), ("video/x-ppm-stream", 1, 1, 9))
+    )
+    rows.append(
+        (98, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9))
+    )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.video_frame_containment(media, min_containment=0.8)
+    return out.select(
+        "id_a", "id_b",
+        F.col("matched").cast("bigint").alias("matched"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "containment",
+    )
+
+
 def q_quality_compression_gate(spark, sf):
     # Driver surface for the zlib compression-ratio quality gate
     # (text_analysis.compression_gate) — previously pytest-only (no SQL
@@ -3919,9 +3973,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): compression-gate golden
     # survivor contract (previously pytest-only) --
     "quality_compression_gate": q_quality_compression_gate,
-    # -- new in r5 (rotate into the r6 window): audio excerpt
-    # detection, golden window-hash differential oracle --
+    # -- new in r5 (rotate into the r6 window): audio excerpt + video
+    # frame-set containment, golden sub-hash differential oracles --
     "audio_excerpt_containment": q_audio_excerpt_containment,
+    "video_frame_containment": q_video_frame_containment,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -5982,6 +6037,58 @@ ORACLES: dict[str, str] = {
             (99, 2, 6747652559410953251),
             (99, 3, -4077730041286821994),
             (99, 4, 4352926862783721486)
+        ),
+        dsig AS (SELECT DISTINCT id, h FROM wh),
+        counts AS (SELECT id, COUNT(*) AS n FROM dsig GROUP BY id),
+        m AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS matched
+            FROM dsig a JOIN dsig b ON a.h = b.h AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT m.id_a, m.id_b,
+               CAST(m.matched AS BIGINT) AS matched,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+        FROM m
+        JOIN counts ca ON ca.id = m.id_a
+        JOIN counts cb ON cb.id = m.id_b
+        WHERE CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+    """,
+    # Video frame-set containment: same golden-literal replay of the
+    # shared containment machinery as audio_excerpt_containment.
+    "video_frame_containment": """
+        WITH wh(id, widx, h) AS (VALUES
+            (CAST(1 AS BIGINT), 0, CAST(-4948000589581398428 AS BIGINT)),
+            (1, 1, -3343172059209247351),
+            (1, 2, 7662654540108060087),
+            (1, 3, 3002975325495129538),
+            (1, 4, 2901529095632055055),
+            (1, 5, -7617931357521818330),
+            (2, 0, -4948000589581398428),
+            (2, 1, 7662654540108060087),
+            (2, 2, 2901529095632055055),
+            (3, 0, -4948000589581398428),
+            (3, 1, -3343172059209247351),
+            (3, 2, 7662654540108060087),
+            (11, 0, 7302404936201767706),
+            (11, 1, -6112980823024744940),
+            (11, 2, 727991415524222325),
+            (11, 3, -6204188125133688412),
+            (11, 4, 7897527944699487961),
+            (11, 5, -2696159962251809367),
+            (12, 0, 7302404936201767706),
+            (12, 1, 727991415524222325),
+            (12, 2, 7897527944699487961),
+            (13, 0, 7302404936201767706),
+            (13, 1, -6112980823024744940),
+            (13, 2, 727991415524222325),
+            (99, 0, 3407345137725835603),
+            (99, 1, 2752643346469587658),
+            (99, 2, 5887160092841403744),
+            (99, 3, -6673088167375645350),
+            (99, 4, 5652983635155504509),
+            (99, 5, -6110067246063230381)
         ),
         dsig AS (SELECT DISTINCT id, h FROM wh),
         counts AS (SELECT id, COUNT(*) AS n FROM dsig GROUP BY id),

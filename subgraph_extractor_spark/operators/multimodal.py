@@ -478,9 +478,22 @@ def audio_excerpt_matches(
     id_b and containment = matched / least(n_a, n_b) — an excerpt cut
     at a hop-aligned offset from its source scores 1.0 even after a
     gain rip."""
-    sigs = audio_window_signatures(media, win_s, hop_s)
-    # distinct hash sets per clip: window POSITION does not matter for
-    # containment, and repeated content inside one clip must not
+    return _hash_set_containment(
+        audio_window_signatures(media, win_s, hop_s), min_containment
+    )
+
+
+def _hash_set_containment(
+    sigs: DataFrame, min_containment: float
+) -> DataFrame:
+    """Shared back half of every sub-hash containment operator: given a
+    signature table with ``_id`` and ``_h`` columns, pair ids whose
+    smaller distinct-hash set is ≥ ``min_containment`` contained in the
+    other's.  Inverted-index equi-join on the hash (work bounded by
+    genuinely shared content), one pair aggregation, denominators
+    joined back by id."""
+    # distinct hash sets per item: POSITION does not matter for
+    # containment, and repeated content inside one item must not
     # inflate the match count
     dsig = sigs.select("_id", "_h").distinct()
     # persist: both the self-join sides and the count aggregate below
@@ -527,3 +540,65 @@ def audio_excerpt_matches(
     )
     dsig.unpersist()
     return out
+
+
+def video_frame_signatures(media: DataFrame) -> DataFrame:
+    """Per-FRAME signature table ``(_id, _widx, _h)`` for the video
+    rows: dHash of every frame of the PPM stream (one Arrow-batched
+    mapInPandas pass; payload bytes never leave the executor).  The
+    frame-level state behind :func:`video_frame_containment` — and
+    reusable as persisted corpus state for continual re-probing, like
+    the text passage gram tables."""
+    from subgraph_extractor_spark.operators.imagecodec import (
+        decode_ppm,
+        dhash64,
+        split_ppm_video,
+    )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_widx", T.IntegerType()),
+            T.StructField("_h", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["kind"] == "video"]
+            ids, widxs, hs = [], [], []
+            for mid, p in zip(sel["media_id"], sel["payload"]):
+                if p is None:
+                    continue
+                try:
+                    frames = split_ppm_video(bytes(p))
+                except ValueError:
+                    continue
+                for widx, fr in enumerate(frames):
+                    try:
+                        h = dhash64(decode_ppm(fr))
+                    except ValueError:
+                        continue
+                    ids.append(mid)
+                    widxs.append(widx)
+                    hs.append(h)
+            yield pd.DataFrame({"_id": ids, "_widx": widxs, "_h": hs})
+
+    return media.mapInPandas(hash_batches, schema=sig_schema)
+
+
+def video_frame_containment(
+    media: DataFrame, min_containment: float = 0.8
+) -> DataFrame:
+    """Clip-inside-video detection by FRAME-SET containment: pairs
+    where the smaller side's distinct frame dHashes are ≥
+    ``min_containment`` contained in the other's — catches trims,
+    frame-rate downsamples (a 2x-decimated video's frame set is a
+    subset of its source's), and re-encoded excerpts, none of which the
+    whole-video majority signature (:func:`video_dhash_signatures`)
+    treats as near-identical.  Same inverted-index containment shape as
+    :func:`audio_excerpt_matches` (shared ``_hash_set_containment``).
+    Output: (id_a, id_b, matched, n_a, n_b, containment)."""
+    return _hash_set_containment(
+        video_frame_signatures(media), min_containment
+    )

@@ -640,3 +640,45 @@ def test_audio_excerpt_matches_end_to_end(spark):
     assert set(got) == {(1, 2)}
     m = got[(1, 2)]
     assert m["containment"] == 1.0 and m["n_b"] == 1 and m["matched"] == 1
+
+
+def test_video_frame_containment_end_to_end(spark):
+    """Frame-set containment catches what the majority signature calls
+    'different': a half-frame-rate decimation and a trim both contain
+    at 1.0; unrelated content and junk never pair."""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_containment,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    decimated = frames[::2]
+    trimmed = frames[:3]
+    other = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(6)
+    ]
+    meta = ("video/x-ppm-stream", 16, 16, 6000)
+    rows = [
+        (1, "video", bytearray(ic.encode_ppm_video(frames)), meta),
+        (2, "video", bytearray(ic.encode_ppm_video(decimated)), meta),
+        (3, "video", bytearray(ic.encode_ppm_video(trimmed)), meta),
+        (4, "video", bytearray(ic.encode_ppm_video(other)), meta),
+        (5, "video", bytearray(b"junk"), meta),
+        (6, "audio", bytearray(b"RIFFjunk"), ("audio/x-wav", None, None, 9)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in video_frame_containment(media).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0
+    # decimated ({0,2,4}) vs trimmed ({0,1,2}): 2 of 3 shared = 0.67 < 0.8
+    assert (2, 3) not in got
+    flat = {i for p in got for i in p}
+    assert 4 not in flat and 5 not in flat and 6 not in flat
