@@ -2090,6 +2090,32 @@ def q_video_frame_containment(spark, sf):
     )
 
 
+def q_quality_gopher_rules(spark, sf):
+    # Gopher rule-bundle quality gate (text_analysis.
+    # gopher_quality_features/_gate) over the REAL documents corpus —
+    # the fully-SQL-oracled member of the quality family (the LM /
+    # classifier / compression gates need contracts; this one is pure
+    # string algebra, so every evidence column AND the final keep flag
+    # full-value oracle).  Thresholds are the published Gopher defaults
+    # except min_words=20 (the synthetic docs are short).
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    g = ta.gopher_quality_features(d, "text")
+    keep = (
+        F.col("n_words").between(20, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("bullet_ratio") <= 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return g.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "bullet_ratio", "ellipsis_ratio",
+        "n_stop_distinct", keep.alias("keep"),
+    )
+
+
 def q_quality_compression_gate(spark, sf):
     # Driver surface for the zlib compression-ratio quality gate
     # (text_analysis.compression_gate) — previously pytest-only (no SQL
@@ -3977,6 +4003,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # frame-set containment, golden sub-hash differential oracles --
     "audio_excerpt_containment": q_audio_excerpt_containment,
     "video_frame_containment": q_video_frame_containment,
+    # -- new in r5 (rotate into the r6 window): Gopher rule-bundle
+    # quality gate, full-value corpus oracle --
+    "quality_gopher_rules": q_quality_gopher_rules,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6054,6 +6083,63 @@ ORACLES: dict[str, str] = {
         JOIN counts ca ON ca.id = m.id_a
         JOIN counts cb ON cb.id = m.id_b
         WHERE CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+    """,
+    # Gopher rule bundle: every rule re-derived in pure SQL over the
+    # same corpus — integers + IEEE per-row divisions, so evidence
+    # columns and the keep flag are bit-exact cross-engine.
+    "quality_gopher_rules": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_words,
+                   string_split_regex(trim(text), '\\s+') AS words,
+                   string_split(text, chr(10)) AS lines,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS wsfree,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   (length(text) - length(replace(text, '...', ''))) / 3
+                       AS n_ell
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE CAST(wsfree AS DOUBLE) / n_words END
+                       AS mean_word_len,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE CAST(n_hash + n_ell AS DOUBLE) / n_words END
+                       AS symbol_ratio,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(words,
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                             AS DOUBLE) / n_words END
+                       AS alpha_word_ratio,
+                   CAST(len(list_filter(lines,
+                            ln -> starts_with(ln, '- ')
+                                  OR starts_with(ln, '* ')))
+                        AS DOUBLE) / len(lines) AS bullet_ratio,
+                   CAST(len(list_filter(lines, ln -> ends_with(ln, '...')))
+                        AS DOUBLE) / len(lines) AS ellipsis_ratio,
+                   CAST(
+                       (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_stop_distinct
+            FROM base
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+               symbol_ratio, alpha_word_ratio, bullet_ratio,
+               ellipsis_ratio, n_stop_distinct,
+               (n_words BETWEEN 20 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3
+                AND n_stop_distinct >= 2) AS keep
+        FROM feat
     """,
     # Video frame-set containment: same golden-literal replay of the
     # shared containment machinery as audio_excerpt_containment.

@@ -486,3 +486,96 @@ def compression_gate(
     gate rather than letting max_ratio double as a length filter."""
     r = compression_ratio(F.col(text_col))
     return df.filter(r.between(min_ratio, max_ratio))
+
+
+def gopher_quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-lineage repetition-free quality RULES (Rae et al. 2021,
+    §A1.1 "quality filtering" family) as per-row evidence columns —
+    every rule pure Catalyst string/array algebra, so the whole bundle
+    is whole-stage codegen AND exactly re-expressible in ANSI SQL for
+    the differential oracle (the fully-oracled complement to the
+    model-based gates: bigram-LM novelty, classifier, compression).
+
+    Columns added (integers + IEEE per-row divisions only):
+      n_words          whitespace token count
+      mean_word_len    whitespace-free chars / words (0.0 for empty)
+      symbol_ratio     ('#' + '...' occurrences) / words
+      alpha_word_ratio fraction of words containing [A-Za-z]
+      bullet_ratio     fraction of lines starting with '- ' or '* '
+      ellipsis_ratio   fraction of lines ending with '...'
+      n_stop_distinct  DISTINCT members of the 5-word en stopword set
+                       present as tokens
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = token_count(t)
+    wsfree = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ell = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ") | ln.startswith("* "),
+        )
+    )
+    n_ell_end = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_stop_distinct = sum(
+        (
+            F.when(F.array_contains(words, w), F.lit(1)).otherwise(F.lit(0))
+            for w in LANG_MARKERS["en"]
+        ),
+        F.lit(0),
+    )
+    zero_safe = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0.0)
+    ).otherwise(num.cast("double") / den.cast("double"))
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("bigint"),
+            "mean_word_len": zero_safe(wsfree, n_words),
+            "symbol_ratio": zero_safe(n_hash + n_ell, n_words),
+            "alpha_word_ratio": zero_safe(n_alpha_words, n_words),
+            "bullet_ratio": zero_safe(n_bullet, n_lines),
+            "ellipsis_ratio": zero_safe(n_ell_end, n_lines),
+            "n_stop_distinct": n_stop_distinct.cast("bigint"),
+        }
+    )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stop_distinct: int = 2,
+) -> DataFrame:
+    """Keep rows passing ALL Gopher rules (defaults = the published
+    thresholds).  Composes with the model-based gates: run this cheap
+    codegen bundle FIRST at 100 TB — it is a map-only scan — and spend
+    the LM/classifier passes on the survivors."""
+    g = gopher_quality_features(df, text_col)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("n_stop_distinct") >= min_stop_distinct)
+    )
+    return g.filter(keep).select(*df.columns)

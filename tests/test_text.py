@@ -342,3 +342,41 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
     assert 3 not in kept                 # noise dropped
     assert 4 not in kept and 5 not in kept
     assert 1 in kept
+
+
+def test_gopher_quality_gate_rules(spark):
+    """Each rule kills exactly its designed offender; healthy prose
+    passes.  (Rule arithmetic is cross-engine-checked full-value by the
+    quality_gopher_rules driver oracle; this pins gate semantics.)"""
+    from subgraph_extractor_spark.operators import text_analysis as ta
+
+    healthy = (
+        "the cat sat near the fire and a dog slept while winds of "
+        "autumn carried leaves to the river " * 3
+    )
+    rows = [
+        (1, healthy),
+        (2, "the of and to a"),                       # too few words
+        (3, " ".join(["the a of and to"] * 8)
+            + " " + " ".join(["xx"] * 20)),           # mean_word_len < 3
+        (4, healthy + " " + " ".join(["####"] * 12)), # symbol_ratio > 0.1
+        (5, " ".join(["the a of and to"] * 4)
+            + " " + " ".join(["1234567"] * 25)),      # alpha ratio < 0.8
+        (6, "\n".join(["- the bullet point of a list and to it"] * 30)),
+        (7, "\n".join(["the sentence trails off and a to of..."] * 30)),
+        (8, " ".join(["word salad without stops"] * 20)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {
+        r["doc_id"]
+        for r in ta.gopher_quality_gate(df, "text", min_words=20).collect()
+    }
+    assert kept == {1}
+    feats = {
+        r["doc_id"]: r
+        for r in ta.gopher_quality_features(df, "text").collect()
+    }
+    assert feats[6]["bullet_ratio"] == 1.0
+    assert feats[7]["ellipsis_ratio"] == 1.0
+    assert feats[8]["n_stop_distinct"] == 0
+    assert feats[1]["n_stop_distinct"] == 5
