@@ -93,6 +93,9 @@ HEADLINE = [
     # r5: URL canonicalization + exact URL dedup (codegen string/array
     # algebra + one survivor shuffle) — first recorded r5
     "url_canonical_dedup",
+    # r5: Gopher rule bundle — one codegen map-only scan over the
+    # corpus (the cheap first gate of the quality family)
+    "quality_gopher_rules",
     "sample_temperature",
     "pipeline_pretraining_e2e",
     # time-series analytics family (quality_classifier not benched:
