@@ -2090,6 +2090,27 @@ def q_video_frame_containment(spark, sf):
     )
 
 
+def q_dedup_simhash_incremental(spark, sf):
+    # Incremental banded-hamming face (dedup.simhash_pairs_incremental)
+    # under a FULL-VALUE cross-engine check, via the portable md5
+    # signature: even docs play the standing corpus, odd docs the new
+    # batch.  The oracle recomputes every signature in pure SQL,
+    # brute-forces all pairs within hamming <= 3, and keeps only pairs
+    # touching the batch — pigeonhole completeness makes the banded
+    # incremental plan's output equal that set exactly (row set AND
+    # hamming values), certifying both the pair machinery and the
+    # corpus×corpus exclusion in one driver hash.
+    d = _t(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    sigs = dedup_ops.simhash_signatures_portable(d, "text", "doc_id")
+    batch = sigs.filter(F.col("_id") % 2 == 1)
+    corpus = sigs.filter(F.col("_id") % 2 == 0)
+    return dedup_ops.simhash_pairs_incremental(
+        batch, corpus, max_distance=3
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4006,6 +4027,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): Gopher rule-bundle
     # quality gate, full-value corpus oracle --
     "quality_gopher_rules": q_quality_gopher_rules,
+    # -- new in r5 (rotate into the r6 window): incremental banded-
+    # hamming face, full-value portable-signature oracle --
+    "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6083,6 +6107,39 @@ ORACLES: dict[str, str] = {
         JOIN counts ca ON ca.id = m.id_a
         JOIN counts cb ON cb.id = m.id_b
         WHERE CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+    """,
+    # Incremental portable-SimHash: the dedup_simhash_portable oracle
+    # restricted to pairs touching the odd-doc batch — full-value.
+    "dedup_simhash_incremental": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(w) % 9223372036854775808 AS BIGINT)
+                       AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, b AS bit,
+                   SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(range(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(
+                       CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) END
+                   ), 0) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
+          AND (l.doc_id % 2 = 1 OR r.doc_id % 2 = 1)
     """,
     # Gopher rule bundle: every rule re-derived in pure SQL over the
     # same corpus — integers + IEEE per-row divisions, so evidence

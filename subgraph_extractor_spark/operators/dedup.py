@@ -1128,16 +1128,9 @@ def _simhash_md5_udf():
     return sim
 
 
-def simhash_pairs_from_sigs(
-    sigs: DataFrame, max_distance: int = 3, bands: int = 4
-) -> DataFrame:
-    """Banded near-dup pair generation + exact verification over a
-    precomputed signature table ``(_id, _sim)`` — the shared back half of
-    ``simhash_dedup_pairs`` / ``simhash_dedup_pairs_portable``, and the
-    entry point when signatures are persisted corpus state (continual
-    ingestion re-banding without re-hashing).  See
-    ``simhash_dedup_pairs`` for the pigeonhole guarantee and the scale
-    envelope of the band geometry."""
+def _simhash_band_geometry(max_distance: int, bands: int) -> tuple[int, int]:
+    """Validate the band geometry shared by every 64-bit banded-hamming
+    operator; returns (width, mask)."""
     if 64 % bands != 0:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_distance > bands - 1:
@@ -1151,7 +1144,15 @@ def simhash_pairs_from_sigs(
     # Spark LONG literal; its two's-complement value -1 is the same bit
     # pattern, and bitwiseAND semantics only care about bits
     mask = -1 if width == 64 else (1 << width) - 1
-    chunked = sigs.select(
+    return width, mask
+
+
+def _simhash_chunked(
+    sigs: DataFrame, bands: int, width: int, mask: int
+) -> DataFrame:
+    """Explode a ``(_id, _sim)`` signature table into band chunks
+    ``(_id, _sim, chunk, val)`` — the candidate-generation key space."""
+    return sigs.select(
         "_id",
         "_sim",
         F.explode(
@@ -1168,6 +1169,20 @@ def simhash_pairs_from_sigs(
             )
         ).alias("c"),
     ).select("_id", "_sim", "c.chunk", "c.val")
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Banded near-dup pair generation + exact verification over a
+    precomputed signature table ``(_id, _sim)`` — the shared back half of
+    ``simhash_dedup_pairs`` / ``simhash_dedup_pairs_portable``, and the
+    entry point when signatures are persisted corpus state (continual
+    ingestion re-banding without re-hashing).  See
+    ``simhash_dedup_pairs`` for the pigeonhole guarantee and the scale
+    envelope of the band geometry."""
+    width, mask = _simhash_band_geometry(max_distance, bands)
+    chunked = _simhash_chunked(sigs, bands, width, mask)
     # Persist before the self-join: exchange reuse does not fire across
     # self-join sides of Python-kernel subtrees (fresh expr ids from
     # self-join dedup break canonical equality), so without the cache
@@ -1196,6 +1211,66 @@ def simhash_pairs_from_sigs(
         .localCheckpoint(eager=True)
     )
     chunked.unpersist()
+    return pairs
+
+
+def simhash_pairs_incremental(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental banded-hamming near-dup pairs for continual
+    ingestion: pairs TOUCHING the new batch — batch × corpus and
+    batch × batch, never corpus × corpus.  The signature-level analogue
+    of ``minhash_dedup_incremental`` and the standing-state face of
+    every 64-bit perceptual hash here (text SimHash, image dHash, audio
+    spectral, video frame-majority): corpus signatures are 8 bytes per
+    item of persisted state, re-banded per ingest without re-hashing
+    any payload.
+
+    Contract: equals ``simhash_pairs_from_sigs`` over
+    (corpus ∪ batch) restricted to pairs with at least one batch member
+    (property-tested), including the pigeonhole completeness guarantee
+    (hamming ≤ bands-1 candidates are never missed).  A signature
+    re-ingested under the same id drops its self-pair (id equality),
+    matching the full-run semantics.
+
+    Scale shape: only the BATCH side drives the band join — the left
+    side is batch chunks, the right side is (corpus ∪ batch) chunks, so
+    corpus buckets containing no batch member produce nothing and
+    per-ingest work scales with the batch, not the standing corpus.
+    Output (id_a, id_b, hamming), id_a < id_b."""
+    width, mask = _simhash_band_geometry(max_distance, bands)
+    cb = _simhash_chunked(batch_sigs, bands, width, mask).persist()
+    cc = _simhash_chunked(corpus_sigs, bands, width, mask).persist()
+    # one materialization per side: batch chunks feed the join's left
+    # side AND the union's right side (the self-join double-execution
+    # hazard for Python-kernel signature sources — see PLANS.md)
+    cb.count()
+    cc.count()
+    right = cb.unionByName(cc)
+    pairs = (
+        cb.alias("l")
+        .join(
+            right.alias("r"),
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+            F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+            hamming64(F.col("l._sim"), F.col("r._sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+        .localCheckpoint(eager=True)
+    )
+    cb.unpersist()
+    cc.unpersist()
     return pairs
 
 
@@ -1243,11 +1318,24 @@ def simhash_dedup_pairs_portable(
     banded == brute-force, not approximately but equal).  Docs that
     tokenize empty all share signature 0 — callers mirroring the SQL
     oracle should pre-filter blank docs identically on both sides."""
-    sigs = _spread(df).select(
+    return simhash_pairs_from_sigs(
+        simhash_signatures_portable(df, text_col, id_col),
+        max_distance,
+        bands,
+    )
+
+
+def simhash_signatures_portable(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Portable md5 63-bit SimHash signature table ``(_id, _sim)`` —
+    the persistable standing state behind the portable pair pipeline
+    and its incremental face (``simhash_pairs_incremental``); every
+    value recomputable in pure SQL."""
+    return _spread(df).select(
         F.col(id_col).alias("_id"),
         _simhash_md5_udf()(F.col(text_col)).alias("_sim"),
     )
-    return simhash_pairs_from_sigs(sigs, max_distance, bands)
 
 
 # --------------------------------------------------------------------------

@@ -507,3 +507,55 @@ def test_containment_catches_embedded_document(spark):
     b = set(df.filter("doc_id=2").select(
         word_shingles(F.col("text"), 3).alias("g")).head()["g"])
     assert len(a & b) / len(a | b) < 0.05
+
+
+def test_simhash_pairs_incremental_equals_restricted_full(spark):
+    """Continuation contract for the signature-level incremental face:
+    incremental(batch, corpus) == full(corpus ∪ batch) restricted to
+    pairs touching the batch — including cross-side near-dups, planted
+    batch×batch twins, and NO corpus×corpus leakage; re-ingested ids
+    drop their self-pair."""
+    import random
+
+    rnd = random.Random(77)
+
+    def flip(sig, k):
+        for b in rnd.sample(range(64), k):
+            sig ^= 1 << b
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    def mk(sig):
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    corpus = [(i, mk(rnd.getrandbits(64))) for i in range(100, 140)]
+    # corpus-internal twin (must NOT appear incrementally)
+    corpus.append((141, flip(corpus[0][1] & ((1 << 64) - 1), 2)))
+    batch = [(i, mk(rnd.getrandbits(64))) for i in range(200, 210)]
+    # batch twin of a corpus sig and a batch-internal twin
+    batch.append((211, flip(corpus[5][1] & ((1 << 64) - 1), 3)))
+    batch.append((212, flip(batch[0][1] & ((1 << 64) - 1), 1)))
+    # re-ingested identical id+sig: self-pair must drop
+    batch.append(corpus[7])
+
+    schema = "_id long, _sim long"
+    c_df = spark.createDataFrame(corpus, schema)
+    b_df = spark.createDataFrame(batch, schema)
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs_from_sigs(
+            c_df.unionByName(b_df).distinct(), max_distance=3
+        ).collect()
+    }
+    batch_ids = {i for i, _ in batch}
+    expected = {
+        p for p in full if p[0] in batch_ids or p[1] in batch_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs_incremental(b_df, c_df).collect()
+    }
+    assert got == expected
+    # sanity: the planted pairs behaved as designed
+    assert any(a == 105 and b == 211 for a, b, _ in got)
+    assert any(a == 200 and b == 212 for a, b, _ in got)
+    assert not any(a == 100 and b == 141 for a, b, _ in got)
