@@ -320,10 +320,22 @@ def _perceptual_signatures(
             yield pd.DataFrame(
                 {
                     "_id": sel["media_id"],
-                    "_sim": [
-                        hash_fn(None if p is None else bytes(p))
-                        for p in sel["payload"]
-                    ],
+                    # dtype=object, NOT list inference: a batch mixing a
+                    # valid signature with one undecodable row (None)
+                    # would otherwise infer float64 and silently ROUND
+                    # every 64-bit signature in the batch to 53-bit
+                    # mantissa precision (caught by the streaming-sink
+                    # stream==batch test; the fixture queries dodged it
+                    # only because one-row-per-partition batches never
+                    # mixed junk with valid rows)
+                    "_sim": pd.Series(
+                        [
+                            hash_fn(None if p is None else bytes(p))
+                            for p in sel["payload"]
+                        ],
+                        dtype=object,
+                        index=sel.index,
+                    ),
                 }
             )
 

@@ -519,3 +519,92 @@ def serve_kmv_sketch(spark, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no kmv state under {state_dir}")
     return spark.read.parquet(latest[1])
+
+
+def perceptual_dedup_sink(
+    spark,
+    state_dir: str,
+    pairs_dir: str,
+    kind: str = "image",
+    max_distance: int = 3,
+    bands: int = 4,
+):
+    """foreachBatch sink for continual PERCEPTUAL media ingestion — the
+    streaming face of ``operators.dedup.simhash_pairs_incremental``
+    over the modality signature kernels (image dHash / audio spectral /
+    video frame-majority).  Each micro-batch of MEDIA_SCHEMA rows is
+    signature-hashed ONCE (payload bytes never re-read after this),
+    probed against the standing signature table — batch × corpus and
+    batch × batch pairs, never corpus × corpus, so per-batch work
+    scales with the batch — and the batch signatures fold into the
+    ``v{batch_id}`` state.  Near-dup pairs land under
+    ``pairs_dir/v{batch_id}``; both writes are overwrite-by-version, so
+    a crash-replayed batch reproduces its own pairs and state instead
+    of double-appending.  Same newer-version lineage guard as the other
+    standing-state sinks.  Serve with :func:`serve_perceptual_state` /
+    :func:`serve_perceptual_pairs`."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    sig_fns = {
+        "image": mm.image_dhash_signatures,
+        "audio": mm.audio_spectral_signatures,
+        "video": mm.video_dhash_signatures,
+    }
+    if kind not in sig_fns:
+        raise ValueError(f"kind must be one of {sorted(sig_fns)}, got {kind}")
+    sig_fn = sig_fns[kind]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        sigs = sig_fn(batch_df)
+        latest = _latest_state_version(state_dir, before=batch_id)
+        corpus = (
+            spark.read.parquet(latest[1])
+            if latest is not None
+            else spark.createDataFrame([], "_id long, _sim long")
+        )
+        pairs = _dedup.simhash_pairs_incremental(
+            sigs, corpus, max_distance=max_distance, bands=bands
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/v{batch_id}")
+        (
+            corpus.unionByName(sigs)
+            .dropDuplicates(["_id", "_sim"])
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/v{batch_id}")
+        )
+
+    return fold
+
+
+def serve_perceptual_state(spark, state_dir: str) -> DataFrame:
+    """Latest standing signature table ``(_id, _sim)`` — 8 bytes of
+    state per ingested media item; feed straight back to
+    ``simhash_pairs_from_sigs`` for a full re-band or to the next
+    ingest probe."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no perceptual state under {state_dir}")
+    return spark.read.parquet(latest[1])
+
+
+def serve_perceptual_pairs(spark, pairs_dir: str) -> DataFrame:
+    """Union of every batch's emitted near-dup pairs (id_a, id_b,
+    hamming) — distinct, since a pair discovered at ingest time is
+    never re-discovered by a later batch (its members are both corpus
+    by then), but a crash-replayed batch rewrites its own version."""
+    latest = _latest_state_version(pairs_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no pairs under {pairs_dir}")
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .parquet(f"{pairs_dir}/v*")
+        .distinct()
+    )

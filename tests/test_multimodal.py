@@ -682,3 +682,34 @@ def test_video_frame_containment_end_to_end(spark):
     assert (2, 3) not in got
     flat = {i for p in got for i in p}
     assert 4 not in flat and 5 not in flat and 6 not in flat
+
+
+def test_mixed_batch_signature_precision(spark):
+    """Regression: a pandas batch mixing valid payloads with an
+    undecodable row (None signature) must NOT corrupt the valid rows'
+    64-bit signatures.  (A plain list of [int, None] infers float64 and
+    rounds to 53-bit mantissa — low bits silently change.  coalesce(1)
+    forces the mixed batch.)"""
+    import numpy as np
+
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7003)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    payloads = {
+        1: ic.encode_ppm(base),
+        2: ic.encode_bmp(up),
+    }
+    rows = [
+        (i, "image", bytearray(p), ("image/x-ppm", 24, 24, None))
+        for i, p in payloads.items()
+    ]
+    rows.append((97, "image", bytearray(b"junk"), ("image/x-ppm", 1, 1, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).coalesce(1)
+    got = {
+        r["_id"]: r["_sim"]
+        for r in mm.image_dhash_signatures(media).collect()
+    }
+    assert got == {i: ic.image_dhash(p) for i, p in payloads.items()}

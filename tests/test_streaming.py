@@ -449,3 +449,78 @@ def test_standing_rollup_stream_matches_batch_bitwise(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="different run"):
         fold(even, 0)
+
+
+def test_perceptual_dedup_sink_stream_equals_batch(spark, tmp_path):
+    """Continual media ingestion: the union of per-batch incremental
+    pairs equals the one-shot banded run over everything ingested
+    (every pair is discovered exactly when its second member arrives),
+    the served state is the full signature table, crash-replay rewrites
+    rather than double-appends, and the lineage guard refuses stale
+    batch ids."""
+    import numpy as np
+    import pytest as _pytest
+
+    from subgraph_extractor_spark.operators import dedup as dedup_ops
+    from subgraph_extractor_spark.operators import imagecodec as ic
+    from subgraph_extractor_spark.operators import multimodal as mm
+    from subgraph_extractor_spark.streaming.demo import (
+        perceptual_dedup_sink,
+        serve_perceptual_pairs,
+        serve_perceptual_state,
+    )
+
+    # 4 groups x {base, near-twin, upscale} spread across 3 batches so
+    # pairs span batch boundaries; plus junk that must vanish
+    rows = []
+    for g in range(4):
+        rng = np.random.default_rng(7000 + g)
+        base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        near = base.copy()
+        near[0:5, 0:4] = 255 - near[0:5, 0:4]
+        up = base.repeat(2, axis=0).repeat(2, axis=1)
+        ppm = ("image/x-portable-pixmap", 24, 24, None)
+        rows.append((10 * g + 1, "image", bytearray(ic.encode_ppm(base)), ppm))
+        rows.append((10 * g + 2, "image", bytearray(ic.encode_ppm(near)), ppm))
+        rows.append(
+            (10 * g + 3, "image", bytearray(ic.encode_bmp(up)),
+             ("image/bmp", 48, 48, None))
+        )
+    rows.append((97, "image", bytearray(b"junk"), ("image/x-ppm", 1, 1, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    state = str(tmp_path / "psig")
+    pairs_dir = str(tmp_path / "ppairs")
+    fold = perceptual_dedup_sink(spark, state, pairs_dir, kind="image")
+    batches = [
+        media.filter(F.col("media_id") % 3 == i) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        fold(b, i)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in serve_perceptual_pairs(spark, pairs_dir).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_ops.simhash_pairs_from_sigs(
+            mm.image_dhash_signatures(media), max_distance=3
+        ).collect()
+    }
+    assert got == full and full  # nonempty: the planted twins pair
+
+    n_state = serve_perceptual_state(spark, state).count()
+    assert n_state == 12  # junk dropped, one row per decodable image
+
+    # crash-replay: refold the last batch — same pairs, same state
+    fold(batches[2], 2)
+    assert {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in serve_perceptual_pairs(spark, pairs_dir).collect()
+    } == full
+    assert serve_perceptual_state(spark, state).count() == n_state
+
+    # lineage guard
+    with _pytest.raises(ValueError):
+        fold(batches[0], 0)
