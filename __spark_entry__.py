@@ -50,6 +50,7 @@ from subgraph_extractor_spark.operators import sampling as sampling_ops
 from subgraph_extractor_spark.operators import semdedup as semdedup_ops
 from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
+from subgraph_extractor_spark.operators import intervals as interval_ops
 from subgraph_extractor_spark.operators import urls as url_ops
 from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
 
@@ -2111,6 +2112,32 @@ def q_dedup_simhash_incremental(spark, sf):
     )
 
 
+def q_j9_interval_overlap(spark, sf):
+    # Interval OVERLAP join (operators/intervals.py) — the two-sided
+    # generalization of J5's point-in-range: concurrent shipments per
+    # supplier, interval = [ship epoch-day, ship + quantity days] over
+    # the qty>=48 lineitems.  The bucketed plan (explode to width-32
+    # day buckets, equi-join on (supplier, bucket), canonical-bucket
+    # dedup — no distinct, no BNLJ) must produce exactly the oracle's
+    # theta-join pair set, full-value including overlap lengths.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
+    epoch_day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iv_id"),
+        F.col("l_suppkey").alias("suppkey"),
+        epoch_day.alias("start"),
+        (epoch_day + F.col("l_quantity").cast("long")).alias("end"),
+    )
+    return interval_ops.interval_overlap_pairs(
+        iv, "iv_id", ["suppkey"], bucket_width=32
+    ).select(
+        "suppkey", "id_a", "id_b",
+        F.col("overlap_len").cast("bigint").alias("overlap_len"),
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4030,6 +4057,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): incremental banded-
     # hamming face, full-value portable-signature oracle --
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
+    # -- new in r5 (rotate into the r6 window): interval overlap join,
+    # full-value theta-join oracle --
+    "j9_interval_overlap": q_j9_interval_overlap,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6107,6 +6137,25 @@ ORACLES: dict[str, str] = {
         JOIN counts ca ON ca.id = m.id_a
         JOIN counts cb ON cb.id = m.id_b
         WHERE CAST(m.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+    """,
+    # Interval overlap join: the oracle runs the plain theta-join the
+    # bucketed plan replaces — full-value, including overlap lengths.
+    "j9_interval_overlap": """
+        WITH iv AS (
+            SELECT l_orderkey * 8 + l_linenumber AS iv_id,
+                   l_suppkey AS suppkey,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS s,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) + CAST(l_quantity AS BIGINT) AS e
+            FROM lineitem WHERE l_quantity >= 48
+        )
+        SELECT a.suppkey, a.iv_id AS id_a, b.iv_id AS id_b,
+               CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT)
+                   AS overlap_len
+        FROM iv a JOIN iv b
+          ON a.suppkey = b.suppkey AND a.iv_id < b.iv_id
+         AND a.s <= b.e AND b.s <= a.e
     """,
     # Incremental portable-SimHash: the dedup_simhash_portable oracle
     # restricted to pairs touching the odd-doc batch — full-value.
