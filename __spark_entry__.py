@@ -2138,6 +2138,25 @@ def q_j9_interval_overlap(spark, sf):
     )
 
 
+def q_ts_interval_coverage(spark, sf):
+    # Grouped interval-UNION coverage (intervals.interval_union_length):
+    # days each supplier had at least one qty>=48 shipment in flight —
+    # gaps-and-islands over the same intervals as j9_interval_overlap,
+    # the utilization complement of the pair query (overlaps count
+    # ONCE; the naive sum of lengths double-counts).  Full-value oracle
+    # re-derives the islands with the identical window recurrence.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
+    epoch_day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        epoch_day.alias("start"),
+        (epoch_day + F.col("l_quantity").cast("long")).alias("end"),
+    )
+    return interval_ops.interval_union_length(iv, ["suppkey"])
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4057,9 +4076,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): incremental banded-
     # hamming face, full-value portable-signature oracle --
     "dedup_simhash_incremental": q_dedup_simhash_incremental,
-    # -- new in r5 (rotate into the r6 window): interval overlap join,
-    # full-value theta-join oracle --
+    # -- new in r5 (rotate into the r6 window): interval overlap join
+    # + grouped interval-union coverage, full-value oracles --
     "j9_interval_overlap": q_j9_interval_overlap,
+    "ts_interval_coverage": q_ts_interval_coverage,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6156,6 +6176,49 @@ ORACLES: dict[str, str] = {
         FROM iv a JOIN iv b
           ON a.suppkey = b.suppkey AND a.iv_id < b.iv_id
          AND a.s <= b.e AND b.s <= a.e
+    """,
+    # Interval-union coverage: identical gaps-and-islands recurrence in
+    # SQL windows — full-value.
+    "ts_interval_coverage": """
+        WITH iv AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS s,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) + CAST(l_quantity AS BIGINT) AS e
+            FROM lineitem WHERE l_quantity >= 48
+        ),
+        flagged AS (
+            SELECT suppkey, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > MAX(e) OVER (
+                            PARTITION BY suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        )
+                   THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT suppkey, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY suppkey ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ),
+        agg AS (
+            SELECT suppkey, island, MIN(s) AS i_s, MAX(e) AS i_e,
+                   COUNT(*) AS n
+            FROM islands GROUP BY suppkey, island
+        )
+        SELECT suppkey, CAST(SUM(n) AS BIGINT) AS n_intervals,
+               CAST(SUM(i_e - i_s + 1) AS BIGINT) AS covered_len
+        FROM agg GROUP BY suppkey
     """,
     # Incremental portable-SimHash: the dedup_simhash_portable oracle
     # restricted to pairs touching the odd-doc batch — full-value.

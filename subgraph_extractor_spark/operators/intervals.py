@@ -116,3 +116,64 @@ def interval_overlap_pairs(
             + F.lit(1)
         ).alias("overlap_len"),
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    keys: list[str],
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Total covered length of the UNION of closed intervals per key —
+    utilization/coverage analytics (days a supplier had anything in
+    flight, seconds a user had any session open).  Overlaps count once;
+    the sum-of-lengths naive answer double-counts.
+
+    Classic gaps-and-islands: within each key, order by (start, end),
+    an interval starts a new island when its start exceeds the running
+    max end of everything before it, islands sum (max end - min start
+    + 1).  Two window passes + one aggregate over the SAME key-ordered
+    exchange — Catalyst reuses the sort, so it is one shuffle end to
+    end.  Keys are the parallelism unit (same contract as every
+    windowed operator here): a single key with billions of intervals
+    needs a range re-partition, the multi-key corpus case does not.
+    Output: keys + (n_intervals, covered_len)."""
+    from pyspark.sql import Window
+
+    s, e = F.col(start).cast("long"), F.col(end).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_s").asc(), F.col("_e").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(*keys, s.alias("_s"), e.alias("_e")).withColumn(
+        "_prev_max_e", F.max("_e").over(w)
+    ).withColumn(
+        "_new_island",
+        F.when(
+            F.col("_prev_max_e").isNull()
+            | (F.col("_s") > F.col("_prev_max_e")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_s").asc(), F.col("_e").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "_island", F.sum("_new_island").over(w2)
+    )
+    return (
+        islands.groupBy(*keys, "_island")
+        .agg(
+            F.min("_s").alias("_is"),
+            F.max("_e").alias("_ie"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("_n").alias("n_intervals"),
+            F.sum(F.col("_ie") - F.col("_is") + 1).alias("covered_len"),
+        )
+    )

@@ -78,3 +78,35 @@ def test_two_sided_join_carries_payload_and_avoids_bnlj(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _brute_union_len(rows):
+    from collections import defaultdict
+
+    pts = defaultdict(set)
+    n = defaultdict(int)
+    for _, k, s, e in rows:
+        n[k] += 1
+        pts[k].update(range(s, e + 1))
+    return {k: (n[k], len(pts[k])) for k in pts}
+
+
+def test_interval_union_length_matches_bruteforce(spark):
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.randint(0, 2), rnd.randint(0, 300), 0) for i in range(80)
+    ]
+    rows = [(i, k, s, s + rnd.randint(0, 40)) for (i, k, s, _) in rows]
+    df = spark.createDataFrame(rows, ["id", "k", "start", "end"])
+    got = {
+        r["k"]: (r["n_intervals"], r["covered_len"])
+        for r in iv.interval_union_length(df, ["k"]).collect()
+    }
+    assert got == _brute_union_len(rows)
+
+
+def test_interval_union_length_counts_overlap_once(spark):
+    rows = [(1, 0, 0, 9), (2, 0, 5, 14), (3, 0, 20, 29)]
+    df = spark.createDataFrame(rows, ["id", "k", "start", "end"])
+    r = iv.interval_union_length(df, ["k"]).collect()[0]
+    assert (r["n_intervals"], r["covered_len"]) == (3, 25)
