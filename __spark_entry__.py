@@ -2157,6 +2157,24 @@ def q_ts_interval_coverage(spark, sf):
     return interval_ops.interval_union_length(iv, ["suppkey"])
 
 
+def q_pipeline_negative_samples(spark, sf):
+    # Contrastive-training negative sampling (shuffling.
+    # negative_samples): 4 deterministic corpus-wide negatives per
+    # anchor, addressed as (shard, pos) coordinates in the SAME
+    # deterministic shard layout pipeline_shuffle_shard oracles — pure
+    # md5 functions of (seed, anchor, slot), one broadcast-assisted
+    # equi-join, no global window, no RNG state.  Full row set oracled:
+    # DuckDB rebuilds the shard layout and replays the exact address
+    # arithmetic, including the self-collision slot drop.
+    from subgraph_extractor_spark.operators import shuffling as shuffle_ops
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    sharded = shuffle_ops.deterministic_shuffle(d, "doc_id", 8, seed="ep0")
+    return shuffle_ops.negative_samples(
+        sharded, "doc_id", k=4, num_shards=8, seed="neg0"
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4080,6 +4098,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # + grouped interval-union coverage, full-value oracles --
     "j9_interval_overlap": q_j9_interval_overlap,
     "ts_interval_coverage": q_ts_interval_coverage,
+    # -- new in r5 (rotate into the r6 window): contrastive negative
+    # sampling, full-value md5-replay oracle --
+    "pipeline_negative_samples": q_pipeline_negative_samples,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6176,6 +6197,50 @@ ORACLES: dict[str, str] = {
         FROM iv a JOIN iv b
           ON a.suppkey = b.suppkey AND a.iv_id < b.iv_id
          AND a.s <= b.e AND b.s <= a.e
+    """,
+    # Negative sampling: rebuild the deterministic shard layout (same
+    # CTE as pipeline_shuffle_shard), then replay the md5 coordinate
+    # addressing — with-replacement slots, self-collision drop.
+    "pipeline_negative_samples": """
+        WITH sharded AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
+                        AS INTEGER) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY
+                           CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
+                       ORDER BY hx, doc_id
+                   ) AS BIGINT) AS pos
+            FROM (SELECT doc_id,
+                         md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hx
+                  FROM documents)
+        ),
+        counts AS (
+            SELECT shard, COUNT(*) AS n FROM sharded GROUP BY shard
+        ),
+        cand AS (
+            SELECT s.doc_id AS anchor_id, j.j,
+                   md5('neg0:' || CAST(s.doc_id AS VARCHAR) || ':'
+                       || CAST(j.j AS VARCHAR)) AS hx
+            FROM sharded s, (SELECT unnest(range(1, 5)) AS j) j
+        ),
+        addr AS (
+            SELECT anchor_id, j,
+                   CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
+                        AS INTEGER) AS shard,
+                   CAST(('0x' || substr(hx, 13, 12)) AS BIGINT) AS h2
+            FROM cand
+        ),
+        placed AS (
+            SELECT a.anchor_id, a.j, a.shard,
+                   (a.h2 % c.n) + 1 AS pos
+            FROM addr a JOIN counts c ON c.shard = a.shard
+        )
+        SELECT p.anchor_id, CAST(p.j AS BIGINT) AS j,
+               s.doc_id AS neg_id
+        FROM placed p
+        JOIN sharded s ON s.shard = p.shard AND s.pos = p.pos
+        WHERE s.doc_id <> p.anchor_id
     """,
     # Interval-union coverage: identical gaps-and-islands recurrence in
     # SQL windows — full-value.

@@ -136,3 +136,73 @@ def append_to_shards(
         )
         .drop("_base")
     )
+
+
+def negative_samples(
+    sharded: DataFrame,
+    id_col: str,
+    k: int,
+    num_shards: int,
+    seed: str = "neg0",
+) -> DataFrame:
+    """``k`` deterministic pseudo-random NEGATIVE partners per anchor —
+    the contrastive-training sampler (in-batch negatives are biased by
+    the batch construction; this draws corpus-wide), built on the
+    (shard, pos) coordinate system of :func:`deterministic_shuffle` /
+    :func:`append_to_shards`.
+
+    Slot ``j`` of anchor ``a`` addresses the corpus coordinate
+    ``shard = h1(seed,a,j) mod num_shards``,
+    ``pos = h2(seed,a,j) mod n_rows(shard) + 1`` with h1/h2 disjoint
+    48-bit slices of one md5 — pure functions of (seed, anchor, j), so
+    draws are engine-portable, reproducible, and a new epoch is just a
+    new seed.  No global window and no per-row RNG state: ONE equi-join
+    on (shard, pos) against the standing sharded corpus, with the tiny
+    (shard, n_rows) table broadcast.
+
+    Semantics (replayed exactly by the SQL oracle): with-replacement —
+    two slots may draw the same negative; a slot that draws the anchor
+    itself is DROPPED (never a self-pair; ~1/N per slot).  Uniformity
+    caveat: a row's probability is 1/(num_shards · n_rows(its shard)),
+    so rows in below-average shards are marginally likelier — with md5
+    sharding shard sizes concentrate tightly and the bias is
+    negligible; it is zero when shard sizes are equal.
+
+    Output: (anchor_id, j, neg_id)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = shard_counts(sharded)
+    aid = F.col(id_col).cast("string")
+    cand = sharded.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"), F.col("j").cast("string"),
+        )
+    )
+    addr = cand.select(
+        "anchor_id",
+        F.col("j").cast("long").alias("j"),
+        (
+            F.conv(F.substring(hx, 1, 12), 16, 10).cast("bigint")
+            % num_shards
+        ).cast("int").alias("shard"),
+        F.conv(F.substring(hx, 13, 12), 16, 10).cast("bigint").alias("_h2"),
+    )
+    placed = addr.join(F.broadcast(counts), "shard").select(
+        "anchor_id", "j", "shard",
+        (F.col("_h2") % F.col("n_rows") + 1).cast("long").alias("pos"),
+    )
+    corpus = sharded.select(
+        "shard", F.col("pos").cast("long").alias("pos"),
+        F.col(id_col).alias("neg_id"),
+    )
+    return (
+        placed.join(corpus, ["shard", "pos"])
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+    )

@@ -188,3 +188,42 @@ def test_streaming_shard_append_matches_batch_sequence(spark, docs, tmp_path):
         by_shard.setdefault(r["shard"], []).append(int(r["pos"]))
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_negative_samples_deterministic_and_well_formed(spark, docs):
+    """Each anchor gets <= k negatives (slots drop only on the ~1/N
+    self-collision), never itself, byte-deterministic across runs and
+    partitionings, and a different seed redraws."""
+    from subgraph_extractor_spark.operators import shuffling as sh
+
+    d = docs.select("doc_id")
+    sharded = sh.deterministic_shuffle(d, "doc_id", 8, seed="ep0")
+    out = sh.negative_samples(sharded, "doc_id", k=4, num_shards=8)
+    rows = [(r["anchor_id"], r["j"], r["neg_id"]) for r in out.collect()]
+    n_anchors = d.count()
+    assert len(rows) >= 4 * n_anchors - 5  # at most a few self-drops
+    assert all(a != n for a, _, n in rows)
+    by_anchor = {}
+    for a, j, n in rows:
+        by_anchor.setdefault(a, set()).add(j)
+    assert all(js <= {1, 2, 3, 4} for js in by_anchor.values())
+    # determinism across a different input partitioning
+    again = {
+        (r["anchor_id"], r["j"], r["neg_id"])
+        for r in sh.negative_samples(
+            sh.deterministic_shuffle(d.repartition(13), "doc_id", 8, seed="ep0"),
+            "doc_id", k=4, num_shards=8,
+        ).collect()
+    }
+    assert again == set(rows)
+    # a new seed is a genuinely different draw
+    reseeded = {
+        (r["anchor_id"], r["j"], r["neg_id"])
+        for r in sh.negative_samples(
+            sharded, "doc_id", k=4, num_shards=8, seed="neg1"
+        ).collect()
+    }
+    assert reseeded != set(rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sh.negative_samples(sharded, "doc_id", k=0, num_shards=8)
