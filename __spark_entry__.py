@@ -2175,6 +2175,19 @@ def q_pipeline_negative_samples(spark, sf):
     )
 
 
+def q_pipeline_chunk_overlap(spark, sf):
+    # RAG-prep token-window chunking with overlap (packing.
+    # chunk_documents_overlap): 24-token windows, 6-token overlap, over
+    # the documents corpus — map-only codegen (split + sequence +
+    # slice), stable (doc, idx) chunk ids for downstream dedup /
+    # retrieval joins.  Full row set oracled: DuckDB replays the same
+    # stride arithmetic with list_slice.
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return packing_ops.chunk_documents_overlap(
+        d, "text", "doc_id", chunk_tokens=24, overlap=6
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4101,6 +4114,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): contrastive negative
     # sampling, full-value md5-replay oracle --
     "pipeline_negative_samples": q_pipeline_negative_samples,
+    # -- new in r5 (rotate into the r6 window): token-window chunking
+    # with overlap, full-value stride-replay oracle --
+    "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6197,6 +6213,31 @@ ORACLES: dict[str, str] = {
         FROM iv a JOIN iv b
           ON a.suppkey = b.suppkey AND a.iv_id < b.iv_id
          AND a.s <= b.e AND b.s <= a.e
+    """,
+    # Overlap chunking: same stride arithmetic over whitespace tokens.
+    "pipeline_chunk_overlap": """
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0,
+                       GREATEST(CAST(0 AS BIGINT),
+                                CAST(ceil((n - 24) / 18.0) AS BIGINT) * 18)
+                       + 1, 18)) AS s
+            FROM base WHERE n > 0
+        )
+        SELECT doc_id,
+               CAST(s / 18 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(toks, s + 1, s + 24), ' ')
+                   AS chunk_text,
+               CAST(LEAST(24, n - s) AS BIGINT) AS n_tokens
+        FROM starts
     """,
     # Negative sampling: rebuild the deterministic shard layout (same
     # CTE as pipeline_shuffle_shard), then replay the md5 coordinate

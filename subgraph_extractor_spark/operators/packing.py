@@ -123,3 +123,70 @@ def packing_stats(
             / (F.col("n_bins") * F.lit(budget)).cast("double"),
         )
     )
+
+
+def chunk_documents_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Token-window chunking with overlap — the RAG/embedding-prep
+    complement to :func:`pack_sequences` (packing concatenates short
+    docs up to a budget; this SPLITS long docs into overlapping
+    windows so no retrieval-relevant span straddles a hard boundary).
+
+    Whitespace tokens; chunk ``i`` covers token positions
+    ``[i·stride, i·stride + chunk_tokens)`` with ``stride =
+    chunk_tokens - overlap``; the last chunk is the final partial
+    window, and a chunk fully contained in its predecessor is not
+    emitted (tail-dedup: ceil((n - overlap) / stride) chunks for n >
+    chunk_tokens, exactly one for n <= chunk_tokens).  Empty/blank
+    docs produce nothing.  Pure codegen (split + sequence + slice +
+    array_join — no UDF, no shuffle: chunking is map-only; the chunk
+    id (doc, idx) is stable for downstream dedup/retrieval joins).
+    Output: (<id_col>, chunk_idx, chunk_text, n_tokens)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    # last chunk start: the largest multiple of stride covering the tail
+    # without emitting a window fully inside its predecessor
+    last_start = F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long")
+        * stride,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride))
+            ).alias("_start"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    "_toks", F.col("_start").cast("int") + 1, chunk_tokens
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                F.col("_n") - F.col("_start"),
+            ).alias("n_tokens"),
+        )
+    )
