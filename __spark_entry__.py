@@ -2188,6 +2188,29 @@ def q_pipeline_chunk_overlap(spark, sf):
     )
 
 
+def q_graph_triangles(spark, sf):
+    # Per-node triangle counts (graph.triangle_counts) over the
+    # part co-order CLIQUE graph — all pairs of distinct parts sharing
+    # an order (the chain graph PageRank uses is triangle-free by
+    # construction; cliques are the cohesion fixture).  Degree-ordered
+    # orientation bounds the wedge join at m^1.5; every count is an
+    # exact BIGINT, so the FULL (node, n_triangles) table oracles
+    # against DuckDB's 3-way a<b<c join.
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), on=[F.col("x.o") == F.col("y.o"),
+                                 F.col("x.p") < F.col("y.p")])
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return graph_ops.triangle_counts(e).select(
+        F.col("node").cast("bigint").alias("node"), "n_triangles"
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4117,6 +4140,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): token-window chunking
     # with overlap, full-value stride-replay oracle --
     "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
+    # -- new in r5 (rotate into the r6 window): per-node triangle
+    # counts, full-value 3-way-join oracle --
+    "graph_triangles": q_graph_triangles,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6238,6 +6264,37 @@ ORACLES: dict[str, str] = {
                    AS chunk_text,
                CAST(LEAST(24, n - s) AS BIGINT) AS n_tokens
         FROM starts
+    """,
+    # Triangle counts: 3-way oriented join a<b<c, then each triangle
+    # credits its three nodes; nodes of the graph missing from every
+    # triangle report 0 — full-value.
+    "graph_triangles": """
+        WITH pp AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e AS (
+            SELECT DISTINCT a.p AS a, b.p AS b
+            FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pernode AS (
+            SELECT n, COUNT(*) AS c FROM (
+                SELECT x AS n FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY n
+        ),
+        nodes AS (
+            SELECT a AS n FROM e UNION SELECT b FROM e
+        )
+        SELECT CAST(nodes.n AS BIGINT) AS node,
+               CAST(COALESCE(pernode.c, 0) AS BIGINT) AS n_triangles
+        FROM nodes LEFT JOIN pernode ON pernode.n = nodes.n
     """,
     # Negative sampling: rebuild the deterministic shard layout (same
     # CTE as pipeline_shuffle_shard), then replay the md5 coordinate

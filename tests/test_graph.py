@@ -317,3 +317,44 @@ def test_warm_start_overflow_envelope_uses_actual_mass(spark):
     # ...and a sane warm start at this scale still runs
     warm = pagerank_fixed_point(e, iters=1)
     assert pagerank_fixed_point(e, iters=1, init_ranks=warm).count() > 0
+
+
+def test_triangle_counts_known_graphs(spark):
+    from subgraph_extractor_spark.operators.graph import triangle_counts
+
+    # K4: 4 triangles, every node in 3; plus a pendant and a self-loop
+    # and duplicate/reversed edges that must not change anything
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5), (2, 1), (3, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+    # triangle-free path graph
+    p = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got_p = {r["node"]: r["n_triangles"] for r in triangle_counts(p).collect()}
+    assert got_p == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    import itertools
+    import random as _random
+
+    from subgraph_extractor_spark.operators.graph import triangle_counts
+
+    rnd = _random.Random(3)
+    nodes = list(range(30))
+    edges = sorted(
+        {tuple(sorted(rnd.sample(nodes, 2))) for _ in range(140)}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {n: 0 for n in nodes if adj[n]}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                expected[x] += 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == expected
