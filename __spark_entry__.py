@@ -2211,6 +2211,38 @@ def q_graph_triangles(spark, sf):
     )
 
 
+def q_sim_maxsim_quantized(spark, sf):
+    # Late-interaction MaxSim retrieval over integer-quantized
+    # multi-vector documents (similarity.maxsim_quantized_topk):
+    # embeddings quantize per-vector to int8 (the same
+    # quantize_embeddings contract f_vector_quantize oracles), group
+    # 4-by-4 into multi-vector "documents" (vec_id div 4 — the
+    # token/patch bag stand-in), and the first 5 bags retrieve top-3 by
+    # Σ max integer dot.  Every score is an exact BIGINT, so the full
+    # (query, doc, rank, score) result full-value oracles — the float
+    # formulation would differ in ulps across fold orders.
+    emb = _t(spark, sf, "embeddings")
+    qv = sim_ops.quantize_embeddings(emb, "embedding", "vec_id")
+    mv = (
+        qv.select(
+            F.expr("vec_id div 4").alias("mv_id"),
+            F.struct("vec_id", "qvec").alias("_s"),
+        )
+        .groupBy("mv_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["qvec"]
+            ).alias("vecs")
+        )
+    )
+    queries = mv.filter(F.col("mv_id") < 5)
+    out = sim_ops.maxsim_quantized_topk(queries, mv, "vecs", "mv_id", k=3)
+    return out.select(
+        "query_id", "doc_id",
+        F.col("rank").cast("int").alias("rank"), "score",
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4143,6 +4175,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): per-node triangle
     # counts, full-value 3-way-join oracle --
     "graph_triangles": q_graph_triangles,
+    # -- new in r5 (rotate into the r6 window): quantized MaxSim
+    # late-interaction retrieval, full-value integer oracle --
+    "sim_maxsim_quantized": q_sim_maxsim_quantized,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --
@@ -6264,6 +6299,50 @@ ORACLES: dict[str, str] = {
                    AS chunk_text,
                CAST(LEAST(24, n - s) AS BIGINT) AS n_tokens
         FROM starts
+    """,
+    # Quantized MaxSim: replay quantization (the f_vector_quantize
+    # expression), 4-bags, and the Σ max integer-dot score with nested
+    # list lambdas — exact BIGINTs end to end.
+    "sim_maxsim_quantized": """
+        WITH q AS (
+            SELECT vec_id, vec_id // 4 AS mv_id,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   embedding
+            FROM embeddings
+        ),
+        qv AS (
+            SELECT mv_id, vec_id,
+                   list_transform(embedding,
+                       x -> CAST(CASE WHEN scale = 0 THEN 0
+                                 ELSE floor(CAST(x AS DOUBLE) * 127.0
+                                            / scale + 0.5)
+                                 END AS BIGINT)) AS qvec
+            FROM q
+        ),
+        mv AS (
+            SELECT mv_id, list(qvec ORDER BY vec_id) AS vecs
+            FROM qv GROUP BY mv_id
+        ),
+        scored AS (
+            SELECT qs.mv_id AS query_id, d.mv_id AS doc_id,
+                   list_sum(list_transform(qs.vecs, qvec ->
+                       list_max(list_transform(d.vecs, dvec ->
+                           list_sum(list_transform(
+                               range(1, len(qvec) + 1),
+                               i -> qvec[i] * dvec[i]))))))
+                       AS score
+            FROM mv qs, mv d
+            WHERE qs.mv_id < 5
+        )
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id
+               ) AS INT) AS rank,
+               CAST(score AS BIGINT) AS score
+        FROM scored
+        QUALIFY rank <= 3
     """,
     # Triangle counts: 3-way oriented join a<b<c, then each triangle
     # credits its three nodes; nodes of the graph missing from every

@@ -984,3 +984,75 @@ def projected_lsh_topk(
         n_shards=n_shards,
     )
     return _full_dim_rerank(df, coarse, vec_col, id_col, k)
+
+
+def maxsim_quantized_topk(
+    queries_mv: DataFrame,
+    corpus_mv: DataFrame,
+    vecs_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over
+    INTEGER-quantized multi-vector documents: each item is a BAG of
+    int8 vectors (one per token/patch), and
+
+        score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} <qv, dv>
+
+    — every query vector finds its best-matching document vector, sums
+    win. The integer quantization (``quantize_embeddings``) is what
+    production late-interaction indexes store anyway (4x compression),
+    and it makes every score an exact BIGINT — order-independent,
+    engine-portable, full-value oracle-checkable, where float MaxSim
+    would differ in ulps across fold orders.
+
+    Plan shape: the query set broadcasts onto the corpus (the
+    asymmetry every retrieval op here uses — the corpus never moves),
+    scoring is pure codegen nested HOFs (zip_with product fold, max
+    over document vectors, sum over query vectors), and one per-query
+    window takes top-``k`` (score desc, id asc tie-break).  Scale
+    notes: per-pair cost is |q|·|d|·dim lambda dispatches —
+    interpreted, fine for reranking shortlists (the intended use:
+    coarse-retrieve with ann/BM25, MaxSim-rerank the candidates); for
+    full-corpus first-stage MaxSim move the same math into an Arrow
+    kernel (the ``random_projection_arrow`` pattern) without changing
+    this plan.
+
+    Output: (query_id, doc_id, rank, score)."""
+    q = queries_mv.select(
+        F.col(id_col).alias("query_id"), F.col(vecs_col).alias("_qvs")
+    )
+    d = corpus_mv.select(
+        F.col(id_col).alias("doc_id"), F.col(vecs_col).alias("_dvs")
+    )
+
+    def int_dot(qv, dv):
+        return F.aggregate(
+            F.zip_with(qv, dv, lambda a, b: a.cast("long") * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    score = F.aggregate(
+        F.transform(
+            F.col("_qvs"),
+            lambda qv: F.array_max(
+                F.transform(F.col("_dvs"), lambda dv: int_dot(qv, dv))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(d)
+        .select("query_id", "doc_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

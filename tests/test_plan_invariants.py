@@ -56,6 +56,11 @@ ALLOWED_NON_EQUI = {
     # truth side of the SemDeDup survivor oracles)
     "pipeline_semdedup",
     "pipeline_semdedup_best",
+    # quantized MaxSim: deliberate broadcast of the SMALL query set
+    # onto the corpus (the retrieval asymmetry, same as
+    # sim_topk_matmul) — scoring is all-pairs by definition of the
+    # rerank contract
+    "sim_maxsim_quantized",
     # sharded-matmul coarse pass broadcast-replicates the query set per
     # shard (same documented asymmetry as sim_topk_matmul), and the
     # recall contract crossJoins 1-row anchors

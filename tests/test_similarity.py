@@ -237,3 +237,53 @@ def test_projected_lsh_composition_recall_and_shape(spark, emb):
         assert ranks == list(range(1, len(lst) + 1)), (q, lst)
         neighbors = [nb for _, nb in lst]
         assert len(set(neighbors)) == len(neighbors) and q not in neighbors
+
+
+def test_maxsim_quantized_matches_python_reference(spark):
+    """Integer MaxSim against a literal python reference: every query
+    vector takes its best dot with the document's vectors, sums win;
+    ranks tie-break on doc id; scores are exact BIGINTs."""
+    q_rows = [
+        (1, [[1, 0, 2], [3, -1, 0]]),
+        (2, [[0, 5, 0]]),
+    ]
+    d_rows = [
+        (10, [[1, 0, 0], [0, 1, 0]]),
+        (11, [[2, 0, 4], [1, 1, 1]]),
+        (12, [[-1, -1, -1]]),
+    ]
+
+    def py_maxsim(q, d):
+        return sum(
+            max(sum(a * b for a, b in zip(qv, dv)) for dv in d) for qv in q
+        )
+
+    schema = "id long, vecs array<array<int>>"
+    qdf = spark.createDataFrame(q_rows, schema)
+    ddf = spark.createDataFrame(d_rows, schema)
+    out = similarity.maxsim_quantized_topk(qdf, ddf, "vecs", "id", k=3)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in out.collect()
+    }
+    expected_scores = {
+        (qid, did): py_maxsim(q, d)
+        for qid, q in q_rows
+        for did, d in d_rows
+    }
+    for (qid, did), (rank, score) in got.items():
+        assert score == expected_scores[(qid, did)], (qid, did)
+    # rank order per query: score desc, doc asc
+    for qid, q in q_rows:
+        order = sorted(
+            ((did, s) for (qq, did), s in expected_scores.items() if qq == qid),
+            key=lambda t: (-t[1], t[0]),
+        )
+        got_order = [
+            did
+            for (qq, did), (rank, _) in sorted(
+                got.items(), key=lambda kv: kv[1][0]
+            )
+            if qq == qid
+        ]
+        assert got_order == [did for did, _ in order]
