@@ -163,8 +163,11 @@ def main() -> None:
     # a bench that refuses to run is worse than a flagged one — and
     # echo the gate outcome in the output JSON so inflated numbers are
     # attributable.
-    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+    # threshold 1.5, not 2.0: three r5 runs recorded common19_r1 =
+    # 13.43 / 15.38 / 16.71 s at start loadavg 1.07 / 1.91 / 1.97 —
+    # start load near 2 already costs ~20%+ on the frozen subtotal
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
     waited = 0.0
     while os.getloadavg()[0] >= gate and waited < wait_budget:
         time.sleep(5)
