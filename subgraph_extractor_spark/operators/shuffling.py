@@ -172,7 +172,6 @@ def negative_samples(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     counts = shard_counts(sharded)
-    aid = F.col(id_col).cast("string")
     cand = sharded.select(
         F.col(id_col).alias("anchor_id"),
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
