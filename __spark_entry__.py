@@ -2243,6 +2243,35 @@ def q_sim_maxsim_quantized(spark, sf):
     )
 
 
+def q_j10_interval_contains(spark, sf):
+    # Allen contains/during face of the bucketed interval join
+    # (relation="contains"): which qty>=48 shipments FULLY swallow
+    # another of the same supplier's — same candidate generation and
+    # canonical-bucket single-emission as j9, only the verified
+    # predicate changes (contains ⊂ overlaps keeps completeness).
+    # Directed pairs (container, contained), self excluded; full-value
+    # theta-join oracle.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
+    epoch_day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iv_id"),
+        F.col("l_suppkey").alias("suppkey"),
+        epoch_day.alias("start"),
+        (epoch_day + F.col("l_quantity").cast("long")).alias("end"),
+    )
+    j = interval_ops.interval_overlap_join(
+        iv, iv, ["suppkey"], bucket_width=32, relation="contains"
+    ).filter(F.col("l_iv_id") != F.col("r_iv_id"))
+    return j.select(
+        "suppkey",
+        F.col("l_iv_id").alias("container_id"),
+        F.col("r_iv_id").alias("contained_id"),
+        (F.col("r_end") - F.col("r_start") + 1).alias("contained_len"),
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4165,6 +4194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r5 (rotate into the r6 window): interval overlap join
     # + grouped interval-union coverage, full-value oracles --
     "j9_interval_overlap": q_j9_interval_overlap,
+    "j10_interval_contains": q_j10_interval_contains,
     "ts_interval_coverage": q_ts_interval_coverage,
     # -- new in r5 (rotate into the r6 window): contrastive negative
     # sampling, full-value md5-replay oracle --
@@ -6418,6 +6448,23 @@ ORACLES: dict[str, str] = {
         FROM placed p
         JOIN sharded s ON s.shard = p.shard AND s.pos = p.pos
         WHERE s.doc_id <> p.anchor_id
+    """,
+    # Contains face: directed theta-join, self excluded.
+    "j10_interval_contains": """
+        WITH iv AS (
+            SELECT l_orderkey * 8 + l_linenumber AS iv_id,
+                   l_suppkey AS suppkey,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS s,
+                   CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) + CAST(l_quantity AS BIGINT) AS e
+            FROM lineitem WHERE l_quantity >= 48
+        )
+        SELECT a.suppkey, a.iv_id AS container_id, b.iv_id AS contained_id,
+               CAST(b.e - b.s + 1 AS BIGINT) AS contained_len
+        FROM iv a JOIN iv b
+          ON a.suppkey = b.suppkey AND a.iv_id <> b.iv_id
+         AND a.s <= b.s AND b.e <= a.e
     """,
     # Interval-union coverage: identical gaps-and-islands recurrence in
     # SQL windows — full-value.

@@ -70,23 +70,46 @@ def interval_overlap_join(
     start: str = "start",
     end: str = "end",
     bucket_width: int = 86_400,
+    relation: str = "overlaps",
 ) -> DataFrame:
     """All (left, right) pairs sharing ``keys`` whose closed intervals
-    ``[start, end]`` overlap.  Boundaries cast to long (epoch seconds,
-    block numbers, any integer timeline); intervals with ``end <
-    start`` produce nothing.  Non-key/non-boundary columns come along
-    prefixed ``l_`` / ``r_``."""
+    ``[start, end]`` satisfy ``relation``:
+
+      * ``"overlaps"`` (default) — any shared instant
+      * ``"contains"`` — the LEFT interval fully contains the right
+        (``l_start <= r_start AND r_end <= l_end``; the Allen
+        contains/during pair, for "which maintenance window swallowed
+        this outage" style questions)
+
+    Both relations ride the same bucketed plan: contains ⊂ overlaps, so
+    the shared-bucket candidate generation stays COMPLETE, the
+    canonical-bucket filter (``greatest(l_start, r_start) div W`` —
+    under contains that is always r_start's bucket, covered by both
+    sides) keeps single emission, and only the verified predicate
+    changes.  Boundaries cast to long (epoch seconds, block numbers,
+    any integer timeline); intervals with ``end < start`` produce
+    nothing.  Non-key/non-boundary columns come along prefixed ``l_``
+    / ``r_``."""
+    preds = {
+        "overlaps": (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end")),
+        "contains": (F.col("l_start") <= F.col("r_start"))
+        & (F.col("r_end") <= F.col("l_end")),
+    }
+    if relation not in preds:
+        raise ValueError(
+            f"relation must be one of {sorted(preds)}, got {relation}"
+        )
     lb = _bucketed(left, keys, start, end, bucket_width, "l")
     rb = _bucketed(right, keys, start, end, bucket_width, "r")
-    overlap = (F.col("l_start") <= F.col("r_end")) & (
-        F.col("r_start") <= F.col("l_end")
-    )
     canonical = (
         F.expr(f"greatest(l_start, r_start) div {bucket_width}")
         == F.col("_bkt")
     )
-    return lb.join(rb, [*keys, "_bkt"]).filter(overlap & canonical).drop(
-        "_bkt"
+    return (
+        lb.join(rb, [*keys, "_bkt"])
+        .filter(preds[relation] & canonical)
+        .drop("_bkt")
     )
 
 

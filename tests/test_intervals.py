@@ -110,3 +110,36 @@ def test_interval_union_length_counts_overlap_once(spark):
     df = spark.createDataFrame(rows, ["id", "k", "start", "end"])
     r = iv.interval_union_length(df, ["k"]).collect()[0]
     assert (r["n_intervals"], r["covered_len"]) == (3, 25)
+
+
+def test_contains_relation_matches_bruteforce(spark):
+    rnd = random.Random(11)
+    rows = []
+    for i in range(100):
+        k = rnd.randint(0, 2)
+        s = rnd.randint(0, 800)
+        e = s + rnd.randint(0, 200)
+        rows.append((i, k, s, e))
+    rows.append((900, 0, 100, 150))  # planted identical pair:
+    rows.append((901, 0, 100, 150))  # contains must hold BOTH ways
+    l = spark.createDataFrame(rows, ["lid", "k", "start", "end"])
+    r = spark.createDataFrame(rows, ["rid", "k", "start", "end"])
+    got = {
+        (row["l_lid"], row["r_rid"])
+        for row in iv.interval_overlap_join(
+            l, r, ["k"], bucket_width=64, relation="contains"
+        ).collect()
+    }
+    expected = {
+        (a, b)
+        for a, ka, sa, ea in rows
+        for b, kb, sb, eb in rows
+        if ka == kb and sa <= sb and eb <= ea
+    }
+    assert got == expected
+    # identical intervals contain each other (both directions present)
+    assert (900, 901) in got and (901, 900) in got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        iv.interval_overlap_join(l, r, ["k"], relation="meets")
