@@ -2272,6 +2272,27 @@ def q_j10_interval_contains(spark, sf):
     )
 
 
+def q_ts_ohlc(spark, sf):
+    # OHLC downsampling (timeseries.ohlc_downsample): per (event_type,
+    # day) candle over the events value stream — open/close by struct
+    # min/max over a packed (ts, event_id, value) total order (one
+    # partial+final aggregate, no window), highs/lows/count from the
+    # same exchange.  The oracle deliberately uses a DIFFERENT
+    # formulation (row_number windows) for the same semantics — a
+    # stronger differential check than replaying the same plan.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _events_with_seconds(spark, sf)
+    out = ts_ops.ohlc_downsample(
+        ev, ["event_type"], F.col("_sec"), F.col("value"), 86400,
+        order_tiebreak=F.col("event_id"),
+    )
+    return out.select(
+        "event_type", "bucket_start", "open", "high", "low", "close",
+        F.col("n_ticks").cast("bigint").alias("n_ticks"),
+    )
+
+
 def q_quality_gopher_rules(spark, sf):
     # Gopher rule-bundle quality gate (text_analysis.
     # gopher_quality_features/_gate) over the REAL documents corpus —
@@ -4196,6 +4217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j9_interval_overlap": q_j9_interval_overlap,
     "j10_interval_contains": q_j10_interval_contains,
     "ts_interval_coverage": q_ts_interval_coverage,
+    "ts_ohlc": q_ts_ohlc,
     # -- new in r5 (rotate into the r6 window): contrastive negative
     # sampling, full-value md5-replay oracle --
     "pipeline_negative_samples": q_pipeline_negative_samples,
@@ -6465,6 +6487,34 @@ ORACLES: dict[str, str] = {
         FROM iv a JOIN iv b
           ON a.suppkey = b.suppkey AND a.iv_id <> b.iv_id
          AND a.s <= b.s AND b.e <= a.e
+    """,
+    # OHLC: window formulation of the same candle semantics.
+    "ts_ohlc": """
+        WITH e AS (
+            SELECT event_type, event_id, value,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS sec
+            FROM events
+        ),
+        b AS (
+            SELECT *, sec - sec % 86400 AS bucket_start FROM e
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket_start
+                       ORDER BY sec, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket_start
+                       ORDER BY sec DESC, event_id DESC) AS rn_d
+            FROM b
+        )
+        SELECT event_type, bucket_start,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM r GROUP BY 1, 2
     """,
     # Interval-union coverage: identical gaps-and-islands recurrence in
     # SQL windows — full-value.

@@ -209,3 +209,45 @@ def sliding_counts(
         .groupBy("window_start")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts: Column,
+    value: Column,
+    interval_s: int,
+    order_tiebreak: Column | None = None,
+) -> DataFrame:
+    """Open/high/low/close downsampling per (keys, time bucket) — the
+    financial-candle / telemetry-compaction aggregate: first and last
+    observed value of each bucket plus the extremes, collapsing any
+    tick volume to four numbers per series per interval.
+
+    First/last need a TOTAL order to be engine-deterministic: ties on
+    the timestamp are broken by ``order_tiebreak`` (default: the value
+    itself — pass the row's unique id when you have one).  Plan: ONE
+    shuffle on (keys, bucket); open/close are min/max over a packed
+    (order, value) struct from the same exchange as the min/max/count
+    aggregates — no window pass, so the aggregate stays partial+final
+    (map-side combined), the 100 TB-friendly shape.
+
+    Output: keys + (bucket_start, open, high, low, close, n_ticks)."""
+    if interval_s <= 0:
+        raise ValueError(f"interval_s must be > 0, got {interval_s}")
+    tb = order_tiebreak if order_tiebreak is not None else value
+    bucket = epoch_bucket(ts, interval_s)
+    packed = F.struct(
+        ts.alias("_t"), tb.alias("_tb"), value.alias("_v")
+    )
+    return (
+        df.select(*keys, bucket.alias("bucket_start"), packed.alias("_p"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.min("_p").getField("_v").alias("open"),
+            F.max(F.col("_p").getField("_v")).alias("high"),
+            F.min(F.col("_p").getField("_v")).alias("low"),
+            F.max("_p").getField("_v").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

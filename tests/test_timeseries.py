@@ -111,3 +111,34 @@ def test_sliding_counts_membership(spark):
 
     with _pytest.raises(ValueError):
         sliding_counts(ev, "sec", 10, 3)
+
+
+def test_ohlc_downsample_matches_python_reference(spark):
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    rows = [
+        # (key, sec, id, value) — bucket width 10; id breaks ts ties
+        ("a", 3, 1, 5.0), ("a", 1, 2, 9.0), ("a", 9, 3, 2.0),
+        ("a", 1, 1, 7.0),              # same ts as id 2 — id 1 wins open
+        ("a", 12, 4, 4.0),             # second bucket, single tick
+        ("b", 5, 1, 1.0), ("b", 5, 2, 8.0),  # all ties on ts
+    ]
+    df = spark.createDataFrame(rows, ["k", "sec", "eid", "v"])
+    got = {
+        (r["k"], r["bucket_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in ts_ops.ohlc_downsample(
+            df, ["k"], F.col("sec"), F.col("v"), 10,
+            order_tiebreak=F.col("eid"),
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): (7.0, 9.0, 2.0, 2.0, 4),
+        ("a", 10): (4.0, 4.0, 4.0, 4.0, 1),
+        ("b", 0): (1.0, 8.0, 1.0, 8.0, 2),
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ts_ops.ohlc_downsample(df, ["k"], F.col("sec"), F.col("v"), 0)
