@@ -4118,24 +4118,17 @@ def q_sample_pps(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-5 window: every slot goes to a query with NO
-    # prior driver row or the OLDEST driver evidence — (a) the 32
-    # queries that had never sat in a driver window (session-3/4
-    # additions: semdedup, shuffle-shard, BPE training, dataset
-    # fingerprints, PageRank, KMV sketches, PPS/temperature sampling,
-    # the time-series family, containment/edit-distance dedup, the
-    # quality classifier, projected ANN, the e2e pretraining pipeline,
-    # the last 5 TPC-H shapes, and the 3 rows-only raw twins whose
-    # oracled contracts are green); (b) image_dhash_pairs, new this
-    # round — first driver surface for the perceptual image-dedup
-    # family (golden-signature differential oracle); (c) 17 rotations
-    # whose only driver row dates from round 1 (cube/grouping-sets/
-    # pivot/stats aggs, subqueries, outer/state-asof joins, top-k, set
-    # ops, skew salting, downscale/clamp/uint256 mappings, TPC-H
-    # Q3/Q5).  The displaced round-4 window (all 50 green in
-    # CORRECTNESS_r04) moves to the stable core below and stays covered
-    # by the full local harness (scripts/check_correctness.py) every
-    # session.
+    # per round).  Round-6 window: CORRECTNESS_r05 never materialized
+    # (the r5 driver check did not land in the repo), so every query
+    # rotated in for r5 is STILL never-driver-checked.  This window
+    # therefore keeps 33 of the r5 pack's never-checked queries and
+    # adds the 17 queries authored in round 5 — together 50 of the 52
+    # queries with no driver row anywhere.  The only never-checked
+    # queries left out are the two rows-only raw twins (ann_projected,
+    # semdedup_approx), whose oracled contract twins remain in-window;
+    # the 15 r1-rotations from the r5 pack (each holding a green r1
+    # driver row) moved below the line.  Whichever round the driver
+    # checks next, this pack maximizes first-row union coverage.
     "pipeline_semdedup": q_pipeline_semdedup,
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
@@ -4160,8 +4153,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "ann_projected_recall": q_ann_projected_recall,
     "pipeline_pretraining_e2e": q_pipeline_pretraining_e2e,
-    "ann_projected": q_ann_projected,
-    "semdedup_approx": q_semdedup_approx,
     "dedup_incremental": q_dedup_incremental,
     "tpch_q6_shape": q_tpch_q6_shape,
     "tpch_q14_shape": q_tpch_q14_shape,
@@ -4169,6 +4160,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21_shape": q_tpch_q21_shape,
     "tpch_q22_shape": q_tpch_q22_shape,
     "image_dhash_pairs": q_image_dhash_pairs,
+    "ann_projected_lsh": q_ann_projected_lsh,
+    "ann_projected_lsh_recall": q_ann_projected_lsh_recall,
+    # r6 rotations: the 17 queries added in round 5 that have never had
+    # a driver row — audio/video perceptual dedup + excerpt/frame
+    # containment, URL canonicalization dedup + domain caps, the
+    # compression-gate and Gopher-rule quality gates, the incremental
+    # banded-hamming face, the interval overlap/contains joins +
+    # interval-union coverage, OHLC downsampling, negative sampling,
+    # overlap chunking, triangle counting, and quantized MaxSim.  To
+    # make room the two rows-only raw twins (ann_projected,
+    # semdedup_approx) moved below the line: each is shadowed by its
+    # oracled contract (ann_projected_recall, pipeline_semdedup) which
+    # STAYS in-window, and rows-only rows are the weakest evidence the
+    # window can spend a slot on.  The 15 r1-rotations from the r5 pack
+    # (cube/pivot/stats, subqueries, outer/state-asof joins, top-k, set
+    # ops, skew salting, mapping queries) also moved below — each holds
+    # a green r1 driver row and full local-harness coverage.
+    "audio_spectral_pairs": q_audio_spectral_pairs,
+    "video_dhash_pairs": q_video_dhash_pairs,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "url_domain_cap": q_url_domain_cap,
+    "quality_compression_gate": q_quality_compression_gate,
+    "audio_excerpt_containment": q_audio_excerpt_containment,
+    "video_frame_containment": q_video_frame_containment,
+    "quality_gopher_rules": q_quality_gopher_rules,
+    "dedup_simhash_incremental": q_dedup_simhash_incremental,
+    "j9_interval_overlap": q_j9_interval_overlap,
+    "j10_interval_contains": q_j10_interval_contains,
+    "ts_interval_coverage": q_ts_interval_coverage,
+    "ts_ohlc": q_ts_ohlc,
+    "pipeline_negative_samples": q_pipeline_negative_samples,
+    "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
+    "graph_triangles": q_graph_triangles,
+    "sim_maxsim_quantized": q_sim_maxsim_quantized,
+    # ---- end of the 50-query window ----
+    "ann_projected": q_ann_projected,
+    "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
     "a4_grouping_sets": q_a4_grouping_sets,
     "a7_pivot": q_a7_pivot,
@@ -4184,52 +4212,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "set_ops_all": q_set_ops_all,
     "skew_salted_agg": q_skew_salted_agg,
-    # new in r5: sub-quadratic projected+LSH ANN composition, raw twin
-    # + recall contract — in-window so the new family gets first-row
-    # driver evidence this round (tpch_q3/q5 displaced to r6: both have
-    # r1 driver rows and run in every bench pass)
-    "ann_projected_lsh": q_ann_projected_lsh,
-    "ann_projected_lsh_recall": q_ann_projected_lsh_recall,
-    # ---- end of the 50-query window ----
-    # -- new in r5 (rotate into the r6 window): audio/video perceptual
-    # dedup driver surfaces, golden-signature differential oracles --
-    "audio_spectral_pairs": q_audio_spectral_pairs,
-    "video_dhash_pairs": q_video_dhash_pairs,
-    # -- new in r5 (rotate into the r6 window): URL canonicalization
-    # dedup + per-registrable-domain cap, ground-truth oracles --
-    "url_canonical_dedup": q_url_canonical_dedup,
-    "url_domain_cap": q_url_domain_cap,
-    # -- new in r5 (rotate into the r6 window): compression-gate golden
-    # survivor contract (previously pytest-only) --
-    "quality_compression_gate": q_quality_compression_gate,
-    # -- new in r5 (rotate into the r6 window): audio excerpt + video
-    # frame-set containment, golden sub-hash differential oracles --
-    "audio_excerpt_containment": q_audio_excerpt_containment,
-    "video_frame_containment": q_video_frame_containment,
-    # -- new in r5 (rotate into the r6 window): Gopher rule-bundle
-    # quality gate, full-value corpus oracle --
-    "quality_gopher_rules": q_quality_gopher_rules,
-    # -- new in r5 (rotate into the r6 window): incremental banded-
-    # hamming face, full-value portable-signature oracle --
-    "dedup_simhash_incremental": q_dedup_simhash_incremental,
-    # -- new in r5 (rotate into the r6 window): interval overlap join
-    # + grouped interval-union coverage, full-value oracles --
-    "j9_interval_overlap": q_j9_interval_overlap,
-    "j10_interval_contains": q_j10_interval_contains,
-    "ts_interval_coverage": q_ts_interval_coverage,
-    "ts_ohlc": q_ts_ohlc,
-    # -- new in r5 (rotate into the r6 window): contrastive negative
-    # sampling, full-value md5-replay oracle --
-    "pipeline_negative_samples": q_pipeline_negative_samples,
-    # -- new in r5 (rotate into the r6 window): token-window chunking
-    # with overlap, full-value stride-replay oracle --
-    "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
-    # -- new in r5 (rotate into the r6 window): per-node triangle
-    # counts, full-value 3-way-join oracle --
-    "graph_triangles": q_graph_triangles,
-    # -- new in r5 (rotate into the r6 window): quantized MaxSim
-    # late-interaction retrieval, full-value integer oracle --
-    "sim_maxsim_quantized": q_sim_maxsim_quantized,
     "tpch_q3_shape": q_tpch_q3_shape,
     "tpch_q5_shape": q_tpch_q5_shape,
     # -- stable core: green driver rows r1-r4; re-verified locally --

@@ -4,9 +4,11 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-5 window: the 32 never-driver-checked queries, the new
-image_dhash_pairs driver surface, and 17 rotations whose only driver
-row dates from round 1."""
+Round-6 window: CORRECTNESS_r05 never landed, so the r5 rotations are
+still never-driver-checked — keep 33 of them and add the 17 queries
+authored in round 5, covering 50 of the 52 queries with no driver row
+(the two left out are rows-only raw twins whose oracled contracts stay
+in-window)."""
 
 import __spark_entry__ as em
 
@@ -22,20 +24,25 @@ WINDOW_50 = [
     "ts_sliding", "ts_moving_avg", "a14_mad_outliers",
     "dedup_containment", "dedup_editdist", "quality_classifier",
     "ann_projected_recall", "pipeline_pretraining_e2e",
-    "ann_projected", "semdedup_approx", "dedup_incremental",
+    "dedup_incremental",
     "tpch_q6_shape", "tpch_q14_shape", "tpch_q19_shape",
     "tpch_q21_shape", "tpch_q22_shape",
     "image_dhash_pairs",
-    "a4_cube", "a4_grouping_sets", "a7_pivot", "a8_stats",
-    "f_in_subquery", "f_scalar_subquery", "j3_full_outer",
-    "j7_state_asof", "o5_topk", "p4_downscale", "p5_clamp_validity",
-    "p6_uint256_roundtrip", "set_ops", "set_ops_all",
-    "skew_salted_agg", "ann_projected_lsh", "ann_projected_lsh_recall",
+    "ann_projected_lsh", "ann_projected_lsh_recall",
+    "audio_spectral_pairs", "video_dhash_pairs",
+    "url_canonical_dedup", "url_domain_cap",
+    "quality_compression_gate",
+    "audio_excerpt_containment", "video_frame_containment",
+    "quality_gopher_rules", "dedup_simhash_incremental",
+    "j9_interval_overlap", "j10_interval_contains",
+    "ts_interval_coverage", "ts_ohlc",
+    "pipeline_negative_samples", "pipeline_chunk_overlap",
+    "graph_triangles", "sim_maxsim_quantized",
 ]
 
 # rows-only by design (LSH banding / zlib / raw pair dumps whose
 # correctness rides on an oracled contract twin)
-ROWS_ONLY = {"ann_projected", "semdedup_approx", "dedup_incremental", "ann_projected_lsh"}
+ROWS_ONLY = {"dedup_incremental", "ann_projected_lsh"}
 
 
 def test_driver_window_is_frozen():
