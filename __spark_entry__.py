@@ -37,6 +37,7 @@ from subgraph_extractor_spark.operators import aggstate as aggstate_ops
 from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
+from subgraph_extractor_spark.operators import clustering as clustering_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import graph as graph_ops
@@ -2243,6 +2244,37 @@ def q_sim_maxsim_quantized(spark, sf):
     )
 
 
+def q_emb_kmeans(spark, sf):
+    # Deterministic distributed k-means (clustering.kmeans_fixed_point):
+    # Lloyd's over the exact 2^16 integer projection of the embeddings —
+    # assignment is a literal-centroid codegen argmin (lexicographic
+    # (dist, index) tie-break), the update is ONE map-side-combined
+    # groupBy with d SUM columns, and every op is exact BIGINT, so the
+    # full (vec_id, cluster) assignment is bit-portable.  Full-value
+    # oracle: Lloyd iterations unrolled as chained CTEs in DuckDB
+    # (clustering.kmeans_oracle_sql), same discipline as graph_pagerank.
+    emb = _t(spark, sf, "embeddings")
+    return clustering_ops.kmeans_fixed_point(
+        emb, "embedding", "vec_id", k=8, iters=4
+    )
+
+
+def q_emb_kmeans_balanced(spark, sf):
+    # Cluster-balanced data selection: cap each embedding-space region
+    # (k-means cluster) at 40 survivors chosen by md5(seed || id) rank —
+    # the curation face of clustering (a dominant region cannot drown
+    # the training mix).  Composes the pure-codegen final assignment
+    # with one windowed cap; full row set oracled by replaying the
+    # identical md5 ranking over the unrolled-CTE cluster assignment.
+    emb = _t(spark, sf, "embeddings")
+    asg = clustering_ops.kmeans_fixed_point(
+        emb, "embedding", "vec_id", k=8, iters=4
+    )
+    return clustering_ops.cluster_balanced_sample(
+        asg, "vec_id", per_cluster=40, seed=6
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4195,6 +4227,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "sim_maxsim_quantized": q_sim_maxsim_quantized,
     # ---- end of the 50-query window ----
+    # -- new in r6 (rotate into the r7 window): deterministic integer
+    # fixed-point k-means + cluster-balanced selection, full-value
+    # unrolled-CTE oracles --
+    "emb_kmeans": q_emb_kmeans,
+    "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -6377,6 +6414,23 @@ ORACLES: dict[str, str] = {
                CAST(score AS BIGINT) AS score
         FROM scored
         QUALIFY rank <= 3
+    """,
+    # Deterministic k-means: Lloyd iterations unrolled as chained CTEs
+    # over the exact integer projection — full-value assignment check.
+    "emb_kmeans": clustering_ops.kmeans_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=8, iters=4
+    ),
+    # Cluster-balanced cap: identical md5(seed || chr(31) || id) rank
+    # replayed over the unrolled-CTE assignment.
+    "emb_kmeans_balanced": f"""
+        SELECT vec_id, cluster
+        FROM ({clustering_ops.kmeans_oracle_sql(
+            "embeddings", "vec_id", "embedding", k=8, iters=4
+        )})
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY cluster
+            ORDER BY md5('6' || chr(31) || CAST(vec_id AS VARCHAR)), vec_id
+        ) <= 40
     """,
     # Triangle counts: 3-way oriented join a<b<c, then each triangle
     # credits its three nodes; nodes of the graph missing from every
