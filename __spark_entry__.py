@@ -38,6 +38,7 @@ from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import clustering as clustering_ops
+from subgraph_extractor_spark.operators import pq as pq_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
 from subgraph_extractor_spark.operators import graph as graph_ops
@@ -2275,6 +2276,41 @@ def q_emb_kmeans_balanced(spark, sf):
     )
 
 
+def q_ann_pq(spark, sf):
+    # Product-quantization ANN end-to-end (operators/pq.py): train
+    # 8 per-subspace codebooks of 8 codewords (integer fixed-point
+    # Lloyd's, all subspaces in the same jobs), encode the corpus to
+    # 8 codes/vector (256-byte float32 -> 8 bytes), ADC-search the 5
+    # smallest-id vectors against the codes.  Every step exact BIGINT
+    # arithmetic, so the full approximate top-3 — not a recall
+    # contract — oracles against the DuckDB replay (one kmeans unroll
+    # keyed by subspace, then encode/ADC/rank CTEs).
+    emb = _t(spark, sf, "embeddings")
+    return pq_ops.pq_ann_topk(
+        emb, "embedding", "vec_id",
+        m=8, k_codes=8, iters=2, topk=3, n_queries=5,
+    )
+
+
+def q_emb_pq_codes(spark, sf):
+    # The persistable compressed corpus itself: every embedding's m=8
+    # codeword indices (the artifact a 100 TB deployment would write
+    # once and search many times).  Codes travel as a comma-joined
+    # string so the array crosses the pandas comparison boundary
+    # dtype-faithfully; full-value oracled per vector.
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_ops.pq_train_codebooks(
+        emb, "embedding", "vec_id", m=8, k=8, iters=2
+    )
+    codes = pq_ops.pq_encode(emb, "embedding", "vec_id", cb)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+            "codes_str"
+        ),
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4232,6 +4268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # unrolled-CTE oracles --
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
+    "ann_pq": q_ann_pq,
+    "emb_pq_codes": q_emb_pq_codes,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -6432,6 +6470,17 @@ ORACLES: dict[str, str] = {
             ORDER BY md5('6' || chr(31) || CAST(vec_id AS VARCHAR)), vec_id
         ) <= 40
     """,
+    # PQ ANN: shared train+encode CTE chain (one kmeans unroll keyed
+    # by subspace), then ADC tables / scoring / ranked top-k — the
+    # full approximate search result, full-value.
+    "ann_pq": pq_ops.pq_oracle_sql(
+        "embeddings", "vec_id", "embedding",
+        m=8, k=8, iters=2, topk=3, n_queries=5,
+    ),
+    # PQ codes: every vector's m codeword indices, comma-joined.
+    "emb_pq_codes": pq_ops.pq_codes_oracle_sql(
+        "embeddings", "vec_id", "embedding", m=8, k=8, iters=2
+    ),
     # Triangle counts: 3-way oriented join a<b<c, then each triangle
     # credits its three nodes; nodes of the graph missing from every
     # triangle report 0 — full-value.

@@ -1,0 +1,484 @@
+"""Product quantization — compressed-corpus ANN, exact-integer end to end.
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011) is THE memory lever for billion-vector search: split each
+d-dim vector into ``m`` subspaces, k-means each subspace into ``k``
+codewords, and store every corpus vector as ``m`` small codes — at the
+defaults here a 64-dim float32 vector (256 bytes) compresses to 8
+bytes, so a 100 TB embedding corpus's search structure fits in a few
+hundred GB of executor memory.  Queries score against the codes with
+ADC (asymmetric distance computation): per query, a tiny m x k table
+of exact distances from the query's subvectors to every codeword, then
+every corpus item's approximate distance is just ``m`` table lookups
+summed.
+
+Everything rides the integer fixed-point discipline of
+operators/clustering.py (same 2^scale_bits quantization, same exact
+BIGINT squared-distance, same (dist, index) lexicographic argmin, same
+fdiv centroid update, same k-smallest-ids deterministic seeding) — so
+codebooks, codes, ADC tables, scores, and the final top-k ranking are
+ALL bit-portable, and the entire approximate search — not merely a
+recall contract — is full-value checkable against a DuckDB replay
+(:func:`pq_oracle_sql`).
+
+Scale shape:
+
+* **Train** (:func:`pq_train_codebooks`): the corpus explodes ONCE
+  into (id, s, qsub) subvector rows — m x rows but d/m-length arrays,
+  the same total data volume — and persists.  Each Lloyd iteration is
+  a map pass (pure-codegen argmin over literal centroids, the
+  subspace's codebook selected by ``element_at`` on a literal
+  array-of-codebooks) plus ONE groupBy(s, cluster) with d/m SUM
+  columns, partial-aggregated map-side; all m subspaces train in the
+  SAME jobs (m x k x (d/m + 1) numbers cross the wire per map task).
+  Driver state is the m x k x d/m codebook tensor — bounded model
+  state, the same artifact class as pyspark.ml KMeans.
+* **Encode** (:func:`pq_encode`): map-only whole-stage codegen over
+  the un-exploded vectors (slice + argmin per subspace, all-literal
+  codebooks); output is (id, array<int> of length m) — the persistable
+  compressed corpus.
+* **Search** (:func:`pq_topk`): the query set broadcasts onto the
+  code table (the documented retrieval asymmetry every op in
+  operators/similarity.py uses — the corpus never moves); per-pair
+  cost is m ``element_at`` lookups + a fold, pure codegen; one
+  per-query window takes top-k with the (distance, id) tie-break.
+
+The reference engine has no vector search at all (it extracts subgraph
+entity tables, reference cli.py); this family is part of the
+training-data-pipeline surface the spec mandates beyond reference
+parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from subgraph_extractor_spark.operators.clustering import _fdiv
+
+
+def _sqdist(a, b):
+    """Exact BIGINT squared L2 distance between two LONG arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebooks_lit(codebooks: list[list[list[int]]]):
+    """The m x k x dsub codebook tensor as one literal nested array."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)).cast("long") for v in code])
+                    for code in cb
+                ]
+            )
+            for cb in codebooks
+        ]
+    )
+
+
+def _argmin_code(qsub, cb):
+    """argmin_j (sqdist(qsub, cb[j]), j) — lowest-index tie-break via
+    lexicographic struct min; ``cb`` may be a literal or a runtime
+    nested-array column."""
+    return F.array_min(
+        F.transform(
+            cb,
+            lambda c, j: F.struct(
+                _sqdist(qsub, c).alias("d"), j.alias("j")
+            ),
+        )
+    )["j"]
+
+
+def _subvector_rows(
+    df: DataFrame, vec_col: str, id_col: str, m: int, scale_bits: int
+) -> DataFrame:
+    """(id, s, qsub) — the corpus exploded into quantized subvectors.
+    Requires m to divide the dimension (checked by the caller)."""
+    scale = float(1 << scale_bits)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(scale)
+                ).cast("long"),
+            ).alias("q"),
+        )
+        .withColumn("_dsub", (F.size("q") / F.lit(m)).cast("int"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(
+                        F.col("q"),
+                        s * F.col("_dsub") + 1,
+                        F.col("_dsub"),
+                    ),
+                )
+            ).alias("s", "qsub"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    scale_bits: int = 16,
+) -> list[list[list[int]]]:
+    """Lloyd's per subspace, all m subspaces in the same jobs; returns
+    the converged codebook tensor ``cents[s][j] -> dsub-dim LONG
+    centroid``.  Seeds are the quantized subvectors of the k smallest
+    ids (deterministic, no RNG); empty clusters carry their previous
+    codeword, exactly as :func:`clustering.kmeans_fixed_point`."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+
+    sub = _subvector_rows(df, vec_col, id_col, m, scale_bits).persist()
+    try:
+        seed_rows = (
+            sub.join(
+                sub.select("id").distinct().orderBy("id").limit(k).withColumn(
+                    "j", F.row_number().over(Window.orderBy("id")) - 1
+                ),
+                "id",
+            )
+            .select("s", "j", "qsub")
+            .collect()
+        )
+        n_seeds = len({r["j"] for r in seed_rows})
+        if n_seeds < k:
+            raise ValueError(f"k={k} exceeds corpus size {n_seeds}")
+        cents: list[list[list[int]]] = [[None] * k for _ in range(m)]
+        for r in seed_rows:
+            cents[r["s"]][r["j"]] = list(r["qsub"])
+
+        for _ in range(iters):
+            cb_lit = _codebooks_lit(cents)
+            assigned = sub.select(
+                "s",
+                "qsub",
+                _argmin_code(
+                    F.col("qsub"), F.element_at(cb_lit, F.col("s") + 1)
+                ).alias("j"),
+            )
+            sums = (
+                assigned.groupBy("s", "j")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("qsub", i + 1)).alias(f"v{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                .collect()
+            )
+            nxt = [[list(c) for c in cb] for cb in cents]
+            for row in sums:
+                nxt[row["s"]][row["j"]] = [
+                    _fdiv(int(row[f"v{i}"]), int(row["n"]))
+                    for i in range(dsub)
+                ]
+            cents = nxt
+        return cents
+    finally:
+        sub.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[int]]],
+    scale_bits: int = 16,
+) -> DataFrame:
+    """(id, codes) — each vector compressed to ``m`` codeword indices.
+    Map-only whole-stage codegen: quantize, slice per subspace, argmin
+    against the literal codebooks.  This is the persistable compressed
+    corpus (m bytes/vector at k <= 256)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    scale = float(1 << scale_bits)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    codes = F.array(
+        *[
+            _argmin_code(
+                F.slice(q, s * dsub + 1, dsub),
+                F.array(
+                    *[
+                        F.array(*[F.lit(int(v)).cast("long") for v in c])
+                        for c in codebooks[s]
+                    ]
+                ),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[int]]],
+    k: int = 3,
+    scale_bits: int = 16,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC search: per query an m x k table of EXACT integer distances
+    from its subvectors to every codeword (pure codegen over the
+    literal codebooks — k*m BIGINTs per query row), then each corpus
+    item's approximate distance is m ``element_at`` lookups summed.
+    Queries broadcast onto the code table; one per-query window ranks
+    top-``k`` by (distance asc, doc_id asc).
+
+    Output: (query_id, doc_id, rank, adc_dist)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    scale = float(1 << scale_bits)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    qtable = F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist(
+                        F.slice(q, s * dsub + 1, dsub),
+                        F.array(
+                            *[
+                                F.lit(int(v)).cast("long")
+                                for v in codebooks[s][j]
+                            ]
+                        ),
+                    )
+                    for j in range(len(codebooks[s]))
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), qtable.alias("_qt")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_qt"),
+            lambda c, t: F.element_at(t, c.cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qside)
+        .crossJoin(corpus_codes.withColumnRenamed("id", "doc_id"))
+        .select("query_id", "doc_id", adc.alias("adc_dist"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "adc_dist")
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 3,
+    n_queries: int = 5,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """End-to-end self-ANN face: train codebooks on the corpus, encode
+    it, and ADC-search the ``n_queries`` smallest-id vectors against
+    the codes (self-matches excluded).  Deterministic throughout, so
+    the whole thing full-value oracles via :func:`pq_oracle_sql`."""
+    codebooks = pq_train_codebooks(
+        corpus, vec_col, id_col, m=m, k=k_codes, iters=iters,
+        scale_bits=scale_bits,
+    )
+    codes = pq_encode(corpus, vec_col, id_col, codebooks, scale_bits)
+    queries = corpus.orderBy(id_col).limit(n_queries)
+    return pq_topk(
+        queries, codes, vec_col, id_col, codebooks,
+        k=topk, scale_bits=scale_bits,
+    )
+
+
+def _pq_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    iters: int,
+    scale_bits: int,
+) -> list[str]:
+    """The shared CTE chain: quantize -> subvector long format -> ONE
+    kmeans unroll with the subspace index as an extra key (all m
+    subspaces share the chain) -> per-vector codes.  Long format
+    throughout: ``ql`` = (id, s, i, v) subvector components; codebooks
+    live as (s, j, i, c) rows.  Integer SUMs come back HUGEINT ->
+    cast."""
+    scale = 1 << scale_bits
+    parts = [
+        f"""qv AS MATERIALIZED (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+                   ) AS q
+            FROM {table})""",
+        f"""ql AS MATERIALIZED (
+            SELECT id,
+                   CAST((gi - 1) // (len(q) // {m}) AS INT) AS s,
+                   CAST((gi - 1) % (len(q) // {m}) AS INT) AS i,
+                   v
+            FROM (SELECT id, generate_subscripts(q, 1) AS gi,
+                         unnest(q) AS v, q
+                  FROM qv))""",
+        f"""c0 AS (
+            SELECT CAST(rn - 1 AS INT) AS j, s, i, v AS c
+            FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn
+                  FROM qv ORDER BY id LIMIT {k}) sd
+            JOIN ql USING (id))""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""a{t} AS (
+            SELECT id, s, j FROM (
+                SELECT ql.id, ql.s, c.j,
+                       CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+                FROM ql JOIN c{t} c ON c.s = ql.s AND c.i = ql.i
+                GROUP BY ql.id, ql.s, c.j)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY d, j) = 1)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+            SELECT p.s, p.j, p.i,
+                   CASE WHEN u.n IS NULL THEN p.c
+                        ELSE CAST((u.sv - ((u.sv % u.n) + u.n) % u.n) // u.n
+                                  AS BIGINT)
+                   END AS c
+            FROM c{t} p
+            LEFT JOIN (
+                SELECT a.s, a.j, ql.i,
+                       CAST(SUM(ql.v) AS BIGINT) AS sv,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM a{t} a JOIN ql ON ql.id = a.id AND ql.s = a.s
+                GROUP BY a.s, a.j, ql.i
+            ) u ON u.s = p.s AND u.j = p.j AND u.i = p.i)"""
+        )
+    cf = f"c{iters}"
+    parts.append(
+        # encode: every corpus vector's nearest codeword per subspace
+        f"""codes AS (
+            SELECT id, s, j FROM (
+                SELECT ql.id, ql.s, c.j,
+                       CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+                FROM ql JOIN {cf} c ON c.s = ql.s AND c.i = ql.i
+                GROUP BY ql.id, ql.s, c.j)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY d, j) = 1)"""
+    )
+    return parts
+
+
+def pq_codes_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    scale_bits: int = 16,
+) -> str:
+    """DuckDB replay of :func:`pq_encode` over codebooks trained by
+    :func:`pq_train_codebooks` — (id, comma-joined codes), full-value."""
+    parts = _pq_ctes(table, id_col, vec_col, m, k, iters, scale_bits)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT id AS {id_col},
+               string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes_str
+        FROM codes GROUP BY id"""
+    )
+
+
+def pq_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 3,
+    n_queries: int = 5,
+    scale_bits: int = 16,
+) -> str:
+    """DuckDB replay of :func:`pq_ann_topk` — the shared train+encode
+    chain (:func:`_pq_ctes`), then ADC tables, scoring, and the ranked
+    top-k, every op the identical exact integer op."""
+    cf = f"c{iters}"
+    parts = _pq_ctes(table, id_col, vec_col, m, k, iters, scale_bits)
+    parts += [
+        # the query set: n_queries smallest ids
+        f"""qids AS (SELECT id FROM qv ORDER BY id LIMIT {n_queries})""",
+        # ADC tables: exact distance query-subvector -> every codeword
+        f"""qt AS (
+            SELECT ql.id AS query_id, ql.s, c.j,
+                   CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+            FROM ql JOIN qids USING (id)
+            JOIN {cf} c ON c.s = ql.s AND c.i = ql.i
+            GROUP BY ql.id, ql.s, c.j)""",
+        # score: m table lookups summed per (query, doc)
+        """scored AS (
+            SELECT qt.query_id, codes.id AS doc_id,
+                   CAST(SUM(qt.d) AS BIGINT) AS adc_dist
+            FROM codes
+            JOIN qt ON qt.s = codes.s AND qt.j = codes.j
+            WHERE codes.id <> qt.query_id
+            GROUP BY qt.query_id, codes.id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT query_id, doc_id, rank, adc_dist FROM (
+            SELECT query_id, doc_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, doc_id) AS INT) AS rank
+            FROM scored)
+        WHERE rank <= {topk}"""
+    )

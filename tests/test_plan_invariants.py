@@ -75,6 +75,12 @@ ALLOWED_NON_EQUI = {
     # KMV overlap: 1x1 crossJoin of two single-row corpus sketch tables
     # (kilobytes each) — the sketch-vs-sketch comparison IS the operator
     "sketch_kmv_overlap",
+    # PQ ADC search: deliberate broadcast of the SMALL query-table side
+    # (n_queries rows of m x k ADC lookup tables) onto the compressed
+    # code table — the same documented retrieval asymmetry as
+    # sim_topk_matmul / sim_maxsim_quantized; per-pair work is m
+    # element_at lookups over 8-byte codes, never the raw vectors
+    "ann_pq",
 }
 
 _BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")

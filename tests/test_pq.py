@@ -1,0 +1,192 @@
+"""Product quantization (operators/pq.py) vs a verbatim single-process
+Python reference: codebook training, encoding, ADC search."""
+
+import math
+import random
+
+import pytest
+
+from subgraph_extractor_spark.operators import pq
+
+
+# ---------------------------------------------------------------- reference
+
+def _quant(vec, scale_bits=16):
+    s = 1 << scale_bits
+    return [math.floor(float(x) * s) for x in vec]
+
+
+def _fdiv(s, n):
+    return (s - ((s % n) + n) % n) // n
+
+
+def _sq(a, b):
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _ref_train(rows, m, k, iters, scale_bits=16):
+    q = {i: _quant(v, scale_bits) for i, v in rows}
+    dim = len(next(iter(q.values())))
+    dsub = dim // m
+    sub = {
+        (i, s): qv[s * dsub:(s + 1) * dsub]
+        for i, qv in q.items()
+        for s in range(m)
+    }
+    seeds = sorted(q)[:k]
+    cents = [[list(sub[(i, s)]) for i in seeds] for s in range(m)]
+
+    for _ in range(iters):
+        assign = {
+            (i, s): min(
+                (_sq(sub[(i, s)], cents[s][j]), j) for j in range(k)
+            )[1]
+            for i in q
+            for s in range(m)
+        }
+        nxt = [[list(c) for c in cb] for cb in cents]
+        for s in range(m):
+            for j in range(k):
+                members = [
+                    sub[(i, s)] for i in q if assign[(i, s)] == j
+                ]
+                if members:
+                    n = len(members)
+                    nxt[s][j] = [
+                        _fdiv(sum(col), n) for col in zip(*members)
+                    ]
+        cents = nxt
+    return cents
+
+
+def _ref_encode(rows, cents, scale_bits=16):
+    m = len(cents)
+    dsub = len(cents[0][0])
+    out = {}
+    for i, v in rows:
+        qv = _quant(v, scale_bits)
+        out[i] = [
+            min(
+                (_sq(qv[s * dsub:(s + 1) * dsub], cents[s][j]), j)
+                for j in range(len(cents[s]))
+            )[1]
+            for s in range(m)
+        ]
+    return out
+
+
+def _ref_topk(rows, cents, codes, n_queries, topk, scale_bits=16):
+    m = len(cents)
+    dsub = len(cents[0][0])
+    qids = sorted(i for i, _ in rows)[:n_queries]
+    vec = dict(rows)
+    out = []
+    for qid in qids:
+        qv = _quant(vec[qid], scale_bits)
+        table = [
+            [_sq(qv[s * dsub:(s + 1) * dsub], c) for c in cents[s]]
+            for s in range(m)
+        ]
+        scored = sorted(
+            (sum(table[s][codes[i][s]] for s in range(m)), i)
+            for i, _ in rows
+            if i != qid
+        )
+        for r, (d, i) in enumerate(scored[:topk], start=1):
+            out.append((qid, i, r, d))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------- tests
+
+def _mk_df(spark, rows, parts=6):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "id long, vec array<float>",
+    ).repartition(parts)
+
+
+def _rand_rows(seed, n, dim):
+    rng = random.Random(seed)
+    return [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+
+
+def test_pq_codebooks_match_reference(spark):
+    rows = _rand_rows(5, 40, 8)
+    got = pq.pq_train_codebooks(
+        _mk_df(spark, rows), "vec", "id", m=2, k=3, iters=2
+    )
+    assert got == _ref_train(rows, m=2, k=3, iters=2)
+
+
+def test_pq_encode_matches_reference(spark):
+    rows = _rand_rows(7, 50, 12)
+    cents = _ref_train(rows, m=3, k=4, iters=2)
+    enc = pq.pq_encode(_mk_df(spark, rows), "vec", "id", cents)
+    got = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    assert got == _ref_encode(rows, cents)
+
+
+def test_pq_end_to_end_matches_reference(spark):
+    rows = _rand_rows(11, 60, 8)
+    out = pq.pq_ann_topk(
+        _mk_df(spark, rows), "vec", "id",
+        m=2, k_codes=4, iters=2, topk=3, n_queries=4,
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["adc_dist"])
+        for r in out.collect()
+    )
+    cents = _ref_train(rows, m=2, k=4, iters=2)
+    codes = _ref_encode(rows, cents)
+    assert got == _ref_topk(rows, cents, codes, n_queries=4, topk=3)
+
+
+def test_pq_partitioning_invariance(spark):
+    rows = _rand_rows(13, 45, 8)
+    a = pq.pq_ann_topk(
+        _mk_df(spark, rows, parts=1), "vec", "id",
+        m=4, k_codes=3, iters=2, topk=2, n_queries=3,
+    ).collect()
+    b = pq.pq_ann_topk(
+        _mk_df(spark, rows, parts=9), "vec", "id",
+        m=4, k_codes=3, iters=2, topk=2, n_queries=3,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_recovers_easy_structure(spark):
+    # three tight blobs, ids interleaved so seeds span blobs: each
+    # query's top neighbors under ADC must come from its own blob —
+    # the compression is lossy but far coarser than the blob gap.
+    rng = random.Random(17)
+    rows = []
+    centers = [(-6.0, -6.0, -6.0, -6.0), (6.0, 6.0, 6.0, 6.0),
+               (6.0, -6.0, 6.0, -6.0)]
+    for b, c in enumerate(centers):
+        for i in range(12):
+            rows.append(
+                (i * 3 + b,
+                 [c[d] + rng.uniform(-0.3, 0.3) for d in range(4)])
+            )
+    out = pq.pq_ann_topk(
+        _mk_df(spark, rows), "vec", "id",
+        m=2, k_codes=3, iters=3, topk=3, n_queries=3,
+    )
+    for r in out.collect():
+        assert r["query_id"] % 3 == r["doc_id"] % 3
+
+
+def test_pq_m_must_divide_dim(spark):
+    rows = _rand_rows(1, 10, 10)
+    with pytest.raises(ValueError):
+        pq.pq_train_codebooks(_mk_df(spark, rows), "vec", "id", m=3, k=2)
+
+
+def test_pq_k_exceeds_corpus_raises(spark):
+    rows = _rand_rows(2, 3, 4)
+    with pytest.raises(ValueError):
+        pq.pq_train_codebooks(
+            _mk_df(spark, rows), "vec", "id", m=2, k=5, iters=1
+        )
