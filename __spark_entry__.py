@@ -38,6 +38,7 @@ from subgraph_extractor_spark.operators import asof as asof_ops
 from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import clustering as clustering_ops
+from subgraph_extractor_spark.operators import dsir as dsir_ops
 from subgraph_extractor_spark.operators import pq as pq_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
@@ -2311,6 +2312,37 @@ def q_emb_pq_codes(spark, sf):
     )
 
 
+def q_pipeline_dsir_scores(spark, sf):
+    # DSIR-style data selection (operators/dsir.py): score every
+    # document by how target-like its hashed-bigram profile is —
+    # target model = the English subset, raw model = the whole corpus,
+    # per-gram weight the 2^16-scaled add-1-smoothed probability ratio
+    # (the deterministic integer variant of the paper's log-ratio;
+    # monotone per gram, exact BIGINT end to end).  Full-value oracle
+    # replays tokenize -> bigram -> 48-bit-md5 bucket -> ratio -> fold.
+    d = _t(spark, sf, "documents")
+    return dsir_ops.dsir_scores(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id",
+        buckets=4096, scale_bits=16,
+    )
+
+
+def q_pipeline_leakage_split(spark, sf):
+    # Leakage-safe train/valid/test split: connected components over
+    # the EXACT n-gram-Jaccard pair set decide a per-cluster
+    # representative, and every member splits by the REPRESENTATIVE's
+    # md5 bucket — so a near-duplicate can never straddle train/eval.
+    # Composes three operator families (exact pairs -> min-label CC ->
+    # group-aware split); the oracle replays pairs via the inverted
+    # index, clusters via recursive reachability, and the bucket CASE.
+    d = _t(spark, sf, "documents")
+    pairs = _exact_jaccard_pairs(spark, sf, _DEDUP_J_THRESHOLD)
+    clusters = dedup_ops.duplicate_clusters(pairs)
+    return sampling_ops.leakage_safe_split(
+        d.select("doc_id"), "doc_id", clusters
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4270,6 +4302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,
     "emb_pq_codes": q_emb_pq_codes,
+    "pipeline_dsir_scores": q_pipeline_dsir_scores,
+    "pipeline_leakage_split": q_pipeline_leakage_split,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -6481,6 +6515,48 @@ ORACLES: dict[str, str] = {
     "emb_pq_codes": pq_ops.pq_codes_oracle_sql(
         "embeddings", "vec_id", "embedding", m=8, k=8, iters=2
     ),
+    # DSIR importance scores: identical tokenize -> bigram -> 48-bit
+    # md5 bucket -> 2^16-scaled smoothed ratio -> per-doc fold.
+    "pipeline_dsir_scores": dsir_ops.dsir_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        buckets=4096, scale_bits=16,
+    ),
+    # Leakage-safe split: recursive-reachability clusters over the
+    # exact-Jaccard pair set, then the md5 bucket CASE over the
+    # cluster representative (fallback: the doc's own id).
+    "pipeline_leakage_split": f"""
+        WITH RECURSIVE
+        {_EXACT_JACCARD_PAIRS_SQL},
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM exact_pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM exact_pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        cl AS (
+            SELECT id AS member_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        )
+        SELECT doc_id,
+               CASE WHEN b < 204 THEN 'train'
+                    WHEN b < 230 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT d.doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+                                           AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+                                           AS VARCHAR)), 2, 1)) - 1) AS b
+            FROM documents d
+            LEFT JOIN cl ON cl.member_id = d.doc_id)
+    """,
     # Triangle counts: 3-way oriented join a<b<c, then each triangle
     # credits its three nodes; nodes of the graph missing from every
     # triangle report 0 — full-value.

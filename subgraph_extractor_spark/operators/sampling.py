@@ -106,6 +106,42 @@ def split_assign(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    boundaries: tuple[int, int] = (204, 230),
+    names: tuple[str, str, str] = ("train", "valid", "test"),
+) -> DataFrame:
+    """Group-aware train/valid/test split: every member of a near-dup
+    cluster lands on the SAME side, so a document's near-duplicate can
+    never leak from train into the eval sets — the failure mode a
+    per-document hash split has by construction (trained-on text shows
+    up verbatim-ish in valid/test and inflates eval).
+
+    ``clusters`` is a (member_id, cluster_id) table — the output of
+    ``dedup.duplicate_clusters`` / ``duplicate_clusters_star`` over any
+    pair generator (MinHash, SimHash, embedding near-dup).  The split
+    key is the cluster representative (min reachable id); documents in
+    no cluster fall back to their own id, preserving the plain
+    ``split_assign`` distribution.
+
+    Scale shape: one LEFT equi-join against the cluster table (at real
+    near-dup rates a few percent of the corpus — Catalyst broadcasts it
+    when it fits, AQE handles the rest) + the pure-codegen md5 bucket.
+    No window, no extra shuffle beyond the join."""
+    rep = clusters.select(
+        F.col("member_id").alias(id_col),
+        F.col("cluster_id").alias("_grp"),
+    )
+    key = F.coalesce(F.col("_grp"), F.col(id_col))
+    return (
+        df.join(rep, id_col, "left")
+        .withColumn("split", split_assign(key, boundaries, names))
+        .drop("_grp")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key: Column,

@@ -81,6 +81,9 @@ ALLOWED_NON_EQUI = {
     # sim_topk_matmul / sim_maxsim_quantized; per-pair work is m
     # element_at lookups over 8-byte codes, never the raw vectors
     "ann_pq",
+    # DSIR weights: the 1-row (Zt, Zr) totals anchor crossJoined into
+    # the B-row generated bucket domain (the BM25 corpus-stats shape)
+    "pipeline_dsir_scores",
 }
 
 _BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
