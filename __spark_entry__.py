@@ -2343,6 +2343,59 @@ def q_pipeline_leakage_split(spark, sf):
     )
 
 
+def q_retrieval_rrf(spark, sf):
+    # Reciprocal-rank fusion of two deterministic part rankings —
+    # revenue top-50 and quantity top-50 (both DECIMAL-exact sums with
+    # partkey tie-break, so the input RANKS are engine-portable) —
+    # fused with the integer 2^20 div (60 + rank) term, top-20 by
+    # (score desc, id).  The rank windows run over LIMITed 50/20-row
+    # sets, never the corpus; the fusion is union + ONE groupBy.
+    li = _t(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+
+    def _top50(value_col):
+        top = (
+            li.groupBy("l_partkey")
+            .agg(value_col.alias("_v"))
+            .orderBy(F.desc("_v"), "l_partkey")
+            .limit(50)
+        )
+        w = Window.orderBy(F.desc("_v"), F.col("l_partkey"))
+        return top.select(
+            F.col("l_partkey").alias("doc_id"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+
+    r_rev = _top50(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (one - F.col("l_discount").cast("decimal(18,2)"))
+        )
+    )
+    r_qty = _top50(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    fused = retrieval_ops.rrf_fuse([r_rev, r_qty], topk=20)
+    return fused.select(
+        F.col("doc_id").alias("p_partkey"),
+        "n_lists",
+        "rrf_score",
+        "fused_rank",
+    )
+
+
+def q_pipeline_token_budget(spark, sf):
+    # Token-budget mixture selection: fill per-language token budgets
+    # (en 3000 / zh 1200 / es 800) in stable md5 order — selection in
+    # the unit training mixes are specified in.  Distributed two-level
+    # prefix sum per (lang, bucket); full selected set with running
+    # totals oracled by replaying the identical window recurrence.
+    d = _t(spark, sf, "documents")
+    return sampling_ops.token_budget_mixture(
+        d, "doc_id", "lang",
+        ta.token_count(F.col("text")).cast("long"),
+        {"en": 3000, "zh": 1200, "es": 800},
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4304,6 +4357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_codes": q_emb_pq_codes,
     "pipeline_dsir_scores": q_pipeline_dsir_scores,
     "pipeline_leakage_split": q_pipeline_leakage_split,
+    "retrieval_rrf": q_retrieval_rrf,
+    "pipeline_token_budget": q_pipeline_token_budget,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -6522,6 +6577,70 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         buckets=4096, scale_bits=16,
     ),
+    # RRF: both input rankings replayed with DECIMAL-exact sums +
+    # QUALIFY top-50, fused with the identical integer div term.
+    "retrieval_rrf": """
+        WITH rev AS (
+            SELECT l_partkey AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (CAST(1 AS DECIMAL(18,2))
+                                       - CAST(l_discount AS DECIMAL(18,2))))
+                                DESC, l_partkey) AS INT) AS rank
+            FROM lineitem GROUP BY l_partkey
+            QUALIFY rank <= 50
+        ),
+        qty AS (
+            SELECT l_partkey AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                DESC, l_partkey) AS INT) AS rank
+            FROM lineitem GROUP BY l_partkey
+            QUALIFY rank <= 50
+        ),
+        u AS (
+            SELECT doc_id, 1048576 // (60 + rank) AS t FROM rev
+            UNION ALL
+            SELECT doc_id, 1048576 // (60 + rank) AS t FROM qty
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(SUM(t) AS BIGINT) AS rrf_score
+            FROM u GROUP BY doc_id
+        )
+        SELECT doc_id AS p_partkey, n_lists, rrf_score,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+        FROM f
+        QUALIFY fused_rank <= 20
+    """,
+    # Token-budget mixture: identical md5 line order and running-total
+    # recurrence, replayed as one window per language.
+    "pipeline_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST({_WS_TOKENS} AS BIGINT) END AS w,
+                   md5('budget' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+            WHERE lang IN ('en', 'zh', 'es')
+        ),
+        lined AS (
+            SELECT doc_id, lang, w,
+                   SUM(w) OVER (
+                       PARTITION BY lang ORDER BY hx, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   CASE lang WHEN 'en' THEN 3000
+                             WHEN 'zh' THEN 1200
+                             ELSE 800 END AS b
+            FROM t WHERE w > 0
+        )
+        SELECT doc_id, lang, w AS weight, CAST(cum AS BIGINT) AS cum_tokens
+        FROM lined
+        WHERE cum - w < b
+    """,
     # Leakage-safe split: recursive-reachability clusters over the
     # exact-Jaccard pair set, then the md5 bucket CASE over the
     # cluster representative (fallback: the doc's own id).

@@ -205,3 +205,68 @@ def merge_inverted_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
             F.sort_array(F.collect_list("_id")).alias("postings"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale_bits: int = 20,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    N ranked lists, integerized:
+
+        rrf(d) = sum over lists of  2^scale_bits div (k0 + rank_d)
+
+    RRF is THE standard way to combine lexical (BM25) and vector (ANN)
+    retrieval without score calibration — only RANKS cross the fusion
+    boundary, so float-scored and integer-scored rankers compose
+    freely.  The fixed-point term keeps every fused score an exact
+    BIGINT (floor(2^20 / (60+r)) separates adjacent ranks up to
+    r ~ 1000), so fused scores and the fused ranking are
+    engine-portable and full-value oracle-checkable — the documented
+    integer analogue of the paper's 1/(k+r) sum.
+
+    Output: (id_col, n_lists, rrf_score) — plus ``fused_rank`` when
+    ``topk`` is given (ties break on the id; the rank window runs over
+    the already-LIMITed k rows, never the corpus).
+
+    Scale shape: union of the input rank tables + ONE
+    map-side-combined groupBy on the id; top-k is TakeOrdered
+    (per-partition heap), not a global sort."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    scale = 1 << scale_bits
+    parts = [
+        r.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"{scale} div ({k0} + {rank_col})").alias("_t"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    fused = (
+        u.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("_t").alias("rrf_score"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_lists").cast("bigint").alias("n_lists"),
+            F.col("rrf_score").cast("bigint").alias("rrf_score"),
+        )
+    )
+    if topk is None:
+        return fused
+    limited = fused.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(topk)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return limited.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )

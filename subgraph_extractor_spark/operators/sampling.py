@@ -241,6 +241,92 @@ def temperature_mixture_sample(
     )
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weight: Column,
+    budgets: dict[str, int],
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget mixture selection: per domain, take documents in
+    stable md5 order until the domain's ``weight`` budget (token
+    count) is exhausted — the "build a 500B-token mix with 30% code,
+    50% web, 20% books" operation, stated in the unit mixtures are
+    actually specified in (tokens), not documents.
+
+    A row is kept while the budget is not yet reached BEFORE it, so
+    the boundary-crossing document is included and every non-empty
+    domain reaches at least its budget when it has the tokens.
+    Domains absent from ``budgets`` are dropped; rows with
+    non-positive weight carry no tokens and are dropped (they cannot
+    advance the line).  The md5 ordering makes the selected set a pure
+    function of (salt, data) — partitioning- and engine-independent.
+
+    Scale shape: the per-domain cumulative sum is the SAME two-level
+    distributed prefix sum as :func:`pps_systematic_sample`, keyed by
+    (domain, bucket) — 256 hash-prefix buckets cumsum in parallel, the
+    per-domain 256-row offset table window-sums alone and broadcasts
+    back.  No window ever sees an unbounded group.
+
+    Output: (id_col, domain_col, weight, cum_tokens) for the selected
+    rows, where ``cum_tokens`` is the domain's running total THROUGH
+    the row."""
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be nonnegative")
+    bmap = F.create_map(
+        *[x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    )
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("_dom"),
+            weight.cast("long").alias("_w"),
+            hx.alias("_hx"),
+            (_hex_digit(hx, 1) * 16 + _hex_digit(hx, 2)).alias("_bkt"),
+        )
+        .withColumn("_budget", F.element_at(bmap, F.col("_dom")))
+        .filter(F.col("_budget").isNotNull() & (F.col("_w") > 0))
+    )
+    wloc = (
+        Window.partitionBy("_dom", "_bkt")
+        .orderBy("_hx", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum_loc", F.sum("_w").over(wloc))
+    btot = base.groupBy("_dom", "_bkt").agg(F.sum("_w").alias("_bw"))
+    woff = (
+        Window.partitionBy("_dom")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "_dom",
+        "_bkt",
+        F.coalesce(F.sum("_bw").over(woff), F.lit(0)).alias("_off"),
+    )
+    j = local.alias("L").join(
+        F.broadcast(offsets.alias("R")),
+        (F.col("L._dom") == F.col("R._dom"))
+        & (F.col("L._bkt") == F.col("R._bkt")),
+    )
+    cum = F.col("R._off") + F.col("L._cum_loc")
+    return (
+        j.select(
+            F.col("L." + id_col),
+            F.col("L._dom").alias(domain_col),
+            F.col("L._w").alias("weight"),
+            cum.alias("cum_tokens"),
+            F.col("L._budget").alias("_b"),
+        )
+        .filter(F.col("cum_tokens") - F.col("weight") < F.col("_b"))
+        .drop("_b")
+    )
+
+
 def pps_systematic_sample(
     df: DataFrame,
     id_col: str,
