@@ -2854,6 +2854,19 @@ def q_graph_pagerank(spark, sf):
     )
 
 
+def q_graph_hits(spark, sf):
+    # Integer fixed-point HITS (graph.hits_fixed_point): hub and
+    # authority scores over the same part-succession graph as
+    # graph_pagerank — max-normalized exact BIGINT arithmetic (the
+    # raw*scale product runs in DECIMAL(38,0) `div`), 6 rounds, both
+    # maxima 1-row broadcast anchors.  Full (node, hub, auth) table
+    # oracled by the unrolled MATERIALIZED-CTE replay.
+    edges = _part_co_order_edges(spark, sf)
+    return graph_ops.hits_fixed_point(edges, iters=6).select(
+        F.col("node").cast("bigint").alias("node"), "hub", "auth"
+    )
+
+
 def _part_co_order_edges(spark, sf):
     li = _t(spark, sf, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
@@ -4359,6 +4372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_leakage_split": q_pipeline_leakage_split,
     "retrieval_rrf": q_retrieval_rrf,
     "pipeline_token_budget": q_pipeline_token_budget,
+    "graph_hits": q_graph_hits,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -4593,6 +4607,19 @@ _CLUSTERS_ORACLE_SQL = f"""
 ORACLES: dict[str, str] = {
     # 10 unrolled integer fixed-point PageRank iterations over the
     # part-succession graph — every op exact BIGINT, full-value check
+    # HITS hubs/authorities: 6 unrolled iterations, max-normalized
+    # exact integers (HUGEINT in the replay), full-value.
+    "graph_hits": graph_ops.hits_oracle_sql(
+        """SELECT src, dst FROM (
+               SELECT l_partkey AS src,
+                      LEAD(l_partkey) OVER (
+                          PARTITION BY l_orderkey ORDER BY l_partkey
+                      ) AS dst
+               FROM (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem))
+           WHERE dst IS NOT NULL""",
+        iters=6,
+    ),
     "graph_pagerank": graph_ops.pagerank_oracle_sql(
         """SELECT src, dst FROM (
                SELECT l_partkey AS src,
