@@ -110,6 +110,22 @@ HEADLINE = [
     # behavior is governed by the per-round shuffle shape (static sides
     # pre-partitioned, only ranks move) documented in PLANS.md, and
     # correctness by the full-value driver oracle at sf0.01.
+    # graph_hits is unbenched for the same reason (iteration count x
+    # scheduler latency at fixture scale); emb_kmeans likewise (4
+    # collected Lloyd rounds = an offline training job, like
+    # text_bpe_train).
+    # ann_pq is unbenched for the same reason: pq_ann_topk retrains its
+    # codebooks per call (2 Lloyd rounds x seed/update collects ~= 9 s
+    # of scheduler round-trips at fixture scale, a training-job prefix
+    # like text_bpe_train/emb_kmeans); the search path's per-pair cost
+    # is m element_at lookups (PLANS.md), and correctness is the
+    # full-value driver oracle at both scales.
+    # r6 additions (first recorded r6 for r7+ comparability): DSIR
+    # scoring (two hashed-wordcount fits + broadcast scoring join),
+    # RRF fusion, and the token-budget prefix-sum selection.
+    "pipeline_dsir_scores",
+    "retrieval_rrf",
+    "pipeline_token_budget",
 ]
 
 
