@@ -39,6 +39,7 @@ from subgraph_extractor_spark.operators import bloom as bloom_ops
 from subgraph_extractor_spark.operators import cdc as cdc_ops
 from subgraph_extractor_spark.operators import clustering as clustering_ops
 from subgraph_extractor_spark.operators import dsir as dsir_ops
+from subgraph_extractor_spark.operators import pca as pca_ops
 from subgraph_extractor_spark.operators import pq as pq_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
@@ -2396,6 +2397,21 @@ def q_pipeline_token_budget(spark, sf):
     )
 
 
+def q_emb_covariance(spark, sf):
+    # Exact distributed covariance (operators/pca.py): the full d x d
+    # upper-triangle second-moment table of the quantized embedding
+    # corpus — per-Arrow-batch numpy int64 Q^T Q partials folded by
+    # ONE map-side-combined groupBy (never an (i, j) row explosion of
+    # the corpus), comoment = n*P - s_i*s_j assembled in exact
+    # DECIMAL(38,0) and carried as a string (>2^53 convention).  The
+    # oracle replays it as the d^2 unnest self-join the operator
+    # deliberately avoids at scale.  This is the input PCA whitening /
+    # top-component removal eigendecomposes (float from there on —
+    # python-replica-tested, tests/test_pca.py).
+    emb = _t(spark, sf, "embeddings")
+    return pca_ops.embedding_comoments(emb, "embedding", 64)
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4373,6 +4389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_rrf": q_retrieval_rrf,
     "pipeline_token_budget": q_pipeline_token_budget,
     "graph_hits": q_graph_hits,
+    "emb_covariance": q_emb_covariance,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -4607,6 +4624,11 @@ _CLUSTERS_ORACLE_SQL = f"""
 ORACLES: dict[str, str] = {
     # 10 unrolled integer fixed-point PageRank iterations over the
     # part-succession graph — every op exact BIGINT, full-value check
+    # Exact covariance: d^2 unnest self-join replay of the
+    # tree-aggregated kernel, HUGEINT comoments rendered as strings.
+    "emb_covariance": pca_ops.comoments_oracle_sql(
+        "embeddings", "embedding", 64
+    ),
     # HITS hubs/authorities: 6 unrolled iterations, max-normalized
     # exact integers (HUGEINT in the replay), full-value.
     "graph_hits": graph_ops.hits_oracle_sql(
