@@ -134,6 +134,20 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — Spark's built-in columnar alternative to Parquet
+    (schema embedded, predicate pushdown and column pruning work the
+    same as the parquet path; asserted in tests/test_sources.py).
+    DuckDB has no ORC reader, so ORC-sourced queries are certified by
+    round-trip + plan tests rather than a driver oracle row."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options):
+    """ORC sink, partitioning options as for the parquet writer."""
+    df.write.options(**options).mode(mode).orc(path)
+
+
 def jdbc_numeric_as_text(
     table: str, columns: list[str], numeric_columns: list[str]
 ) -> str:

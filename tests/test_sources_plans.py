@@ -142,3 +142,25 @@ def test_decode_jdbc_numerics_lossless(spark):
             assert out[i] is None
         else:
             assert int.from_bytes(out[i], "big") == v
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    from subgraph_extractor_spark.sources.readers import read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "nation_orc")
+    write_orc(nation, orc_path)
+    back = read_orc(spark, orc_path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in nation.collect()
+    }
+    # predicate pushdown and column pruning reach the ORC scan exactly
+    # as they do the parquet one
+    q = back.filter(F.col("n_regionkey") == 2).select("n_name")
+    plan = _executed_plan(q)
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema")[1][:120]
+    assert "n_name" in read_schema and "n_comment" not in read_schema
