@@ -608,3 +608,49 @@ def serve_perceptual_pairs(spark, pairs_dir: str) -> DataFrame:
         .parquet(f"{pairs_dir}/v*")
         .distinct()
     )
+
+
+def dsir_counts_sink(
+    spark,
+    state_dir: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+):
+    """foreachBatch sink maintaining the standing hashed-bigram count
+    model for DSIR importance selection (operators/dsir.py) — the
+    raw-pool model refreshes as the crawl streams in, so scoring a new
+    snapshot never rescans ingested history.  Counts are mergeable by
+    addition and the state is at most ``buckets`` rows, making this
+    the cheapest standing state in the repo.  Same v{batch_id}
+    overwrite idempotence + foreign-state guard as
+    ``standing_rollup_sink``; stream==batch (exact integer counts) is
+    the tested contract."""
+    from subgraph_extractor_spark.operators import dsir
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        new = dsir.hashed_bigram_counts(batch_df, text_col, buckets)
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
+            new = dsir.merge_hashed_counts(
+                spark.read.parquet(latest[1]), new
+            )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_dsir_counts(spark, state_dir: str) -> DataFrame:
+    """The standing hashed-bigram count model from the latest persisted
+    version — feed it to ``dsir.importance_weights`` as the raw side
+    (<= buckets rows read, never the ingested history)."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no dsir count state under {state_dir}")
+    return spark.read.parquet(latest[1])
