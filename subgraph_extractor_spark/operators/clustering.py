@@ -95,21 +95,18 @@ def _assign_expr(centroids: list[list[int]]):
     return F.array_min(F.array(*dists))["j"].alias("cluster")
 
 
-def kmeans_fixed_point(
+def kmeans_train_centroids(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 8,
     iters: int = 4,
     scale_bits: int = 16,
-) -> DataFrame:
-    """Full Lloyd's over the exact integer projection; returns the
-    final (id, cluster) assignment for every input row.
-
-    The returned DataFrame's plan is the pure-codegen assignment
-    expression over the converged literal centroids — downstream
-    consumers (balanced sampling, SemDeDup-style pruning) compose with
-    it without touching Python."""
+) -> list[list[int]]:
+    """Lloyd's over the exact integer projection; returns the converged
+    k x d centroid matrix (bounded model state — persist it and score
+    future batches with :func:`assign_to_centroids`, the incremental
+    face)."""
     q = quantized_vectors(df, vec_col, id_col, scale_bits).persist()
     try:
         dim = len(q.select("q").first()["q"])
@@ -138,11 +135,49 @@ def kmeans_fixed_point(
                     for i in range(dim)
                 ]
             centroids = nxt
-
-        out = q.select("id", _assign_expr(centroids))
-        return out.withColumnRenamed("id", id_col)
+        return centroids
     finally:
         q.unpersist()
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[int]],
+    scale_bits: int = 16,
+) -> DataFrame:
+    """(id, cluster) for every row against a STANDING centroid matrix —
+    the incremental/streaming face of clustering (new batches score
+    against persisted centroids without retraining, exactly as
+    ``pq.pq_encode`` scores against standing codebooks).  Map-only
+    whole-stage codegen; bit-identical to the assignment a full
+    retrain's final pass would produce for the same centroids."""
+    q = quantized_vectors(df, vec_col, id_col, scale_bits)
+    return q.select("id", _assign_expr(centroids)).withColumnRenamed(
+        "id", id_col
+    )
+
+
+def kmeans_fixed_point(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 4,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Full Lloyd's over the exact integer projection; returns the
+    final (id, cluster) assignment for every input row.
+
+    The returned DataFrame's plan is the pure-codegen assignment
+    expression over the converged literal centroids — downstream
+    consumers (balanced sampling, SemDeDup-style pruning) compose with
+    it without touching Python."""
+    centroids = kmeans_train_centroids(
+        df, vec_col, id_col, k, iters, scale_bits
+    )
+    return assign_to_centroids(df, vec_col, id_col, centroids, scale_bits)
 
 
 def kmeans_oracle_sql(

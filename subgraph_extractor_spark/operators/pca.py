@@ -219,6 +219,54 @@ def pca_components(
     return vals[order], vecs[:, order].T, n
 
 
+def remove_top_components(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 1,
+    scale_bits: int = 16,
+    out_col: str = "_abtt",
+) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath, ICLR 2018): subtract the mean
+    and project OFF the top-``k`` principal components — the standard
+    embedding post-processing that removes the dominant common-
+    direction energy and measurably improves cosine-similarity tasks.
+    Same covariance input (oracled) and batched-BLAS Arrow projection
+    shape as :func:`pca_whiten`; floats from the eigendecomposition on
+    (python-replica-tested)."""
+    stats = embedding_comoments(df, vec_col, dim, scale_bits)
+    _, vecs, n = pca_components(stats, dim)
+    if n == 0:
+        raise ValueError("remove_top_components: empty corpus")
+    mean_rows = {
+        r["i"]: r["sum_i"] / n / (1 << scale_bits)
+        for r in stats.filter(F.col("i") == F.col("j")).collect()
+    }
+    mean = np.array([mean_rows[i] for i in range(dim)])
+    top = vecs[:k]  # k x dim, orthonormal rows
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _abtt(s: pd.Series) -> pd.Series:
+        vals_ = s.tolist()
+        valid = [
+            (ix, v)
+            for ix, v in enumerate(vals_)
+            if v is not None and len(v) == dim
+        ]
+        out = [None] * len(vals_)
+        if valid:
+            x = np.asarray([v for _, v in valid], dtype=np.float64) - mean
+            y = x - (x @ top.T) @ top
+            for (ix, _), row in zip(valid, y):
+                out[ix] = [float(c) for c in row]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _abtt(F.col(vec_col)))
+
+
 def pca_whiten(
     df: DataFrame,
     vec_col: str,

@@ -177,3 +177,48 @@ def test_kmeans_k_exceeds_corpus_raises(spark):
 
     with pytest.raises(ValueError):
         clustering.kmeans_fixed_point(df, "vec", "id", k=5, iters=1)
+
+
+def test_assign_to_centroids_matches_full_run_and_scores_new_batch(spark):
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(70)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "id long, vec array<float>",
+    )
+    cents = clustering.kmeans_train_centroids(df, "vec", "id", k=4, iters=2)
+    inc = {
+        r["id"]: r["cluster"]
+        for r in clustering.assign_to_centroids(
+            df, "vec", "id", cents
+        ).collect()
+    }
+    full = {
+        r["id"]: r["cluster"]
+        for r in clustering.kmeans_fixed_point(
+            df, "vec", "id", k=4, iters=2
+        ).collect()
+    }
+    assert inc == full
+    # a NEW batch scores against the standing centroids without retrain
+    new_rows = [(100 + i, [rng.uniform(-1, 1) for _ in range(6)])
+                for i in range(10)]
+    ndf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in new_rows],
+        "id long, vec array<float>",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in clustering.assign_to_centroids(
+            ndf, "vec", "id", cents
+        ).collect()
+    }
+    # python replay of the documented argmin contract
+    import math
+    for i, v in new_rows:
+        q = [math.floor(float(x) * 65536) for x in v]
+        best = min(
+            (sum((a - c) * (a - c) for a, c in zip(q, cj)), j)
+            for j, cj in enumerate(cents)
+        )[1]
+        assert got[i] == best

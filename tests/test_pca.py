@@ -108,3 +108,31 @@ def test_whiten_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec array<float>")
     with pytest.raises(ValueError, match="empty"):
         pca.pca_whiten(df, "vec", 4, k=2)
+
+
+def test_remove_top_components_kills_dominant_direction(spark):
+    # data = strong shared direction + small noise: after ABTT(k=1)
+    # the projection onto the removed component is ~0 and the result
+    # is orthogonal to it; other variance survives.
+    rng = random.Random(21)
+    d1 = np.array([1.0, 1.0, 1.0, 1.0]) / 2.0
+    rows = []
+    for _ in range(200):
+        t = rng.uniform(-2, 2)
+        noise = np.array([rng.gauss(0, 0.1) for _ in range(4)])
+        rows.append([float(x) for x in (t * d1 + noise)])
+    out = pca.remove_top_components(_df(spark, rows), "vec", 4, k=1)
+    y = np.asarray([r["_abtt"] for r in out.collect()])
+    # projections onto the dominant direction vanish
+    assert np.abs(y @ d1).max() < 0.15
+    # residual noise energy survives (not the zero map)
+    assert np.abs(y).max() > 0.05
+
+
+def test_remove_top_components_null_rows(spark):
+    rows = _rows(23, 20, 4)
+    df = spark.createDataFrame(
+        [(v,) for v in rows] + [(None,)], "vec array<float>"
+    )
+    out = pca.remove_top_components(df, "vec", 4, k=1).collect()
+    assert sum(1 for r in out if r["_abtt"] is None) == 1
