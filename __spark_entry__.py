@@ -2412,6 +2412,21 @@ def q_emb_covariance(spark, sf):
     return pca_ops.embedding_comoments(emb, "embedding", 64)
 
 
+def q_ts_interpolate(spark, sf):
+    # Linear interpolation of each user's irregular value series onto
+    # the daily grid inside their observed span
+    # (timeseries.interpolate_resample): same-second observations
+    # collapse to MIN (deterministic where a float AVG is reduction-
+    # order-dependent), neighbors attach via two as-of joins, and the
+    # interpolation is a fixed-order chain of exactly-rounded IEEE ops
+    # — the oracle replays it with DuckDB ASOF joins and the identical
+    # expression, hashing bit-equal.
+    from subgraph_extractor_spark.operators import timeseries as ts_ops
+
+    ev = _t(spark, sf, "events")
+    return ts_ops.interpolate_resample(ev, "ts", "user_id", "value", 86400)
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4390,6 +4405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_token_budget": q_pipeline_token_budget,
     "graph_hits": q_graph_hits,
     "emb_covariance": q_emb_covariance,
+    "ts_interpolate": q_ts_interpolate,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -4624,6 +4640,48 @@ _CLUSTERS_ORACLE_SQL = f"""
 ORACLES: dict[str, str] = {
     # 10 unrolled integer fixed-point PageRank iterations over the
     # part-succession graph — every op exact BIGINT, full-value check
+    # Linear interpolation onto the daily grid: MIN-collapse per
+    # (user, second), in-span grid, DuckDB ASOF joins both directions,
+    # the identical fixed-order IEEE expression.
+    "ts_interpolate": """
+        WITH obs AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        AS BIGINT) AS ot,
+                   MIN(value) AS ov
+            FROM events
+            GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id,
+                   ((MIN(ot) + 86399) // 86400) * 86400 AS gs,
+                   (MAX(ot) // 86400) * 86400 AS ge
+            FROM obs GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(range(gs, ge + 86400, 86400)) AS grid_ts
+            FROM span WHERE gs <= ge
+        ),
+        prev AS (
+            SELECT g.user_id, g.grid_ts, o.ot AS pt, o.ov AS pv
+            FROM grid g ASOF JOIN obs o
+              ON o.user_id = g.user_id AND o.ot <= g.grid_ts
+        ),
+        both_sides AS (
+            SELECT p.user_id, p.grid_ts, p.pt, p.pv,
+                   o.ot AS nt, o.ov AS nv
+            FROM prev p ASOF JOIN obs o
+              ON o.user_id = p.user_id AND o.ot >= p.grid_ts
+        )
+        SELECT user_id,
+               CAST(grid_ts AS BIGINT) AS grid_ts,
+               CASE WHEN nt = pt THEN pv
+                    ELSE pv + (nv - pv)
+                         * ((CAST(grid_ts AS DOUBLE) - CAST(pt AS DOUBLE))
+                            / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+               END AS value
+        FROM both_sides
+    """,
     # Exact covariance: d^2 unnest self-join replay of the
     # tree-aggregated kernel, HUGEINT comoments rendered as strings.
     "emb_covariance": pca_ops.comoments_oracle_sql(

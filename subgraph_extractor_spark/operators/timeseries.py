@@ -251,3 +251,86 @@ def ohlc_downsample(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def interpolate_resample(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    interval_s: int = 86400,
+) -> DataFrame:
+    """Linear interpolation of an irregular per-key series onto the
+    regular epoch grid — the value-filling complement to
+    :func:`resample_counts` (which densifies counts): for every grid
+    instant g strictly inside the key's observed span,
+
+        v(g) = vp + (vn - vp) * ((g - tp) / (tn - tp))
+
+    with (tp, vp) / (tn, vn) the neighboring observations at-or-before
+    / at-or-after g.  A grid instant that coincides with an
+    observation reproduces its value exactly (tn == tp guard — no
+    0/0).  Multiple observations in the same epoch second collapse to
+    MIN(value) first — an arbitrary but deterministic, engine-portable
+    choice (a float AVG would be reduction-order-dependent).  Every
+    arithmetic step after that is a single exactly-rounded IEEE op in
+    a fixed parse order, so results hash identically cross-engine (the
+    Gopher-gate float discipline).
+
+    Plan shape: one collapse aggregate; a tiny per-key span aggregate
+    whose in-span grid explodes via sequence(); then TWO as-of joins
+    (backward for (tp, vp), forward for (tn, vn)) — each the
+    union-trick window over (grid ∪ observations) keyed by the series
+    key, one shuffle apiece (operators/asof.py; a fused variant could
+    share the union the way direction='nearest' does).  No window ever
+    orders more than one key's series + grid.
+
+    Output: (key_col, grid_ts, value)."""
+    from subgraph_extractor_spark.operators import asof as _asof
+
+    sec = F.col(ts_col).cast("long")
+    obs = (
+        events.select(
+            F.col(key_col), sec.alias("_ot"), F.col(value_col).alias("_v")
+        )
+        .groupBy(key_col, "_ot")
+        .agg(F.min("_v").alias("_ov"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("_ot").alias("_lo"), F.max("_ot").alias("_hi")
+    )
+    step = F.lit(interval_s)
+    gstart = F.expr(f"((_lo + {interval_s} - 1) div {interval_s}) * {interval_s}")
+    gend = F.expr(f"(_hi div {interval_s}) * {interval_s}")
+    grid = (
+        span.select(key_col, gstart.alias("_gs"), gend.alias("_ge"))
+        .filter(F.col("_gs") <= F.col("_ge"))
+        .select(
+            key_col,
+            F.explode(F.sequence("_gs", "_ge", step)).alias("grid_ts"),
+        )
+    )
+    prev = _asof.asof_join(
+        grid, obs.select(key_col, "_ot", "_ov"),
+        key=key_col, left_time="grid_ts", right_time="_ot",
+        value_cols=["_ot", "_ov"], direction="backward",
+    ).withColumnRenamed("_ot", "_pt").withColumnRenamed("_ov", "_pv")
+    both = _asof.asof_join(
+        prev, obs.select(key_col, "_ot", "_ov"),
+        key=key_col, left_time="grid_ts", right_time="_ot",
+        value_cols=["_ot", "_ov"], direction="forward",
+    ).withColumnRenamed("_ot", "_nt").withColumnRenamed("_ov", "_nv")
+    g = F.col("grid_ts").cast("double")
+    interp = F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (
+            (g - F.col("_pt").cast("double"))
+            / (F.col("_nt").cast("double") - F.col("_pt").cast("double"))
+        )
+    )
+    return both.select(
+        key_col,
+        F.col("grid_ts").cast("long").alias("grid_ts"),
+        interp.alias("value"),
+    )

@@ -142,3 +142,51 @@ def test_ohlc_downsample_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ts_ops.ohlc_downsample(df, ["k"], F.col("sec"), F.col("v"), 0)
+
+
+def test_interpolate_resample_linear_and_exact_hits(spark):
+    from subgraph_extractor_spark.operators.timeseries import (
+        interpolate_resample,
+    )
+
+    # key 1: observations at t=0 (v=10) and t=200 (v=30); grid step 50
+    # -> grid at 0,50,100,150,200 with linear values 10,15,20,25,30.
+    # key 2: one observation exactly on a grid point -> reproduced.
+    rows = [
+        (1, 0, 10.0), (1, 200, 30.0),
+        (2, 100, 7.5),
+        # key 3: span contains no grid point -> no output rows
+        (3, 60, 1.0), (3, 90, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double").select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], r["grid_ts"]): r["value"]
+        for r in interpolate_resample(df, "ts", "k", "v", 50).collect()
+    }
+    assert out == {
+        (1, 0): 10.0, (1, 50): 15.0, (1, 100): 20.0,
+        (1, 150): 25.0, (1, 200): 30.0,
+        (2, 100): 7.5,
+    }
+
+
+def test_interpolate_resample_same_second_collapse_and_invariance(spark):
+    from subgraph_extractor_spark.operators.timeseries import (
+        interpolate_resample,
+    )
+
+    rows = [(1, 0, 4.0), (1, 0, 2.0), (1, 100, 12.0)]  # t=0 collapses to 2.0
+    df = spark.createDataFrame(rows, "k long, t long, v double").select(
+        "k", F.col("t").cast("timestamp").alias("ts"), "v"
+    )
+    a = sorted(map(tuple, interpolate_resample(
+        df.coalesce(1), "ts", "k", "v", 50).collect()))
+    b = sorted(map(tuple, interpolate_resample(
+        df.repartition(7), "ts", "k", "v", 50).collect()))
+    assert a == b
+    got = {(k, t): v for k, t, v in a}
+    assert got[(1, 0)] == 2.0
+    assert got[(1, 50)] == 7.0
+    assert got[(1, 100)] == 12.0
