@@ -2427,6 +2427,23 @@ def q_ts_interpolate(spark, sf):
     return ts_ops.interpolate_resample(ev, "ts", "user_id", "value", 86400)
 
 
+def q_ann_ivfpq(spark, sf):
+    # IVF-PQ / IVFADC (pq.ivfpq_topk): the production billion-vector
+    # ANN structure composed from the repo's two exact integer
+    # quantizers — coarse k-means cells route vectors, PQ encodes the
+    # integer RESIDUALS, queries probe nprobe nearest cells and
+    # ADC-score only those cells' 8-byte codes via an EQUI-join on the
+    # cell id.  Exact BIGINT end to end: the FULL approximate top-k of
+    # the entire FAISS-shaped index oracles against the DuckDB replay
+    # (cells unroll + subspace-keyed residual unroll + probe + ADC).
+    emb = _t(spark, sf, "embeddings")
+    return pq_ops.ivfpq_topk(
+        emb, "embedding", "vec_id",
+        n_cells=4, nprobe=2, m=8, k_codes=8,
+        iters_cells=2, iters_pq=2, topk=3, n_queries=5,
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4406,6 +4423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_hits": q_graph_hits,
     "emb_covariance": q_emb_covariance,
     "ts_interpolate": q_ts_interpolate,
+    "ann_ivfpq": q_ann_ivfpq,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
     "a4_cube": q_a4_cube,
@@ -6672,6 +6690,13 @@ ORACLES: dict[str, str] = {
     "ann_pq": pq_ops.pq_oracle_sql(
         "embeddings", "vec_id", "embedding",
         m=8, k=8, iters=2, topk=3, n_queries=5,
+    ),
+    # IVF-PQ: cells unroll + residual subspace-keyed unroll + probe
+    # ranking + ADC + final rank, every op exact integer.
+    "ann_ivfpq": pq_ops.ivfpq_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        n_cells=4, nprobe=2, m=8, k=8,
+        iters_cells=2, iters_pq=2, topk=3, n_queries=5,
     ),
     # PQ codes: every vector's m codeword indices, comma-joined.
     "emb_pq_codes": pq_ops.pq_codes_oracle_sql(

@@ -129,6 +129,79 @@ def _subvector_rows(
     )
 
 
+def _split_q(qdf: DataFrame, m: int) -> DataFrame:
+    """(id, q LONG array) -> (id, s, qsub) subvector rows."""
+    return (
+        qdf.withColumn("_dsub", (F.size("q") / F.lit(m)).cast("int"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(
+                        F.col("q"),
+                        s * F.col("_dsub") + 1,
+                        F.col("_dsub"),
+                    ),
+                )
+            ).alias("s", "qsub"),
+        )
+    )
+
+
+def _train_on_subvectors(
+    sub: DataFrame, m: int, k: int, dsub: int, iters: int
+) -> list[list[list[int]]]:
+    """Lloyd's per subspace over persisted (id, s, qsub) rows — all m
+    subspaces in the same jobs; seeds are the subvectors of the k
+    smallest ids; empty clusters carry their previous codeword."""
+    seed_rows = (
+        sub.join(
+            sub.select("id").distinct().orderBy("id").limit(k).withColumn(
+                "j", F.row_number().over(Window.orderBy("id")) - 1
+            ),
+            "id",
+        )
+        .select("s", "j", "qsub")
+        .collect()
+    )
+    n_seeds = len({r["j"] for r in seed_rows})
+    if n_seeds < k:
+        raise ValueError(f"k={k} exceeds corpus size {n_seeds}")
+    cents: list[list[list[int]]] = [[None] * k for _ in range(m)]
+    for r in seed_rows:
+        cents[r["s"]][r["j"]] = list(r["qsub"])
+
+    for _ in range(iters):
+        cb_lit = _codebooks_lit(cents)
+        assigned = sub.select(
+            "s",
+            "qsub",
+            _argmin_code(
+                F.col("qsub"), F.element_at(cb_lit, F.col("s") + 1)
+            ).alias("j"),
+        )
+        sums = (
+            assigned.groupBy("s", "j")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("qsub", i + 1)).alias(f"v{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        nxt = [[list(c) for c in cb] for cb in cents]
+        for row in sums:
+            nxt[row["s"]][row["j"]] = [
+                _fdiv(int(row[f"v{i}"]), int(row["n"]))
+                for i in range(dsub)
+            ]
+        cents = nxt
+    return cents
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -150,51 +223,7 @@ def pq_train_codebooks(
 
     sub = _subvector_rows(df, vec_col, id_col, m, scale_bits).persist()
     try:
-        seed_rows = (
-            sub.join(
-                sub.select("id").distinct().orderBy("id").limit(k).withColumn(
-                    "j", F.row_number().over(Window.orderBy("id")) - 1
-                ),
-                "id",
-            )
-            .select("s", "j", "qsub")
-            .collect()
-        )
-        n_seeds = len({r["j"] for r in seed_rows})
-        if n_seeds < k:
-            raise ValueError(f"k={k} exceeds corpus size {n_seeds}")
-        cents: list[list[list[int]]] = [[None] * k for _ in range(m)]
-        for r in seed_rows:
-            cents[r["s"]][r["j"]] = list(r["qsub"])
-
-        for _ in range(iters):
-            cb_lit = _codebooks_lit(cents)
-            assigned = sub.select(
-                "s",
-                "qsub",
-                _argmin_code(
-                    F.col("qsub"), F.element_at(cb_lit, F.col("s") + 1)
-                ).alias("j"),
-            )
-            sums = (
-                assigned.groupBy("s", "j")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("qsub", i + 1)).alias(f"v{i}")
-                        for i in range(dsub)
-                    ],
-                )
-                .collect()
-            )
-            nxt = [[list(c) for c in cb] for cb in cents]
-            for row in sums:
-                nxt[row["s"]][row["j"]] = [
-                    _fdiv(int(row[f"v{i}"]), int(row["n"]))
-                    for i in range(dsub)
-                ]
-            cents = nxt
-        return cents
+        return _train_on_subvectors(sub, m, k, dsub, iters)
     finally:
         sub.unpersist()
 
@@ -210,14 +239,23 @@ def pq_encode(
     Map-only whole-stage codegen: quantize, slice per subspace, argmin
     against the literal codebooks.  This is the persistable compressed
     corpus (m bytes/vector at k <= 256)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     scale = float(1 << scale_bits)
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
     )
-    codes = F.array(
+    return df.select(
+        F.col(id_col).alias("id"),
+        _codes_from_q(q, codebooks).alias("codes"),
+    )
+
+
+def _codes_from_q(q, codebooks: list[list[list[int]]]):
+    """codes array for a runtime LONG-array column ``q`` — argmin per
+    subspace slice against the literal codebooks (pure codegen)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(
         *[
             _argmin_code(
                 F.slice(q, s * dsub + 1, dsub),
@@ -231,7 +269,6 @@ def pq_encode(
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
 
 
 def pq_topk(
@@ -482,3 +519,353 @@ def pq_oracle_sql(
             FROM scored)
         WHERE rank <= {topk}"""
     )
+
+
+def _qtable_from_rq(rq, codebooks: list[list[list[int]]]):
+    """m x k exact distance table for a runtime LONG-array residual
+    column ``rq`` against the literal codebooks."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist(
+                        F.slice(rq, s * dsub + 1, dsub),
+                        F.array(
+                            *[
+                                F.lit(int(v)).cast("long")
+                                for v in codebooks[s][j]
+                            ]
+                        ),
+                    )
+                    for j in range(len(codebooks[s]))
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 8,
+    iters_cells: int = 2,
+    iters_pq: int = 2,
+    topk: int = 3,
+    n_queries: int = 5,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — THE production
+    billion-vector ANN structure, composed from this repo's two exact
+    integer quantizers: a coarse k-means partition of the corpus
+    (operators/clustering.py) routes each vector to a cell, PQ encodes
+    the RESIDUAL (vector − cell centroid; an exact integer difference,
+    so the whole structure stays on the fixed-point contract), and a
+    query probes only its ``nprobe`` nearest cells, ADC-scoring the
+    8-byte residual codes there.
+
+    What IVF adds over flat PQ (:func:`pq_ann_topk`): the scoring join
+    becomes an EQUI-JOIN on the cell id — per query only the probed
+    cells' codes are touched (~nprobe/n_cells of the corpus), and
+    residual codebooks quantize a tighter distribution than raw
+    vectors, so the same 8 bytes carry more precision.
+
+    Every step is exact BIGINT arithmetic with the repo's
+    deterministic seeding, so the FULL approximate top-k oracles
+    against the DuckDB replay (:func:`ivfpq_oracle_sql`): a kmeans
+    unroll for the cells, a subspace-keyed kmeans unroll over
+    residuals, probe ranking, ADC tables, and the final ranking — the
+    entire FAISS-shaped index certified cross-engine.
+
+    Scale shape: coarse training is the k-means shuffle; residual
+    encode is map-only codegen (cell centroid selected by element_at
+    on a literal tensor); the query side (n_queries × nprobe rows,
+    each carrying its m × k ADC table) broadcasts onto the code table
+    with an equi-join on cell.  Driver state is the cell matrix + the
+    codebook tensor — bounded model state.
+
+    Output: (query_id, doc_id, rank, adc_dist)."""
+    from subgraph_extractor_spark.operators.clustering import (
+        kmeans_train_centroids,
+        quantized_vectors,
+    )
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+
+    cells = kmeans_train_centroids(
+        corpus, vec_col, id_col,
+        k=n_cells, iters=iters_cells, scale_bits=scale_bits,
+    )
+    cells_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in c])
+            for c in cells
+        ]
+    )
+    q = quantized_vectors(corpus, vec_col, id_col, scale_bits)
+    resid = q.select(
+        "id",
+        _argmin_code(F.col("q"), cells_lit).alias("cell"),
+        F.col("q"),
+    ).select(
+        "id",
+        "cell",
+        F.zip_with(
+            "q",
+            F.element_at(cells_lit, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ).alias("q"),
+    )
+    sub = _split_q(resid.select("id", "q"), m).persist()
+    try:
+        codebooks = _train_on_subvectors(sub, m, k_codes, dsub, iters_pq)
+    finally:
+        sub.unpersist()
+    codes = resid.select(
+        "id", "cell", _codes_from_q(F.col("q"), codebooks).alias("codes")
+    )
+
+    # query side: nprobe nearest cells per query, each row carrying the
+    # residual ADC table for that (query, cell)
+    qv = q.orderBy("id").limit(n_queries).select(
+        F.col("id").alias("query_id"), "q"
+    )
+    qc = qv.select(
+        "query_id",
+        "q",
+        F.posexplode(cells_lit).alias("cell", "_cvec"),
+    ).select(
+        "query_id",
+        "cell",
+        F.zip_with("q", F.col("_cvec"), lambda x, c: x - c).alias("_rq"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        _sqdist(
+            F.col("_rq"),
+            F.array(*[F.lit(0).cast("long")] * dim),
+        ).asc(),
+        F.col("cell").asc(),
+    )
+    probed = (
+        qc.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            _qtable_from_rq(F.col("_rq"), codebooks).alias("_qt"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_qt"),
+            lambda c, t: F.element_at(t, c.cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(codes.withColumnRenamed("id", "doc_id"), "cell")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 8,
+    iters_cells: int = 2,
+    iters_pq: int = 2,
+    topk: int = 3,
+    n_queries: int = 5,
+    scale_bits: int = 16,
+) -> str:
+    """DuckDB replay of :func:`ivfpq_topk`: the full-dim kmeans unroll
+    for the cells, residual long format, the subspace-keyed kmeans
+    unroll over residuals, probe ranking, ADC tables, scoring, rank —
+    every op the identical exact integer op, all shared CTEs
+    MATERIALIZED."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    scale = 1 << scale_bits
+    parts = [
+        f"""qv AS MATERIALIZED (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+                   ) AS q
+            FROM {table})""",
+        """ql AS MATERIALIZED (
+            SELECT id, gi - 1 AS i, v
+            FROM (SELECT id, generate_subscripts(q, 1) AS gi,
+                         unnest(q) AS v
+                  FROM qv))""",
+        # ---- coarse cells: full-dim kmeans unroll ----
+        f"""cc0 AS (
+            SELECT CAST(rn - 1 AS INT) AS j, i, v AS c
+            FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn
+                  FROM qv ORDER BY id LIMIT {n_cells}) sd
+            JOIN ql USING (id))""",
+    ]
+    for t in range(iters_cells):
+        parts.append(
+            f"""cca{t} AS MATERIALIZED (
+            SELECT id, j FROM (
+                SELECT ql.id, c.j,
+                       CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+                FROM ql JOIN cc{t} c USING (i)
+                GROUP BY ql.id, c.j)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, j) = 1)"""
+        )
+        parts.append(
+            f"""cc{t + 1} AS MATERIALIZED (
+            SELECT p.j, p.i,
+                   CASE WHEN u.n IS NULL THEN p.c
+                        ELSE CAST((u.s - ((u.s % u.n) + u.n) % u.n) // u.n
+                                  AS BIGINT)
+                   END AS c
+            FROM cc{t} p
+            LEFT JOIN (
+                SELECT a.j, ql.i,
+                       CAST(SUM(ql.v) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM cca{t} a JOIN ql ON ql.id = a.id
+                GROUP BY a.j, ql.i
+            ) u ON u.j = p.j AND u.i = p.i)"""
+        )
+    ccf = f"cc{iters_cells}"
+    parts += [
+        # final cell assignment for EVERY vector
+        f"""caf AS MATERIALIZED (
+            SELECT id, j AS cell FROM (
+                SELECT ql.id, c.j,
+                       CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+                FROM ql JOIN {ccf} c USING (i)
+                GROUP BY ql.id, c.j)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, j) = 1)""",
+        # residual long format, split into subspaces
+        f"""rl AS MATERIALIZED (
+            SELECT ql.id,
+                   CAST(ql.i // {dsub} AS INT) AS s,
+                   CAST(ql.i % {dsub} AS INT) AS i,
+                   ql.v - cc.c AS v
+            FROM ql
+            JOIN caf ON caf.id = ql.id
+            JOIN {ccf} cc ON cc.j = caf.cell AND cc.i = ql.i)""",
+        # ---- residual PQ: subspace-keyed kmeans unroll ----
+        f"""rc0 AS (
+            SELECT CAST(rn - 1 AS INT) AS j, s, i, v AS c
+            FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn
+                  FROM qv ORDER BY id LIMIT {k}) sd
+            JOIN rl USING (id))""",
+    ]
+    for t in range(iters_pq):
+        parts.append(
+            f"""ra{t} AS MATERIALIZED (
+            SELECT id, s, j FROM (
+                SELECT rl.id, rl.s, c.j,
+                       CAST(SUM((rl.v - c.c) * (rl.v - c.c)) AS BIGINT) AS d
+                FROM rl JOIN rc{t} c ON c.s = rl.s AND c.i = rl.i
+                GROUP BY rl.id, rl.s, c.j)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY d, j) = 1)"""
+        )
+        parts.append(
+            f"""rc{t + 1} AS MATERIALIZED (
+            SELECT p.s, p.j, p.i,
+                   CASE WHEN u.n IS NULL THEN p.c
+                        ELSE CAST((u.sv - ((u.sv % u.n) + u.n) % u.n) // u.n
+                                  AS BIGINT)
+                   END AS c
+            FROM rc{t} p
+            LEFT JOIN (
+                SELECT a.s, a.j, rl.i,
+                       CAST(SUM(rl.v) AS BIGINT) AS sv,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM ra{t} a JOIN rl ON rl.id = a.id AND rl.s = a.s
+                GROUP BY a.s, a.j, rl.i
+            ) u ON u.s = p.s AND u.j = p.j AND u.i = p.i)"""
+        )
+    rcf = f"rc{iters_pq}"
+    parts += [
+        # residual codes for every vector
+        f"""codes AS MATERIALIZED (
+            SELECT id, s, j FROM (
+                SELECT rl.id, rl.s, c.j,
+                       CAST(SUM((rl.v - c.c) * (rl.v - c.c)) AS BIGINT) AS d
+                FROM rl JOIN {rcf} c ON c.s = rl.s AND c.i = rl.i
+                GROUP BY rl.id, rl.s, c.j)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id, s ORDER BY d, j) = 1)""",
+        f"""qids AS (SELECT id FROM qv ORDER BY id LIMIT {n_queries})""",
+        # probed cells per query: nprobe nearest centroids
+        f"""probed AS MATERIALIZED (
+            SELECT id AS query_id, j AS cell FROM (
+                SELECT ql.id, c.j,
+                       CAST(SUM((ql.v - c.c) * (ql.v - c.c)) AS BIGINT) AS d
+                FROM ql JOIN qids USING (id)
+                JOIN {ccf} c USING (i)
+                GROUP BY ql.id, c.j)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY d, j) <= {nprobe})""",
+        # ADC tables: residual-query distance to every codeword, per
+        # probed (query, cell)
+        f"""qt AS MATERIALIZED (
+            SELECT p.query_id, p.cell, rc.s, rc.j,
+                   CAST(SUM(((ql.v - cc.c) - rc.c)
+                            * ((ql.v - cc.c) - rc.c)) AS BIGINT) AS d
+            FROM probed p
+            JOIN ql ON ql.id = p.query_id
+            JOIN {ccf} cc ON cc.j = p.cell AND cc.i = ql.i
+            JOIN {rcf} rc ON rc.s = CAST(ql.i // {dsub} AS INT)
+                         AND rc.i = CAST(ql.i % {dsub} AS INT)
+            GROUP BY p.query_id, p.cell, rc.s, rc.j)""",
+        # score: docs in probed cells only, m lookups summed
+        """scored AS (
+            SELECT qt.query_id, codes.id AS doc_id,
+                   CAST(SUM(qt.d) AS BIGINT) AS adc_dist
+            FROM codes
+            JOIN caf ON caf.id = codes.id
+            JOIN qt ON qt.cell = caf.cell
+                   AND qt.s = codes.s AND qt.j = codes.j
+            WHERE codes.id <> qt.query_id
+            GROUP BY qt.query_id, codes.id)""",
+    ]
+    sql = (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT query_id, doc_id, rank, adc_dist FROM (
+            SELECT query_id, doc_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, doc_id) AS INT) AS rank
+            FROM scored)
+        WHERE rank <= {topk}"""
+    )
+    return sql

@@ -190,3 +190,151 @@ def test_pq_k_exceeds_corpus_raises(spark):
         pq.pq_train_codebooks(
             _mk_df(spark, rows), "vec", "id", m=2, k=5, iters=1
         )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def _ref_ivfpq(rows, n_cells, nprobe, m, k, iters_cells, iters_pq,
+               topk, n_queries, scale_bits=16):
+    q = {i: _quant(v, scale_bits) for i, v in rows}
+    dim = len(next(iter(q.values())))
+    dsub = dim // m
+
+    # coarse cells: full-dim kmeans (same contract as clustering ref)
+    seeds = sorted(q)[:n_cells]
+    cells = [list(q[i]) for i in seeds]
+    for _ in range(iters_cells):
+        a = {
+            i: min((_sq(v, cells[j]), j) for j in range(n_cells))[1]
+            for i, v in q.items()
+        }
+        nxt = [list(c) for c in cells]
+        for j in range(n_cells):
+            mem = [q[i] for i in a if a[i] == j]
+            if mem:
+                n = len(mem)
+                nxt[j] = [_fdiv(sum(c), n) for c in zip(*mem)]
+        cells = nxt
+    cell_of = {
+        i: min((_sq(v, cells[j]), j) for j in range(n_cells))[1]
+        for i, v in q.items()
+    }
+    resid = {
+        i: [v[d] - cells[cell_of[i]][d] for d in range(dim)] for i, v in q.items()
+    }
+    rrows = [(i, None) for i in sorted(resid)]  # ids only; train below
+    sub = {
+        (i, s): resid[i][s * dsub:(s + 1) * dsub]
+        for i in resid for s in range(m)
+    }
+    rseeds = sorted(resid)[:k]
+    cb = [[list(sub[(i, s)]) for i in rseeds] for s in range(m)]
+    for _ in range(iters_pq):
+        a = {
+            (i, s): min((_sq(sub[(i, s)], cb[s][j]), j) for j in range(k))[1]
+            for i in resid for s in range(m)
+        }
+        nxt = [[list(c) for c in b] for b in cb]
+        for s in range(m):
+            for j in range(k):
+                mem = [sub[(i, s)] for i in resid if a[(i, s)] == j]
+                if mem:
+                    n = len(mem)
+                    nxt[s][j] = [_fdiv(sum(c), n) for c in zip(*mem)]
+        cb = nxt
+    codes = {
+        i: [
+            min((_sq(sub[(i, s)], cb[s][j]), j) for j in range(k))[1]
+            for s in range(m)
+        ]
+        for i in resid
+    }
+
+    out = []
+    for qid in sorted(q)[:n_queries]:
+        # probe nprobe nearest cells by (dist, cell)
+        probes = sorted(
+            (_sq(q[qid], cells[j]), j) for j in range(n_cells)
+        )[:nprobe]
+        scored = []
+        for _, cell in probes:
+            rq = [q[qid][d] - cells[cell][d] for d in range(dim)]
+            table = [
+                [_sq(rq[s * dsub:(s + 1) * dsub], cb[s][j]) for j in range(k)]
+                for s in range(m)
+            ]
+            for i in resid:
+                if i == qid or cell_of[i] != cell:
+                    continue
+                scored.append(
+                    (sum(table[s][codes[i][s]] for s in range(m)), i)
+                )
+        for r, (d, i) in enumerate(sorted(scored)[:topk], start=1):
+            out.append((qid, i, r, d))
+    return sorted(out)
+
+
+def test_ivfpq_matches_reference(spark):
+    rows = _rand_rows(31, 70, 8)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["adc_dist"])
+        for r in pq.ivfpq_topk(
+            _mk_df(spark, rows), "vec", "id",
+            n_cells=3, nprobe=2, m=2, k_codes=4,
+            iters_cells=2, iters_pq=2, topk=3, n_queries=4,
+        ).collect()
+    )
+    assert got == _ref_ivfpq(
+        rows, n_cells=3, nprobe=2, m=2, k=4,
+        iters_cells=2, iters_pq=2, topk=3, n_queries=4,
+    )
+
+
+def test_ivfpq_matches_duckdb_oracle(spark):
+    import duckdb
+
+    rows = _rand_rows(37, 50, 8)
+    got = sorted(
+        tuple(r)
+        for r in pq.ivfpq_topk(
+            _mk_df(spark, rows), "vec", "id",
+            n_cells=3, nprobe=2, m=4, k_codes=3,
+            iters_cells=2, iters_pq=1, topk=2, n_queries=3,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, vec FLOAT[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in rows]
+    )
+    sql = pq.ivfpq_oracle_sql(
+        "t", "id", "vec", dim=8,
+        n_cells=3, nprobe=2, m=4, k=3,
+        iters_cells=2, iters_pq=1, topk=2, n_queries=3,
+    )
+    ora = sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in con.execute(sql).fetchall()
+    )
+    assert got == ora
+
+
+def test_ivfpq_only_probed_cells_are_scored(spark):
+    # three far-apart blobs guarantee clean cells; with nprobe=1 each
+    # query's neighbors come from its own blob only
+    import random as _random
+    rng = _random.Random(41)
+    rows = []
+    centers = [(-9.0,) * 4, (9.0,) * 4, (9.0, -9.0, 9.0, -9.0)]
+    for b, c in enumerate(centers):
+        for i in range(10):
+            rows.append(
+                (i * 3 + b, [c[d] + rng.uniform(-0.2, 0.2) for d in range(4)])
+            )
+    out = pq.ivfpq_topk(
+        _mk_df(spark, rows), "vec", "id",
+        n_cells=3, nprobe=1, m=2, k_codes=3,
+        iters_cells=3, iters_pq=2, topk=3, n_queries=3,
+    )
+    for r in out.collect():
+        assert r["query_id"] % 3 == r["doc_id"] % 3
