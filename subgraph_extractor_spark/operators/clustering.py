@@ -109,7 +109,35 @@ def kmeans_train_centroids(
     face)."""
     q = quantized_vectors(df, vec_col, id_col, scale_bits).persist()
     try:
-        dim = len(q.select("q").first()["q"])
+        head = q.select("q").first()
+        if head is None:
+            raise ValueError("empty corpus: no vectors to cluster")
+        dim = len(head["q"])
+        # overflow-envelope runtime check (the dsir.importance_weights
+        # guard discipline): the codegen distance sums d*(2*max|q|)^2
+        # per row and the centroid fold sums n*max|q| per dimension —
+        # both must stay under 2^63 or a non-ANSI session would wrap
+        # silently inside the expression.  One bounded driver-side
+        # probe on the persisted projection (Python ints, cannot wrap).
+        stats = q.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.aggregate(
+                    "q",
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.greatest(acc, F.abs(x)),
+                )
+            ).alias("m"),
+        ).first()
+        n_rows, max_q = int(stats["n"]), int(stats["m"] or 0)
+        if dim * (2 * max_q) ** 2 >= (1 << 63) or n_rows * max_q >= (
+            1 << 63
+        ):
+            raise ValueError(
+                "kmeans overflow envelope: need dim*(2*max|q|)^2 and "
+                f"n*max|q| under 2^63, got dim={dim} max|q|={max_q} "
+                f"n={n_rows}; lower scale_bits"
+            )
         seeds = q.orderBy("id").limit(k).collect()
         if len(seeds) < k:
             raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")

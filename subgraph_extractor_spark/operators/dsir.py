@@ -132,21 +132,34 @@ def importance_weights(
         )
     )
     limit = (1 << 63) - 1
-    # the bound itself is computed by DIVISION so the guard cannot wrap
-    # the way the quantity it protects would (the PPS-guard lesson)
+    # the bounds are computed by DIVISION so the guard cannot wrap the
+    # way the quantities it protects would (the PPS-guard lesson).
+    # Both sides are guarded: the numerator 2^scale_bits*(ct+1)*(Zr+B)
+    # AND the denominator (cr+1)*(Zt+B) — corpora past ~3e9 bigrams per
+    # side would overflow the denominator alone.
     guard = F.assert_true(
         (F.col("_ct1") > 0)
         & (F.col("_zrb") > 0)
-        & (F.col("_ct1") <= F.expr(f"{limit // scale} div _zrb")),
+        & (F.col("_cr1") > 0)
+        & (F.col("_ztb") > 0)
+        & (F.col("_ct1") <= F.expr(f"{limit // scale} div _zrb"))
+        & (F.col("_cr1") <= F.expr(f"{limit} div _ztb")),
         F.lit(
             f"dsir overflow envelope: 2^{scale_bits} * (ct+1) * (Zr+B) "
-            "must stay under 2^63; lower scale_bits or raise buckets"
+            "and (cr+1) * (Zt+B) must each stay under 2^63; lower "
+            "scale_bits or raise buckets"
         ),
     )
     # `div`, not `/`: exact 64-bit integer floor (operands positive).
     w = F.expr(f"({scale} * _ct1 * _zrb) div (_cr1 * _ztb)")
+    # guard wiring: `w + coalesce(guard, 0)` (the PPS pattern) — a
+    # passing assert_true is NULL so the term adds 0.  The previous
+    # `when(guard.isNull(), w).otherwise(w)` was DEAD CODE: Catalyst's
+    # SimplifyConditionals folds CASE WHEN p THEN x ELSE x to x even
+    # when p contains assert_true, silently deleting the guard
+    # (regression-tested in test_dsir_split.py with ANSI off).
     return joined.select(
-        "h", F.when(guard.isNull(), w).otherwise(w).alias("w")
+        "h", (w + F.coalesce(guard.cast("long"), F.lit(0))).alias("w")
     )
 
 

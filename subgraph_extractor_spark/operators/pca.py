@@ -35,7 +35,9 @@ int64 safety inside the kernel: |q| <= 2^(scale_bits+1), so a product
 is <= 2^(2*scale_bits+2) and a per-batch sum over B rows needs
 B * 2^(2*scale_bits+2) < 2^63 — at the default scale_bits=16 that is
 B < 2^27 rows per Arrow batch (real batches are ~10^4).  numpy wraps
-silently, so the kernel asserts the bound per batch; the cross-batch
+silently, so the kernel raises ValueError per batch when
+rows * max|q|^2 would exceed 2^63 (measured against the batch's
+actual magnitudes, not the unit-scale assumption); the cross-batch
 fold runs in Spark BIGINT under ANSI (hard error on overflow), and the
 final comoment in exact DECIMAL.
 """
@@ -67,7 +69,6 @@ def embedding_comoments(
     the scan."""
     scale = float(1 << scale_bits)
     limit = (1 << 63) - 1
-    per_elem = 1 << (2 * scale_bits + 2)
 
     def _partials(batches):
         for pdf in batches:
@@ -81,12 +82,18 @@ def embedding_comoments(
                     np.asarray(rows, dtype=np.float64) * scale
                 ).astype(np.int64)
                 # silent-wrap guard: numpy int64 wraps, so the batch
-                # must fit the envelope BEFORE the matmul
-                assert q.shape[0] * per_elem < limit, (
-                    "pca comoment batch overflow envelope; lower "
-                    "scale_bits or spark.sql.execution.arrow."
-                    "maxRecordsPerBatch"
-                )
+                # must fit the envelope BEFORE the matmul.  Bounded
+                # against the ACTUAL max |q| of this batch (not the
+                # unit-scale assumption), and raised explicitly — a
+                # bare assert is stripped under `python -O`.
+                m = int(np.abs(q).max())
+                if q.shape[0] * m * m >= limit:
+                    raise ValueError(
+                        "pca comoment batch overflow envelope: "
+                        f"{q.shape[0]} rows * max|q|^2 ({m}^2) >= 2^63;"
+                        " lower scale_bits or spark.sql.execution."
+                        "arrow.maxRecordsPerBatch"
+                    )
                 p = q.T @ q
                 s = q.sum(axis=0)
                 for i in range(dim):

@@ -216,7 +216,10 @@ def pq_train_codebooks(
     centroid``.  Seeds are the quantized subvectors of the k smallest
     ids (deterministic, no RNG); empty clusters carry their previous
     codeword, exactly as :func:`clustering.kmeans_fixed_point`."""
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("empty corpus: no vectors to train codebooks")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     dsub = dim // m
@@ -596,7 +599,10 @@ def ivfpq_topk(
         quantized_vectors,
     )
 
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("empty corpus: no vectors to index")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     dsub = dim // m

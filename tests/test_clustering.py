@@ -222,3 +222,26 @@ def test_assign_to_centroids_matches_full_run_and_scores_new_batch(spark):
             for j, cj in enumerate(cents)
         )[1]
         assert got[i] == best
+
+
+def test_kmeans_empty_corpus_raises_valueerror(spark):
+    import pytest
+    df = spark.createDataFrame([], "id long, vec array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        clustering.kmeans_train_centroids(df, "vec", "id", k=2, iters=1)
+
+
+def test_kmeans_overflow_envelope_raises(spark):
+    """ADVICE r6: out-of-envelope quantized magnitudes must raise the
+    documented ValueError instead of silently wrapping in a non-ANSI
+    session (scale_bits=31 puts max|q| ~2^31, so dim*(2*max|q|)^2
+    crosses 2^63 even for dim=2)."""
+    import pytest
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.9]), (1, [0.8, -0.7]), (2, [0.1, 0.2])],
+        "id long, vec array<float>",
+    )
+    with pytest.raises(ValueError, match="overflow envelope"):
+        clustering.kmeans_train_centroids(
+            df, "vec", "id", k=2, iters=1, scale_bits=31
+        )

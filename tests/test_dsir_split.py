@@ -231,3 +231,25 @@ def test_dsir_streaming_counts_match_batch_bitwise(spark, tmp_path):
         for r in serve_dsir_counts(spark, str(tmp_path / "replay")).collect()
     }
     assert got2 == want
+
+
+def test_weights_denominator_overflow_guard(spark):
+    """ADVICE r6: (cr+1)*(Zt+B) past 2^63 must hard-error, never wrap.
+    Constructed so ONLY the denominator trips (scale_bits=0 keeps the
+    numerator product 1 * (Zr+B) < 2^63).  Under ANSI the literal
+    multiplication raises ARITHMETIC_OVERFLOW; the dedicated guard
+    exists for NON-ANSI sessions, where the product wraps silently —
+    so that path is asserted explicitly (same split as
+    test_dsir_envelope_raises_instead_of_wrapping)."""
+    tgt = spark.createDataFrame([], "h int, cnt long")
+    raw = spark.createDataFrame([(1, 1 << 52)], "h int, cnt long")
+    with pytest.raises(Exception, match="overflow|envelope"):
+        dsir.importance_weights(tgt, raw, 4096, scale_bits=0).collect()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="dsir overflow envelope"):
+            dsir.importance_weights(
+                tgt, raw, 4096, scale_bits=0
+            ).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")

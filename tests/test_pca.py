@@ -136,3 +136,13 @@ def test_remove_top_components_null_rows(spark):
     )
     out = pca.remove_top_components(df, "vec", 4, k=1).collect()
     assert sum(1 for r in out if r["_abtt"] is None) == 1
+
+
+def test_comoments_batch_overflow_raises(spark):
+    """ADVICE r6: the per-batch numpy guard must survive `python -O`
+    (explicit ValueError, not assert) and bound against the ACTUAL
+    max |q| — scale_bits=32 puts a unit vector's q at ~2^32, so even
+    one row exceeds rows*max|q|^2 < 2^63."""
+    df = _df(spark, [[0.9, 0.9], [0.5, -0.5]], parts=1)
+    with pytest.raises(Exception, match="overflow envelope"):
+        pca.embedding_comoments(df, "vec", 2, scale_bits=32).collect()

@@ -338,3 +338,13 @@ def test_ivfpq_only_probed_cells_are_scored(spark):
     )
     for r in out.collect():
         assert r["query_id"] % 3 == r["doc_id"] % 3
+
+
+def test_pq_empty_corpus_raises_valueerror(spark):
+    """ADVICE r6: empty corpus gives the clean ValueError, not a
+    TypeError from first() returning None."""
+    empty = spark.createDataFrame([], "id long, vec array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq.pq_train_codebooks(empty, "vec", "id", m=2, k=2)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq.ivfpq_topk(empty, "vec", "id", m=2, k_codes=2, n_cells=2)
