@@ -2444,6 +2444,83 @@ def q_ann_ivfpq(spark, sf):
     )
 
 
+def q_ann_ivfpq_recall(spark, sf):
+    # recall contract for IVF-PQ (r6 verdict task #4): the ann_ivfpq
+    # oracle proves Spark==DuckDB on the approximate result; THIS query
+    # pins how good the approximation is against the exact top-k in the
+    # SAME metric (squared L2 on the scale_bits=16 quantized longs —
+    # comparing ADC output against cosine order would conflate metric
+    # disagreement with approximation error).  The measured face is the
+    # DEPLOYMENT face, IVFADC + refine (pq.ivfpq_topk_refined, FAISS's
+    # IndexRefineFlat): raw ADC rank order on this fixture's
+    # near-random vectors is noise (measured recall@3 of the unrefined
+    # index: 0.07 at sf0.01 — random distances concentrate, so 3-bit
+    # residual codes can't separate them; clustered real-text
+    # embeddings are where raw ADC order works), while the re-ranked
+    # shortlist restores the coverage-fraction law of
+    # ann_projected_recall.  Shortlist is coverage-scaled to ~10% of
+    # the corpus (same exact-count discipline as ann_projected_recall);
+    # nprobe=3 of 4 cells bounds reachable recall at the cell-routing
+    # level.  Measured recall@3: 0.87 at sf0.01 AND 0.87 at sf0.1
+    # (deterministic — exact integer index, no RNG); floor 0.75.
+    # Exact baseline: the 5 query vectors broadcast onto the corpus
+    # (documented exact brute-force asymmetry), codegen sqdist,
+    # LIMITed per-query rank.
+    emb = _t(spark, sf, "embeddings")
+    topk, n_queries = 3, 5
+    n = emb.count()
+    shortlist = max(50, -(-n // 10))  # ceil(n/10): ~10% coverage
+    ann = pq_ops.ivfpq_topk_refined(
+        emb, "embedding", "vec_id",
+        n_cells=4, nprobe=3, m=8, k_codes=8,
+        iters_cells=2, iters_pq=2,
+        shortlist=shortlist, topk=topk, n_queries=n_queries,
+    ).select("query_id", F.col("doc_id").alias("neighbor_id"))
+    q = clustering_ops.quantized_vectors(emb, "embedding", "vec_id")
+    qs = q.orderBy("id").limit(n_queries).select(
+        F.col("id").alias("query_id"), F.col("q").alias("_qq")
+    )
+    scored = (
+        q.select(F.col("id").alias("neighbor_id"), F.col("q").alias("_cq"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    "_qq", "_cq", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    n_hits = ann.join(
+        exact, ["query_id", "neighbor_id"], "semi"
+    ).agg(F.count(F.lit(1)).alias("_nh"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_ne"))
+    n_q = emb.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(n_hits)
+        .crossJoin(n_exact)
+        .select(
+            "n_queries",
+            (F.col("_nh") >= F.lit(0.75) * F.col("_ne")).alias(
+                "recall_ge_075"
+            ),
+        )
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4332,17 +4409,69 @@ def q_sample_pps(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-6 window: CORRECTNESS_r05 never materialized
-    # (the r5 driver check did not land in the repo), so every query
-    # rotated in for r5 is STILL never-driver-checked.  This window
-    # therefore keeps 33 of the r5 pack's never-checked queries and
-    # adds the 17 queries authored in round 5 — together 50 of the 52
-    # queries with no driver row anywhere.  The only never-checked
-    # queries left out are the two rows-only raw twins (ann_projected,
-    # semdedup_approx), whose oracled contract twins remain in-window;
-    # the 15 r1-rotations from the r5 pack (each holding a green r1
-    # driver row) moved below the line.  Whichever round the driver
-    # checks next, this pack maximizes first-row union coverage.
+    # per round).  Round-7 window (the r6 verdict's task #1): the 14
+    # queries with no driver row anywhere (every round-6 addition plus
+    # the two rows-only raw twins ann_projected/semdedup_approx, all 14
+    # pre-verified green by the r6 review's own harness run), the new
+    # ann_ivfpq_recall contract (verdict task #4), then the 35 stalest
+    # green queries — all 31 whose only driver row is from round 1
+    # (five rounds of refactors ago) and the 4 oldest r2 rows.  Every
+    # query rotated OUT holds a green r5/r6 driver row; after this
+    # window lands, scripts/coverage_gap.py prints zero never-checked
+    # and the oldest evidence anywhere is round 2.
+    "emb_kmeans": q_emb_kmeans,
+    "emb_kmeans_balanced": q_emb_kmeans_balanced,
+    "ann_pq": q_ann_pq,
+    "emb_pq_codes": q_emb_pq_codes,
+    "pipeline_dsir_scores": q_pipeline_dsir_scores,
+    "pipeline_leakage_split": q_pipeline_leakage_split,
+    "retrieval_rrf": q_retrieval_rrf,
+    "pipeline_token_budget": q_pipeline_token_budget,
+    "graph_hits": q_graph_hits,
+    "emb_covariance": q_emb_covariance,
+    "ts_interpolate": q_ts_interpolate,
+    "ann_ivfpq": q_ann_ivfpq,
+    "ann_projected": q_ann_projected,
+    "semdedup_approx": q_semdedup_approx,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "s5_preview_limit": q_s5_preview_limit,
+    "p4_downscale": q_p4_downscale,
+    "p5_clamp_validity": q_p5_clamp_validity,
+    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
+    "j3_full_outer": q_j3_full_outer,
+    "a4_cube": q_a4_cube,
+    "a4_grouping_sets": q_a4_grouping_sets,
+    "w2_lag_delta": q_w2_lag_delta,
+    "w3_running_sum": q_w3_running_sum,
+    "w4_analytics": q_w4_analytics,
+    "w5_range_frame": q_w5_range_frame,
+    "w6_rank_stats": q_w6_rank_stats,
+    "f_date2": q_f_date2,
+    "f_string2": q_f_string2,
+    "o5_topk": q_o5_topk,
+    "set_ops": q_set_ops,
+    "set_ops_all": q_set_ops_all,
+    "j7_state_asof": q_j7_state_asof,
+    "tpch_q3_shape": q_tpch_q3_shape,
+    "tpch_q5_shape": q_tpch_q5_shape,
+    "skew_salted_agg": q_skew_salted_agg,
+    "a7_pivot": q_a7_pivot,
+    "f_in_subquery": q_f_in_subquery,
+    "f_scalar_subquery": q_f_scalar_subquery,
+    "a8_stats": q_a8_stats,
+    "f_width_bucket": q_f_width_bucket,
+    "f_json": q_f_json,
+    "f_string": q_f_string,
+    "f_math": q_f_math,
+    "f_conditional": q_f_conditional,
+    "f_cast": q_f_cast,
+    "s4_distinct_listing": q_s4_distinct_listing,
+    "p7_multi_target_mapping": q_p7_multi_target_mapping,
+    "p8_mapping_compiler": q_p8_mapping_compiler,
+    "j2_anti_join": q_j2_anti_join,
+    # ---- end of the 50-query window ----
+    # -- green r6 driver rows (CORRECTNESS_r06, 48 matched + 2
+    #    rows-only by design) and the stable r2-r4 core below --
     "pipeline_semdedup": q_pipeline_semdedup,
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
@@ -4376,21 +4505,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_pairs": q_image_dhash_pairs,
     "ann_projected_lsh": q_ann_projected_lsh,
     "ann_projected_lsh_recall": q_ann_projected_lsh_recall,
-    # r6 rotations: the 17 queries added in round 5 that have never had
-    # a driver row — audio/video perceptual dedup + excerpt/frame
-    # containment, URL canonicalization dedup + domain caps, the
-    # compression-gate and Gopher-rule quality gates, the incremental
-    # banded-hamming face, the interval overlap/contains joins +
-    # interval-union coverage, OHLC downsampling, negative sampling,
-    # overlap chunking, triangle counting, and quantized MaxSim.  To
-    # make room the two rows-only raw twins (ann_projected,
-    # semdedup_approx) moved below the line: each is shadowed by its
-    # oracled contract (ann_projected_recall, pipeline_semdedup) which
-    # STAYS in-window, and rows-only rows are the weakest evidence the
-    # window can spend a slot on.  The 15 r1-rotations from the r5 pack
-    # (cube/pivot/stats, subqueries, outer/state-asof joins, top-k, set
-    # ops, skew salting, mapping queries) also moved below — each holds
-    # a green r1 driver row and full local-harness coverage.
     "audio_spectral_pairs": q_audio_spectral_pairs,
     "video_dhash_pairs": q_video_dhash_pairs,
     "url_canonical_dedup": q_url_canonical_dedup,
@@ -4408,42 +4522,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
     "graph_triangles": q_graph_triangles,
     "sim_maxsim_quantized": q_sim_maxsim_quantized,
-    # ---- end of the 50-query window ----
-    # -- new in r6 (rotate into the r7 window): deterministic integer
-    # fixed-point k-means + cluster-balanced selection, full-value
-    # unrolled-CTE oracles --
-    "emb_kmeans": q_emb_kmeans,
-    "emb_kmeans_balanced": q_emb_kmeans_balanced,
-    "ann_pq": q_ann_pq,
-    "emb_pq_codes": q_emb_pq_codes,
-    "pipeline_dsir_scores": q_pipeline_dsir_scores,
-    "pipeline_leakage_split": q_pipeline_leakage_split,
-    "retrieval_rrf": q_retrieval_rrf,
-    "pipeline_token_budget": q_pipeline_token_budget,
-    "graph_hits": q_graph_hits,
-    "emb_covariance": q_emb_covariance,
-    "ts_interpolate": q_ts_interpolate,
-    "ann_ivfpq": q_ann_ivfpq,
-    "ann_projected": q_ann_projected,
-    "semdedup_approx": q_semdedup_approx,
-    "a4_cube": q_a4_cube,
-    "a4_grouping_sets": q_a4_grouping_sets,
-    "a7_pivot": q_a7_pivot,
-    "a8_stats": q_a8_stats,
-    "f_in_subquery": q_f_in_subquery,
-    "f_scalar_subquery": q_f_scalar_subquery,
-    "j3_full_outer": q_j3_full_outer,
-    "j7_state_asof": q_j7_state_asof,
-    "o5_topk": q_o5_topk,
-    "p4_downscale": q_p4_downscale,
-    "p5_clamp_validity": q_p5_clamp_validity,
-    "p6_uint256_roundtrip": q_p6_uint256_roundtrip,
-    "set_ops": q_set_ops,
-    "set_ops_all": q_set_ops_all,
-    "skew_salted_agg": q_skew_salted_agg,
-    "tpch_q3_shape": q_tpch_q3_shape,
-    "tpch_q5_shape": q_tpch_q5_shape,
-    # -- stable core: green driver rows r1-r4; re-verified locally --
     "w7_sessionize": q_w7_sessionize,
     "f_vector": q_f_vector,
     "pipeline_contamination": q_pipeline_contamination,
@@ -4518,10 +4596,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_matmul": q_sim_topk_matmul,
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a3_pricing_summary": q_a3_pricing_summary,
-    "s4_distinct_listing": q_s4_distinct_listing,
-    "p7_multi_target_mapping": q_p7_multi_target_mapping,
-    "p8_mapping_compiler": q_p8_mapping_compiler,
-    "j2_anti_join": q_j2_anti_join,
     "j3_semi_join": q_j3_semi_join,
     "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
@@ -4538,20 +4612,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_hash": q_f_hash,
     "f_bitwise": q_f_bitwise,
     "a9_percentiles": q_a9_percentiles,
-    "w2_lag_delta": q_w2_lag_delta,
-    "w3_running_sum": q_w3_running_sum,
-    "w6_rank_stats": q_w6_rank_stats,
-    "f_width_bucket": q_f_width_bucket,
-    "f_json": q_f_json,
-    "f_string": q_f_string,
-    "f_math": q_f_math,
-    "f_conditional": q_f_conditional,
-    "f_cast": q_f_cast,
-    "s5_preview_limit": q_s5_preview_limit,
-    "w4_analytics": q_w4_analytics,
-    "w5_range_frame": q_w5_range_frame,
-    "f_date2": q_f_date2,
-    "f_string2": q_f_string2,
     "f_date": q_f_date,
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
@@ -5965,6 +6025,11 @@ ORACLES: dict[str, str] = {
     "ann_projected_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                TRUE AS recall_ge_080
+        FROM embeddings
+    """,
+    "ann_ivfpq_recall": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               TRUE AS recall_ge_075
         FROM embeddings
     """,
     "ann_projected_lsh_recall": """

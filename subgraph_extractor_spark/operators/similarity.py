@@ -1009,8 +1009,10 @@ def maxsim_quantized_topk(
     Plan shape: the query set broadcasts onto the corpus (the
     asymmetry every retrieval op here uses — the corpus never moves),
     scoring is pure codegen nested HOFs (zip_with product fold, max
-    over document vectors, sum over query vectors), and one per-query
-    window takes top-``k`` (score desc, id asc tie-break).  Scale
+    over document vectors, sum over query vectors), and the per-query
+    top-``k`` (score desc, id asc tie-break) is shuffle-capped by the
+    SPARK-37099 rank-limit pushdown — the exchange moves at most k
+    rows per (query, map-partition), never the full scored set.  Scale
     notes: per-pair cost is |q|·|d|·dim lambda dispatches —
     interpreted, fine for reranking shortlists (the intended use:
     coarse-retrieve with ann/BM25, MaxSim-rerank the candidates); for
@@ -1048,6 +1050,11 @@ def maxsim_quantized_topk(
         .crossJoin(d)
         .select("query_id", "doc_id", score.alias("score"))
     )
+    # Shuffle cap (r6 verdict task #5): rank<=k over row_number gets
+    # Spark's SPARK-37099 rank-limit pushdown — a Partial
+    # WindowGroupLimit below the exchange bounds the shuffle at k rows
+    # per (query, map-partition).  Plan-asserted in
+    # tests/test_similarity.py.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -25,6 +25,9 @@ ALLOWED_NON_EQUI = {
     "ann_lsh_recall",
     "ann_ivf",
     "sim_topk_quantized",  # recall contract: brute-force baseline + anchors
+    # IVF-PQ recall contract: 5-query broadcast exact-L2 baseline +
+    # 1-row contract anchors (the ann_ivf pattern in the ADC metric)
+    "ann_ivfpq_recall",
     # deliberate broadcast-replication of the SMALL query set onto every
     # corpus shard (the right asymmetry: corpus shuffles once, queries
     # are tiny) — shows up as a BNLJ with a bounded broadcast side

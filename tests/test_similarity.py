@@ -287,3 +287,32 @@ def test_maxsim_quantized_matches_python_reference(spark):
             if qq == qid
         ]
         assert got_order == [did for did, _ in order]
+
+
+def test_maxsim_shuffle_is_rank_limit_capped(spark):
+    """Same SPARK-37099 plan pin as test_pq.py's flat-ADC check, for
+    the MaxSim rerank window (desc order also qualifies for the
+    rank-limit pushdown)."""
+    import random
+
+    from subgraph_extractor_spark.operators.similarity import (
+        maxsim_quantized_topk,
+    )
+
+    rng = random.Random(9)
+    mk = lambda n: [
+        (i, [[rng.randint(-5, 5) for _ in range(4)] for _ in range(3)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        mk(20), "id long, vecs array<array<int>>"
+    )
+    out = maxsim_quantized_topk(df.limit(3), df, "vecs", "id", k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    part = [i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l]
+    assert part and exch, plan
+    assert min(part) > min(exch), plan

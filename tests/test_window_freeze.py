@@ -4,45 +4,40 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-6 window: CORRECTNESS_r05 never landed, so the r5 rotations are
-still never-driver-checked — keep 33 of them and add the 17 queries
-authored in round 5, covering 50 of the 52 queries with no driver row
-(the two left out are rows-only raw twins whose oracled contracts stay
-in-window)."""
+Round-7 window (the r6 verdict's task #1): the 14 queries with no
+driver row anywhere (all pre-verified green by the r6 review), the new
+ann_ivfpq_recall contract, then the 35 stalest green queries (all 31
+r1-only rows + the 4 oldest r2 rows)."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    "pipeline_semdedup", "pipeline_semdedup_best",
-    "pipeline_shuffle_shard", "pipeline_shard_append",
-    "text_bpe_train",
-    "dataset_fingerprint", "dataset_fingerprint_groups",
-    "graph_pagerank", "graph_pagerank_seeded",
-    "sketch_kmv_overlap", "sketch_kmv_distinct",
-    "sample_pps", "sample_temperature",
-    "ts_resample", "ts_cohort_retention", "ts_funnel",
-    "ts_sliding", "ts_moving_avg", "a14_mad_outliers",
-    "dedup_containment", "dedup_editdist", "quality_classifier",
-    "ann_projected_recall", "pipeline_pretraining_e2e",
-    "dedup_incremental",
-    "tpch_q6_shape", "tpch_q14_shape", "tpch_q19_shape",
-    "tpch_q21_shape", "tpch_q22_shape",
-    "image_dhash_pairs",
-    "ann_projected_lsh", "ann_projected_lsh_recall",
-    "audio_spectral_pairs", "video_dhash_pairs",
-    "url_canonical_dedup", "url_domain_cap",
-    "quality_compression_gate",
-    "audio_excerpt_containment", "video_frame_containment",
-    "quality_gopher_rules", "dedup_simhash_incremental",
-    "j9_interval_overlap", "j10_interval_contains",
-    "ts_interval_coverage", "ts_ohlc",
-    "pipeline_negative_samples", "pipeline_chunk_overlap",
-    "graph_triangles", "sim_maxsim_quantized",
+    "emb_kmeans", "emb_kmeans_balanced",
+    "ann_pq", "emb_pq_codes",
+    "pipeline_dsir_scores", "pipeline_leakage_split",
+    "retrieval_rrf", "pipeline_token_budget",
+    "graph_hits", "emb_covariance", "ts_interpolate",
+    "ann_ivfpq", "ann_projected", "semdedup_approx",
+    "ann_ivfpq_recall",
+    "s5_preview_limit", "p4_downscale", "p5_clamp_validity",
+    "p6_uint256_roundtrip", "j3_full_outer",
+    "a4_cube", "a4_grouping_sets",
+    "w2_lag_delta", "w3_running_sum", "w4_analytics",
+    "w5_range_frame", "w6_rank_stats",
+    "f_date2", "f_string2", "o5_topk",
+    "set_ops", "set_ops_all", "j7_state_asof",
+    "tpch_q3_shape", "tpch_q5_shape", "skew_salted_agg",
+    "a7_pivot", "f_in_subquery", "f_scalar_subquery",
+    "a8_stats", "f_width_bucket", "f_json", "f_string",
+    "f_math", "f_conditional", "f_cast",
+    "s4_distinct_listing", "p7_multi_target_mapping",
+    "p8_mapping_compiler", "j2_anti_join",
 ]
 
-# rows-only by design (LSH banding / zlib / raw pair dumps whose
-# correctness rides on an oracled contract twin)
-ROWS_ONLY = {"dedup_incremental", "ann_projected_lsh"}
+# rows-only by design (raw pair/assignment dumps whose correctness
+# rides on an oracled contract twin that has held green in a prior
+# driver round or in this window)
+ROWS_ONLY = {"ann_projected", "semdedup_approx"}
 
 
 def test_driver_window_is_frozen():
