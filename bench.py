@@ -114,18 +114,28 @@ HEADLINE = [
     # scheduler latency at fixture scale); emb_kmeans likewise (4
     # collected Lloyd rounds = an offline training job, like
     # text_bpe_train).
-    # ann_pq is unbenched for the same reason: pq_ann_topk retrains its
-    # codebooks per call (2 Lloyd rounds x seed/update collects ~= 9 s
-    # of scheduler round-trips at fixture scale, a training-job prefix
-    # like text_bpe_train/emb_kmeans); the search path's per-pair cost
-    # is m element_at lookups (PLANS.md), and correctness is the
-    # full-value driver oracle at both scales.
     # r6 additions (first recorded r6 for r7+ comparability): DSIR
     # scoring (two hashed-wordcount fits + broadcast scoring join),
     # RRF fusion, and the token-budget prefix-sum selection.
     "pipeline_dsir_scores",
     "retrieval_rrf",
     "pipeline_token_budget",
+    # r7 addition (VERDICT r6 task #3): the one-pass int64 covariance
+    # tree aggregate — a pure steady-state scan, perfectly benchable.
+    "emb_covariance",
+]
+
+# END-TO-END training-prefix queries (VERDICT r6 task #3: "both
+# queries in the headline list"): recorded, but ONE pass only — their
+# wall time is dominated by the fixed-iteration Lloyd's collects
+# (~10 s flat / ~26 s IVF at sf0.01), so min-of-3 would triple the
+# bench's wall clock to re-measure scheduler round-trips.  The
+# steady-state flat-vs-IVF comparison the family's value claim rests
+# on is the ann_pq_search / ann_ivfpq_search pair (standing index,
+# identical query batch, min-of-N like every other entry).
+HEADLINE_ONCE = [
+    "ann_pq",
+    "ann_ivfpq",
 ]
 
 
@@ -182,8 +192,11 @@ def main() -> None:
     # threshold 1.5, not 2.0: three r5 runs recorded common19_r1 =
     # 13.43 / 15.38 / 16.71 s at start loadavg 1.07 / 1.91 / 1.97 —
     # start load near 2 already costs ~20%+ on the frozen subtotal
+    # wait budget raised 240 -> 600 (VERDICT r6 task #2: the r6 run
+    # squeaked under the gate at 1.43 and carried a ~20% tax; waiting
+    # out a contention burst is cheaper than recording through one)
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
     waited = 0.0
     while os.getloadavg()[0] >= gate and waited < wait_budget:
         time.sleep(5)
@@ -233,6 +246,12 @@ def main() -> None:
             # up in storage memory and evict live operator caches
             # mid-job.
             gc.collect()
+
+    for name in HEADLINE_ONCE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        gc.collect()
 
     # boundary cleanup before the pipeline entries: drop any persisted
     # blocks and release localCheckpoint RDDs pinned by collected Python
@@ -358,6 +377,51 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS bench_orders_b")
     spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
 
+    # flat-ADC vs IVF-PQ steady-state search (VERDICT r6 task #3): the
+    # ivfpq value claim — probing nprobe/n_cells of the corpus beats a
+    # full flat-ADC scan — is about the SERVING half, so both indexes
+    # are built and materialized OUTSIDE the timed window (the
+    # amortized one-time cost, like bucketed_build) and the timed
+    # section is search only, same 200-query batch, same m/k_codes,
+    # k=3.  nprobe=2 of 4 cells = the probe touches ~50% of the codes.
+    from subgraph_extractor_spark.operators import pq as pq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat_books = pq_ops.pq_train_codebooks(
+        emb, "embedding", "vec_id", m=8, k=8, iters=2
+    )
+    flat_codes = pq_ops.pq_encode(
+        emb, "embedding", "vec_id", flat_books
+    ).persist()
+    flat_codes.count()
+    ivf_cells, ivf_books, ivf_codes = pq_ops.ivfpq_build_index(
+        emb, "embedding", "vec_id", n_cells=4, m=8, k_codes=8,
+        iters_cells=2, iters_pq=2,
+    )
+    ivf_codes = ivf_codes.persist()
+    ivf_codes.count()
+    qbatch = emb.orderBy("vec_id").limit(200)
+    for _run in range(n_passes):
+        t0 = time.time()
+        pq_ops.pq_topk(
+            qbatch, flat_codes, "embedding", "vec_id", flat_books, k=3
+        ).count()
+        dt = round(time.time() - t0, 3)
+        timings["ann_pq_search"] = min(
+            timings.get("ann_pq_search", dt), dt
+        )
+        t0 = time.time()
+        pq_ops.ivfpq_search(
+            qbatch, "embedding", "vec_id", ivf_cells, ivf_books,
+            ivf_codes, nprobe=2, topk=3, n_queries=200,
+        ).count()
+        dt = round(time.time() - t0, 3)
+        timings["ann_ivfpq_search"] = min(
+            timings.get("ann_ivfpq_search", dt), dt
+        )
+    flat_codes.unpersist()
+    ivf_codes.unpersist()
+
     total = round(sum(timings.values()), 3)
     # frozen-subset subtotals: comparable round-over-round regardless of
     # how the full headline list grows (missing entries reported so a
@@ -370,6 +434,39 @@ def main() -> None:
             subtotals[label + "_missing"] = [
                 q for q in subset if q not in timings
             ]
+    # Machine-readable per-query floors (VERDICT r6 stretch #7): the
+    # best-ever recorded value per query across every BENCH_r*.json in
+    # the repo plus this run, with the two formally amended r1 entries
+    # (BASELINE.md "Recorded-baseline amendments") overridden to their
+    # honest steady-state floors so the cache-flattered r1 numbers
+    # never re-enter the weak-flag arithmetic.  "weak_vs_floor" lists
+    # every current entry >1.5x its floor — the gate the verdict reads,
+    # computed here instead of in BASELINE.md prose.
+    amended = {"dedup_minhash": 1.8, "ann_lsh": 2.7}
+    floors: dict[str, float] = {}
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
+        for qn, t in rec.get("queries", {}).items():
+            if isinstance(t, (int, float)):
+                floors[qn] = min(floors.get(qn, float(t)), float(t))
+    for qn, t in amended.items():
+        if qn in floors:
+            floors[qn] = max(floors[qn], t)
+    for qn, t in timings.items():
+        floors[qn] = min(floors.get(qn, t), t)
+    weak_vs_floor = {
+        qn: round(timings[qn] / floors[qn], 2)
+        for qn in sorted(timings)
+        if floors.get(qn) and timings[qn] > 1.5 * floors[qn]
+    }
+
     session = dict(BENCH_CONFS)
     session["master"] = spark.sparkContext.master
     session["defaultParallelism"] = spark.sparkContext.defaultParallelism
@@ -396,6 +493,8 @@ def main() -> None:
                 "loadavg_1m_start_end": [load_start, round(os.getloadavg()[0], 2)],
                 "load_gate": load_gate,
                 "subtotals": subtotals,
+                "floors": {q: floors[q] for q in sorted(floors)},
+                "weak_vs_floor": weak_vs_floor,
                 "session": session,
                 # one-time costs amortized over every subsequent join in
                 # production — reported for transparency, not steady-state

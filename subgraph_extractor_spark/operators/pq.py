@@ -605,6 +605,38 @@ def ivfpq_topk(
     codebook tensor — bounded model state.
 
     Output: (query_id, doc_id, rank, adc_dist)."""
+    cells, codebooks, codes = ivfpq_build_index(
+        corpus, vec_col, id_col,
+        n_cells=n_cells, m=m, k_codes=k_codes,
+        iters_cells=iters_cells, iters_pq=iters_pq,
+        scale_bits=scale_bits,
+    )
+    return ivfpq_search(
+        corpus, vec_col, id_col, cells, codebooks, codes,
+        nprobe=nprobe, topk=topk, n_queries=n_queries,
+        scale_bits=scale_bits,
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 4,
+    m: int = 8,
+    k_codes: int = 8,
+    iters_cells: int = 2,
+    iters_pq: int = 2,
+    scale_bits: int = 16,
+) -> tuple:
+    """Index-build half of :func:`ivfpq_topk` — the ONE-TIME cost a
+    production deployment amortizes over every query batch: coarse
+    k-means cells, residual PQ codebooks, and the (id, cell, codes)
+    code table (a lazy map-only plan over the corpus; persist or write
+    it once and serve).  Returns ``(cells, codebooks, codes_df)`` —
+    the first two are bounded driver model state, exactly like
+    :func:`clustering.kmeans_train_centroids`'s standing-centroid
+    face."""
     from subgraph_extractor_spark.operators.clustering import (
         kmeans_train_centroids,
         quantized_vectors,
@@ -650,6 +682,40 @@ def ivfpq_topk(
     codes = resid.select(
         "id", "cell", _codes_from_q(F.col("q"), codebooks).alias("codes")
     )
+    return cells, codebooks, codes
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cells: list,
+    codebooks: list,
+    codes: DataFrame,
+    nprobe: int = 2,
+    topk: int = 3,
+    n_queries: int = 5,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Search half of :func:`ivfpq_topk` against a STANDING index
+    (``cells``/``codebooks``/``codes`` from :func:`ivfpq_build_index`)
+    — the steady-state cost a serving deployment pays per query batch,
+    and the half where IVF's nprobe/n_cells corpus-fraction claim
+    lives (benched head-to-head against flat ADC in bench.py).
+    Self-matches are excluded when queries and corpus share the id
+    space.  Output: (query_id, doc_id, rank, adc_dist)."""
+    from subgraph_extractor_spark.operators.clustering import (
+        quantized_vectors,
+    )
+
+    dim = len(cells[0])
+    cells_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in c])
+            for c in cells
+        ]
+    )
+    q = quantized_vectors(queries, vec_col, id_col, scale_bits)
 
     # query side: nprobe nearest cells per query, each row carrying the
     # residual ADC table for that (query, cell)
