@@ -3742,6 +3742,21 @@ def q_dedup_containment(spark, sf):
     return dedup_ops.containment_pairs(d, "text", "doc_id", 3, 0.9)
 
 
+def q_dedup_cdc_chunks(spark, sf):
+    # content-defined chunk dedup (dedup.cdc_chunk_dedup, the
+    # rsync/LBFS rolling-boundary technique at token granularity): a
+    # token closes its chunk iff its 48-bit md5 slice ≡ 0 mod 8, so
+    # boundaries survive insertions/deletions that shift the fixed
+    # token grid of dedup_chunks.  Chunking is a pure JVM fold
+    # (F.aggregate, map-only); one chunk-hash-keyed shuffle keeps each
+    # chunk's first (doc, pos) occurrence.  Full-value oracle via a
+    # DELIBERATELY different formulation (unnest + boundary flag +
+    # prefix-sum window + ordered string_agg) — a stronger
+    # differential check than replaying the fold.
+    d = _t(spark, sf, "documents")
+    return dedup_ops.cdc_chunk_dedup(d, "doc_id", "text", divisor=8)
+
+
 def q_dedup_editdist(spark, sf):
     # edit-distance verified near-dups: exact Jaccard candidates (the
     # oracle-shared inverted-index formulation) verified by codegen
@@ -4468,8 +4483,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_distinct_listing": q_s4_distinct_listing,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
     "p8_mapping_compiler": q_p8_mapping_compiler,
-    "j2_anti_join": q_j2_anti_join,
+    # new in r7: content-defined chunk dedup (never checked, so it
+    # takes the last slot; j2_anti_join keeps its green r2 row below)
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     # ---- end of the 50-query window ----
+    "j2_anti_join": q_j2_anti_join,
     # -- green r6 driver rows (CORRECTNESS_r06, 48 matched + 2
     #    rows-only by design) and the stable r2-r4 core below --
     "pipeline_semdedup": q_pipeline_semdedup,
@@ -5262,6 +5280,45 @@ ORACLES: dict[str, str] = {
                           FROM documents
                           WHERE trim(text) <> '')
                 )
+            )
+        )
+        WHERE rn = 1
+    """,
+    "dedup_cdc_chunks": """
+        SELECT doc_id, chunk_pos, chunk_sha
+        FROM (
+            SELECT doc_id, chunk_pos, chunk_sha,
+                   ROW_NUMBER() OVER (PARTITION BY chunk_sha
+                                      ORDER BY doc_id, chunk_pos) AS rn
+            FROM (
+                SELECT doc_id, CAST(cpos AS INT) AS chunk_pos,
+                       sha256(string_agg(tok, ' ' ORDER BY pos))
+                           AS chunk_sha
+                FROM (
+                    SELECT doc_id, pos, tok,
+                           COALESCE(SUM(b) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cpos
+                    FROM (
+                        SELECT doc_id, pos, tok,
+                               CASE WHEN CAST(('0x' || substr(md5(tok), 1, 12))
+                                         AS BIGINT) % 8 = 0
+                                    THEN 1 ELSE 0 END AS b
+                        FROM (
+                            SELECT doc_id,
+                                   generate_subscripts(toks, 1) AS pos,
+                                   unnest(toks) AS tok
+                            FROM (SELECT doc_id,
+                                         string_split_regex(
+                                             trim(lower(text)),
+                                             '\\s+') AS toks
+                                  FROM documents
+                                  WHERE trim(text) <> '')
+                        )
+                    )
+                )
+                GROUP BY doc_id, cpos
             )
         )
         WHERE rn = 1

@@ -984,6 +984,82 @@ def chunk_dedup(
     )
 
 
+def cdc_token_chunks(col: Column, divisor: int = 8) -> Column:
+    """CONTENT-DEFINED chunks of a text column (the rsync/LBFS
+    rolling-boundary technique, Muthitacharoen et al. SOSP'01, at
+    token granularity): a token CLOSES its chunk iff its 48-bit md5
+    bucket ≡ 0 (mod ``divisor``), so expected chunk length is
+    ``divisor`` tokens and — unlike :func:`token_chunks`' fixed grid —
+    an insertion or deletion only perturbs the chunk it lands in:
+    every later boundary depends on token VALUES, not positions
+    (property-tested in tests/test_dedup.py).  This is the
+    shift-robust face of sub-document dedup: crawl re-scrapes that
+    prepend a date line still collapse to the same template chunks.
+
+    Pure JVM fold (F.aggregate with a (done, cur) struct accumulator)
+    — map-only, no explode, no shuffle; same md5-slice construct as
+    dsir.gram_bucket, so DuckDB replays it exactly via
+    ``CAST(('0x' || substr(md5(tok),1,12)) AS BIGINT) % divisor``."""
+    toks = tokens(col)
+
+    def _closes(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+            % F.lit(divisor)
+            == 0
+        )
+
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+    )
+
+    def _step(acc, t):
+        cur2 = F.when(acc["cur"] == "", t).otherwise(
+            F.concat_ws(" ", acc["cur"], t)
+        )
+        b = _closes(t)
+        return F.struct(
+            F.when(b, F.array_append(acc["done"], cur2))
+            .otherwise(acc["done"])
+            .alias("done"),
+            F.when(b, F.lit("")).otherwise(cur2).alias("cur"),
+        )
+
+    def _fin(acc):
+        return F.when(acc["cur"] == "", acc["done"]).otherwise(
+            F.array_append(acc["done"], acc["cur"])
+        )
+
+    return F.aggregate(toks, acc0, _step, _fin)
+
+
+def cdc_chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, divisor: int = 8
+) -> DataFrame:
+    """Sub-document exact dedup over CONTENT-DEFINED chunks: split via
+    :func:`cdc_token_chunks` and keep each chunk's first occurrence
+    corpus-wide (first = smallest (doc id, position)) — the
+    :func:`chunk_dedup` contract on shift-robust boundaries.
+
+    Returns (id, chunk_pos, chunk_sha).  One shuffle keyed by chunk
+    hash; per-hash window bounded by the duplication factor."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(cdc_token_chunks(F.col(text_col), divisor)).alias(
+            "chunk_pos", "_chunk"
+        ),
+    ).withColumn("chunk_sha", F.sha2(F.col("_chunk"), 256))
+    w = Window.partitionBy("chunk_sha").orderBy(
+        F.col(id_col), F.col("chunk_pos")
+    )
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "chunk_pos", "chunk_sha")
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -559,3 +559,98 @@ def test_simhash_pairs_incremental_equals_restricted_full(spark):
     assert any(a == 105 and b == 211 for a, b, _ in got)
     assert any(a == 200 and b == 212 for a, b, _ in got)
     assert not any(a == 100 and b == 141 for a, b, _ in got)
+
+
+# ------------------------------------------------------- CDC chunking
+
+def _ref_cdc_chunks(text, divisor=8):
+    import hashlib
+
+    toks = text.strip().lower().split() if text and text.strip() else []
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+        if h % divisor == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunks_match_reference(spark):
+    import random
+
+    rng = random.Random(21)
+    words = [f"w{j}" for j in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 60))))
+        for i in range(30)
+    ] + [(30, ""), (31, "   "), (32, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["c"])
+        for r in df.select(
+            "doc_id",
+            dedup.cdc_token_chunks(F.col("text"), 8).alias("c"),
+        ).collect()
+        if r["c"] is not None
+    }
+    for i, t in docs:
+        if t is None:
+            assert i not in got
+        else:
+            assert got[i] == _ref_cdc_chunks(t, 8), (i, t)
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    """THE property that distinguishes CDC from the fixed token grid:
+    prepending one token must leave every boundary after the first
+    chunk intact, while fixed-size chunks all shift."""
+    import random
+
+    rng = random.Random(5)
+    base = " ".join(
+        rng.choice([f"w{j}" for j in range(50)]) for _ in range(300)
+    )
+    shifted = "zzz " + base
+    a = set(_ref_cdc_chunks(base))          # python ref == spark (above)
+    b = set(_ref_cdc_chunks(shifted))
+    cdc_shared = len(a & b) / len(a)
+    fixed_a = {
+        " ".join(base.split()[i : i + 4])
+        for i in range(0, len(base.split()), 4)
+    }
+    fixed_b = {
+        " ".join(shifted.split()[i : i + 4])
+        for i in range(0, len(shifted.split()), 4)
+    }
+    fixed_shared = len(fixed_a & fixed_b) / len(fixed_a)
+    assert cdc_shared > 0.9, cdc_shared
+    assert fixed_shared < 0.2, fixed_shared
+
+
+def test_cdc_chunk_dedup_keeps_first_occurrence(spark):
+    docs = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "aa bb cc dd ee ff gg hh"),   # exact dup of 1
+        (3, "xx yy aa bb cc dd ee ff gg hh"),  # shifted superset
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = dedup.cdc_chunk_dedup(df, "doc_id", "text", divisor=4)
+    rows = kept.collect()
+    # every chunk_sha appears exactly once, owned by its smallest doc
+    by_sha = {}
+    for r in rows:
+        assert r["chunk_sha"] not in by_sha
+        by_sha[r["chunk_sha"]] = r["doc_id"]
+    # doc 2 contributes nothing (doc 1 owns all its chunks)
+    assert 2 not in set(by_sha.values())
+    # shared tail chunks of doc 3 are owned by doc 1
+    ref1 = set(_ref_cdc_chunks(docs[0][1], 4))
+    ref3 = set(_ref_cdc_chunks(docs[2][1], 4))
+    for c in ref1 & ref3:
+        import hashlib
+        sha = hashlib.sha256(c.encode()).hexdigest()
+        assert by_sha.get(sha) == 1

@@ -5,9 +5,10 @@ queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
 Round-7 window (the r6 verdict's task #1): the 14 queries with no
-driver row anywhere (all pre-verified green by the r6 review), the new
-ann_ivfpq_recall contract, then the 35 stalest green queries (all 31
-r1-only rows + the 4 oldest r2 rows)."""
+driver row anywhere (all pre-verified green by the r6 review), the two
+queries authored this round (ann_ivfpq_recall, dedup_cdc_chunks), then
+the 34 stalest green queries (all 31 r1-only rows + 3 of the 4 oldest
+r2 rows; j2_anti_join keeps its green r2 row just below the line)."""
 
 import __spark_entry__ as em
 
@@ -31,7 +32,7 @@ WINDOW_50 = [
     "a8_stats", "f_width_bucket", "f_json", "f_string",
     "f_math", "f_conditional", "f_cast",
     "s4_distinct_listing", "p7_multi_target_mapping",
-    "p8_mapping_compiler", "j2_anti_join",
+    "p8_mapping_compiler", "dedup_cdc_chunks",
 ]
 
 # rows-only by design (raw pair/assignment dumps whose correctness
