@@ -1060,6 +1060,44 @@ def cdc_chunk_dedup(
     )
 
 
+def cdc_chunk_dedup_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_chunks: DataFrame,
+    divisor: int = 8,
+) -> DataFrame:
+    """Continual-ingestion face of :func:`cdc_chunk_dedup`: chunk a new
+    batch content-defined and keep only chunks seen neither in the
+    standing corpus chunk table (column ``chunk_sha``) nor earlier in
+    the batch itself.  Survivor rows (id, chunk_pos, chunk_sha) append
+    to the chunk table for the next ingest — the
+    :func:`exact_dedup_incremental` loop at sub-document granularity,
+    on boundaries that survive the edits between re-crawls.
+
+    Scale shape: chunking + hashing are map-only over the BATCH; the
+    within-batch window is keyed by chunk hash (group size = batch
+    duplication factor); the corpus probe is a left-anti join against
+    the chunk table (bucketable by chunk_sha so recurring ingests skip
+    its shuffle).  The standing corpus is never re-chunked."""
+    batch = new_df.select(
+        F.col(id_col),
+        F.posexplode(cdc_token_chunks(F.col(text_col), divisor)).alias(
+            "chunk_pos", "_chunk"
+        ),
+    ).withColumn("chunk_sha", F.sha2(F.col("_chunk"), 256))
+    w = Window.partitionBy("chunk_sha").orderBy(
+        F.col(id_col), F.col("chunk_pos")
+    )
+    in_batch_first = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return in_batch_first.join(
+        corpus_chunks.select("chunk_sha"), "chunk_sha", "left_anti"
+    ).select(id_col, "chunk_pos", "chunk_sha")
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -654,3 +654,44 @@ def test_cdc_chunk_dedup_keeps_first_occurrence(spark):
         import hashlib
         sha = hashlib.sha256(c.encode()).hexdigest()
         assert by_sha.get(sha) == 1
+
+
+def test_cdc_incremental_equals_full_restricted(spark):
+    """Incremental==full equivalence (the repo's incremental-face
+    contract): chunks retained for the batch by the incremental probe
+    == chunks the FULL corpus+batch run attributes to batch docs,
+    when the standing table holds exactly the corpus run's chunks."""
+    import random
+
+    rng = random.Random(77)
+    words = [f"w{j}" for j in range(30)]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    corpus_docs = [(i, mk(rng.randint(5, 40))) for i in range(20)]
+    batch_docs = (
+        [(100 + i, mk(rng.randint(5, 40))) for i in range(8)]
+        + [(200, corpus_docs[3][1])]          # exact re-crawl
+        + [(201, "zzz " + corpus_docs[5][1])]  # shifted re-crawl
+    )
+    cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch_docs, "doc_id long, text string")
+
+    standing = dedup.cdc_chunk_dedup(cdf, "doc_id", "text", divisor=4)
+    inc = {
+        (r["doc_id"], r["chunk_pos"], r["chunk_sha"])
+        for r in dedup.cdc_chunk_dedup_incremental(
+            bdf, "doc_id", "text", standing, divisor=4
+        ).collect()
+    }
+    full = {
+        (r["doc_id"], r["chunk_pos"], r["chunk_sha"])
+        for r in dedup.cdc_chunk_dedup(
+            cdf.union(bdf), "doc_id", "text", divisor=4
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert inc == full
+    # the shifted re-crawl contributes at most its first chunk(s) —
+    # the shift-robustness payoff at the dedup level
+    doc201 = [t for t in inc if t[0] == 201]
+    n201 = len(_ref_cdc_chunks(batch_docs[-1][1], 4))
+    assert len(doc201) < n201, (len(doc201), n201)
