@@ -453,6 +453,10 @@ def main() -> None:
                 rec = json.load(fh)
         except Exception:
             continue
+        # driver-written BENCH_r*.json nests the bench line under
+        # "parsed"; a locally recorded file is the line itself
+        if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
         for qn, t in rec.get("queries", {}).items():
             if isinstance(t, (int, float)):
                 floors[qn] = min(floors.get(qn, float(t)), float(t))
