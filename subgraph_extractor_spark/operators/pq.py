@@ -775,6 +775,44 @@ def ivfpq_search(
     )
 
 
+def save_index_model(path: str, cells: list, codebooks: list) -> None:
+    """Persist the bounded IVF-PQ model state (cell matrix + residual
+    codebook tensor) as one atomic JSON blob via the repo's
+    local/cloud writer (fsio) — the 'persist once, serve forever' half
+    of :func:`ivfpq_build_index`'s contract made concrete.  The code
+    TABLE is a DataFrame and ships as ordinary parquet next to it;
+    only the driver-side model lives here (k×d + m×k×dsub ints —
+    kilobytes).  Everything is exact integers, so the round-trip is
+    bit-exact by construction."""
+    import json as _json
+
+    from subgraph_extractor_spark import fsio
+
+    fs, p = fsio.resolve(path)
+    parent = p.rsplit("/", 1)[0] if "/" in p else ""
+    if parent:
+        fsio.makedirs(fs, parent)
+    blob = _json.dumps(
+        {"version": 1, "cells": cells, "codebooks": codebooks},
+        separators=(",", ":"),
+    ).encode()
+    fsio.write_bytes_atomic(fs, p, blob)
+
+
+def load_index_model(path: str) -> tuple:
+    """Load the (cells, codebooks) model saved by
+    :func:`save_index_model`."""
+    import json as _json
+
+    from subgraph_extractor_spark import fsio
+
+    fs, p = fsio.resolve(path)
+    blob = _json.loads(fsio.read_bytes(fs, p).decode())
+    if blob.get("version") != 1:
+        raise ValueError(f"unknown index model version: {blob.get('version')}")
+    return blob["cells"], blob["codebooks"]
+
+
 def ivfpq_topk_refined(
     corpus: DataFrame,
     vec_col: str,

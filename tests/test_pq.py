@@ -420,3 +420,28 @@ def test_flat_adc_shuffle_is_rank_limit_capped(spark):
     # tree printing: deeper nodes come later, so the Partial limit
     # must appear BELOW (after) the exchange it feeds
     assert min(part) > min(exch), plan
+
+
+def test_index_model_roundtrip_and_serve(spark, tmp_path):
+    """save/load of the bounded IVF-PQ model state is bit-exact, and a
+    search served from the LOADED model + re-read parquet code table
+    equals the search from the in-memory build."""
+    rows = _rand_rows(51, 40, 8)
+    df = _mk_df(spark, rows)
+    cells, books, codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=3, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    mp = str(tmp_path / "idx" / "model.json")
+    pq.save_index_model(mp, cells, books)
+    codes.write.parquet(str(tmp_path / "idx" / "codes"))
+    cells2, books2 = pq.load_index_model(mp)
+    assert cells2 == cells and books2 == books
+    codes2 = spark.read.parquet(str(tmp_path / "idx" / "codes"))
+    a = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells, books, codes,
+        nprobe=2, topk=3, n_queries=4).collect()))
+    b = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells2, books2, codes2,
+        nprobe=2, topk=3, n_queries=4).collect()))
+    assert a == b
