@@ -654,3 +654,63 @@ def serve_dsir_counts(spark, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no dsir count state under {state_dir}")
     return spark.read.parquet(latest[1])
+
+
+def cdc_chunks_sink(
+    spark,
+    state_dir: str,
+    kept_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+):
+    """foreachBatch sink for continual CONTENT-DEFINED chunk dedup —
+    the streaming face of ``operators.dedup.cdc_chunk_dedup_incremental``.
+    Each micro-batch of documents is chunked on rolling boundaries
+    (map-only fold over the BATCH), its novel chunks are found against
+    the standing ``(chunk_sha)`` table, survivors land under
+    ``kept_dir/v{batch_id}`` and fold into the ``v{batch_id}`` chunk
+    state.  Both writes are overwrite-by-version, so a crash-replayed
+    batch reproduces its own survivors and state instead of
+    double-appending — the same idempotence + newer-version lineage
+    guard as every other standing-state sink here.  Serve the state
+    with :func:`serve_cdc_chunks`."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        latest = _latest_state_version(state_dir, before=batch_id)
+        corpus = (
+            spark.read.parquet(latest[1])
+            if latest is not None
+            else spark.createDataFrame(
+                [], f"{id_col} long, chunk_pos int, chunk_sha string"
+            )
+        )
+        kept = _dedup.cdc_chunk_dedup_incremental(
+            batch_df, id_col, text_col, corpus, divisor=divisor
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_dir}/v{batch_id}")
+        (
+            corpus.unionByName(kept)
+            .dropDuplicates(["chunk_sha"])
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/v{batch_id}")
+        )
+
+    return fold
+
+
+def serve_cdc_chunks(spark, state_dir: str) -> DataFrame:
+    """Latest standing chunk table (id, chunk_pos, chunk_sha) — one row
+    per distinct chunk corpus-wide, owned by its first (doc, pos)."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no cdc chunk state under {state_dir}")
+    return spark.read.parquet(latest[1])

@@ -695,3 +695,73 @@ def test_cdc_incremental_equals_full_restricted(spark):
     doc201 = [t for t in inc if t[0] == 201]
     n201 = len(_ref_cdc_chunks(batch_docs[-1][1], 4))
     assert len(doc201) < n201, (len(doc201), n201)
+
+
+def test_cdc_chunks_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming CDC chunk ingestion: the availableNow file stream
+    through cdc_chunks_sink must leave exactly the chunk state the
+    one-shot batch run produces, and a crash-replayed batch must not
+    double-append (overwrite-by-version idempotence)."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        cdc_chunks_sink,
+        serve_cdc_chunks,
+    )
+
+    import random
+    rng = random.Random(31)
+    words = [f"w{j}" for j in range(25)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(4, 30))))
+        for i in range(16)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = tmp_path / "stage"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    ddf.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(stage / "a")
+    )
+    ddf.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(stage / "b")
+    )
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    stream = (
+        spark.readStream.schema(ddf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cdc_chunks_sink(spark, state, kept, divisor=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r["chunk_sha"]
+        for r in serve_cdc_chunks(spark, state).collect()
+    }
+    want = {
+        r["chunk_sha"]
+        for r in dedup.cdc_chunk_dedup(
+            ddf, "doc_id", "text", divisor=4
+        ).collect()
+    }
+    assert got == want
+
+    # crash-replay idempotence on a fresh dir
+    state2, kept2 = str(tmp_path / "s2"), str(tmp_path / "k2")
+    fold = cdc_chunks_sink(spark, state2, kept2, divisor=4)
+    even = ddf.filter(F.col("doc_id") % 2 == 0)
+    odd = ddf.filter(F.col("doc_id") % 2 == 1)
+    fold(even, 0)
+    fold(odd, 1)
+    fold(odd, 1)  # replay
+    got2 = {
+        r["chunk_sha"] for r in serve_cdc_chunks(spark, state2).collect()
+    }
+    assert got2 == want
