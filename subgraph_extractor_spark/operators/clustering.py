@@ -79,6 +79,36 @@ def _fdiv(s: int, n: int) -> int:
     return (s - ((s % n) + n) % n) // n
 
 
+def _raise_if_out_of_envelope(dim: int, max_q: int, n_rows: int) -> None:
+    """Hard error when the exact integer arithmetic could exceed 2^63:
+    the codegen distance sums d*(2*max|q|)^2 per row and the centroid
+    fold sums n*max|q| per dimension (Python ints here, cannot wrap)."""
+    if dim * (2 * max_q) ** 2 >= (1 << 63) or n_rows * max_q >= (1 << 63):
+        raise ValueError(
+            "kmeans overflow envelope: need dim*(2*max|q|)^2 and "
+            f"n*max|q| under 2^63, got dim={dim} max|q|={max_q} "
+            f"n={n_rows}; lower scale_bits"
+        )
+
+
+def _check_envelope(q, dim: int) -> None:
+    """Dedicated wrap-proof envelope probe (one bounded aggregate of
+    abs/greatest over longs — overflow-free by construction).  Only
+    run on the pass-1 failure path: the happy path reads the same
+    stats off the first Lloyd groupBy for free."""
+    stats = q.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                "q",
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            )
+        ).alias("m"),
+    ).first()
+    _raise_if_out_of_envelope(dim, int(stats["m"] or 0), int(stats["n"]))
+
+
 def _assign_expr(centroids: list[list[int]]):
     """argmin_j (dist(q, c_j), j) as one codegen expression over
     literal centroid arrays — lexicographic struct min gives the
@@ -113,49 +143,67 @@ def kmeans_train_centroids(
         if head is None:
             raise ValueError("empty corpus: no vectors to cluster")
         dim = len(head["q"])
-        # overflow-envelope runtime check (the dsir.importance_weights
-        # guard discipline): the codegen distance sums d*(2*max|q|)^2
-        # per row and the centroid fold sums n*max|q| per dimension —
-        # both must stay under 2^63 or a non-ANSI session would wrap
-        # silently inside the expression.  One bounded driver-side
-        # probe on the persisted projection (Python ints, cannot wrap).
-        stats = q.select(
-            F.count(F.lit(1)).alias("n"),
-            F.max(
-                F.aggregate(
-                    "q",
-                    F.lit(0).cast("long"),
-                    lambda acc, x: F.greatest(acc, F.abs(x)),
-                )
-            ).alias("m"),
-        ).first()
-        n_rows, max_q = int(stats["n"]), int(stats["m"] or 0)
-        if dim * (2 * max_q) ** 2 >= (1 << 63) or n_rows * max_q >= (
-            1 << 63
-        ):
-            raise ValueError(
-                "kmeans overflow envelope: need dim*(2*max|q|)^2 and "
-                f"n*max|q| under 2^63, got dim={dim} max|q|={max_q} "
-                f"n={n_rows}; lower scale_bits"
-            )
         seeds = q.orderBy("id").limit(k).collect()
         if len(seeds) < k:
             raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
         centroids = [list(r["q"]) for r in seeds]
 
-        for _ in range(iters):
-            sums = (
-                q.select(_assign_expr(centroids), "q")
-                .groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
+        for it in range(iters):
+            # overflow-envelope runtime check (the dsir guard
+            # discipline): the codegen distance sums d*(2*max|q|)^2
+            # per row and the centroid fold sums n*max|q| per
+            # dimension — both must stay under 2^63 or a non-ANSI
+            # session would wrap silently inside the expression.  The
+            # n/max|q| probe rides the FIRST Lloyd pass's groupBy (no
+            # dedicated corpus scan per call): max|q| itself cannot
+            # wrap (|q| elements are honest longs from floor(float *
+            # scale)), so even if pass 1's distances DID wrap, the
+            # post-pass check still sees the true envelope and raises
+            # before any result escapes — pass-1 sums are discarded by
+            # the raise.
+            envelope = (
+                [
+                    F.max(
+                        F.aggregate(
+                            "q",
+                            F.lit(0).cast("long"),
+                            lambda acc, x: F.greatest(acc, F.abs(x)),
+                        )
+                    ).alias("_mq")
+                ]
+                if it == 0
+                else []
             )
+            try:
+                sums = (
+                    q.select(_assign_expr(centroids), "q")
+                    .groupBy("cluster")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        *[
+                            F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                            for i in range(dim)
+                        ],
+                        *envelope,
+                    )
+                    .collect()
+                )
+            except Exception:
+                # an ANSI session surfaces an out-of-envelope input as
+                # a JVM arithmetic error inside pass 1 before the
+                # rode-along probe returns — re-derive the envelope
+                # with the wrap-proof probe (abs/greatest of longs) so
+                # the caller gets the documented actionable error; any
+                # other failure re-raises untouched
+                _check_envelope(q, dim)
+                raise
+            if it == 0:
+                n_rows = sum(int(row["n"]) for row in sums)
+                max_q = max(
+                    (int(row["_mq"]) for row in sums if row["_mq"] is not None),
+                    default=0,
+                )
+                _raise_if_out_of_envelope(dim, max_q, n_rows)
             nxt = [list(c) for c in centroids]  # empty clusters carry over
             for row in sums:
                 nxt[row["cluster"]] = [

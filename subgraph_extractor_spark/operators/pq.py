@@ -614,7 +614,7 @@ def ivfpq_topk(
     return ivfpq_search(
         corpus, vec_col, id_col, cells, codebooks, codes,
         nprobe=nprobe, topk=topk, n_queries=n_queries,
-        scale_bits=scale_bits,
+        scale_bits=scale_bits, exclude_self=True,
     )
 
 
@@ -694,16 +694,24 @@ def ivfpq_search(
     codes: DataFrame,
     nprobe: int = 2,
     topk: int = 3,
-    n_queries: int = 5,
+    n_queries: int | None = None,
     scale_bits: int = 16,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Search half of :func:`ivfpq_topk` against a STANDING index
     (``cells``/``codebooks``/``codes`` from :func:`ivfpq_build_index`)
     — the steady-state cost a serving deployment pays per query batch,
     and the half where IVF's nprobe/n_cells corpus-fraction claim
     lives (benched head-to-head against flat ADC in bench.py).
-    Self-matches are excluded when queries and corpus share the id
-    space.  Output: (query_id, doc_id, rank, adc_dist)."""
+
+    Serving defaults: the WHOLE ``queries`` DataFrame is scored
+    (``n_queries=None``) and a corpus row whose id happens to collide
+    with a query id is a legitimate candidate (``exclude_self=False``)
+    — a serving batch's id space is independent of the corpus's.  The
+    self-ANN fixture paths (:func:`ivfpq_topk`, where queries ARE
+    corpus rows) pass ``n_queries`` to bound the fixture batch and
+    ``exclude_self=True`` to drop the trivial distance-0 self match.
+    Output: (query_id, doc_id, rank, adc_dist)."""
     from subgraph_extractor_spark.operators.clustering import (
         quantized_vectors,
     )
@@ -719,9 +727,9 @@ def ivfpq_search(
 
     # query side: nprobe nearest cells per query, each row carrying the
     # residual ADC table for that (query, cell)
-    qv = q.orderBy("id").limit(n_queries).select(
-        F.col("id").alias("query_id"), "q"
-    )
+    if n_queries is not None:
+        q = q.orderBy("id").limit(n_queries)
+    qv = q.select(F.col("id").alias("query_id"), "q")
     qc = qv.select(
         "query_id",
         "q",
@@ -756,12 +764,12 @@ def ivfpq_search(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
-        F.broadcast(probed)
-        .join(codes.withColumnRenamed("id", "doc_id"), "cell")
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .select("query_id", "doc_id", adc.alias("adc_dist"))
+    scored = F.broadcast(probed).join(
+        codes.withColumnRenamed("id", "doc_id"), "cell"
     )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
+    scored = scored.select("query_id", "doc_id", adc.alias("adc_dist"))
     # the probed candidate set is still ~nprobe/n_cells of the corpus
     # per query; the rank<=topk filter gets the same SPARK-37099
     # Partial WindowGroupLimit shuffle cap documented in pq_topk

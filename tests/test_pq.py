@@ -445,3 +445,39 @@ def test_index_model_roundtrip_and_serve(spark, tmp_path):
         df, "vec", "id", cells2, books2, codes2,
         nprobe=2, topk=3, n_queries=4).collect()))
     assert a == b
+
+
+def test_ivfpq_search_serving_defaults(spark):
+    """The serving face scores the WHOLE query batch by default
+    (n_queries=None — no silent truncation to the 5 smallest ids) and
+    keeps id-colliding corpus candidates (exclude_self=False): a
+    serving batch's id space is independent of the corpus's, so a
+    collision must not drop a legitimate neighbor.  The self-ANN
+    fixture semantics stay available behind explicit flags."""
+    rows = _rand_rows(17, 30, 8)
+    df = _mk_df(spark, rows)
+    cells, books, codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    # 12 queries (> the old default truncation of 5), ids disjoint
+    # from the corpus apart from one deliberate collision (id=3)
+    qrows = [(i + 100, v) for i, v in rows[:11]] + [(3, rows[3][1])]
+    qdf = _mk_df(spark, qrows)
+    out = pq.ivfpq_search(
+        qdf, "vec", "id", cells, books, codes, nprobe=2, topk=2
+    ).collect()
+    # every query scored, none silently dropped
+    assert {r["query_id"] for r in out} == {i for i, _ in qrows}
+    # the colliding query keeps its identical corpus row as the top
+    # hit (an exact duplicate's ADC distance is the minimum possible —
+    # the doc's codes ARE the centroids nearest its own residual)
+    top = [r for r in out if r["query_id"] == 3 and r["rank"] == 1][0]
+    assert top["doc_id"] == 3
+    # explicit fixture flags reproduce the self-ANN behavior
+    self_out = pq.ivfpq_search(
+        df, "vec", "id", cells, books, codes, nprobe=2, topk=2,
+        n_queries=4, exclude_self=True,
+    ).collect()
+    assert {r["query_id"] for r in self_out} == {0, 1, 2, 3}
+    assert all(r["query_id"] != r["doc_id"] for r in self_out)
