@@ -656,6 +656,42 @@ def serve_dsir_counts(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(latest[1])
 
 
+def _compact_versions(state_dir: str) -> list[tuple[int, str]]:
+    """``c{n}`` compacted-snapshot dirs under a chunk state dir."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    return [
+        (int(d[1:]), os.path.join(state_dir, d))
+        for d in os.listdir(state_dir)
+        if d.startswith("c") and d[1:].isdigit()
+    ]
+
+
+def _empty_chunk_state(spark, batch_df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row chunk state whose id column type is DERIVED from the
+    incoming batch (ADVICE r7: a hardcoded ``long`` broke the first
+    micro-batch of any stream whose id column is not LONG)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField(id_col, batch_df.schema[id_col].dataType),
+                StructField("chunk_pos", IntegerType()),
+                StructField("chunk_sha", StringType()),
+            ]
+        ),
+    )
+
+
 def cdc_chunks_sink(
     spark,
     state_dir: str,
@@ -663,54 +699,204 @@ def cdc_chunks_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     divisor: int = 8,
+    compact_every: int = 16,
 ):
     """foreachBatch sink for continual CONTENT-DEFINED chunk dedup —
     the streaming face of ``operators.dedup.cdc_chunk_dedup_incremental``.
     Each micro-batch of documents is chunked on rolling boundaries
     (map-only fold over the BATCH), its novel chunks are found against
-    the standing ``(chunk_sha)`` table, survivors land under
-    ``kept_dir/v{batch_id}`` and fold into the ``v{batch_id}`` chunk
-    state.  Both writes are overwrite-by-version, so a crash-replayed
-    batch reproduces its own survivors and state instead of
-    double-appending — the same idempotence + newer-version lineage
-    guard as every other standing-state sink here.  Serve the state
-    with :func:`serve_cdc_chunks`."""
+    the standing ``(chunk_sha)`` table, and survivors land TWICE:
+    under ``kept_dir/v{batch_id}`` (the per-batch survivor record) and
+    as an APPEND-ONLY delta ``state_dir/v{batch_id}``.
+
+    Unlike the repo's other standing-state sinks — whose state is one
+    row per item (8-byte signatures) or <= buckets rows (DSIR), making
+    a full overwrite per batch cheap — the chunk table is ~one row per
+    distinct chunk corpus-wide (~n_tokens/divisor rows), so the r7
+    full-rewrite design was O(corpus) write amplification per
+    micro-batch (the one scale-killer the r7 review flagged).  This
+    version writes O(batch) per batch: the delta is exactly the novel
+    chunks, the standing state is the union of a compacted snapshot
+    plus the deltas after it, and every ``compact_every`` deltas the
+    sink folds them into a fresh ``c{batch_id}`` snapshot (the
+    amortized O(corpus/compact_every)-per-batch housekeeping) and
+    prunes dirs superseded by the PREVIOUS snapshot — one full
+    compaction cycle is always retained so a crash-replayed batch can
+    still reconstruct its pre-batch corpus, and storage stays bounded
+    at <= 2 snapshots + ~2x``compact_every`` deltas (ADVICE r7: the r7
+    sink never pruned old versions).
+
+    Idempotence: both per-batch writes are overwrite-by-version, and
+    the newer-version lineage guard (deltas AND snapshots) rejects
+    foreign state, exactly as every other sink here.  Serve with
+    :func:`serve_cdc_chunks`.  For ingest volumes where even the
+    batch-side shuffle of the corpus probe matters, see
+    :func:`cdc_chunks_sink_bucketed`."""
     from subgraph_extractor_spark.operators import dedup as _dedup
 
+    def _corpus_parts(before: int) -> list[str]:
+        compacts = [
+            (v, p) for v, p in _compact_versions(state_dir) if v < before
+        ]
+        base = max(compacts) if compacts else None
+        lo = base[0] if base else -1
+        return ([base[1]] if base else []) + [
+            p for v, p in _state_versions(state_dir) if lo < v < before
+        ]
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        ahead = sorted(
+            v
+            for v, _ in _state_versions(state_dir)
+            + _compact_versions(state_dir)
+            if v > batch_id
+        )
         if ahead:
             raise ValueError(
-                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{state_dir} holds versions {ahead} beyond batch "
                 f"{batch_id} — state from a different run; point the sink "
                 "at a fresh state_dir (or restore the matching checkpoint)"
             )
-        latest = _latest_state_version(state_dir, before=batch_id)
+        parts = _corpus_parts(batch_id)
         corpus = (
-            spark.read.parquet(latest[1])
-            if latest is not None
-            else spark.createDataFrame(
-                [], f"{id_col} long, chunk_pos int, chunk_sha string"
-            )
+            spark.read.parquet(*parts)
+            if parts
+            else _empty_chunk_state(spark, batch_df, id_col)
         )
         kept = _dedup.cdc_chunk_dedup_incremental(
             batch_df, id_col, text_col, corpus, divisor=divisor
         )
         kept.write.mode("overwrite").parquet(f"{kept_dir}/v{batch_id}")
-        (
-            corpus.unionByName(kept)
-            .dropDuplicates(["chunk_sha"])
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/v{batch_id}")
+        # re-read the committed survivors for the remaining writes so
+        # the chunking plan runs once, not once per sink
+        kept = spark.read.parquet(f"{kept_dir}/v{batch_id}")
+        kept.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+        compacts = [
+            (v, p) for v, p in _compact_versions(state_dir) if v < batch_id
+        ]
+        prev = max(compacts) if compacts else None
+        lo = prev[0] if prev else -1
+        n_deltas = len(
+            [v for v, _ in _state_versions(state_dir) if lo < v <= batch_id]
         )
+        if n_deltas >= compact_every:
+            corpus.unionByName(kept).write.mode("overwrite").parquet(
+                f"{state_dir}/c{batch_id}"
+            )
+            if prev is not None:
+                # prune only what the PREVIOUS snapshot supersedes:
+                # c{prev} + the deltas after it stay on disk until the
+                # NEXT compaction, so a crash-replay of any batch in
+                # the current cycle can still rebuild its corpus
+                import shutil
+
+                for v, p in _state_versions(state_dir):
+                    if v <= prev[0]:
+                        shutil.rmtree(p, ignore_errors=True)
+                for v, p in _compact_versions(state_dir):
+                    if v < prev[0]:
+                        shutil.rmtree(p, ignore_errors=True)
 
     return fold
 
 
 def serve_cdc_chunks(spark, state_dir: str) -> DataFrame:
-    """Latest standing chunk table (id, chunk_pos, chunk_sha) — one row
-    per distinct chunk corpus-wide, owned by its first (doc, pos)."""
-    latest = _latest_state_version(state_dir)
-    if latest is None:
+    """Standing chunk table (id, chunk_pos, chunk_sha) — one row per
+    distinct chunk corpus-wide, owned by its first (doc, pos): the
+    latest compacted snapshot unioned with the deltas after it (the
+    union-on-read face of :func:`cdc_chunks_sink`'s append-only
+    state)."""
+    compacts = _compact_versions(state_dir)
+    base = max(compacts) if compacts else None
+    lo = base[0] if base else -1
+    parts = ([base[1]] if base else []) + [
+        p for v, p in _state_versions(state_dir) if v > lo
+    ]
+    if not parts:
         raise FileNotFoundError(f"no cdc chunk state under {state_dir}")
-    return spark.read.parquet(latest[1])
+    return spark.read.parquet(*parts)
+
+
+def cdc_chunks_sink_bucketed(
+    spark,
+    table: str,
+    kept_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 8,
+    n_buckets: int = 32,
+):
+    """:func:`cdc_chunks_sink` with the standing chunk state in a
+    catalog table PARTITIONED by ingest version and BUCKETED by
+    ``chunk_sha`` — the scale shape the r7 review prescribed: the
+    per-ingest left-anti probe's corpus side is read straight out of
+    its buckets with NO exchange (plan-asserted in
+    tests/test_dedup.py), so each micro-batch shuffles only its own
+    rows, however large the standing corpus grows.  Appends are
+    O(batch) like the path sink's deltas; there is no compaction to
+    run because the table IS the compact representation (partition
+    dirs per ingest, bucket files per hash range).
+
+    Idempotence: a crash-replayed batch first drops its own
+    ``_v = batch_id`` partition (metadata-only DDL) and re-appends —
+    overwrite-by-version at partition granularity; the lineage guard
+    reads ``max(_v)`` off parquet stats.  Serve with
+    :func:`serve_cdc_chunks_bucketed`.
+
+    Size ``n_buckets`` to the probe's shuffle partitioning
+    (``spark.sql.shuffle.partitions`` of the ingesting session): the
+    bucketed scan only satisfies the anti-join's required distribution
+    — and so skips the corpus exchange — when the bucket count matches
+    the join's partition count; on a mismatch Spark's
+    DisableUnnecessaryBucketedScan rule silently falls back to a plain
+    scan + exchange."""
+    from subgraph_extractor_spark.operators import dedup as _dedup
+
+    def _exists() -> bool:
+        return spark.catalog.tableExists(table)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _exists():
+            maxv = spark.table(table).agg(F.max("_v")).first()[0]
+            if maxv is not None and maxv > batch_id:
+                raise ValueError(
+                    f"table {table} holds version {maxv} beyond batch "
+                    f"{batch_id} — state from a different run; point the "
+                    "sink at a fresh table (or restore the checkpoint)"
+                )
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
+                f"(_v = {batch_id})"
+            )
+            corpus = (
+                spark.table(table)
+                .filter(F.col("_v") < batch_id)
+                .drop("_v")
+            )
+        else:
+            corpus = _empty_chunk_state(spark, batch_df, id_col)
+        kept = _dedup.cdc_chunk_dedup_incremental(
+            batch_df, id_col, text_col, corpus, divisor=divisor
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_dir}/v{batch_id}")
+        kept = spark.read.parquet(f"{kept_dir}/v{batch_id}")
+        (
+            kept.withColumn("_v", F.lit(batch_id))
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("_v")
+            .bucketBy(n_buckets, "chunk_sha")
+            .sortBy("chunk_sha")
+            .saveAsTable(table)
+        )
+
+    return fold
+
+
+def serve_cdc_chunks_bucketed(spark, table: str) -> DataFrame:
+    """Standing chunk table from the bucketed sink — the served face
+    drops the ingest-version bookkeeping column."""
+    if not spark.catalog.tableExists(table):
+        raise FileNotFoundError(f"no cdc chunk state table {table}")
+    return spark.table(table).drop("_v")
