@@ -2521,6 +2521,32 @@ def q_ann_ivfpq_recall(spark, sf):
     )
 
 
+def q_ann_ivfpq_served(spark, sf):
+    # The r7 serving split driven END TO END in the driver: build the
+    # IVF-PQ index (pq.ivfpq_build_index), persist the bounded model
+    # state through the fsio atomic writer, RELOAD it, and answer the
+    # query batch with pq.ivfpq_search against the loaded model — the
+    # "persist once, serve forever" deployment loop as one query.
+    # save/load is bit-exact (exact integers through JSON), so the
+    # served result equals ivfpq_topk on identical parameters and the
+    # SAME DuckDB replay oracles it full-value (ref: FAISS
+    # IndexIVFPQ's write_index/read_index serving lifecycle).
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    cells, books, codes = pq_ops.ivfpq_build_index(
+        emb, "embedding", "vec_id",
+        n_cells=4, m=8, k_codes=8, iters_cells=2, iters_pq=2,
+    )
+    mp = tempfile.mktemp(prefix="ivfpq_model_", suffix=".json")
+    pq_ops.save_index_model(mp, cells, books)
+    cells2, books2 = pq_ops.load_index_model(mp)
+    return pq_ops.ivfpq_search(
+        emb, "embedding", "vec_id", cells2, books2, codes,
+        nprobe=2, topk=3, n_queries=5, exclude_self=True,
+    )
+
+
 def q_j10_interval_contains(spark, sf):
     # Allen contains/during face of the bucketed interval join
     # (relation="contains"): which qty>=48 shipments FULLY swallow
@@ -4424,16 +4450,69 @@ def q_sample_pps(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-7 window (the r6 verdict's task #1): the 14
-    # queries with no driver row anywhere (every round-6 addition plus
-    # the two rows-only raw twins ann_projected/semdedup_approx, all 14
-    # pre-verified green by the r6 review's own harness run), the new
-    # ann_ivfpq_recall contract (verdict task #4), then the 35 stalest
-    # green queries — all 31 whose only driver row is from round 1
-    # (five rounds of refactors ago) and the 4 oldest r2 rows.  Every
-    # query rotated OUT holds a green r5/r6 driver row; after this
-    # window lands, scripts/coverage_gap.py prints zero never-checked
-    # and the oldest evidence anywhere is round 2.
+    # per round).  Round-8 window (the r7 verdict's task #6): every
+    # query whose latest driver evidence predates r4 — the 5 r2-era
+    # rows (j2/j3_semi/a4_rollup/a5/a6) and all 42 r3-era rows, each
+    # pre-verified green by the r7 review's independent harness or a
+    # prior driver round — plus the two r7-authored queries kept
+    # in-window one more round (ann_ivfpq_recall, dedup_cdc_chunks)
+    # and the one r8 addition (ann_ivfpq_served: the persist->reload->
+    # search serving loop).  Every query rotated OUT holds a green
+    # r4+ driver row; after this window lands, no query's latest
+    # evidence is older than r4.
+    "j2_anti_join": q_j2_anti_join,
+    "j3_semi_join": q_j3_semi_join,
+    "a4_rollup": q_a4_rollup,
+    "a6_distinct_agg": q_a6_distinct_agg,
+    "a5_ngram_stats": q_a5_ngram_stats,
+    "f_window_tumbling": q_f_window_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_lang": q_text_lang,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
+    "sample_stratified": q_sample_stratified,
+    "sample_group_topk": q_sample_group_topk,
+    "text_pii_redact": q_text_pii_redact,
+    "dedup_chunks": q_dedup_chunks,
+    "text_repetition": q_text_repetition,
+    "layout_zorder": q_layout_zorder,
+    "sample_mixture": q_sample_mixture,
+    "s1_range_scan": q_s1_range_scan,
+    "p6_uint256_sum": q_p6_uint256_sum,
+    "j1_catalog_join_chain": q_j1_catalog_join_chain,
+    "j5_range_join": q_j5_range_join,
+    "j6_asof_join": q_j6_asof_join,
+    "j4_similarity_topk": q_j4_similarity_topk,
+    "sim_topk_matmul": q_sim_topk_matmul,
+    "a1_minmax_watermark": q_a1_minmax_watermark,
+    "a3_pricing_summary": q_a3_pricing_summary,
+    "w1_latest_version": q_w1_latest_version,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_lsh": q_ann_lsh,
+    "f_array": q_f_array,
+    "f_collect": q_f_collect,
+    "f_udaf": q_f_udaf,
+    "f_udtf": q_f_udtf,
+    "f_map": q_f_map,
+    "f_hash": q_f_hash,
+    "f_bitwise": q_f_bitwise,
+    "a9_percentiles": q_a9_percentiles,
+    "f_date": q_f_date,
+    "text_fingerprint": q_text_fingerprint,
+    "text_clean": q_text_clean,
+    "pipeline_stable_split": q_pipeline_stable_split,
+    "a10_approx_distinct": q_a10_approx_distinct,
+    "a11_approx_percentile": q_a11_approx_percentile,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    # new in r7: content-defined chunk dedup (never checked, so it
+    # takes the last slot; j2_anti_join keeps its green r2 row below)
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    "ann_ivfpq_served": q_ann_ivfpq_served,
+    # ---- end of the 50-query window ----
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,
@@ -4448,7 +4527,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_projected": q_ann_projected,
     "semdedup_approx": q_semdedup_approx,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "s5_preview_limit": q_s5_preview_limit,
     "p4_downscale": q_p4_downscale,
     "p5_clamp_validity": q_p5_clamp_validity,
@@ -4483,11 +4561,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_distinct_listing": q_s4_distinct_listing,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
     "p8_mapping_compiler": q_p8_mapping_compiler,
-    # new in r7: content-defined chunk dedup (never checked, so it
-    # takes the last slot; j2_anti_join keeps its green r2 row below)
-    "dedup_cdc_chunks": q_dedup_cdc_chunks,
-    # ---- end of the 50-query window ----
-    "j2_anti_join": q_j2_anti_join,
     # -- green r6 driver rows (CORRECTNESS_r06, 48 matched + 2
     #    rows-only by design) and the stable r2-r4 core below --
     "pipeline_semdedup": q_pipeline_semdedup,
@@ -4590,52 +4663,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q20_shape": q_tpch_q20_shape,
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
-    "f_window_tumbling": q_f_window_tumbling,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_tokens": q_text_tokens,
-    "text_quality": q_text_quality,
-    "text_lang": q_text_lang,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "pipeline_pack_sequences": q_pipeline_pack_sequences,
-    "sample_stratified": q_sample_stratified,
-    "sample_group_topk": q_sample_group_topk,
-    "text_pii_redact": q_text_pii_redact,
-    "dedup_chunks": q_dedup_chunks,
-    "text_repetition": q_text_repetition,
-    "layout_zorder": q_layout_zorder,
-    "sample_mixture": q_sample_mixture,
-    "s1_range_scan": q_s1_range_scan,
-    "p6_uint256_sum": q_p6_uint256_sum,
-    "j1_catalog_join_chain": q_j1_catalog_join_chain,
-    "j5_range_join": q_j5_range_join,
-    "j6_asof_join": q_j6_asof_join,
-    "j4_similarity_topk": q_j4_similarity_topk,
-    "sim_topk_matmul": q_sim_topk_matmul,
-    "a1_minmax_watermark": q_a1_minmax_watermark,
-    "a3_pricing_summary": q_a3_pricing_summary,
-    "j3_semi_join": q_j3_semi_join,
-    "a4_rollup": q_a4_rollup,
-    "a6_distinct_agg": q_a6_distinct_agg,
-    "a5_ngram_stats": q_a5_ngram_stats,
-    "w1_latest_version": q_w1_latest_version,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_lsh": q_ann_lsh,
-    "f_array": q_f_array,
-    "f_collect": q_f_collect,
-    "f_udaf": q_f_udaf,
-    "f_udtf": q_f_udtf,
-    "f_map": q_f_map,
-    "f_hash": q_f_hash,
-    "f_bitwise": q_f_bitwise,
-    "a9_percentiles": q_a9_percentiles,
-    "f_date": q_f_date,
-    "text_fingerprint": q_text_fingerprint,
-    "text_clean": q_text_clean,
-    "pipeline_stable_split": q_pipeline_stable_split,
-    "a10_approx_distinct": q_a10_approx_distinct,
-    "a11_approx_percentile": q_a11_approx_percentile,
 }
 
 
@@ -6816,6 +6843,14 @@ ORACLES: dict[str, str] = {
     # IVF-PQ: cells unroll + residual subspace-keyed unroll + probe
     # ranking + ADC + final rank, every op exact integer.
     "ann_ivfpq": pq_ops.ivfpq_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        n_cells=4, nprobe=2, m=8, k=8,
+        iters_cells=2, iters_pq=2, topk=3, n_queries=5,
+    ),
+    # IVF-PQ via the serving split (build -> persist model -> reload
+    # -> search): bit-exact save/load means the served result equals
+    # ivfpq_topk on identical parameters — same replay oracle.
+    "ann_ivfpq_served": pq_ops.ivfpq_oracle_sql(
         "embeddings", "vec_id", "embedding", dim=64,
         n_cells=4, nprobe=2, m=8, k=8,
         iters_cells=2, iters_pq=2, topk=3, n_queries=5,

@@ -4,41 +4,48 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-7 window (the r6 verdict's task #1): the 14 queries with no
-driver row anywhere (all pre-verified green by the r6 review), the two
-queries authored this round (ann_ivfpq_recall, dedup_cdc_chunks), then
-the 34 stalest green queries (all 31 r1-only rows + 3 of the 4 oldest
-r2 rows; j2_anti_join keeps its green r2 row just below the line)."""
+Round-8 window (the r7 verdict's task #6): every query whose latest
+driver evidence predates r4 — the 5 r2-era rows and all 42 r3-era rows
+(each pre-verified green by the r7 review's independent harness or a
+prior driver round) — plus the two r7-authored queries kept in-window
+one more round (ann_ivfpq_recall, dedup_cdc_chunks) and the one r8
+addition (ann_ivfpq_served).  After this window lands, no query's
+latest driver evidence is older than r4."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    "emb_kmeans", "emb_kmeans_balanced",
-    "ann_pq", "emb_pq_codes",
-    "pipeline_dsir_scores", "pipeline_leakage_split",
-    "retrieval_rrf", "pipeline_token_budget",
-    "graph_hits", "emb_covariance", "ts_interpolate",
-    "ann_ivfpq", "ann_projected", "semdedup_approx",
-    "ann_ivfpq_recall",
-    "s5_preview_limit", "p4_downscale", "p5_clamp_validity",
-    "p6_uint256_roundtrip", "j3_full_outer",
-    "a4_cube", "a4_grouping_sets",
-    "w2_lag_delta", "w3_running_sum", "w4_analytics",
-    "w5_range_frame", "w6_rank_stats",
-    "f_date2", "f_string2", "o5_topk",
-    "set_ops", "set_ops_all", "j7_state_asof",
-    "tpch_q3_shape", "tpch_q5_shape", "skew_salted_agg",
-    "a7_pivot", "f_in_subquery", "f_scalar_subquery",
-    "a8_stats", "f_width_bucket", "f_json", "f_string",
-    "f_math", "f_conditional", "f_cast",
-    "s4_distinct_listing", "p7_multi_target_mapping",
-    "p8_mapping_compiler", "dedup_cdc_chunks",
+    # r2-era evidence
+    "j2_anti_join", "j3_semi_join", "a4_rollup",
+    "a6_distinct_agg", "a5_ngram_stats",
+    # r3-era evidence
+    "f_window_tumbling", "dedup_exact", "dedup_ngram_jaccard",
+    "text_tokens", "text_quality",
+    "text_lang", "pipeline_clean_corpus", "pipeline_pack_sequences",
+    "sample_stratified",
+    "sample_group_topk", "text_pii_redact", "dedup_chunks",
+    "text_repetition", "layout_zorder",
+    "sample_mixture", "s1_range_scan", "p6_uint256_sum",
+    "j1_catalog_join_chain", "j5_range_join",
+    "j6_asof_join", "j4_similarity_topk", "sim_topk_matmul",
+    "a1_minmax_watermark",
+    "a3_pricing_summary", "w1_latest_version", "dedup_minhash",
+    "dedup_simhash", "ann_lsh",
+    "f_array", "f_collect", "f_udaf", "f_udtf", "f_map", "f_hash",
+    "f_bitwise", "a9_percentiles",
+    "f_date", "text_fingerprint", "text_clean", "pipeline_stable_split",
+    "a10_approx_distinct",
+    "a11_approx_percentile",
+    # r7 keepers
+    "ann_ivfpq_recall", "dedup_cdc_chunks",
+    # new in r8: the persist -> reload -> search serving loop
+    "ann_ivfpq_served",
 ]
 
-# rows-only by design (raw pair/assignment dumps whose correctness
-# rides on an oracled contract twin that has held green in a prior
-# driver round or in this window)
-ROWS_ONLY = {"ann_projected", "semdedup_approx"}
+# rows-only by design (raw pair/bucket dumps whose correctness rides on
+# an oracled contract twin: dedup_minhash_recall /
+# dedup_simhash_portable / ann_lsh_recall, all green in prior rounds)
+ROWS_ONLY = {"dedup_minhash", "dedup_simhash", "ann_lsh"}
 
 
 def test_driver_window_is_frozen():
