@@ -679,10 +679,61 @@ def ivfpq_build_index(
         codebooks = _train_on_subvectors(sub, m, k_codes, dsub, iters_pq)
     finally:
         sub.unpersist()
-    codes = resid.select(
-        "id", "cell", _codes_from_q(F.col("q"), codebooks).alias("codes")
+    codes = ivfpq_encode(
+        corpus, vec_col, id_col, cells, codebooks, scale_bits=scale_bits
     )
     return cells, codebooks, codes
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cells: list,
+    codebooks: list,
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Encode vectors against a STANDING IVF-PQ model — the FAISS
+    ``index.add()`` lifecycle face: new vectors route to their nearest
+    coarse cell and their integer residual compresses to m codes,
+    without retraining anything (exactly as
+    :func:`clustering.assign_to_centroids` scores against standing
+    centroids and :func:`pq_encode` against standing codebooks).
+    :func:`ivfpq_build_index` itself produces its code table through
+    this function, so incrementally encoded batches are bit-identical
+    to what a full rebuild with the same model would emit.
+
+    Map-only whole-stage codegen (cell argmin over a literal centroid
+    tensor, residual subtract, per-subspace code argmin) — no shuffle;
+    appending a batch to a billion-vector index costs one scan of the
+    BATCH.  Output: (id, cell, codes)."""
+    from subgraph_extractor_spark.operators.clustering import (
+        quantized_vectors,
+    )
+
+    cells_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in c])
+            for c in cells
+        ]
+    )
+    q = quantized_vectors(df, vec_col, id_col, scale_bits)
+    resid = q.select(
+        "id",
+        _argmin_code(F.col("q"), cells_lit).alias("cell"),
+        F.col("q"),
+    ).select(
+        "id",
+        "cell",
+        F.zip_with(
+            "q",
+            F.element_at(cells_lit, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ).alias("q"),
+    )
+    return resid.select(
+        "id", "cell", _codes_from_q(F.col("q"), codebooks).alias("codes")
+    )
 
 
 def ivfpq_search(

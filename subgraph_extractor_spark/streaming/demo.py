@@ -900,3 +900,57 @@ def serve_cdc_chunks_bucketed(spark, table: str) -> DataFrame:
     if not spark.catalog.tableExists(table):
         raise FileNotFoundError(f"no cdc chunk state table {table}")
     return spark.table(table).drop("_v")
+
+
+def ivfpq_codes_sink(
+    spark,
+    model_path: str,
+    codes_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale_bits: int = 16,
+):
+    """foreachBatch sink for CONTINUAL VECTOR INGEST into a standing
+    IVF-PQ index — the streaming face of the r7 serving split and the
+    FAISS ``add()`` lifecycle: the bounded model (cells + codebooks,
+    persisted once via ``pq.save_index_model``) is loaded at sink
+    construction, each micro-batch of vectors encodes against it with
+    the map-only ``pq.ivfpq_encode`` (no retrain, no shuffle), and the
+    8-byte codes land as an overwrite-by-version delta
+    ``codes_dir/v{batch_id}`` — O(batch) write per batch by
+    construction (one code row per ingested vector).  Serve searches
+    over the growing index with :func:`serve_ivfpq_codes`; encoded
+    batches are bit-identical to what a full rebuild with the same
+    model would emit (ivfpq_build_index routes through the same
+    encoder), which is the stream==batch contract the test pins."""
+    from subgraph_extractor_spark.operators import pq as _pq
+
+    cells, codebooks = _pq.load_index_model(model_path)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(codes_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{codes_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh codes_dir (or restore the matching checkpoint)"
+            )
+        _pq.ivfpq_encode(
+            batch_df, vec_col, id_col, cells, codebooks,
+            scale_bits=scale_bits,
+        ).write.mode("overwrite").parquet(f"{codes_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_ivfpq_codes(spark, codes_dir: str) -> DataFrame:
+    """The standing (id, cell, codes) table across every ingested
+    version — feed it to ``pq.ivfpq_search`` as the code table.  A
+    plain union of the per-batch deltas: versions are disjoint id sets
+    by the sink's overwrite-by-version idempotence, so no distinct is
+    needed."""
+    if not _state_versions(codes_dir):
+        raise FileNotFoundError(f"no ivfpq code state under {codes_dir}")
+    return spark.read.option("basePath", codes_dir).parquet(
+        f"{codes_dir}/v*"
+    )

@@ -506,3 +506,106 @@ def test_index_model_roundtrip_cloud_scheme(spark, tmp_path, monkeypatch):
     b = sorted(map(tuple, pq.ivfpq_search(
         df, "vec", "id", cells2, books2, codes, nprobe=1, topk=2).collect()))
     assert a == b
+
+
+def test_ivfpq_encode_matches_build(spark):
+    """The standing-model encode face (FAISS add()): encoding the
+    corpus in two halves against the persisted model is bit-identical
+    to the code table a full ivfpq_build_index emits, and a search
+    over the incrementally built table equals the one-shot search."""
+    rows = _rand_rows(29, 44, 8)
+    df = _mk_df(spark, rows)
+    cells, books, codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    want = sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in codes.collect()
+    )
+    halves = [
+        df.filter(df.id % 2 == 0), df.filter(df.id % 2 == 1)
+    ]
+    got = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for h in halves
+        for r in pq.ivfpq_encode(h, "vec", "id", cells, books).collect()
+    )
+    assert got == want
+    inc = halves[0].unionByName(halves[1])
+    a = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells, books, codes,
+        nprobe=2, topk=3, n_queries=4, exclude_self=True).collect()))
+    b = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells, books,
+        pq.ivfpq_encode(inc, "vec", "id", cells, books),
+        nprobe=2, topk=3, n_queries=4, exclude_self=True).collect()))
+    assert a == b
+
+
+def test_ivfpq_codes_sink_stream_equals_batch(spark, tmp_path):
+    """Continual vector ingest: the availableNow stream through
+    ivfpq_codes_sink leaves exactly the code table a one-shot build
+    with the same persisted model emits, a crash-replayed batch does
+    not double-append, and a search served over the streamed table
+    equals the one-shot search."""
+    from subgraph_extractor_spark.streaming.demo import (
+        ivfpq_codes_sink,
+        serve_ivfpq_codes,
+    )
+
+    rows = _rand_rows(37, 30, 8)
+    df = _mk_df(spark, rows)
+    cells, books, codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    mp = str(tmp_path / "model.json")
+    pq.save_index_model(mp, cells, books)
+    stage = tmp_path / "stage"
+    df.filter(df.id < 15).coalesce(1).write.parquet(str(stage / "a"))
+    df.filter(df.id >= 15).coalesce(1).write.parquet(str(stage / "b"))
+    codes_dir = str(tmp_path / "codes")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ivfpq_codes_sink(spark, mp, codes_dir, "vec", "id")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    want = sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in codes.collect()
+    )
+    served = serve_ivfpq_codes(spark, codes_dir)
+    got = sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in served.collect()
+    )
+    assert got == want
+
+    # crash replay on a fresh dir: replaying a batch overwrites its
+    # own version instead of double-appending
+    cd2 = str(tmp_path / "codes2")
+    fold = ivfpq_codes_sink(spark, mp, cd2, "vec", "id")
+    fold(df.filter(df.id < 15), 0)
+    fold(df.filter(df.id >= 15), 1)
+    fold(df.filter(df.id >= 15), 1)
+    got2 = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in serve_ivfpq_codes(spark, cd2).collect()
+    )
+    assert got2 == want
+    # searches over streamed vs one-shot tables agree
+    a = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells, books, codes,
+        nprobe=1, topk=2, n_queries=3, exclude_self=True).collect()))
+    b = sorted(map(tuple, pq.ivfpq_search(
+        df, "vec", "id", cells, books, serve_ivfpq_codes(spark, cd2),
+        nprobe=1, topk=2, n_queries=3, exclude_self=True).collect()))
+    assert a == b
