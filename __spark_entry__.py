@@ -3783,6 +3783,27 @@ def q_dedup_cdc_chunks(spark, sf):
     return dedup_ops.cdc_chunk_dedup(d, "doc_id", "text", divisor=8)
 
 
+def q_dedup_cdc_novelty(spark, sf):
+    # per-document novelty at content-defined chunk granularity
+    # (dedup.cdc_doc_novelty): even docs form the standing corpus
+    # chunk table, odd docs are the ingest batch, and each batch doc
+    # reports (n_chunks, n_novel) — the crawl-refresh signal that
+    # drops low-novelty re-crawls before tokenization.  Chunking is
+    # the same map-only JVM fold as dedup_cdc_chunks; the membership
+    # probe is one left join on chunk_sha + one groupBy on doc id.
+    # Exact integer counts; the oracle replays the chunking with the
+    # deliberately different unnest + prefix-sum formulation and
+    # COUNT(CASE ...) novelty (BIGINT on both engines).
+    d = _t(spark, sf, "documents")
+    corpus = dedup_ops.cdc_chunk_dedup(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text", divisor=8
+    )
+    return dedup_ops.cdc_doc_novelty(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        corpus, divisor=8,
+    )
+
+
 def q_dedup_editdist(spark, sf):
     # edit-distance verified near-dups: exact Jaccard candidates (the
     # oracle-shared inverted-index formulation) verified by codegen
@@ -4513,6 +4534,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "ann_ivfpq_served": q_ann_ivfpq_served,
     # ---- end of the 50-query window ----
+    # new in r8 AFTER the window repack (driver-checks at the r9
+    # rotation, the dedup_cdc_chunks convention): chunk-level
+    # per-document novelty scoring
+    "dedup_cdc_novelty": q_dedup_cdc_novelty,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,
@@ -5310,6 +5335,50 @@ ORACLES: dict[str, str] = {
             )
         )
         WHERE rn = 1
+    """,
+    "dedup_cdc_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)),
+                                            '\\s+') AS toks
+                  FROM documents
+                  WHERE trim(text) <> '')
+        ),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN CAST(('0x' || substr(md5(tok), 1, 12))
+                             AS BIGINT) % 8 = 0
+                        THEN 1 ELSE 0 END AS b
+            FROM toks
+        ),
+        grp AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(b) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cpos
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(cpos AS INT) AS chunk_pos,
+                   sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_sha
+            FROM grp
+            GROUP BY doc_id, cpos
+        ),
+        corpus AS (
+            SELECT DISTINCT chunk_sha FROM chunks WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+            SELECT doc_id, chunk_sha FROM chunks WHERE doc_id % 2 = 1
+        )
+        SELECT b.doc_id,
+               COUNT(*) AS n_chunks,
+               COUNT(CASE WHEN c.chunk_sha IS NULL THEN 1 END) AS n_novel
+        FROM batch b LEFT JOIN corpus c USING (chunk_sha)
+        GROUP BY b.doc_id
     """,
     "dedup_cdc_chunks": """
         SELECT doc_id, chunk_pos, chunk_sha

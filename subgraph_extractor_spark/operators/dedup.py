@@ -1098,6 +1098,56 @@ def cdc_chunk_dedup_incremental(
     ).select(id_col, "chunk_pos", "chunk_sha")
 
 
+def cdc_doc_novelty(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_chunks: DataFrame,
+    divisor: int = 8,
+) -> DataFrame:
+    """Per-document NOVELTY at content-defined chunk granularity: for
+    each ingest document, how many of its chunks exist nowhere in the
+    standing corpus chunk table (column ``chunk_sha``) — the
+    crawl-refresh quality signal built on the same rolling boundaries
+    as :func:`cdc_chunk_dedup_incremental`.  An unchanged re-crawl
+    scores 0 novel chunks; a template page with a fresh date line
+    scores ~1 (the shift-robustness payoff: the edit perturbs only the
+    chunk it lands in); genuinely new content scores ~n_chunks.
+    Downstream selection thresholds n_novel/n_chunks to drop
+    low-novelty re-crawls before they cost tokenization or storage.
+
+    Each document is judged against the CORPUS only (batch-internal
+    duplication does not couple documents, so the scores are
+    embarrassingly parallel); repeated chunks within one document
+    count per occurrence.  Documents with no chunks (empty text) emit
+    no row.  Exact integer counts, so the full output oracles
+    cross-engine.
+
+    Scale shape: chunking + hashing are map-only over the BATCH; the
+    membership probe is one left join against the chunk table
+    (bucketable by chunk_sha, same as the incremental face); one
+    groupBy on the doc id.  The standing corpus is never re-chunked.
+
+    Output: (id, n_chunks, n_novel)."""
+    batch = new_df.select(
+        F.col(id_col),
+        F.explode(cdc_token_chunks(F.col(text_col), divisor)).alias(
+            "_chunk"
+        ),
+    ).withColumn("chunk_sha", F.sha2(F.col("_chunk"), 256))
+    seen = corpus_chunks.select("chunk_sha").distinct().withColumn(
+        "_seen", F.lit(1)
+    )
+    return (
+        batch.join(seen, "chunk_sha", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_novel"),
+        )
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -917,3 +917,43 @@ def test_cdc_chunks_sink_bucketed_plan_and_state(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_doc_novelty_reference_and_payoff(spark):
+    """cdc_doc_novelty: counts match the python chunk reference; an
+    unchanged re-crawl scores 0 novel chunks; a one-token prepend
+    (the date-line re-crawl) perturbs only the chunk it lands in —
+    novelty stays far below the chunk count; disjoint content scores
+    all-novel."""
+    import random
+    rng = random.Random(61)
+    words = [f"n{j}" for j in range(22)]
+    base = " ".join(rng.choice(words) for _ in range(60))
+    # disjoint vocabulary: no chunk can coincide with the corpus
+    fresh = " ".join(f"z{rng.randint(0, 30)}" for _ in range(40))
+    corpus_docs = [(0, base)]
+    batch_docs = [
+        (101, base),                # unchanged re-crawl
+        (103, "datestamp " + base), # shifted re-crawl
+        (105, fresh),               # new content
+        (107, ""),                  # empty: no row
+    ]
+    cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch_docs, "doc_id long, text string")
+    corpus = dedup.cdc_chunk_dedup(cdf, "doc_id", "text", divisor=4)
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_novel"])
+        for r in dedup.cdc_doc_novelty(
+            bdf, "doc_id", "text", corpus, divisor=4
+        ).collect()
+    }
+    corpus_shas = {c for c in _ref_cdc_chunks(base, 4)}
+    for did, text in batch_docs[:3]:
+        chunks = _ref_cdc_chunks(text, 4)
+        want = (len(chunks), sum(1 for c in chunks if c not in corpus_shas))
+        assert out[did] == want, (did, out[did], want)
+    assert 107 not in out                      # empty doc: no row
+    assert out[101] == (out[101][0], 0)        # unchanged: zero novel
+    n, nov = out[103]
+    assert 0 < nov < n / 2                     # prepend: bounded damage
+    assert out[105][1] == out[105][0]          # fresh: all novel
