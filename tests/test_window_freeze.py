@@ -5,18 +5,24 @@ queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
 Round-8 window (the r7 verdict's task #6): every query whose latest
-driver evidence predates r4 — the 5 r2-era rows and all 42 r3-era rows
-(each pre-verified green by the r7 review's independent harness or a
-prior driver round) — plus the two r7-authored queries kept in-window
-one more round (ann_ivfpq_recall, dedup_cdc_chunks) and the one r8
-addition (ann_ivfpq_served).  After this window lands, no query's
-latest driver evidence is older than r4."""
+driver evidence predates r4 — 4 of the 5 r2-era rows and all 42
+r3-era rows (each pre-verified green by the r7 review's independent
+harness or a prior driver round) — plus the two r7-authored queries
+kept in-window one more round (ann_ivfpq_recall, dedup_cdc_chunks)
+and the two r8 additions (ann_ivfpq_served, dedup_cdc_novelty),
+which are never-driver-checked and so outrank the 50th stale slot;
+j2_anti_join (green r2 row, judge-verified r7, 0-row sf0.01 result)
+sits just below the line, the same call r7 made.  After this window
+lands, the only pre-r4 evidence anywhere is j2's r2 row."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # r2-era evidence
-    "j2_anti_join", "j3_semi_join", "a4_rollup",
+    # r2-era evidence (j2_anti_join sits just below the line, the r7
+    # precedent: green r2 driver row + judge-verified in the r7
+    # review + 0-row sf0.01 result; both never-checked r8 queries
+    # outrank it for the last slots)
+    "j3_semi_join", "a4_rollup",
     "a6_distinct_agg", "a5_ngram_stats",
     # r3-era evidence
     "f_window_tumbling", "dedup_exact", "dedup_ngram_jaccard",
@@ -38,8 +44,10 @@ WINDOW_50 = [
     "a11_approx_percentile",
     # r7 keepers
     "ann_ivfpq_recall", "dedup_cdc_chunks",
-    # new in r8: the persist -> reload -> search serving loop
+    # new in r8: the persist -> reload -> search serving loop and
+    # the chunk-level novelty signal — both never driver-checked
     "ann_ivfpq_served",
+    "dedup_cdc_novelty",
 ]
 
 # rows-only by design (raw pair/bucket dumps whose correctness rides on
