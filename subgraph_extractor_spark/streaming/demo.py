@@ -788,7 +788,10 @@ def cdc_chunks_sink(
                 # prune only what the PREVIOUS snapshot supersedes:
                 # c{prev} + the deltas after it stay on disk until the
                 # NEXT compaction, so a crash-replay of any batch in
-                # the current cycle can still rebuild its corpus
+                # the current cycle can still rebuild its corpus.
+                # (local-path pruning — this demo sink addresses state
+                # dirs on the driver's filesystem; an object-store
+                # deployment would route the same rmdirs through fsio)
                 import shutil
 
                 for v, p in _state_versions(state_dir):
@@ -856,9 +859,22 @@ def cdc_chunks_sink_bucketed(
     def _exists() -> bool:
         return spark.catalog.tableExists(table)
 
+    def _max_version() -> int | None:
+        # catalog partition listing, not a data scan: the lineage
+        # guard must stay O(#partitions) however large the standing
+        # state grows (a max(_v) aggregate would touch every file's
+        # footer per micro-batch)
+        rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+        vs = [
+            int(r[0].split("=", 1)[1])
+            for r in rows
+            if r[0].startswith("_v=")
+        ]
+        return max(vs) if vs else None
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if _exists():
-            maxv = spark.table(table).agg(F.max("_v")).first()[0]
+            maxv = _max_version()
             if maxv is not None and maxv > batch_id:
                 raise ValueError(
                     f"table {table} holds version {maxv} beyond batch "

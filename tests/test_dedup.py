@@ -957,3 +957,58 @@ def test_cdc_doc_novelty_reference_and_payoff(spark):
     n, nov = out[103]
     assert 0 < nov < n / 2                     # prepend: bounded damage
     assert out[105][1] == out[105][0]          # fresh: all novel
+
+
+def test_cdc_chunks_sink_bucketed_through_writestream(spark, tmp_path):
+    """The bucketed sink driven by an actual availableNow file stream
+    (not a hand-called fold): final table state equals the one-shot
+    batch run — the end-to-end face of the plan-asserted variant."""
+    from subgraph_extractor_spark.streaming.demo import (
+        cdc_chunks_sink_bucketed,
+        serve_cdc_chunks_bucketed,
+    )
+
+    import random
+    rng = random.Random(71)
+    words = [f"s{j}" for j in range(16)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(5, 20))))
+        for i in range(8)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = tmp_path / "stage"
+    ddf.filter(F.col("doc_id") < 4).coalesce(1).write.parquet(str(stage / "a"))
+    ddf.filter(F.col("doc_id") >= 4).coalesce(1).write.parquet(str(stage / "b"))
+    table = "cdc_chunks_ws_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        stream = (
+            spark.readStream.schema(ddf.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stage / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_chunks_sink_bucketed(
+                    spark, table, str(tmp_path / "kept"),
+                    divisor=4, n_buckets=8,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        got = {
+            tuple(r)
+            for r in serve_cdc_chunks_bucketed(spark, table).collect()
+        }
+        want = {
+            tuple(r)
+            for r in dedup.cdc_chunk_dedup(ddf, "doc_id", "text", divisor=4)
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
