@@ -128,6 +128,9 @@ HEADLINE = [
     # explode + chunk-sha window), first recorded r8 for r9+
     # comparability.
     "dedup_cdc_chunks",
+    # late-r8 addition: chunk-level per-document novelty (same fold +
+    # one chunk_sha left join + one groupBy), first recorded r8.
+    "dedup_cdc_novelty",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
