@@ -669,6 +669,76 @@ def _compact_versions(state_dir: str) -> list[tuple[int, str]]:
     ]
 
 
+def _delta_state_parts(state_dir: str, before: int | None = None) -> list[str]:
+    """Read-set of an append-only delta state: the latest COMMITTED
+    compacted snapshot (version < ``before`` when given) plus every
+    delta dir after it.  A snapshot without its ``_SUCCESS`` marker is
+    a crash-interrupted compaction — reading it would silently LOSE
+    the rows its missing part-files held, so it is skipped and the
+    read falls back to the previous snapshot + its cycle's deltas,
+    which :func:`_compact_and_prune` deliberately retains until the
+    NEXT compaction lands.  (Deltas need no such check: a partial
+    delta only under-serves its own uncommitted batch, which the
+    stream replays and rewrites.)"""
+    import os
+
+    compacts = [
+        (v, p)
+        for v, p in _compact_versions(state_dir)
+        if (before is None or v < before)
+        and os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    base = max(compacts) if compacts else None
+    lo = base[0] if base else -1
+    return ([base[1]] if base else []) + [
+        p
+        for v, p in _state_versions(state_dir)
+        if v > lo and (before is None or v < before)
+    ]
+
+
+def _compact_and_prune(
+    spark,
+    state_dir: str,
+    batch_id: int,
+    compact_every: int,
+    make_state,
+) -> None:
+    """Shared housekeeping for append-only delta sinks: when
+    ``compact_every`` deltas have accumulated since the previous
+    snapshot, write ``make_state()`` as ``c{batch_id}`` and prune
+    ONLY what the PREVIOUS snapshot supersedes — the previous
+    snapshot and its cycle's deltas stay on disk until the next
+    compaction, so a crash-replayed batch (including the compacting
+    one) can always rebuild its pre-batch state, and storage stays
+    bounded at <= 2 snapshots + ~2 cycles of deltas.  (Local-path
+    pruning — these demo sinks address state dirs on the driver's
+    filesystem; an object-store deployment would route the same
+    removals through fsio.)"""
+    compacts = [
+        (v, p) for v, p in _compact_versions(state_dir) if v < batch_id
+    ]
+    prev = max(compacts) if compacts else None
+    lo = prev[0] if prev else -1
+    n_deltas = len(
+        [v for v, _ in _state_versions(state_dir) if lo < v <= batch_id]
+    )
+    if n_deltas < compact_every:
+        return
+    make_state().write.mode("overwrite").parquet(
+        f"{state_dir}/c{batch_id}"
+    )
+    if prev is not None:
+        import shutil
+
+        for v, p in _state_versions(state_dir):
+            if v <= prev[0]:
+                shutil.rmtree(p, ignore_errors=True)
+        for v, p in _compact_versions(state_dir):
+            if v < prev[0]:
+                shutil.rmtree(p, ignore_errors=True)
+
+
 def _empty_chunk_state(spark, batch_df: DataFrame, id_col: str) -> DataFrame:
     """Zero-row chunk state whose id column type is DERIVED from the
     incoming batch (ADVICE r7: a hardcoded ``long`` broke the first
@@ -734,16 +804,6 @@ def cdc_chunks_sink(
     :func:`cdc_chunks_sink_bucketed`."""
     from subgraph_extractor_spark.operators import dedup as _dedup
 
-    def _corpus_parts(before: int) -> list[str]:
-        compacts = [
-            (v, p) for v, p in _compact_versions(state_dir) if v < before
-        ]
-        base = max(compacts) if compacts else None
-        lo = base[0] if base else -1
-        return ([base[1]] if base else []) + [
-            p for v, p in _state_versions(state_dir) if lo < v < before
-        ]
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         ahead = sorted(
             v
@@ -757,7 +817,7 @@ def cdc_chunks_sink(
                 f"{batch_id} — state from a different run; point the sink "
                 "at a fresh state_dir (or restore the matching checkpoint)"
             )
-        parts = _corpus_parts(batch_id)
+        parts = _delta_state_parts(state_dir, before=batch_id)
         corpus = (
             spark.read.parquet(*parts)
             if parts
@@ -771,35 +831,10 @@ def cdc_chunks_sink(
         # the chunking plan runs once, not once per sink
         kept = spark.read.parquet(f"{kept_dir}/v{batch_id}")
         kept.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-
-        compacts = [
-            (v, p) for v, p in _compact_versions(state_dir) if v < batch_id
-        ]
-        prev = max(compacts) if compacts else None
-        lo = prev[0] if prev else -1
-        n_deltas = len(
-            [v for v, _ in _state_versions(state_dir) if lo < v <= batch_id]
+        _compact_and_prune(
+            spark, state_dir, batch_id, compact_every,
+            lambda: corpus.unionByName(kept),
         )
-        if n_deltas >= compact_every:
-            corpus.unionByName(kept).write.mode("overwrite").parquet(
-                f"{state_dir}/c{batch_id}"
-            )
-            if prev is not None:
-                # prune only what the PREVIOUS snapshot supersedes:
-                # c{prev} + the deltas after it stay on disk until the
-                # NEXT compaction, so a crash-replay of any batch in
-                # the current cycle can still rebuild its corpus.
-                # (local-path pruning — this demo sink addresses state
-                # dirs on the driver's filesystem; an object-store
-                # deployment would route the same rmdirs through fsio)
-                import shutil
-
-                for v, p in _state_versions(state_dir):
-                    if v <= prev[0]:
-                        shutil.rmtree(p, ignore_errors=True)
-                for v, p in _compact_versions(state_dir):
-                    if v < prev[0]:
-                        shutil.rmtree(p, ignore_errors=True)
 
     return fold
 
@@ -807,15 +842,10 @@ def cdc_chunks_sink(
 def serve_cdc_chunks(spark, state_dir: str) -> DataFrame:
     """Standing chunk table (id, chunk_pos, chunk_sha) — one row per
     distinct chunk corpus-wide, owned by its first (doc, pos): the
-    latest compacted snapshot unioned with the deltas after it (the
-    union-on-read face of :func:`cdc_chunks_sink`'s append-only
-    state)."""
-    compacts = _compact_versions(state_dir)
-    base = max(compacts) if compacts else None
-    lo = base[0] if base else -1
-    parts = ([base[1]] if base else []) + [
-        p for v, p in _state_versions(state_dir) if v > lo
-    ]
+    latest committed compacted snapshot unioned with the deltas after
+    it (the union-on-read face of :func:`cdc_chunks_sink`'s
+    append-only state)."""
+    parts = _delta_state_parts(state_dir)
     if not parts:
         raise FileNotFoundError(f"no cdc chunk state under {state_dir}")
     return spark.read.parquet(*parts)
@@ -925,6 +955,7 @@ def ivfpq_codes_sink(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale_bits: int = 16,
+    compact_every: int = 64,
 ):
     """foreachBatch sink for CONTINUAL VECTOR INGEST into a standing
     IVF-PQ index — the streaming face of the r7 serving split and the
@@ -934,39 +965,54 @@ def ivfpq_codes_sink(
     the map-only ``pq.ivfpq_encode`` (no retrain, no shuffle), and the
     8-byte codes land as an overwrite-by-version delta
     ``codes_dir/v{batch_id}`` — O(batch) write per batch by
-    construction (one code row per ingested vector).  Serve searches
-    over the growing index with :func:`serve_ivfpq_codes`; encoded
-    batches are bit-identical to what a full rebuild with the same
-    model would emit (ivfpq_build_index routes through the same
-    encoder), which is the stream==batch contract the test pins."""
+    construction (one code row per ingested vector).  Every
+    ``compact_every`` deltas the shared :func:`_compact_and_prune`
+    housekeeping folds them into one snapshot and prunes the previous
+    cycle, so a long-lived ingest doesn't accrete unbounded small
+    files under the serve-side union.  Serve searches over the
+    growing index with :func:`serve_ivfpq_codes`; encoded batches are
+    bit-identical to what a full rebuild with the same model would
+    emit (ivfpq_build_index routes through the same encoder), which
+    is the stream==batch contract the test pins."""
     from subgraph_extractor_spark.operators import pq as _pq
 
     cells, codebooks = _pq.load_index_model(model_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        ahead = [v for v, _ in _state_versions(codes_dir) if v > batch_id]
+        ahead = sorted(
+            v
+            for v, _ in _state_versions(codes_dir)
+            + _compact_versions(codes_dir)
+            if v > batch_id
+        )
         if ahead:
             raise ValueError(
-                f"{codes_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{codes_dir} holds versions {ahead} beyond batch "
                 f"{batch_id} — state from a different run; point the sink "
                 "at a fresh codes_dir (or restore the matching checkpoint)"
             )
+        prior = _delta_state_parts(codes_dir, before=batch_id)
         _pq.ivfpq_encode(
             batch_df, vec_col, id_col, cells, codebooks,
             scale_bits=scale_bits,
         ).write.mode("overwrite").parquet(f"{codes_dir}/v{batch_id}")
+        _compact_and_prune(
+            spark, codes_dir, batch_id, compact_every,
+            lambda: spark.read.parquet(
+                *(prior + [f"{codes_dir}/v{batch_id}"])
+            ),
+        )
 
     return fold
 
 
 def serve_ivfpq_codes(spark, codes_dir: str) -> DataFrame:
     """The standing (id, cell, codes) table across every ingested
-    version — feed it to ``pq.ivfpq_search`` as the code table.  A
-    plain union of the per-batch deltas: versions are disjoint id sets
-    by the sink's overwrite-by-version idempotence, so no distinct is
-    needed."""
-    if not _state_versions(codes_dir):
+    version — feed it to ``pq.ivfpq_search`` as the code table: the
+    latest committed snapshot plus the deltas after it.  No distinct
+    is needed — versions hold disjoint id sets by the sink's
+    overwrite-by-version idempotence."""
+    parts = _delta_state_parts(codes_dir)
+    if not parts:
         raise FileNotFoundError(f"no ivfpq code state under {codes_dir}")
-    return spark.read.option("basePath", codes_dir).parquet(
-        f"{codes_dir}/v*"
-    )
+    return spark.read.parquet(*parts)

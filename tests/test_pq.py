@@ -609,3 +609,50 @@ def test_ivfpq_codes_sink_stream_equals_batch(spark, tmp_path):
         df, "vec", "id", cells, books, serve_ivfpq_codes(spark, cd2),
         nprobe=1, topk=2, n_queries=3, exclude_self=True).collect()))
     assert a == b
+
+
+def test_ivfpq_codes_sink_compaction(spark, tmp_path):
+    """The code-delta sink's shared compaction housekeeping: with
+    compact_every=2, four single-batch ingests leave a committed
+    snapshot + the retained previous cycle (bounded dirs), replaying
+    the compacting batch is idempotent, and the served table always
+    equals the one-shot build."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        ivfpq_codes_sink,
+        serve_ivfpq_codes,
+    )
+
+    rows = _rand_rows(41, 32, 8)
+    df = _mk_df(spark, rows)
+    cells, books, codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    mp = str(tmp_path / "model.json")
+    pq.save_index_model(mp, cells, books)
+    cd = str(tmp_path / "codes")
+    fold = ivfpq_codes_sink(spark, mp, cd, "vec", "id", compact_every=2)
+    for b in range(4):
+        fold(df.filter((df.id % 4) == b), b)
+    dirs = sorted(os.listdir(cd))
+    assert "c1" in dirs and "c3" in dirs          # both compactions landed
+    assert "v0" not in dirs and "v1" not in dirs  # first cycle pruned at c3
+    assert "v2" in dirs and "v3" in dirs          # current cycle retained
+    want = sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in codes.collect()
+    )
+    got = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in serve_ivfpq_codes(spark, cd).collect()
+    )
+    assert got == want
+    # crash-replay of the compacting batch: previous cycle still on
+    # disk, state rebuilds identically
+    fold(df.filter((df.id % 4) == 3), 3)
+    got2 = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in serve_ivfpq_codes(spark, cd).collect()
+    )
+    assert got2 == want
