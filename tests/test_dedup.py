@@ -1012,3 +1012,27 @@ def test_cdc_chunks_sink_bucketed_through_writestream(spark, tmp_path):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_serve_skips_uncommitted_snapshot(spark, tmp_path):
+    """A crash-interrupted compaction (snapshot dir without _SUCCESS)
+    must not be read — serving falls back to the retained previous
+    snapshot + its cycle's deltas and still returns complete state."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        cdc_chunks_sink,
+        serve_cdc_chunks,
+    )
+
+    docs = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(6)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    state, kept = str(tmp_path / "s"), str(tmp_path / "k")
+    fold = cdc_chunks_sink(spark, state, kept, divisor=4, compact_every=2)
+    for b in range(4):
+        fold(ddf.filter((F.col("doc_id") % 4) == b), b)
+    want = {tuple(r) for r in serve_cdc_chunks(spark, state).collect()}
+    # simulate the crash: c3 exists but its commit marker is gone
+    os.remove(os.path.join(state, "c3", "_SUCCESS"))
+    got = {tuple(r) for r in serve_cdc_chunks(spark, state).collect()}
+    assert got == want
