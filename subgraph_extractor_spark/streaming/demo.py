@@ -724,7 +724,7 @@ def _compact_and_prune(
         [v for v, _ in _state_versions(state_dir) if lo < v <= batch_id]
     )
     if n_deltas < compact_every:
-        return
+        return False
     make_state().write.mode("overwrite").parquet(
         f"{state_dir}/c{batch_id}"
     )
@@ -737,6 +737,7 @@ def _compact_and_prune(
         for v, p in _compact_versions(state_dir):
             if v < prev[0]:
                 shutil.rmtree(p, ignore_errors=True)
+    return True
 
 
 def _empty_chunk_state(spark, batch_df: DataFrame, id_col: str) -> DataFrame:
@@ -996,23 +997,92 @@ def ivfpq_codes_sink(
             batch_df, vec_col, id_col, cells, codebooks,
             scale_bits=scale_bits,
         ).write.mode("overwrite").parquet(f"{codes_dir}/v{batch_id}")
-        _compact_and_prune(
-            spark, codes_dir, batch_id, compact_every,
-            lambda: spark.read.parquet(
+        tombs = _tombstone_versions(codes_dir)
+
+        def _state() -> DataFrame:
+            st = spark.read.parquet(
                 *(prior + [f"{codes_dir}/v{batch_id}"])
-            ),
-        )
+            )
+            if tombs:
+                st = st.join(
+                    spark.read.parquet(*[p for _, p in tombs]),
+                    "id",
+                    "left_anti",
+                )
+            return st
+
+        if _compact_and_prune(
+            spark, codes_dir, batch_id, compact_every, _state
+        ):
+            # the snapshot physically dropped the tombstoned rows —
+            # clear the applied tombstones (a crash before this point
+            # just re-applies them next time: anti-joining absent ids
+            # is a no-op, so the clearing is idempotent)
+            import shutil
+
+            for _, p in tombs:
+                shutil.rmtree(p, ignore_errors=True)
 
     return fold
+
+
+def _tombstone_versions(codes_dir: str) -> list[tuple[int, str]]:
+    """``t{n}`` tombstone dirs under a code state dir."""
+    import os
+
+    if not os.path.isdir(codes_dir):
+        return []
+    return [
+        (int(d[1:]), os.path.join(codes_dir, d))
+        for d in os.listdir(codes_dir)
+        if d.startswith("t") and d[1:].isdigit()
+    ]
+
+
+def ivfpq_remove_ids(
+    spark, codes_dir: str, ids_df: DataFrame, version: int | None = None
+) -> None:
+    """Delete vectors from the standing IVF-PQ index — the FAISS
+    ``remove_ids`` lifecycle face, implemented the way a production
+    log-structured index does it: the ids land as a TOMBSTONE set
+    (``codes_dir/t{n}``, O(deleted) bytes — the code table is never
+    rewritten here), :func:`serve_ivfpq_codes` anti-joins them out at
+    read time (logical delete, effective immediately), and the next
+    sink compaction drops the rows physically and clears the applied
+    tombstones.  ``ids_df`` must carry the vector ids in a column
+    named ``id`` (or a single column, which is renamed).
+
+    Contract: a tombstoned id stays hidden until a compaction clears
+    the tombstone — re-ingesting the SAME id within the current
+    compaction cycle is therefore also hidden (delete-then-reinsert
+    needs an intervening compaction or a fresh id; FAISS remove_ids
+    has no reinsert semantics either).  Pass an explicit ``version``
+    to make a replayed delete overwrite its own tombstone set instead
+    of appending a new one."""
+    cols = ids_df.columns
+    ids = ids_df if "id" in cols else ids_df.withColumnRenamed(cols[0], "id")
+    if version is None:
+        existing = _tombstone_versions(codes_dir)
+        version = (max(v for v, _ in existing) + 1) if existing else 0
+    ids.select("id").distinct().write.mode("overwrite").parquet(
+        f"{codes_dir}/t{version}"
+    )
 
 
 def serve_ivfpq_codes(spark, codes_dir: str) -> DataFrame:
     """The standing (id, cell, codes) table across every ingested
     version — feed it to ``pq.ivfpq_search`` as the code table: the
-    latest committed snapshot plus the deltas after it.  No distinct
-    is needed — versions hold disjoint id sets by the sink's
+    latest committed snapshot plus the deltas after it, minus any
+    pending tombstones (:func:`ivfpq_remove_ids`).  No distinct is
+    needed — versions hold disjoint id sets by the sink's
     overwrite-by-version idempotence."""
     parts = _delta_state_parts(codes_dir)
     if not parts:
         raise FileNotFoundError(f"no ivfpq code state under {codes_dir}")
-    return spark.read.parquet(*parts)
+    out = spark.read.parquet(*parts)
+    tombs = _tombstone_versions(codes_dir)
+    if tombs:
+        out = out.join(
+            spark.read.parquet(*[p for _, p in tombs]), "id", "left_anti"
+        )
+    return out

@@ -656,3 +656,57 @@ def test_ivfpq_codes_sink_compaction(spark, tmp_path):
         for r in serve_ivfpq_codes(spark, cd).collect()
     )
     assert got2 == want
+
+
+def test_ivfpq_remove_ids_lifecycle(spark, tmp_path):
+    """The delete face (FAISS remove_ids): tombstoned ids disappear
+    from the served table immediately (logical delete), survive a
+    non-compacting ingest, are dropped PHYSICALLY by the next
+    compaction (which clears the tombstones), and a search over the
+    served table never returns them."""
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        _tombstone_versions,
+        ivfpq_codes_sink,
+        ivfpq_remove_ids,
+        serve_ivfpq_codes,
+    )
+
+    rows = _rand_rows(43, 24, 8)
+    df = _mk_df(spark, rows)
+    cells, books, _codes = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    mp = str(tmp_path / "model.json")
+    pq.save_index_model(mp, cells, books)
+    cd = str(tmp_path / "codes")
+    fold = ivfpq_codes_sink(spark, mp, cd, "vec", "id", compact_every=3)
+    fold(df.filter(df.id < 12), 0)
+    fold(df.filter(df.id >= 12), 1)
+    # logical delete, effective immediately
+    dead = {0, 5, 13}
+    ivfpq_remove_ids(
+        spark, cd, spark.createDataFrame([(i,) for i in dead], "id long")
+    )
+    served = {r["id"] for r in serve_ivfpq_codes(spark, cd).collect()}
+    assert served == {i for i, _ in rows} - dead
+    # search never returns a tombstoned doc
+    hits = {
+        r["doc_id"]
+        for r in pq.ivfpq_search(
+            df, "vec", "id", cells, books, serve_ivfpq_codes(spark, cd),
+            nprobe=2, topk=5,
+        ).collect()
+    }
+    assert not (hits & dead)
+    # third ingest triggers compaction (compact_every=3): rows drop
+    # physically, tombstones clear
+    extra = _mk_df(spark, [(100 + i, v) for i, v in rows[:3]])
+    fold(extra, 2)
+    assert _tombstone_versions(cd) == []
+    snap = spark.read.parquet(os.path.join(cd, "c2"))
+    assert not ({r["id"] for r in snap.collect()} & dead)
+    served2 = {r["id"] for r in serve_ivfpq_codes(spark, cd).collect()}
+    assert served2 == ({i for i, _ in rows} - dead) | {100, 101, 102}
