@@ -1036,3 +1036,28 @@ def test_cdc_serve_skips_uncommitted_snapshot(spark, tmp_path):
     os.remove(os.path.join(state, "c3", "_SUCCESS"))
     got = {tuple(r) for r in serve_cdc_chunks(spark, state).collect()}
     assert got == want
+
+
+def test_chunk_dedup_first_occurrence_is_rank_limit_capped(spark):
+    """Skew guard at a hot boilerplate chunk: both chunk-dedup faces'
+    first-occurrence windows (rn=1 per chunk_sha) must get the
+    SPARK-37099 Partial WindowGroupLimit BELOW the exchange, so a
+    chunk repeated millions of times corpus-wide shuffles at most ONE
+    row per map partition — never the full duplicate set into a
+    single reducer's sort.  Same pin discipline as the ADC top-k
+    (tests/test_pq.py)."""
+    df = spark.createDataFrame(
+        [(i, "same boiler plate text every time") for i in range(6)]
+        + [(100, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    for fn in (dedup.cdc_chunk_dedup, dedup.chunk_dedup):
+        plan = fn(df, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        lines = plan.splitlines()
+        part = [i for i, l in enumerate(lines)
+                if "WindowGroupLimit" in l and "Partial" in l]
+        exch = [i for i, l in enumerate(lines)
+                if "Exchange hashpartitioning(chunk_sha" in l]
+        assert part and exch, (fn.__name__, plan)
+        assert min(part) > min(exch), (fn.__name__, plan)
