@@ -2383,6 +2383,57 @@ def q_retrieval_rrf(spark, sf):
     )
 
 
+def q_retrieval_eval(spark, sf):
+    # IR evaluation harness (retrieval.ranking_metrics — trec_eval's
+    # core metrics, distributed): a cheap truncated-dimension retriever
+    # (int8-quantized dot product over the FIRST 32 of 64 dims,
+    # Matryoshka-style prefix search; similarity.quantized_dot_topk)
+    # is scored against label-based relevance judgments (relevant =
+    # same `label`, the ANN-benchmark convention) for the 50-query
+    # fixture batch.  Every metric column is an exact integer or ONE
+    # IEEE division of exact integers (hits/n_rel, hits/k, 1/rank), so
+    # the full per-query row set hash-matches cross-engine; the run's
+    # integer scores make the ranking itself engine-portable.  The
+    # metrics job never touches the corpus — cost is O(Q*k + judged
+    # pairs) regardless of corpus size (the 100 TB property: evaluation
+    # is free; producing the run was the work).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    run = sim_ops.quantized_dot_topk(
+        queries, emb, "embedding", "vec_id", k=10, dims=32
+    )
+    qrels = (
+        queries.alias("q")
+        .join(
+            emb.alias("c"),
+            (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+    )
+    return retrieval_ops.ranking_metrics(run, qrels, k=10)
+
+
+def q_ann_filtered(spark, sf):
+    # Metadata-FILTERED vector search (similarity.filtered_quantized_
+    # topk): each vector's top-5 neighbors restricted to its own
+    # `label` partition — the filtered-search face every production
+    # vector store exposes (tenant/language/label predicates).  The
+    # predicate IS the candidate generator: an ordinary equi-join on
+    # the filter column replaces both the full-corpus scan and the
+    # post-filter recall loss; no cartesian product anywhere (this
+    # query needs no plan-invariant whitelist entry — that is the
+    # point).  Exact int8-code dot scores keep the full (query,
+    # neighbor, rank, score) set bit-portable for the oracle.
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.filtered_quantized_topk(
+        emb, "embedding", "vec_id", ["label"], k=5
+    )
+
+
 def q_pipeline_token_budget(spark, sf):
     # Token-budget mixture selection: fill per-language token budgets
     # (en 3000 / zh 1200 / es 800) in stable md5 order — selection in
@@ -4531,15 +4582,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_stable_split": q_pipeline_stable_split,
     "a10_approx_distinct": q_a10_approx_distinct,
     "a11_approx_percentile": q_a11_approx_percentile,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    # new in r7: content-defined chunk dedup (never checked, so it
-    # takes the last slot; j2_anti_join keeps its green r2 row below)
-    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "ann_ivfpq_served": q_ann_ivfpq_served,
     # new in r8: chunk-level per-document novelty scoring (takes the
     # last window slot so its first driver row lands this round)
     "dedup_cdc_novelty": q_dedup_cdc_novelty,
+    # new in late r8: IR-evaluation metrics + metadata-filtered vector
+    # search — never driver-checked, so they outrank the two r7-
+    # authored queries that earned green r7 rows (ann_ivfpq_recall,
+    # dedup_cdc_chunks — both move just below the line with fresh
+    # evidence, the j2_anti_join precedent)
+    "retrieval_eval": q_retrieval_eval,
+    "ann_filtered": q_ann_filtered,
     # ---- end of the 50-query window ----
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     # j2_anti_join sits just below the line AGAIN (the r7 precedent):
     # green r2 driver row, independently judge-verified in the r7
     # review, and its sf0.01 driver row is 0 rows — the least
@@ -6945,6 +7001,119 @@ ORACLES: dict[str, str] = {
     ),
     # RRF: both input rankings replayed with DECIMAL-exact sums +
     # QUALIFY top-50, fused with the identical integer div term.
+    # IR-evaluation metrics: the oracle replays the whole pipeline —
+    # the f_vector_quantize int8 codec, the truncated 32-dim integer-
+    # dot run (products/sums of ints < 2^53 are exact in either
+    # engine's arithmetic), the label qrels, and the per-query fold.
+    # Every output is an exact integer or one IEEE division of exact
+    # integers, so the full row set hash-matches.
+    "retrieval_eval": """
+        WITH qz AS (
+            SELECT vec_id, label,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   embedding
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT vec_id, label,
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding,
+                                 x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                      * 127.0 / scale + 0.5) AS BIGINT))
+                   END AS q
+            FROM qz
+        ),
+        run AS (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY CAST(list_sum(list_transform(
+                                        list_zip(a.q[1:32], b.q[1:32]),
+                                        t -> t[1] * t[2])) AS BIGINT)
+                                    DESC,
+                                    b.vec_id ASC
+                       ) AS rank
+                FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < 50
+            ) WHERE rank <= 10
+        ),
+        qrels AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50
+        ),
+        nrel AS (
+            SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id
+        ),
+        perq AS (
+            SELECT r.query_id,
+                   SUM(CASE WHEN q.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS hits,
+                   MIN(CASE WHEN q.neighbor_id IS NOT NULL
+                            THEN r.rank END) AS fr
+            FROM run r
+            LEFT JOIN qrels q
+              ON r.query_id = q.query_id
+             AND r.neighbor_id = q.neighbor_id
+            GROUP BY r.query_id
+        )
+        SELECT p.query_id,
+               CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+               CAST(p.hits AS BIGINT) AS hits,
+               CAST(COALESCE(p.fr, 0) AS INT) AS first_rank,
+               CASE WHEN COALESCE(n.n_rel, 0) > 0
+                    THEN CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+                    ELSE 0.0 END AS recall_at_10,
+               CAST(p.hits AS DOUBLE) / 10.0 AS precision_at_10,
+               CASE WHEN p.fr IS NOT NULL
+                    THEN 1.0 / CAST(p.fr AS DOUBLE)
+                    ELSE 0.0 END AS rr
+        FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+    """,
+    # Filtered vector search: label equi-join candidate generation +
+    # exact int8-code dot ranking, replayed verbatim (the scores are
+    # exact BIGINTs, so rank AND score hash-match).
+    "ann_filtered": """
+        WITH qz AS (
+            SELECT vec_id, label,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   embedding
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT vec_id, label,
+                   CASE WHEN scale = 0
+                        THEN list_transform(embedding,
+                                 x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                      * 127.0 / scale + 0.5) AS BIGINT))
+                   END AS q
+            FROM qz
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                        t -> t[1] * t[2])) AS BIGINT) AS score
+            FROM codes a
+            JOIN codes b ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, score FROM (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
     "retrieval_rrf": """
         WITH rev AS (
             SELECT l_partkey AS doc_id,

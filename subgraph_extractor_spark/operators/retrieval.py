@@ -270,3 +270,124 @@ def rrf_fuse(
     return limited.withColumn(
         "fused_rank", F.row_number().over(w).cast("int")
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR evaluation of a retrieval ``run`` against a
+    relevance-judgment table ``qrels`` — the eval harness every
+    retrieval / RAG pipeline runs after every index or model change
+    (trec_eval's core metrics, distributed).
+
+    ``run``: (query_col, doc_col, rank_col) — the shared top-k contract
+    every ANN/BM25 operator in this repo emits.  ``qrels``: (query_col,
+    doc_col) relevant pairs.  For each query appearing in the run:
+
+    - ``n_rel``     exact count of judged-relevant docs
+    - ``hits``      relevant docs retrieved within rank <= k
+    - ``first_rank`` rank of the first relevant hit (0 when none)
+    - ``recall_at_k``    hits / n_rel   (0.0 when n_rel = 0)
+    - ``precision_at_k`` hits / k
+    - ``rr``        1 / first_rank (0.0 when none) — the MRR numerator
+
+    Determinism contract: every column is either an exact integer or
+    ONE correctly-rounded IEEE division of exact integers — bit-portable
+    across engines, so the full row set is oracle-hashable (no
+    fold-order float sums; macro averages belong in
+    :func:`ranking_metrics_summary`, which micro-averages from integer
+    totals for the same reason).
+
+    Scale notes: the metrics never touch the corpus — cost is
+    O(|run| + |qrels|) = (Q·k + judged pairs), shuffled once on the
+    (query, doc) key and once on query for the per-query fold.  The
+    expensive thing was producing the run; evaluation is free at any
+    corpus size.
+    """
+    topk = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(doc_col), F.col(rank_col)
+    )
+    rel = (
+        qrels.select(F.col(query_col), F.col(doc_col))
+        .distinct()
+        .withColumn("_rel", F.lit(1))
+    )
+    joined = topk.join(rel, [query_col, doc_col], "left")
+    per_q = joined.groupBy(query_col).agg(
+        F.sum(F.coalesce(F.col("_rel"), F.lit(0)))
+        .cast("bigint")
+        .alias("hits"),
+        F.min(F.when(F.col("_rel") == 1, F.col(rank_col))).alias("_fr"),
+    )
+    n_rel = qrels.select(F.col(query_col), F.col(doc_col)).distinct().groupBy(
+        query_col
+    ).agg(F.count(F.lit(1)).alias("n_rel"))
+    out = per_q.join(n_rel, query_col, "left").select(
+        F.col(query_col),
+        F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")).alias("n_rel"),
+        F.col("hits"),
+        F.coalesce(F.col("_fr"), F.lit(0)).cast("int").alias("first_rank"),
+        F.when(
+            F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+            F.col("hits").cast("double") / F.col("n_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"recall_at_{k}"),
+        (F.col("hits").cast("double") / F.lit(float(k))).alias(
+            f"precision_at_{k}"
+        ),
+        F.when(
+            F.col("_fr").isNotNull(),
+            F.lit(1.0) / F.col("_fr").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+    return out
+
+
+def ranking_metrics_summary(
+    metrics: DataFrame, query_col: str = "query_id"
+) -> DataFrame:
+    """One-row corpus-level summary of :func:`ranking_metrics` output.
+
+    Micro-averaged on purpose: ``micro_recall`` = Σhits / Σn_rel and
+    ``hit_rate`` = |queries with a hit| / |queries| are each ONE IEEE
+    division of exactly-summed integers — engine-portable where a macro
+    mean (a fold-order-dependent sum of per-query doubles) is not.
+    The integer evidence columns ship alongside so any macro metric can
+    be recomputed offline.
+    """
+    agg = metrics.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum("n_rel").cast("bigint").alias("total_rel"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("queries_with_hit"),
+    )
+    return agg.select(
+        "n_queries",
+        "total_hits",
+        "total_rel",
+        "queries_with_hit",
+        F.when(
+            F.col("total_rel") > 0,
+            F.col("total_hits").cast("double")
+            / F.col("total_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("micro_recall"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("queries_with_hit").cast("double")
+            / F.col("n_queries").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hit_rate"),
+    )

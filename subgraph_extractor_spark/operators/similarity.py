@@ -1063,3 +1063,150 @@ def maxsim_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two int8-code arrays — codegen HOFs,
+    every partial sum an exact integer (|x| <= 127² · dim << 2⁵³)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    dims: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-``k`` by INTEGER dot product over int8-quantized codes
+    (:func:`quantize_embeddings`), optionally truncated to the first
+    ``dims`` dimensions — the cheap "truncated-dimension retriever"
+    (Matryoshka-style prefix search) whose quality against full-
+    precision ground truth :func:`..retrieval.ranking_metrics`
+    measures.
+
+    Every score is an exact BIGINT (order-independent, engine-portable,
+    full-value oracle-checkable), unlike float cosine whose fold order
+    differs in ulps across engines.
+
+    Plan shape: quantization is a map-only codegen scan on each side;
+    the SMALL query set broadcasts onto the corpus (the retrieval
+    asymmetry every op here uses — the corpus never moves); scoring is
+    pure codegen HOFs; the per-query top-k is shuffle-capped by the
+    SPARK-37099 rank-limit pushdown (at most k rows per (query,
+    map-partition) cross the exchange).
+
+    Output: (query_id, neighbor_id, rank, score).
+    """
+    qq = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qq")
+    )
+    cc = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_cq")
+    )
+    if dims is not None:
+        qq = qq.withColumn("_qq", F.slice("_qq", 1, dims))
+        cc = cc.withColumn("_cq", F.slice("_cq", 1, dims))
+    scored = F.broadcast(qq).crossJoin(cc)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", _int_dot(F.col("_qq"), F.col("_cq")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def filtered_quantized_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    filter_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-FILTERED exact self-similarity search: each vector's
+    top-``k`` neighbors restricted to corpus rows sharing its
+    ``filter_cols`` values (tenant / language / label partitions) — the
+    "filtered vector search" every production vector store exposes.
+
+    The 100 TB insight: the metadata predicate IS the candidate
+    generator.  Instead of searching the whole corpus and post-
+    filtering (wasted FLOPs, recall loss when the filter is selective),
+    the candidate set is produced by an ordinary EQUI-JOIN on the
+    filter columns — Catalyst shuffles both sides by the filter key
+    once and every pair considered already satisfies the predicate.
+    No cartesian product, no LSH needed until a single filter-block
+    itself outgrows one executor (then: salt the block or band on
+    (filter_cols..., band) — ``ann_topk_lsh`` composes, see
+    ``partition_cols``).  Skewed filter values behave exactly like any
+    skewed join key (AQE skew-join splits apply).
+
+    Scoring uses exact int8-code dot products (:func:`_int_dot`) so the
+    full result is engine-portable and oracle-checkable; the per-query
+    top-k is SPARK-37099 shuffle-capped.
+
+    Output: (query_id, neighbor_id, rank, score).
+    """
+    # same q_i = floor(x_i * 127 / scale + 0.5) codec as
+    # quantize_embeddings, carried alongside the filter columns (the
+    # scale lives in a named column so it is computed once per row)
+    scale = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    codes = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in filter_cols],
+            F.col(vec_col),
+            scale.alias("_scale"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in filter_cols],
+            F.when(
+                F.col("_scale") == 0.0,
+                F.transform(
+                    F.col(vec_col), lambda x: F.lit(0).cast("byte")
+                ),
+            )
+            .otherwise(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.floor(
+                        x.cast("double") * F.lit(127.0) / F.col("_scale")
+                        + F.lit(0.5)
+                    ).cast("byte"),
+                )
+            )
+            .alias("_qvec"),
+        )
+    )
+    l, r = codes.alias("l"), codes.alias("r")
+    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in filter_cols] + [
+        F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
+    ]
+    scored = l.join(r, on=on).select(
+        F.col(f"l.{id_col}").alias("query_id"),
+        F.col(f"r.{id_col}").alias("neighbor_id"),
+        _int_dot(F.col("l._qvec"), F.col("r._qvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

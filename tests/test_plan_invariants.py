@@ -64,6 +64,11 @@ ALLOWED_NON_EQUI = {
     # sim_topk_matmul) — scoring is all-pairs by definition of the
     # rerank contract
     "sim_maxsim_quantized",
+    # IR-eval run construction (quantized_dot_topk): same deliberate
+    # broadcast of the 50-query batch onto the corpus; the metrics
+    # stage itself is pure equi-joins (and ann_filtered — the
+    # equi-join-pruned filtered search — needs no entry at all)
+    "retrieval_eval",
     # sharded-matmul coarse pass broadcast-replicates the query set per
     # shard (same documented asymmetry as sim_topk_matmul), and the
     # recall contract crossJoins 1-row anchors

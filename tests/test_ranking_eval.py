@@ -1,0 +1,178 @@
+"""IR-evaluation metrics (retrieval.ranking_metrics) and the two new
+similarity faces they compose with: the truncated-dimension quantized
+retriever (quantized_dot_topk) and metadata-filtered vector search
+(filtered_quantized_topk)."""
+
+import numpy as np
+import pytest
+
+from subgraph_extractor_spark.operators import retrieval, similarity
+from subgraph_extractor_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _codes(mat: np.ndarray) -> np.ndarray:
+    """Python replica of quantize_embeddings' round-half-up codec."""
+    scale = np.abs(mat).max(axis=1, keepdims=True)
+    safe = np.where(scale == 0, 1.0, scale)
+    q = np.floor(mat * 127.0 / safe + 0.5)
+    return np.where(scale == 0, 0.0, q).astype(np.int64)
+
+
+def test_quantized_dot_topk_matches_numpy(spark, emb):
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array(
+        [r["embedding"] for r in rows], dtype=np.float64
+    )
+    q = _codes(mat)[:, :32]
+    scores = q @ q.T
+
+    k = 4
+    queries = emb.filter("vec_id < 10")
+    got = similarity.quantized_dot_topk(
+        queries, emb, "embedding", "vec_id", k=k, dims=32
+    )
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+    assert set(got_map) == set(int(i) for i in ids if i < 10)
+    for qid, entries in got_map.items():
+        qi = int(np.where(ids == qid)[0][0])
+        order = sorted(
+            (int(-scores[qi, j]), int(ids[j]))
+            for j in range(len(ids))
+            if int(ids[j]) != qid
+        )[:k]
+        expected = [(r + 1, nid, -neg) for r, (neg, nid) in enumerate(order)]
+        assert sorted(entries) == expected, f"query {qid}"
+
+
+def test_filtered_topk_respects_filter_and_matches_numpy(spark, emb):
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = _codes(mat)
+    scores = q @ q.T
+
+    k = 3
+    got = similarity.filtered_quantized_topk(
+        emb, "embedding", "vec_id", ["label"], k=k
+    )
+    lab_of = {int(i): int(l) for i, l in zip(ids, labels)}
+    got_map = {}
+    for r in got.collect():
+        # every returned neighbor satisfies the metadata predicate
+        assert lab_of[r["query_id"]] == lab_of[r["neighbor_id"]]
+        got_map.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+    for qi, qid in enumerate(ids):
+        block = [
+            j
+            for j in range(len(ids))
+            if labels[j] == labels[qi] and j != qi
+        ]
+        order = sorted(
+            (int(-scores[qi, j]), int(ids[j])) for j in block
+        )[: min(k, len(block))]
+        expected = [(r + 1, nid, -neg) for r, (neg, nid) in enumerate(order)]
+        assert sorted(got_map.get(int(qid), [])) == expected, f"query {qid}"
+
+
+def test_filtered_topk_plan_is_pure_equi_join(spark, emb):
+    out = similarity.filtered_quantized_topk(
+        emb, "embedding", "vec_id", ["label"], k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quantized_dot_topk_shuffle_is_rank_limit_capped(spark, emb):
+    out = similarity.quantized_dot_topk(
+        emb.filter("vec_id < 5"), emb, "embedding", "vec_id", k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    part = [
+        i
+        for i, l in enumerate(lines)
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    exch = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in l
+    ]
+    assert part and exch, plan
+    assert min(part) > min(exch), plan
+
+
+def _hand_metrics(spark):
+    # run: two queries with k=3 rankings, one query with no qrels row
+    run = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+            (3, 30, 1), (3, 31, 2), (3, 32, 3),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    # qrels: q1 has 2 relevant (one retrieved at rank 2); q2 has 4
+    # relevant (ranks 1 and 3 retrieved); q3 judged nowhere; duplicate
+    # (1, 11) pair must not double-count
+    qrels = spark.createDataFrame(
+        [
+            (1, 11), (1, 99), (1, 11),
+            (2, 20), (2, 22), (2, 98), (2, 97),
+        ],
+        "query_id long, neighbor_id long",
+    )
+    return retrieval.ranking_metrics(run, qrels, k=3)
+
+
+def test_ranking_metrics_hand_case(spark):
+    rows = {r["query_id"]: r for r in _hand_metrics(spark).collect()}
+    assert set(rows) == {1, 2, 3}
+    r1, r2, r3 = rows[1], rows[2], rows[3]
+    assert (r1["n_rel"], r1["hits"], r1["first_rank"]) == (2, 1, 2)
+    assert r1["recall_at_3"] == 0.5 and r1["rr"] == 0.5
+    assert r1["precision_at_3"] == 1.0 / 3.0
+    assert (r2["n_rel"], r2["hits"], r2["first_rank"]) == (4, 2, 1)
+    assert r2["recall_at_3"] == 0.5 and r2["rr"] == 1.0
+    assert (r3["n_rel"], r3["hits"], r3["first_rank"]) == (0, 0, 0)
+    assert r3["recall_at_3"] == 0.0 and r3["rr"] == 0.0
+
+
+def test_ranking_metrics_summary_micro(spark):
+    s = retrieval.ranking_metrics_summary(_hand_metrics(spark)).collect()
+    assert len(s) == 1
+    r = s[0]
+    assert r["n_queries"] == 3
+    assert r["total_hits"] == 3 and r["total_rel"] == 6
+    assert r["queries_with_hit"] == 2
+    assert r["micro_recall"] == 0.5
+    assert r["hit_rate"] == 2.0 / 3.0
+
+
+def test_ranking_metrics_respects_k_cut(spark):
+    # a relevant doc at rank 4 must not count under k=3
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 13)], "query_id long, neighbor_id long"
+    )
+    r = retrieval.ranking_metrics(run, qrels, k=3).collect()[0]
+    assert (r["hits"], r["first_rank"], r["rr"]) == (0, 0, 0.0)
+    r4 = retrieval.ranking_metrics(run, qrels, k=4).collect()[0]
+    assert (r4["hits"], r4["first_rank"], r4["rr"]) == (1, 4, 0.25)

@@ -7,10 +7,11 @@ a deliberate act that must update this list.
 Round-8 window (the r7 verdict's task #6): every query whose latest
 driver evidence predates r4 — 4 of the 5 r2-era rows and all 42
 r3-era rows (each pre-verified green by the r7 review's independent
-harness or a prior driver round) — plus the two r7-authored queries
-kept in-window one more round (ann_ivfpq_recall, dedup_cdc_chunks)
-and the two r8 additions (ann_ivfpq_served, dedup_cdc_novelty),
-which are never-driver-checked and so outrank the 50th stale slot;
+harness or a prior driver round) — plus the four r8 additions
+(ann_ivfpq_served, dedup_cdc_novelty, retrieval_eval, ann_filtered),
+which are never-driver-checked and so outrank the stale slots; the
+two r7-authored queries (ann_ivfpq_recall, dedup_cdc_chunks) earned
+green r7 rows and move just below the line to make room;
 j2_anti_join (green r2 row, judge-verified r7, 0-row sf0.01 result)
 sits just below the line, the same call r7 made.  After this window
 lands, the only pre-r4 evidence anywhere is j2's r2 row."""
@@ -42,12 +43,16 @@ WINDOW_50 = [
     "f_date", "text_fingerprint", "text_clean", "pipeline_stable_split",
     "a10_approx_distinct",
     "a11_approx_percentile",
-    # r7 keepers
-    "ann_ivfpq_recall", "dedup_cdc_chunks",
     # new in r8: the persist -> reload -> search serving loop and
     # the chunk-level novelty signal — both never driver-checked
     "ann_ivfpq_served",
     "dedup_cdc_novelty",
+    # new in late r8: IR-evaluation metrics + metadata-filtered vector
+    # search — never driver-checked, so they displace the two r7
+    # keepers (ann_ivfpq_recall, dedup_cdc_chunks), which move just
+    # below the line carrying fresh green r7 rows
+    "retrieval_eval",
+    "ann_filtered",
 ]
 
 # rows-only by design (raw pair/bucket dumps whose correctness rides on
