@@ -131,6 +131,13 @@ HEADLINE = [
     # late-r8 addition: chunk-level per-document novelty (same fold +
     # one chunk_sha left join + one groupBy), first recorded r8.
     "dedup_cdc_novelty",
+    # late-r8 additions: metadata-filtered vector search (label
+    # equi-join candidate generation + exact int8-dot ranking — the
+    # whole corpus scores within its label blocks) and the IR-eval
+    # harness (truncated-dim quantized run + metrics joins), first
+    # recorded r8 for r9+ comparability.
+    "ann_filtered",
+    "retrieval_eval",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
@@ -459,10 +466,17 @@ def main() -> None:
     # every current entry >1.5x its floor — the gate the verdict reads,
     # computed here instead of in BASELINE.md prose.
     amended = {"dedup_minhash": 1.8, "ann_lsh": 2.7}
-    # r5 bests recorded only in BASELINE.md prose (BENCH_r05.json was
-    # never written): fold them in so the weak-flag arithmetic reads
-    # the same comparables the r6 verdict used
-    prose_recorded = {"ann_projected": 3.25, "ann_projected_lsh": 2.95}
+    # Bests recorded only in prose (BENCH_r05.json was never written):
+    # ann_projected 3.25 is the genuine r5 prose record.  The old
+    # "ann_projected_lsh": 2.95 entry here was a TRANSCRIPTION ERROR —
+    # the r5 prose attributes 2.95 to ann_lsh; ann_projected_lsh had
+    # no r5 record at all (see BASELINE.md "Recorded-baseline
+    # amendments (r8)" for the full trace).  Its honest floor is the
+    # r8 controlled interleaved standalone best, 4.097 s, measured in
+    # a quiet pass where the ann_lsh control sat at 1.04x its own
+    # floor (2.82 vs 2.70) — structurally consistent at ~1.45x plain
+    # LSH for a 30x larger coarse k + projection + full-dim re-rank.
+    prose_recorded = {"ann_projected": 3.25, "ann_projected_lsh": 4.09}
     floors: dict[str, float] = {}
     import glob
 

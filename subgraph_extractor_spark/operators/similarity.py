@@ -887,14 +887,24 @@ def projected_topk_rerank(
     # so candidates — and therefore recall — are identical; matmul is
     # the one that scales: corpus shuffles once, FLOPs are BLAS)
     coarse_side = proj.select(id_col, F.col("_proj").alias("coarse_vec"))
-    coarse = topk_matmul(
-        coarse_side,
-        coarse_side,
-        "coarse_vec",
-        id_col,
-        k=k * expand,
-        n_shards=shards,
-    )
+    # The projection kernel feeds BOTH sides of the coarse self-matmul,
+    # and exchange reuse never fires across Python kernels (fresh expr
+    # ids per side — see _banded_signatures), so unpersisted it runs
+    # twice.  Persist => one Arrow pass; the coarse result is eagerly
+    # checkpointed (Q x k*expand id rows — tiny) so the cache lifetime
+    # stays scoped to this call, the ann_topk_lsh discipline.
+    coarse_side = coarse_side.persist()
+    try:
+        coarse = topk_matmul(
+            coarse_side,
+            coarse_side,
+            "coarse_vec",
+            id_col,
+            k=k * expand,
+            n_shards=shards,
+        ).localCheckpoint(eager=True)
+    finally:
+        coarse_side.unpersist()
     return _full_dim_rerank(df, coarse, vec_col, id_col, k)
 
 
@@ -973,16 +983,33 @@ def projected_lsh_topk(
     proj = random_projection_arrow(
         df, vec_col, out_dim, in_dim, seed
     ).select(F.col(id_col), F.col("_proj"))
-    coarse = ann_topk_lsh(
-        proj,
-        "_proj",
-        id_col,
-        k=k * expand,
-        dim=out_dim,
-        bits=bits,
-        bands=bands,
-        n_shards=n_shards,
-    )
+    # The projection kernel feeds THREE full-corpus consumers inside
+    # the coarse pass (the signature stage, the query side of the
+    # candidate join, and the corpus scoring side), and exchange reuse
+    # never fires across Python kernels (fresh expr ids per side — see
+    # _banded_signatures), so unpersisted it would run three times.
+    # Persist => ONE Arrow matmul pass; ann_topk_lsh eagerly
+    # checkpoints its (Q x k*expand)-row result, so the cache is
+    # released before the re-rank runs (operator-scoped lifetime, the
+    # repo-wide persist -> use -> checkpoint -> unpersist discipline).
+    # At 100 TB the cached projected table is out_dim/in_dim of the
+    # corpus (here half) — exactly the materialized index artifact a
+    # real deployment writes once anyway; the default StorageLevel
+    # spills to disk rather than OOM.
+    proj = proj.persist()
+    try:
+        coarse = ann_topk_lsh(
+            proj,
+            "_proj",
+            id_col,
+            k=k * expand,
+            dim=out_dim,
+            bits=bits,
+            bands=bands,
+            n_shards=n_shards,
+        )
+    finally:
+        proj.unpersist()
     return _full_dim_rerank(df, coarse, vec_col, id_col, k)
 
 
