@@ -492,29 +492,38 @@ def _banded_signatures(
     bands: int,
     seed: int,
     max_bucket_size: int | None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(_id, band, val) rows, bucket-capped, PERSISTED (caller unpersists
-    after eagerly materializing whatever it derives from the self-join).
+    """(_id, [carry_cols...,] band, val) rows, bucket-capped, PERSISTED
+    (caller unpersists after eagerly materializing whatever it derives
+    from the self-join).
+
+    ``carry_cols`` ride along for filtered search (the bucket key
+    becomes (carry..., band, val), so the degenerate-bucket cap counts
+    within a filter partition — a boilerplate bucket in one tenant must
+    not evict another tenant's members).
 
     Persist before the self-join: exchange reuse does NOT fire across
     self-join sides containing Python kernels (self-join dedup re-creates
     the PythonUDF with fresh expr ids, so the sides never canonicalize
     equal — measured), so without the cache the signature kernel + cap
     window would run once per side."""
+    carry = list(carry_cols or [])
     par = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(par).select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carry],
         _band_signature_udf(dim, bits, bands, seed)(F.col(vec_col)).alias(
             "_bands"
         ),
     )
     banded = sig.select(
-        "_id", F.posexplode("_bands").alias("band", "val")
+        "_id", *carry, F.posexplode("_bands").alias("band", "val")
     )
     if max_bucket_size is not None:
         # window count (one shuffle, no join) — cheaper than a
         # bucket-size aggregate joined back onto both self-join sides
-        w = Window.partitionBy("band", "val")
+        w = Window.partitionBy(*carry, "band", "val")
         banded = (
             banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsz") <= max_bucket_size)
@@ -585,10 +594,23 @@ def ann_topk_lsh(
     bits: int = 120,
     bands: int = 24,
     n_shards: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to LSH
     candidates.  Output (query_id, neighbor_id, rank) like
     brute_force_topk; recall vs the exact baseline asserted in tests.
+
+    ``partition_cols`` turns this into FILTERED approximate search:
+    the band join keys become (partition_cols..., band, val), so a
+    candidate must share the query's metadata partition AND a
+    signature band — the scale path
+    :func:`filtered_quantized_topk`'s docstring prescribes when one
+    filter block outgrows an executor (the exact equi-join face stays
+    the default below that).  Candidate generation enforces the
+    predicate, so every returned neighbor satisfies it by
+    construction; the degenerate-bucket cap counts within a
+    partition (one tenant's boilerplate cannot evict another's
+    members).
 
     Fully distributed plan: the LSH band join only ever shuffles
     (id, id) pairs; candidate ids are grouped per (query,
@@ -615,14 +637,17 @@ def ann_topk_lsh(
     # eagerly — an extra barrier that dominated at bench scale; only the
     # final, tiny top-k result is checkpointed below, which is what lets
     # the signature cache be released before returning).
+    pcols = list(partition_cols or [])
     banded = _banded_signatures(
-        df, vec_col, id_col, dim, bits, bands, 13, 10_000
+        df, vec_col, id_col, dim, bits, bands, 13, 10_000,
+        carry_cols=pcols,
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
             r,
-            on=[
+            on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in pcols]
+            + [
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.val") == F.col("r.val"),
                 F.col("l._id") != F.col("r._id"),

@@ -176,3 +176,42 @@ def test_ranking_metrics_respects_k_cut(spark):
     assert (r["hits"], r["first_rank"], r["rr"]) == (0, 0, 0.0)
     r4 = retrieval.ranking_metrics(run, qrels, k=4).collect()[0]
     assert (r4["hits"], r4["first_rank"], r4["rr"]) == (1, 4, 0.25)
+
+
+def test_filtered_lsh_respects_filter_and_recall(spark, emb):
+    """The filtered-search SCALE path: ann_topk_lsh with
+    partition_cols bands within the metadata partition, so candidate
+    generation itself enforces the predicate.  Ground truth = exact
+    full-precision cosine top-k within each label block."""
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+
+    k = 5
+    got = similarity.ann_topk_lsh(
+        emb, "embedding", "vec_id", k=k, partition_cols=["label"]
+    )
+    lab_of = {int(i): int(l) for i, l in zip(ids, labels)}
+    got_map = {}
+    for r in got.collect():
+        assert lab_of[r["query_id"]] == lab_of[r["neighbor_id"]]
+        got_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = total = 0
+    for qi, qid in enumerate(ids):
+        block = [
+            j
+            for j in range(len(ids))
+            if labels[j] == labels[qi] and j != qi
+        ]
+        truth = sorted(
+            ((-sims[qi, j], int(ids[j])) for j in block)
+        )[: min(k, len(block))]
+        truth_ids = {nid for _, nid in truth}
+        total += len(truth_ids)
+        hits += len(truth_ids & got_map.get(int(qid), set()))
+    recall = hits / total
+    assert recall >= 0.75, f"filtered-LSH recall {recall:.3f} < 0.75"
