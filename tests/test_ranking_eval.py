@@ -215,3 +215,43 @@ def test_filtered_lsh_respects_filter_and_recall(spark, emb):
         hits += len(truth_ids & got_map.get(int(qid), set()))
     recall = hits / total
     assert recall >= 0.75, f"filtered-LSH recall {recall:.3f} < 0.75"
+
+
+def test_filtered_topk_over_bucketed_table_is_exchange_free_below_join(
+    spark, sf_dir
+):
+    """Bucketing composition: a corpus written bucketed BY THE FILTER
+    COLUMN joins itself with NO Exchange below the join — the
+    recurring-search deployment shape (bucket once, serve filtered
+    searches exchange-free; only the per-query top-k window shuffles
+    its rank-capped rows)."""
+    from subgraph_extractor_spark.operators.bucketing import write_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_bucketed(emb, "b_embeddings", "label", 8)
+    # merge hint: keeps the planner from broadcasting the (tiny at
+    # fixture scale) side — a BroadcastExchange would mask the
+    # co-location this test pins; at the scale bucketing targets SMJ
+    # is what the planner picks anyway (the bucketed_join convention)
+    tbl = spark.table("b_embeddings").hint("merge")
+    out = similarity.filtered_quantized_topk(
+        tbl, "embedding", "vec_id", ["label"], k=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_at = min(
+        i for i, l in enumerate(lines) if "SortMergeJoin" in l
+    )
+    below = "\n".join(lines[join_at:])
+    assert "Exchange" not in below, below[:2000]
+    # same results as the unbucketed path
+    base = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.filtered_quantized_topk(
+            emb, "embedding", "vec_id", ["label"], k=3
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in out.collect()
+    }
+    assert got == base
