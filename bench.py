@@ -516,7 +516,16 @@ def main() -> None:
             floors[qn] = min(floors.get(qn, t), t)
     # >1.5x-floor gate (ADVICE r7: membership test, not truthiness —
     # a floor that recorded as 0.0 must be REPORTED, not silently
-    # excluded from the weak-flag arithmetic forever)
+    # excluded from the weak-flag arithmetic forever).
+    # Absolute slack alongside the ratio (late r8): sub-second floors
+    # trip the pure ratio on ordinary scheduler noise (r8 sixth run:
+    # bucketed_join 0.21 vs its 0.139 floor, j6_asof_join 0.32 vs
+    # 0.205 — both at/below floor minutes earlier in the same round's
+    # fifth run), which buries the signal the gate exists to carry.
+    # An entry is weak only if it is BOTH >1.5x its floor AND more
+    # than 0.25 s over it — a genuine 2x regression on any >=0.5 s
+    # query still trips, while 100 ms of jitter on a 0.15 s floor no
+    # longer does.  The raw ratio stays in the value for the reader.
     weak_vs_floor = {
         qn: round(timings[qn] / floors[qn], 2)
         for qn in sorted(timings)
@@ -524,6 +533,7 @@ def main() -> None:
         and qn in floors
         and floors[qn] > 0
         and timings[qn] > 1.5 * floors[qn]
+        and timings[qn] - floors[qn] > 0.25
     }
     floors_zero_or_absent = sorted(
         qn for qn in timings if qn not in floors or floors[qn] <= 0

@@ -61,11 +61,16 @@ def quantized_vectors(
     vec_col: str,
     id_col: str,
     scale_bits: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, q) — the exact integer projection of ``vec_col``."""
+    """(id, [carry_cols...,] q) — the exact integer projection of
+    ``vec_col``.  ``carry_cols`` pass metadata through map-only (the
+    IVF-PQ code table uses this to carry filter columns without an
+    id join)."""
     scale = float(1 << scale_bits)
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in (carry_cols or [])],
         F.transform(
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),

@@ -692,6 +692,7 @@ def ivfpq_encode(
     cells: list,
     codebooks: list,
     scale_bits: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors against a STANDING IVF-PQ model — the FAISS
     ``index.add()`` lifecycle face: new vectors route to their nearest
@@ -706,24 +707,33 @@ def ivfpq_encode(
     Map-only whole-stage codegen (cell argmin over a literal centroid
     tensor, residual subtract, per-subspace code argmin) — no shuffle;
     appending a batch to a billion-vector index costs one scan of the
-    BATCH.  Output: (id, cell, codes)."""
+    BATCH.  Output: (id, [carry_cols...,] cell, codes).
+
+    ``carry_cols`` pass metadata columns through to the code table
+    map-only (no id join) — the filtered-serving face: a code table
+    carrying its filter columns (and written partitioned by them)
+    lets :func:`ivfpq_search`'s ``filter_expr`` prune at the SCAN, so
+    a selective predicate cuts both I/O and scored candidates."""
     from subgraph_extractor_spark.operators.clustering import (
         quantized_vectors,
     )
 
+    carry = list(carry_cols or [])
     cells_lit = F.array(
         *[
             F.array(*[F.lit(int(v)).cast("long") for v in c])
             for c in cells
         ]
     )
-    q = quantized_vectors(df, vec_col, id_col, scale_bits)
+    q = quantized_vectors(df, vec_col, id_col, scale_bits, carry_cols=carry)
     resid = q.select(
         "id",
+        *carry,
         _argmin_code(F.col("q"), cells_lit).alias("cell"),
         F.col("q"),
     ).select(
         "id",
+        *carry,
         "cell",
         F.zip_with(
             "q",
@@ -732,7 +742,8 @@ def ivfpq_encode(
         ).alias("q"),
     )
     return resid.select(
-        "id", "cell", _codes_from_q(F.col("q"), codebooks).alias("codes")
+        "id", *carry, "cell",
+        _codes_from_q(F.col("q"), codebooks).alias("codes"),
     )
 
 
@@ -748,6 +759,7 @@ def ivfpq_search(
     n_queries: int | None = None,
     scale_bits: int = 16,
     exclude_self: bool = False,
+    filter_expr=None,
 ) -> DataFrame:
     """Search half of :func:`ivfpq_topk` against a STANDING index
     (``cells``/``codebooks``/``codes`` from :func:`ivfpq_build_index`)
@@ -762,7 +774,19 @@ def ivfpq_search(
     self-ANN fixture paths (:func:`ivfpq_topk`, where queries ARE
     corpus rows) pass ``n_queries`` to bound the fixture batch and
     ``exclude_self=True`` to drop the trivial distance-0 self match.
-    Output: (query_id, doc_id, rank, adc_dist)."""
+    Output: (query_id, doc_id, rank, adc_dist).
+
+    ``filter_expr`` (a Column or SQL string over the code table's
+    columns) is METADATA-FILTERED serving — the production
+    vector-store feature: the predicate applies to the STANDING code
+    table BEFORE the probe join, so a selective filter cuts scored
+    candidates proportionally (no post-filter recall loss: the
+    top-``topk`` ranks among matching docs), and over a code table
+    written ``partitionBy(<filter col>)`` the scan itself
+    partition-prunes (plan-pinned in tests).  Requires the code table
+    to carry the filter columns (``ivfpq_encode(carry_cols=...)``);
+    composes unchanged with delta serving and tombstones
+    (``serve_ivfpq_codes`` output is an ordinary codes DataFrame)."""
     from subgraph_extractor_spark.operators.clustering import (
         quantized_vectors,
     )
@@ -815,6 +839,8 @@ def ivfpq_search(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    if filter_expr is not None:
+        codes = codes.filter(filter_expr)
     scored = F.broadcast(probed).join(
         codes.withColumnRenamed("id", "doc_id"), "cell"
     )
