@@ -957,6 +957,7 @@ def ivfpq_codes_sink(
     id_col: str = "vec_id",
     scale_bits: int = 16,
     compact_every: int = 64,
+    carry_cols: list[str] | None = None,
 ):
     """foreachBatch sink for CONTINUAL VECTOR INGEST into a standing
     IVF-PQ index — the streaming face of the r7 serving split and the
@@ -974,7 +975,13 @@ def ivfpq_codes_sink(
     growing index with :func:`serve_ivfpq_codes`; encoded batches are
     bit-identical to what a full rebuild with the same model would
     emit (ivfpq_build_index routes through the same encoder), which
-    is the stream==batch contract the test pins."""
+    is the stream==batch contract the test pins.
+
+    ``carry_cols`` stream metadata columns into the code deltas (the
+    filtered-serving face, ``ivfpq_encode(carry_cols=...)``):
+    compaction and tombstones are schema-agnostic, so
+    ``ivfpq_search(filter_expr=...)`` over :func:`serve_ivfpq_codes`
+    output works unchanged on a continually-ingested index."""
     from subgraph_extractor_spark.operators import pq as _pq
 
     cells, codebooks = _pq.load_index_model(model_path)
@@ -995,7 +1002,7 @@ def ivfpq_codes_sink(
         prior = _delta_state_parts(codes_dir, before=batch_id)
         _pq.ivfpq_encode(
             batch_df, vec_col, id_col, cells, codebooks,
-            scale_bits=scale_bits,
+            scale_bits=scale_bits, carry_cols=carry_cols,
         ).write.mode("overwrite").parquet(f"{codes_dir}/v{batch_id}")
         tombs = _tombstone_versions(codes_dir)
 

@@ -810,3 +810,44 @@ def test_ivfpq_filtered_scan_partition_prunes(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "label" in pf, plan[:2000]
     assert all(r["doc_id"] % 3 == 1 for r in out.collect())
+
+
+def test_ivfpq_codes_sink_carry_cols_filtered_serving(spark, tmp_path):
+    """Streamed metadata-carrying ingest: code deltas keep the carry
+    column through versioned appends AND compaction, and a
+    filter_expr search over the served table equals the filtered
+    search over a one-shot carried encode."""
+    from subgraph_extractor_spark.streaming.demo import (
+        ivfpq_codes_sink,
+        serve_ivfpq_codes,
+    )
+
+    rows = _rand_rows(43, 30, 8)
+    df = _mk_labeled_df(spark, rows)
+    cells, books, _ = pq.ivfpq_build_index(
+        df, "vec", "id", n_cells=2, m=2, k_codes=4,
+        iters_cells=1, iters_pq=1,
+    )
+    mp = str(tmp_path / "model.json")
+    pq.save_index_model(mp, cells, books)
+    cd = str(tmp_path / "codes")
+    fold = ivfpq_codes_sink(
+        spark, mp, cd, "vec", "id", carry_cols=["label"],
+        compact_every=2,
+    )
+    fold(df.filter(df.id < 10), 0)
+    fold(df.filter((df.id >= 10) & (df.id < 20)), 1)  # triggers compaction
+    fold(df.filter(df.id >= 20), 2)
+    served = serve_ivfpq_codes(spark, cd)
+    assert "label" in served.columns
+    one_shot = pq.ivfpq_encode(
+        df, "vec", "id", cells, books, carry_cols=["label"]
+    )
+    qdf = _mk_df(spark, [(i + 100, v) for i, v in rows[:4]])
+    a = sorted(map(tuple, pq.ivfpq_search(
+        qdf, "vec", "id", cells, books, one_shot,
+        nprobe=1, topk=2, filter_expr="label = 1").collect()))
+    b = sorted(map(tuple, pq.ivfpq_search(
+        qdf, "vec", "id", cells, books, served,
+        nprobe=1, topk=2, filter_expr="label = 1").collect()))
+    assert a == b and a
