@@ -79,6 +79,18 @@ class CorpusPipeline:
         )
 
     # ------------------------------------------------------------ gates
+    def takedown(self, removal_ids: DataFrame, near_dups: bool = True,
+                 threshold: float = 0.5, **kw) -> "CorpusPipeline":
+        """Compliance removal: drop listed ids, byte-exact copies, and
+        (default) near-duplicate copies.  The fluent step keeps only
+        the surviving corpus; call the module-level :func:`takedown`
+        directly when the audit trail is needed."""
+        kept, _ = takedown(
+            self.df, removal_ids, self.id_col, self.text_col,
+            near_dups=near_dups, threshold=threshold, **kw,
+        )
+        return self._next(kept)
+
     def quality_gate(self, min_tokens: int = 40,
                      max_punct_ratio: float = 0.1) -> "CorpusPipeline":
         """The heuristic token/punctuation gate (same rule as the
@@ -155,3 +167,105 @@ class CorpusPipeline:
         write_training_shards(
             self.df, path, self.id_col, num_shards, seed
         )
+
+
+def takedown(
+    df: DataFrame,
+    removal_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dups: bool = True,
+    threshold: float = 0.5,
+    **pair_kw,
+) -> tuple[DataFrame, DataFrame]:
+    """Compliance removal (GDPR erasure / DMCA takedown / opt-out): drop
+    every document on ``removal_ids``, every byte-exact copy of one
+    anywhere in the corpus, and (``near_dups=True``) every near-duplicate
+    copy — a removed document's content must not survive under a
+    different id or behind a trivial edit.
+
+    Returns ``(kept, audit)``: ``kept`` is the corpus minus removals;
+    ``audit`` is the evidence trail a compliance process needs —
+    one row per dropped id with its strongest ``reason``
+    (``listed`` > ``exact_copy`` > ``near_dup``).
+
+    Composition (all existing certified machinery, nothing bespoke):
+
+    - exact copies: 32-byte sha256 digests of the LISTED docs semi-join
+      the corpus digests (the ``exact_dedup_incremental`` probe shape —
+      the corpus is scanned once, never grouped);
+    - near-dups: MinHash-LSH candidates verified by exact n-gram
+      Jaccard (``minhash_dedup_pairs``), collapsed to transitive
+      clusters (``duplicate_clusters``) — any cluster containing a
+      listed id is dropped WHOLE.  Transitive closure is the
+      deliberately conservative compliance posture: if a~b and b~c,
+      removing a also removes c, because c is a near-copy of content
+      adjacent to the removed material (document the policy, not the
+      mechanism, to auditors).
+
+    100 TB shape: pair generation is banded/bucketed (never n²), the
+    cluster expansion is two semi-joins against the (small) cluster
+    table, and the removal itself is ONE left-anti join keyed by id.
+    The removal list is tiny by nature and broadcasts.
+    """
+    from subgraph_extractor_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_dedup_pairs,
+    )
+
+    ids = (
+        removal_ids.select(
+            F.col(removal_ids.columns[0]).alias(id_col)
+        ).distinct()
+    )
+    listed = df.join(F.broadcast(ids), id_col, "semi").select(
+        F.col(id_col), F.lit(1).alias("_prio")
+    )
+    listed_digests = (
+        df.join(F.broadcast(ids), id_col, "semi")
+        .select(F.sha2(F.col(text_col), 256).alias("_d"))
+        .distinct()
+    )
+    exact = (
+        df.withColumn("_d", F.sha2(F.col(text_col), 256))
+        .join(F.broadcast(listed_digests), "_d", "semi")
+        .select(F.col(id_col), F.lit(2).alias("_prio"))
+    )
+    dropped = listed.unionByName(exact)
+    if near_dups:
+        pairs = minhash_dedup_pairs(
+            df, text_col, id_col, threshold=threshold, **pair_kw
+        )
+        clusters = duplicate_clusters(pairs)  # (member_id, cluster_id)
+        bad = (
+            clusters.join(
+                F.broadcast(ids.withColumnRenamed(id_col, "member_id")),
+                "member_id",
+                "semi",
+            )
+            .select("cluster_id")
+            .distinct()
+        )
+        near = (
+            clusters.join(F.broadcast(bad), "cluster_id", "semi")
+            .select(
+                F.col("member_id").alias(id_col),
+                F.lit(3).alias("_prio"),
+            )
+        )
+        dropped = dropped.unionByName(near)
+    audit = (
+        dropped.groupBy(id_col)
+        .agg(F.min("_prio").alias("_prio"))
+        .select(
+            F.col(id_col),
+            F.element_at(
+                F.array(
+                    F.lit("listed"), F.lit("exact_copy"), F.lit("near_dup")
+                ),
+                F.col("_prio"),
+            ).alias("reason"),
+        )
+    )
+    kept = df.join(audit.select(id_col), id_col, "left_anti")
+    return kept, audit

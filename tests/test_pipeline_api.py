@@ -109,3 +109,54 @@ def test_minhash_and_passage_steps_run(spark):
     assert ids == [1, 3]  # doc 2 is the near-dup loser
     cleaned = CorpusPipeline(corpus).remove_duplicate_passages(k=8).df
     assert cleaned.count() == 3  # text cut, rows kept
+
+
+def test_takedown_exact_and_near_dup_expansion(spark):
+    """Listed ids go; byte-exact copies under other ids go
+    (exact_copy); near-duplicate edits go via transitive cluster
+    expansion (near_dup); unrelated docs stay; the audit carries the
+    strongest reason per id."""
+    from subgraph_extractor_spark.pipeline import takedown
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base),                         # listed
+            (2, base),                         # exact copy of 1
+            (3, base + "tail edit here"),      # near-dup of 1
+            (4, base + "tail edit here x"),    # near-dup of 3 (chain)
+            (5, "completely different content about spark engines "
+                "and parquet files and shuffle partitions " * 4),
+            (6, "another unrelated document with its own words "
+                "entirely disjoint from anything removed " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    removals = spark.createDataFrame([(1,)], "doc_id long")
+    kept, audit = takedown(docs, removals, "doc_id", "text",
+                           near_dups=True, threshold=0.5)
+    reasons = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert reasons[1] == "listed"
+    assert reasons[2] == "exact_copy"
+    assert reasons[3] == "near_dup" and reasons[4] == "near_dup"
+    assert set(reasons) == {1, 2, 3, 4}
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 6]
+
+
+def test_takedown_exact_only_and_fluent_step(spark):
+    from subgraph_extractor_spark.pipeline import CorpusPipeline, takedown
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "aaa bbb ccc"), (3, "xxx yyy zzz")],
+        "doc_id long, text string",
+    )
+    removals = spark.createDataFrame([(2,), (99,)], "doc_id long")
+    kept, audit = takedown(docs, removals, near_dups=False)
+    # id 99 is not in the corpus: no audit row, no effect
+    assert {r["doc_id"]: r["reason"] for r in audit.collect()} == {
+        1: "exact_copy", 2: "listed"
+    }
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+    # fluent step keeps the surviving corpus
+    out = CorpusPipeline(docs).takedown(removals, near_dups=False).df
+    assert [r["doc_id"] for r in out.collect()] == [3]
