@@ -912,24 +912,29 @@ def projected_topk_rerank(
     # so candidates — and therefore recall — are identical; matmul is
     # the one that scales: corpus shuffles once, FLOPs are BLAS)
     coarse_side = proj.select(id_col, F.col("_proj").alias("coarse_vec"))
-    # The projection kernel feeds BOTH sides of the coarse self-matmul,
-    # and exchange reuse never fires across Python kernels (fresh expr
-    # ids per side — see _banded_signatures), so unpersisted it runs
-    # twice.  Persist => one Arrow pass; the coarse result is eagerly
-    # checkpointed (Q x k*expand id rows — tiny) so the cache lifetime
-    # stays scoped to this call, the ann_topk_lsh discipline.
-    coarse_side = coarse_side.persist()
-    try:
-        coarse = topk_matmul(
-            coarse_side,
-            coarse_side,
-            "coarse_vec",
-            id_col,
-            k=k * expand,
-            n_shards=shards,
-        ).localCheckpoint(eager=True)
-    finally:
-        coarse_side.unpersist()
+    # The projection kernel feeds both sides of the coarse self-matmul
+    # and therefore runs twice (exchange reuse never fires across
+    # Python kernels — see _banded_signatures).  A persist +
+    # eager-checkpoint "fix" was TRIED in r8 and reverted on
+    # measurement: it traded two ~50 ms Arrow matmul passes for a
+    # cache-fill job, InMemoryTableScan reads on both sides, and an
+    # eager checkpoint of the Q x k*expand coarse rows (300k at
+    # sf0.1) — bench min-of-3 went 3.78 s -> 6.74 s while the same
+    # run's ann_lsh carried only a 1.2x noise tax.  The duplicate
+    # pass is bounded by out_dim/in_dim of one corpus scan at any
+    # scale, and a real deployment materializes the projected table
+    # once as its index artifact anyway (projected_lsh_topk persists
+    # because its shape differs: THREE consumers and a coarse pass
+    # that already checkpoints eagerly, so the cache adds no
+    # barrier).
+    coarse = topk_matmul(
+        coarse_side,
+        coarse_side,
+        "coarse_vec",
+        id_col,
+        k=k * expand,
+        n_shards=shards,
+    )
     return _full_dim_rerank(df, coarse, vec_col, id_col, k)
 
 
