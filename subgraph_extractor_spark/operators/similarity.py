@@ -915,18 +915,23 @@ def projected_topk_rerank(
     # The projection kernel feeds both sides of the coarse self-matmul
     # and therefore runs twice (exchange reuse never fires across
     # Python kernels — see _banded_signatures).  A persist +
-    # eager-checkpoint "fix" was TRIED in r8 and reverted on
-    # measurement: it traded two ~50 ms Arrow matmul passes for a
-    # cache-fill job, InMemoryTableScan reads on both sides, and an
-    # eager checkpoint of the Q x k*expand coarse rows (300k at
-    # sf0.1) — bench min-of-3 went 3.78 s -> 6.74 s while the same
-    # run's ann_lsh carried only a 1.2x noise tax.  The duplicate
-    # pass is bounded by out_dim/in_dim of one corpus scan at any
-    # scale, and a real deployment materializes the projected table
-    # once as its index artifact anyway (projected_lsh_topk persists
-    # because its shape differs: THREE consumers and a coarse pass
-    # that already checkpoints eagerly, so the cache adds no
-    # barrier).
+    # eager-checkpoint "fix" was TRIED in r8 and reverted: measured
+    # across four bench runs and a converged standalone, the persist
+    # showed NO benefit (in-bench min-of-3 was 3.9 s in one run WITH
+    # it and 6.5-6.7 s in runs both WITH and WITHOUT it; standalone
+    # converges to ~3.2 s either way, matching the 3.25 s recorded
+    # floor), while it adds a cache-fill job and an eager checkpoint
+    # of the Q x k*expand coarse rows (300k at sf0.1).  The in-bench
+    # 3.9-vs-6.5 bimodality tracks JVM codegen/JIT cache state left
+    # by the other headline queries, not this operator's plan — this
+    # query's own cold-JVM warm-up is extreme (29 s -> 17 s -> 3.2 s
+    # over its first three executions, measured).  The duplicate
+    # Arrow pass is bounded by out_dim/in_dim of one corpus scan at
+    # any scale, and a real deployment materializes the projected
+    # table once as its index artifact anyway (projected_lsh_topk
+    # persists because its shape differs: THREE consumers and a
+    # coarse pass that already checkpoints eagerly, so the cache
+    # adds no barrier there).
     coarse = topk_matmul(
         coarse_side,
         coarse_side,
