@@ -86,6 +86,29 @@ def dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
+@pandas_udf(DoubleType())
+def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine: einsum dot / norm product per batch — the
+    vectorized twin of :func:`cosine_similarity` for paths that score
+    many candidate ROWS (the HOF form evaluates its lambdas
+    INTERPRETED per element, so 300k candidate rows x 64 dims is
+    ~20M lambda dispatches whose speed depends on whether the JIT got
+    to the generated code — the measured source of ann_projected's
+    in-bench bimodality; see projected_topk_rerank).  BLAS fold order
+    differs from the HOF's sequential fold in ulps, so use the HOF
+    twin where cross-engine hashing matters (brute_force_topk and its
+    oracled queries); this one where throughput does (the coarse-to-
+    fine re-rank, whose queries are rows-only/recall-contracted).
+    Zero-norm vectors score 0.0 (the HOF form yields NULL there via
+    0/0 — either way the row never enters a top-k)."""
+    A = np.stack(a.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    B = np.stack(b.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    out = np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den))
+    return pd.Series(out)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -969,7 +992,11 @@ def _full_dim_rerank(
             ),
             "neighbor_id",
         )
-        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_nv")))
+        # Arrow kernel, not the HOF cosine: the candidate table is
+        # Q x k*expand rows (300k at sf0.1) and interpreted HOF
+        # lambdas over it were the measured JIT-sensitive cost in
+        # ann_projected's bimodal bench readings (see cosine_batch).
+        .withColumn("_sim", cosine_batch(F.col("_qv"), F.col("_nv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
