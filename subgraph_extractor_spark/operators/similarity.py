@@ -100,13 +100,28 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     oracled queries); this one where throughput does (the coarse-to-
     fine re-rank, whose queries are rows-only/recall-contracted).
     Zero-norm vectors score 0.0 (the HOF form yields NULL there via
-    0/0 — either way the row never enters a top-k)."""
-    A = np.stack(a.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-    B = np.stack(b.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-    num = np.einsum("ij,ij->i", A, B)
-    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-    out = np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den))
-    return pd.Series(out)
+    0/0 — either way the row never enters a top-k).  Dirty rows (NULL
+    or length-mismatched vectors) score NULL instead of failing the
+    task's batch matmul — the random_projection_arrow discipline: one
+    bad corpus row must not kill the job."""
+    va, vb = a.tolist(), b.tolist()
+    valid = [
+        i
+        for i in range(len(va))
+        if va[i] is not None
+        and vb[i] is not None
+        and len(va[i]) == len(vb[i])
+    ]
+    out = [None] * len(va)
+    if valid:
+        A = np.array([va[i] for i in valid], dtype=np.float64)
+        B = np.array([vb[i] for i in valid], dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        sims = np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den))
+        for j, i in enumerate(valid):
+            out[i] = float(sims[j])
+    return pd.Series(out, dtype="float64")
 
 
 def brute_force_topk(

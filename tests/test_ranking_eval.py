@@ -5,6 +5,7 @@ retriever (quantized_dot_topk) and metadata-filtered vector search
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from subgraph_extractor_spark.operators import retrieval, similarity
 from subgraph_extractor_spark.sources import load_table
@@ -255,3 +256,38 @@ def test_filtered_topk_over_bucketed_table_is_exchange_free_below_join(
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in out.collect()
     }
     assert got == base
+
+
+def test_cosine_batch_dirty_rows_and_parity(spark):
+    """The Arrow rerank kernel scores dirty rows NULL (never fails the
+    batch) and agrees with the HOF cosine on clean rows."""
+    from subgraph_extractor_spark.operators.similarity import (
+        cosine_batch,
+        cosine_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+            (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero norm -> 0.0
+            (3, None, [1.0, 1.0, 1.0]),               # NULL -> NULL
+            (4, [1.0, 2.0], [1.0, 2.0, 3.0]),         # ragged -> NULL
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["arrow"]
+        for r in df.select(
+            "id", cosine_batch("a", "b").alias("arrow")
+        ).collect()
+    }
+    # HOF parity on the clean row only (under ANSI the HOF form
+    # errors on a zero norm — the documented divergence: the Arrow
+    # kernel scores it 0.0; either way it never enters a top-k)
+    hof = df.filter("id = 1").select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("hof")
+    ).collect()[0]["hof"]
+    assert abs(rows[1] - hof) < 1e-12
+    assert rows[2] == 0.0
+    assert rows[3] is None
+    assert rows[4] is None
