@@ -1179,6 +1179,35 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
+@pandas_udf(LongType())
+def int_dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched EXACT integer dot product — one int64 einsum per
+    batch, bit-identical to :func:`_int_dot` (integer arithmetic is
+    associative, so fold order cannot matter; |dot| <= 127²·dim).  The
+    HOF twin evaluates its lambdas interpreted per element, which on a
+    pair table (candidates x dim dispatches) is the measured
+    JIT-sensitive cost — same story as :func:`cosine_batch`, without
+    the float caveat: the values here are EXACTLY equal, so
+    full-value-oracled queries can use either form.  Dirty rows (NULL
+    or length-mismatched) score NULL instead of failing the batch."""
+    va, vb = a.tolist(), b.tolist()
+    valid = [
+        i
+        for i in range(len(va))
+        if va[i] is not None
+        and vb[i] is not None
+        and len(va[i]) == len(vb[i])
+    ]
+    out = [None] * len(va)
+    if valid:
+        A = np.array([va[i] for i in valid], dtype=np.int64)
+        B = np.array([vb[i] for i in valid], dtype=np.int64)
+        dots = np.einsum("ij,ij->i", A, B)
+        for j, i in enumerate(valid):
+            out[i] = int(dots[j])
+    return pd.Series(out, dtype="object")
+
+
 def quantized_dot_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1301,10 +1330,15 @@ def filtered_quantized_topk(
     on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in filter_cols] + [
         F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
     ]
+    # Arrow kernel, not the HOF fold: the filter-block pair table is
+    # Σ_b |block_b|² rows x dim interpreted dispatches under the HOF
+    # (26M at sf0.1 — the measured JIT-sensitive cost class); the
+    # int64 einsum is bit-identical (see int_dot_batch), so the
+    # full-value oracle is unaffected.
     scored = l.join(r, on=on).select(
         F.col(f"l.{id_col}").alias("query_id"),
         F.col(f"r.{id_col}").alias("neighbor_id"),
-        _int_dot(F.col("l._qvec"), F.col("r._qvec")).alias("score"),
+        int_dot_batch(F.col("l._qvec"), F.col("r._qvec")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

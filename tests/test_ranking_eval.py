@@ -95,6 +95,20 @@ def test_filtered_topk_plan_is_pure_equi_join(spark, emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # SPARK-37099 shuffle cap survives the Arrow-scored column: the
+    # Partial WindowGroupLimit still sits below the query_id exchange
+    lines = plan.splitlines()
+    part = [
+        i
+        for i, l in enumerate(lines)
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    exch = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in l
+    ]
+    assert part and exch and min(part) > min(exch), plan
 
 
 def test_quantized_dot_topk_shuffle_is_rank_limit_capped(spark, emb):
