@@ -1249,8 +1249,13 @@ def quantized_dot_topk(
     scored = F.broadcast(qq).crossJoin(cc)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    # Arrow kernel — bit-identical to the HOF fold (see int_dot_batch),
+    # so the full-value oracle is unaffected; Q x N pair rows x dims
+    # interpreted dispatches was the JIT-sensitive cost class.
     scored = scored.select(
-        "query_id", "neighbor_id", _int_dot(F.col("_qq"), F.col("_cq")).alias("score")
+        "query_id",
+        "neighbor_id",
+        int_dot_batch(F.col("_qq"), F.col("_cq")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
