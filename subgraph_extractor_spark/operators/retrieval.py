@@ -279,6 +279,7 @@ def ranking_metrics(
     query_col: str = "query_id",
     doc_col: str = "neighbor_id",
     rank_col: str = "rank",
+    rel_col: str | None = None,
 ) -> DataFrame:
     """Per-query IR evaluation of a retrieval ``run`` against a
     relevance-judgment table ``qrels`` — the eval harness every
@@ -303,6 +304,19 @@ def ranking_metrics(
     :func:`ranking_metrics_summary`, which micro-averages from integer
     totals for the same reason).
 
+    Graded relevance (``rel_col``): when qrels carries an integer
+    grade column, the trec_eval conventions apply — a grade <= 0 is a
+    judged-NOT-relevant pair (excluded from n_rel/hits/first_rank),
+    duplicate judgments of a pair resolve to the MAX grade, and two
+    graded columns join the output: ``gain`` (Σ grades of relevant
+    docs retrieved within k — exact integer) and ``graded_recall``
+    (gain / Σ all judged grades for the query — one IEEE division of
+    exact integers, the same portability contract as the binary
+    metrics; nDCG's log2 discount is deliberately NOT computed —
+    transcendental floats are not cross-engine-hashable, and gain
+    plus per-query rank evidence lets any DCG variant be recomputed
+    offline).
+
     Scale notes: the metrics never touch the corpus — cost is
     O(|run| + |qrels|) = (Q·k + judged pairs), shuffled once on the
     (query, doc) key and once on query for the per-query fold.  The
@@ -312,21 +326,54 @@ def ranking_metrics(
     topk = run.filter(F.col(rank_col) <= k).select(
         F.col(query_col), F.col(doc_col), F.col(rank_col)
     )
-    rel = (
-        qrels.select(F.col(query_col), F.col(doc_col))
-        .distinct()
-        .withColumn("_rel", F.lit(1))
-    )
+    if rel_col is None:
+        rel = (
+            qrels.select(F.col(query_col), F.col(doc_col))
+            .distinct()
+            .withColumn("_rel", F.lit(1))
+        )
+    else:
+        rel = (
+            qrels.groupBy(query_col, doc_col)
+            .agg(F.max(F.col(rel_col)).cast("long").alias("_grade"))
+            .filter(F.col("_grade") > 0)
+            .withColumn("_rel", F.lit(1))
+        )
     joined = topk.join(rel, [query_col, doc_col], "left")
+    grade_aggs = (
+        [
+            F.sum(F.coalesce(F.col("_grade"), F.lit(0)))
+            .cast("bigint")
+            .alias("gain")
+        ]
+        if rel_col is not None
+        else []
+    )
     per_q = joined.groupBy(query_col).agg(
         F.sum(F.coalesce(F.col("_rel"), F.lit(0)))
         .cast("bigint")
         .alias("hits"),
         F.min(F.when(F.col("_rel") == 1, F.col(rank_col))).alias("_fr"),
+        *grade_aggs,
     )
-    n_rel = qrels.select(F.col(query_col), F.col(doc_col)).distinct().groupBy(
-        query_col
-    ).agg(F.count(F.lit(1)).alias("n_rel"))
+    if rel_col is None:
+        n_rel = (
+            qrels.select(F.col(query_col), F.col(doc_col))
+            .distinct()
+            .groupBy(query_col)
+            .agg(F.count(F.lit(1)).alias("n_rel"))
+        )
+    else:
+        n_rel = (
+            qrels.groupBy(query_col, doc_col)
+            .agg(F.max(F.col(rel_col)).cast("long").alias("_grade"))
+            .filter(F.col("_grade") > 0)
+            .groupBy(query_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_rel"),
+                F.sum("_grade").cast("bigint").alias("_total_gain"),
+            )
+        )
     out = per_q.join(n_rel, query_col, "left").select(
         F.col(query_col),
         F.coalesce(F.col("n_rel"), F.lit(0).cast("bigint")).alias("n_rel"),
@@ -347,6 +394,22 @@ def ranking_metrics(
         )
         .otherwise(F.lit(0.0))
         .alias("rr"),
+        *(
+            [
+                F.coalesce(F.col("gain"), F.lit(0).cast("bigint")).alias(
+                    "gain"
+                ),
+                F.when(
+                    F.coalesce(F.col("_total_gain"), F.lit(0)) > 0,
+                    F.coalesce(F.col("gain"), F.lit(0)).cast("double")
+                    / F.col("_total_gain").cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("graded_recall"),
+            ]
+            if rel_col is not None
+            else []
+        ),
     )
     return out
 

@@ -305,3 +305,31 @@ def test_cosine_batch_dirty_rows_and_parity(spark):
     assert rows[2] == 0.0
     assert rows[3] is None
     assert rows[4] is None
+
+
+def test_ranking_metrics_graded(spark):
+    """Graded qrels (trec conventions): grade <= 0 is judged-NOT-
+    relevant, duplicate judgments resolve to MAX, gain sums retrieved
+    grades within k, graded_recall = gain / total judged gain."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (1, 10, 3), (1, 10, 1),   # dup -> max grade 3, retrieved @1
+            (1, 12, 0),               # judged NOT relevant (grade 0)
+            (1, 99, 2),               # relevant, not retrieved
+        ],
+        "query_id long, neighbor_id long, rel int",
+    )
+    r = retrieval.ranking_metrics(run, qrels, k=3, rel_col="rel").collect()[0]
+    # relevant set = {10 (3), 99 (2)}: n_rel 2, total gain 5
+    assert (r["n_rel"], r["hits"], r["first_rank"]) == (2, 1, 1)
+    assert r["gain"] == 3 and r["graded_recall"] == 3.0 / 5.0
+    assert r["rr"] == 1.0 and r["recall_at_3"] == 0.5
+    # binary face unchanged by the graded one (grade-0 pair COUNTS as
+    # judged-relevant in the binary reading, by presence)
+    rb = retrieval.ranking_metrics(run, qrels, k=3).collect()[0]
+    assert (rb["n_rel"], rb["hits"]) == (3, 2)
+    assert "gain" not in rb.asDict()
