@@ -454,3 +454,145 @@ def ranking_metrics_summary(
         .otherwise(F.lit(0.0))
         .alias("hit_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# champion lists (impact-ordered posting pruning)
+# --------------------------------------------------------------------------
+
+def champion_lists(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 16,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-term champion lists — the classical impact-ordered posting
+    pruning (the static variant of WAND-family pruning): for every
+    token keep only the ``m`` documents with the highest length-
+    normalized term impact.  The standing state a pruned lexical
+    serving tier keeps instead of full posting lists: query cost
+    becomes O(|query terms| * m), independent of corpus size.
+
+    Impact is exact-integer so the state (and everything served from
+    it) is engine-portable: ``impact = (tf << scale_bits) // dl``
+    (integer division; tf = term occurrences in the doc, dl = doc
+    token length — dl >= 1 wherever a posting exists).  Champion rank
+    ties break (impact desc, doc_id asc).
+
+    Plan shape: one shuffle keyed (token, doc) for the tf count
+    (map-side combined), the per-token top-m is SPARK-37099
+    shuffle-capped (at most m rows per (token, map-partition) cross
+    the rank exchange), and doc_freq/n_docs ride along so the state is
+    self-contained.  ``n_docs`` counts ALL corpus docs (including
+    empty ones) via a 1-row broadcast anchor — the BM25 corpus-stats
+    shape.
+
+    Merging: a PRUNED state has forgotten its low-impact postings, so
+    merging pruned states is not equal to building over the union
+    (same caveat as ``merge_inverted_indexes``) — rebuild, or keep the
+    unpruned (token, doc, impact) table as the mergeable state and
+    prune when serving.
+
+    Output: (token, doc_freq, n_docs, doc_id, impact, champ_rank).
+    """
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    toks = tokens_or_empty(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("_dl"),
+        F.explode(toks).alias("token"),
+    )
+    tf = exploded.groupBy("token", "doc_id", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    scale = 1 << scale_bits
+    # exact integer division (Spark's `/` on longs is a double divide):
+    # DIV here, `//` on the DuckDB side — same integral quotient
+    scored = tf.select(
+        "token",
+        "doc_id",
+        F.expr(f"_tf * {scale} DIV _dl").alias("impact"),
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("impact").desc(), F.col("doc_id").asc()
+    )
+    champs = (
+        scored.withColumn("champ_rank", F.row_number().over(w))
+        .filter(F.col("champ_rank") <= m)
+    )
+    dfreq = scored.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        champs.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token", "doc_freq", "n_docs", "doc_id", "impact",
+            "champ_rank",
+        )
+    )
+
+
+def champion_topk(
+    champions: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    idf_bits: int = 10,
+) -> DataFrame:
+    """Serve a top-``k`` from the standing champion-list state — the
+    corpus itself is never touched (the pruning point: cost is
+    O(|terms| * m) rows at ANY corpus size).
+
+    score(doc) = Σ_t impact(t, doc) * idf_int(t)   over matched terms,
+    idf_int(t) = (n_docs << idf_bits) // (doc_freq + 1)  — exact
+    integer division, the log-free monotone-idf discipline of
+    ``bm25_scores`` integerized.  Envelope: impact < 2^scale_bits and
+    idf_int <= n_docs * 2^idf_bits, so with the defaults the per-term
+    product stays below 2^63 for corpora under ~2^33 docs — asserted
+    in-plan so Spark's silent long wrap can never produce a plausible
+    wrong ranking (DuckDB's HUGEINT would not wrap, and the
+    differential harness would catch it — but only at fixture scale).
+
+    Approximation contract (documented, tested): a document missing
+    from a term's champion list contributes 0 for that term — exactly
+    the recall trade pruning makes.  Single-term queries are EXACT for
+    the top min(k, m) (a term's true top docs are its champions).
+
+    Output: (doc_id, score, n_terms_hit) ordered by (score desc,
+    doc_id asc), via TakeOrdered — no global sort.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    hit = champions.filter(F.col("token").isin(list(terms)))
+    idf = F.expr(
+        f"n_docs * {1 << idf_bits} DIV (doc_freq + 1)"
+    ).alias("_idf")
+    contrib = hit.select(
+        "doc_id",
+        "impact",
+        idf,
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("impact") > 0)
+            & (F.col("_idf") > F.expr(f"{2**63 - 1} DIV impact")),
+            F.raise_error(F.lit("champion_topk: score envelope overflow")),
+        )
+        .otherwise(F.col("impact") * F.col("_idf"))
+        .alias("_term_score"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("_term_score").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -69,6 +69,15 @@ ALLOWED_NON_EQUI = {
     # stage itself is pure equi-joins (and ann_filtered — the
     # equi-join-pruned filtered search — needs no entry at all)
     "retrieval_eval",
+    # binary-quantized Hamming search: the same deliberate broadcast of
+    # the 50-query batch onto the corpus (coarse pass scans packed
+    # 1-bit signatures — dim/32 words per pair); the rerank face's
+    # second stage is pure id equi-joins
+    "ann_hamming",
+    "ann_hamming_rerank",
+    # champion-list build: the 1-row n_docs corpus-stats anchor
+    # crossJoined into the state (the BM25 corpus-stats shape)
+    "retrieval_champion",
     # sharded-matmul coarse pass broadcast-replicates the query set per
     # shard (same documented asymmetry as sim_topk_matmul), and the
     # recall contract crossJoins 1-row anchors

@@ -146,3 +146,94 @@ def test_index_merge_refuses_chunked_state(spark):
     flat = R.inverted_index(df, "doc_id", "text")
     with pytest.raises(ValueError, match="unchunked"):
         R.merge_inverted_indexes(flat, chunked)
+
+
+# --------------------------------------------------------------------------
+# champion lists (impact-ordered posting pruning)
+# --------------------------------------------------------------------------
+
+def _champ_reference(docs, terms, m, k, scale_bits=20, idf_bits=10):
+    """Pure-python replica of champion_lists + champion_topk."""
+    toks = {i: t.strip().lower().split() if t and t.strip() else []
+            for i, t in docs}
+    n_docs = len(docs)
+    postings = {}
+    for i, tk in toks.items():
+        for t in tk:
+            postings.setdefault(t, {}).setdefault(i, 0)
+            postings[t][i] += 1
+    scores, hits = {}, {}
+    for t in sorted(set(terms)):
+        pl = postings.get(t, {})
+        idf = (n_docs << idf_bits) // (len(pl) + 1)
+        champs = sorted(
+            (((tf << scale_bits) // len(toks[doc]), doc)
+             for doc, tf in pl.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:m]
+        for imp, doc in champs:
+            scores[doc] = scores.get(doc, 0) + imp * idf
+            hits[doc] = hits.get(doc, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(doc, s, hits[doc]) for doc, s in ranked]
+
+
+def test_champion_topk_matches_reference(corpus):
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    ch = R.champion_lists(corpus, "doc_id", "text", m=2)
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in R.champion_topk(ch, ["join", "vector"], k=4).collect()
+    ]
+    assert got == _champ_reference(docs, ["join", "vector"], m=2, k=4)
+
+
+def test_champion_single_term_exact_topm(corpus):
+    """Single-term queries are EXACT for the top min(k, m): a term's
+    true top docs by impact ARE its champions."""
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    ch = R.champion_lists(corpus, "doc_id", "text", m=3)
+    got = [r["doc_id"]
+           for r in R.champion_topk(ch, ["join"], k=3).collect()]
+    # unpruned reference: score every posting, not just champions
+    exp = [d for d, _, _ in _champ_reference(docs, ["join"], m=10**6, k=3)]
+    assert got == exp
+
+
+def test_champion_pruning_drops_low_impact(corpus):
+    """m=1 keeps only each term's single best doc — doc 1 (join x1 of 6
+    tokens) must vanish from the 'join' list while doc 2 (join x4 of 8)
+    survives."""
+    ch = R.champion_lists(corpus, "doc_id", "text", m=1)
+    join_docs = [r["doc_id"]
+                 for r in ch.filter("token = 'join'").collect()]
+    assert join_docs == [2]
+
+
+def test_champion_state_is_self_contained(corpus):
+    ch = R.champion_lists(corpus, "doc_id", "text", m=2)
+    row = ch.filter("token = 'vector'").limit(1).collect()[0]
+    assert row["n_docs"] == 6  # ALL docs, including empty/NULL text
+    assert row["doc_freq"] == 2
+
+
+def test_champion_validation(corpus):
+    with pytest.raises(ValueError):
+        R.champion_lists(corpus, "doc_id", "text", m=0)
+    ch = R.champion_lists(corpus, "doc_id", "text", m=2)
+    with pytest.raises(ValueError):
+        R.champion_topk(ch, [])
+
+
+def test_champion_topm_shuffle_is_rank_limit_capped(corpus):
+    """SPARK-37099 plan pin: the per-token top-m filter runs below the
+    token exchange (a stopword's postings never all shuffle)."""
+    ch = R.champion_lists(corpus, "doc_id", "text", m=2)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    part = [i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(token" in l]
+    assert part and exch, plan
+    assert min(part) > min(exch), plan

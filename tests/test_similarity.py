@@ -316,3 +316,96 @@ def test_maxsim_shuffle_is_rank_limit_capped(spark):
             if "Exchange hashpartitioning(query_id" in l]
     assert part and exch, plan
     assert min(part) > min(exch), plan
+
+
+# --------------------------------------------------------------------------
+# binary (1-bit) quantization + Hamming search
+# --------------------------------------------------------------------------
+
+def _py_pack(vec, dim=64, word_bits=32):
+    words = []
+    for w in range((dim + word_bits - 1) // word_bits):
+        acc = 0
+        for x in vec[w * word_bits:(w + 1) * word_bits]:
+            acc = acc * 2 + (1 if x >= 0 else 0)
+        words.append(acc)
+    return words
+
+
+def test_binary_sign_pack_matches_python(spark, emb):
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    got = {
+        r["vec_id"]: r["bvec"]
+        for r in similarity.binary_sign_pack(
+            emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 64
+        ).collect()
+    }
+    for r in rows:
+        assert got[r["vec_id"]] == _py_pack(r["embedding"]), r["vec_id"]
+
+
+def test_binary_sign_pack_word_bits_validation(spark, emb):
+    with pytest.raises(ValueError):
+        similarity.binary_sign_pack(emb, "embedding", "vec_id", 64, word_bits=63)
+
+
+def test_hamming_topk_matches_numpy(spark, emb):
+    """Packed XOR/popcount distance == unpacked sign-disagreement count,
+    with the (dist asc, id asc) tie-break."""
+    rows = emb.filter(F.col("vec_id") < 120).collect()
+    ids = [r["vec_id"] for r in rows]
+    signs = {r["vec_id"]: [1 if x >= 0 else 0 for x in r["embedding"]] for r in rows}
+    sub = emb.filter(F.col("vec_id") < 120)
+    got = similarity.hamming_topk(
+        sub.filter(F.col("vec_id") < 5), sub, "embedding", "vec_id", 64, k=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in range(5):
+        exp = sorted(
+            (sum(a != b for a, b in zip(signs[qid], signs[nid])), nid)
+            for nid in ids if nid != qid
+        )[:4]
+        mine = [(r["dist"], r["neighbor_id"])
+                for r in sorted(by_q[qid], key=lambda r: r["rank"])]
+        assert mine == exp, (qid, mine, exp)
+
+
+def test_hamming_rerank_recall_contract(spark, emb):
+    """QUALITY of the 1-bit coarse pass: re-ranked top-k must recover
+    most of the exact int8 full-search top-k (the reproducibility of
+    the output itself is exact — this contract is about how much the
+    sign bits remember)."""
+    k = 5
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = similarity.quantized_dot_topk(
+        queries, emb, "embedding", "vec_id", k=k
+    ).collect()
+    approx = similarity.hamming_topk_rerank(
+        queries, emb, "embedding", "vec_id", 64, k=k, expand=6
+    ).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.5, recall
+
+
+def test_hamming_topk_shuffle_is_rank_limit_capped(spark, emb):
+    """SPARK-37099 plan pin: the per-query top-k filters below the
+    exchange (at most k rows per (query, map-partition) shuffle)."""
+    out = similarity.hamming_topk(
+        emb.limit(3), emb, "embedding", "vec_id", 64, k=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    part = [i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l]
+    assert part and exch, plan
+    assert min(part) > min(exch), plan
