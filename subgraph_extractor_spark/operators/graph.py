@@ -595,3 +595,138 @@ def hits_oracle_sql(
         SELECT h.node, h.hub, a.auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection over an undirected view of the edge
+    table, the density-based complement to the reachability-based
+    connected components in ``dedup.py`` (CC merges anything touching;
+    LPA groups nodes whose NEIGHBORHOODS agree, splitting chains at
+    sparse cuts — the "topic cluster" signal of a link graph).
+
+    Determinism contract (textbook LPA is randomized — order- and
+    tie-random; every choice here is pinned so the FULL (node, label)
+    table is engine-portable and full-value oracle-checkable):
+
+    - synchronous rounds (all nodes update from the round-t labels);
+    - label_0(v) = v (node ids must be orderable);
+    - each round v adopts the most frequent label among its neighbor
+      occurrences PLUS ITS OWN current label (one self-vote — the
+      standard stabilizer that breaks the 2-cycle oscillation
+      synchronous LPA exhibits on bipartite structure);
+    - ties break on the SMALLEST label (the min-label discipline of
+      the CC family).
+
+    Parallel edges count with multiplicity (a pair linked twice votes
+    twice — frequency-weighted, the module convention); direction is
+    discarded (each edge occurrence votes both ways).  Fixed ``iters``
+    rounds, no convergence test (a convergence test is a driver-side
+    global aggregate per round; communities stabilize in a handful of
+    rounds in practice — Raghavan's 95% claim — and a fixed count is
+    reproducible).
+
+    Scale shape (per round): the doubled adjacency persists ONCE
+    pre-partitioned on the neighbor key; only the N-row label table
+    shuffles (one join onto adjacency + one (node, label) count + one
+    min-struct argmax — all map-side-combinable aggregates, no window,
+    no unbounded group).  Votes reference the label table twice (the
+    adjacency join and the self-vote union), so lineage replicates
+    2x per round — ``localCheckpoint`` truncates every
+    ``checkpoint_every`` rounds, the HITS discipline.  Counts are
+    bounded by degree+1: no overflow envelope needed.
+
+    Output: (node, label) for every node of the graph.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    ed = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    adj = (
+        ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .select(F.col("_a").alias("node"), F.col("_b").alias("nbr"))
+        .repartition("nbr")
+        .persist()
+    )
+    nodes = adj.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        nbr_votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            ).select("node", "label")
+        )
+        votes = nbr_votes.unionByName(labels.select("node", "label"))
+        counted = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # argmax by (count desc, label asc) as ONE more aggregate:
+        # min of the (-count, label) struct — lexicographic struct
+        # ordering, no per-node window
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_best")
+            )
+            .select("node", F.col("_best.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
+
+
+def lpa_oracle_sql(
+    edges_cte: str,
+    iters: int = 4,
+) -> str:
+    """DuckDB replay of :func:`label_propagation` — iterations
+    unrolled as chained CTEs; the argmax is a deliberately different
+    formulation (QUALIFY row_number over (count desc, label asc)
+    instead of the min-struct aggregate)."""
+    parts = [
+        f"ed AS ({edges_cte})",
+        "adj AS MATERIALIZED ("
+        " SELECT src AS node, dst AS nbr FROM ed"
+        " UNION ALL SELECT dst AS node, src AS nbr FROM ed)",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM adj)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""v{t} AS (
+                SELECT a.node, l.label
+                FROM adj a JOIN l{t} l ON l.node = a.nbr
+                UNION ALL SELECT node, label FROM l{t})"""
+        )
+        parts.append(
+            f"""l{t + 1} AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node
+                               ORDER BY COUNT(*) DESC, label ASC
+                           ) AS rn
+                    FROM v{t} GROUP BY node, label
+                ) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{iters}"
+    )

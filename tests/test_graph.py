@@ -358,3 +358,120 @@ def test_triangle_counts_match_bruteforce(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# label propagation (deterministic synchronous LPA)
+# --------------------------------------------------------------------------
+
+def _lpa_reference(edges, iters):
+    """Pure-python replica of label_propagation's pinned semantics."""
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            counts = defaultdict(int)
+            for u in adj[v]:
+                counts[lab[u]] += 1
+            counts[lab[v]] += 1  # self-vote
+            new[v] = min((-n, l) for l, n in counts.items())[1]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_reference_random(spark):
+    import random as _random
+
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    rnd = _random.Random(11)
+    edges = [
+        (rnd.randrange(25), rnd.randrange(25)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=4).collect()}
+    assert got == _lpa_reference(edges, 4)
+
+
+def test_lpa_oracle_matches_python_reference():
+    import random as _random
+
+    from subgraph_extractor_spark.operators.graph import lpa_oracle_sql
+
+    rnd = _random.Random(7)
+    edges = [(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cte = "SELECT * FROM (VALUES " + ",".join(
+        f"({a},{b})" for a, b in edges
+    ) + ") AS t(src, dst)"
+    got = dict(duckdb.sql(lpa_oracle_sql(cte, iters=4)).fetchall())
+    assert got == _lpa_reference(edges, 4)
+
+
+def test_lpa_splits_bridged_communities(spark):
+    """Two triangles joined by one bridge: reachability-based CC would
+    merge everything; LPA keeps two communities (the density signal)."""
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_self_vote_stabilizes_two_cycle(spark):
+    """Without the self-vote a 2-node graph oscillates forever under
+    synchronous updates; with it, both nodes settle on the min label."""
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(7, 9)], "src long, dst long")
+    for iters in (2, 3, 4):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == {7: 7, 9: 7}, (iters, got)
+
+
+def test_lpa_parallel_edges_vote_with_multiplicity(spark):
+    """Node 3 has one edge to community {1,2} (doubled) and one to
+    {4}: the doubled edge outvotes."""
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 2), (1, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=4).collect()}
+    assert got == _lpa_reference(edges, 4)
+    assert got[3] == 1
+
+
+def test_lpa_partitioning_invariance(spark):
+    import random as _random
+
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    rnd = _random.Random(5)
+    edges = [(rnd.randrange(15), rnd.randrange(15)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["label"]
+         for r in label_propagation(df.repartition(1), iters=3).collect()}
+    b = {r["node"]: r["label"]
+         for r in label_propagation(df.repartition(13), iters=3).collect()}
+    assert a == b
+
+
+def test_lpa_invalid_params_rejected(spark):
+    from subgraph_extractor_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        label_propagation(df, iters=0)
+    with pytest.raises(ValueError):
+        label_propagation(df, checkpoint_every=0)
