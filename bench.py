@@ -138,6 +138,14 @@ HEADLINE = [
     # recorded r8 for r9+ comparability.
     "ann_filtered",
     "retrieval_eval",
+    # r8-continuation additions: binary-quantized Hamming search
+    # (coarse pass + exact-rerank deployment face), champion-list
+    # pruned lexical serving, and label-propagation communities —
+    # first recorded this round for r9+ comparability.
+    "ann_hamming",
+    "ann_hamming_rerank",
+    "retrieval_champion",
+    "graph_lpa",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both

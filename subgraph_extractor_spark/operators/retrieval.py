@@ -488,11 +488,13 @@ def champion_lists(
     empty ones) via a 1-row broadcast anchor — the BM25 corpus-stats
     shape.
 
-    Merging: a PRUNED state has forgotten its low-impact postings, so
-    merging pruned states is not equal to building over the union
-    (same caveat as ``merge_inverted_indexes``) — rebuild, or keep the
-    unpruned (token, doc, impact) table as the mergeable state and
-    prune when serving.
+    Merging: unlike a pruned inverted index, champion states over
+    DISJOINT doc sets merge EXACTLY (:func:`merge_champion_lists`) —
+    ``impact(t, doc)`` depends only on the document itself, so any row
+    outside a side's top-m has m better rows on that side alone and
+    can never enter the union's top-m; doc_freq/n_docs are additive.
+    Overlapping doc ids would double-count the frequency columns —
+    the disjointness contract is the merge face's requirement.
 
     Output: (token, doc_freq, n_docs, doc_id, impact, champ_rank).
     """
@@ -595,4 +597,69 @@ def champion_topk(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def merge_champion_lists(a: DataFrame, b: DataFrame, m: int = 16) -> DataFrame:
+    """Fold two champion-list states built over DISJOINT document sets
+    into the state a single build over the union would produce —
+    EXACTLY, despite both inputs being pruned (the incremental-
+    maintenance face: index each crawl batch separately, merge states,
+    never re-tokenize the standing corpus).
+
+    Why pruning loses nothing here (unlike ``merge_inverted_indexes``):
+    ``impact(t, doc) = (tf << s) DIV dl`` is a pure function of the
+    document, so the union's true top-m per token is a subset of
+    ``champs(A) ∪ champs(B)`` (a row below A's m-th impact has m
+    better rows in A alone).  ``doc_freq`` and ``n_docs`` are additive
+    over disjoint doc sets.  Overlapping ids would double-count both
+    frequency columns — rebuilding is the remedy for re-crawled
+    CONTENT; this face is for NEW documents.
+
+    Cost: O(state), one shuffle keyed token for the re-rank + one for
+    the doc_freq fold; the corpus text is never revisited.
+
+    Output: same schema as :func:`champion_lists`, champ_rank
+    recomputed over the merged rows.
+    """
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    cols = ["token", "doc_freq", "n_docs", "doc_id", "impact", "champ_rank"]
+    if a.columns != cols or b.columns != cols:
+        raise ValueError(f"expected champion states with columns {cols}")
+    ua = a.withColumn("_side", F.lit(0))
+    ub = b.withColumn("_side", F.lit(1))
+    u = ua.unionByName(ub)
+    # per-side doc_freq is replicated on each champion row — collapse
+    # to one row per (token, side) before the additive fold
+    dfreq = (
+        u.select("token", "_side", "doc_freq")
+        .distinct()
+        .groupBy("token")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    # n_docs is constant per side: 1-row-per-side distinct -> additive
+    # 1-row anchor (bounded state, the corpus-stats shape)
+    n_docs = (
+        u.select("_side", "n_docs")
+        .distinct()
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("impact").desc(), F.col("doc_id").asc()
+    )
+    merged = (
+        u.select("token", "doc_id", "impact")
+        .withColumn("champ_rank", F.row_number().over(w))
+        .filter(F.col("champ_rank") <= m)
+    )
+    return (
+        merged.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token", "doc_freq", "n_docs", "doc_id", "impact",
+            "champ_rank",
+        )
     )

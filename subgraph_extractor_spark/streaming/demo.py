@@ -1093,3 +1093,62 @@ def serve_ivfpq_codes(spark, codes_dir: str) -> DataFrame:
             spark.read.parquet(*[p for _, p in tombs]), "id", "left_anti"
         )
     return out
+
+
+def champion_lists_sink(
+    spark,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 16,
+):
+    """foreachBatch sink maintaining the standing champion-list state
+    (operators/retrieval.py::champion_lists) — continual lexical index
+    maintenance, the pruned-serving twin of ``ivfpq_codes_sink``: each
+    micro-batch of NEW documents is champion-indexed on its own and
+    folded into the standing state with
+    :func:`~subgraph_extractor_spark.operators.retrieval.merge_champion_lists`,
+    which is EXACT for disjoint doc sets (top-m is mergeable; impact
+    is a pure function of the document) — the served ranking is
+    bit-identical to a one-shot rebuild, certified stream==batch in
+    pytest.  The ingested corpus text is never re-tokenized.
+
+    The state is at most m rows per distinct token — the rollup-sized
+    standing state class (like the DSIR counts), so the
+    v{batch_id}-overwrite idempotence + foreign-state guard pattern
+    applies as-is; a crash-replayed batch re-merges against the
+    PRE-batch version (``before=batch_id``) instead of double-counting
+    doc_freq/n_docs.  Re-crawled content (same doc id again) violates
+    the merge face's disjointness contract — route re-crawls through a
+    rebuild, or dedup ids upstream (the CDC novelty signal exists for
+    exactly that routing decision).
+    """
+    from subgraph_extractor_spark.operators import retrieval
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        new = retrieval.champion_lists(batch_df, id_col, text_col, m=m)
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
+            new = retrieval.merge_champion_lists(
+                spark.read.parquet(latest[1]), new, m=m
+            )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_champion_lists(spark, state_dir: str) -> DataFrame:
+    """The standing champion-list state from the latest persisted
+    version — feed it to ``retrieval.champion_topk`` (the state is
+    self-contained: impacts, doc_freq and n_docs all ride along)."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no champion state under {state_dir}")
+    return spark.read.parquet(latest[1])

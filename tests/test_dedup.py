@@ -1061,3 +1061,97 @@ def test_chunk_dedup_first_occurrence_is_rank_limit_capped(spark):
                 if "Exchange hashpartitioning(chunk_sha" in l]
         assert part and exch, (fn.__name__, plan)
         assert min(part) > min(exch), (fn.__name__, plan)
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered EXACT Jaccard join (AllPairs/PPJoin)
+# --------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(spark, df, threshold, shingle_n=3):
+    from subgraph_extractor_spark.operators.dedup import (
+        jaccard,
+        word_shingles,
+    )
+
+    sh = df.select(
+        F.col("doc_id").alias("_id"),
+        word_shingles(F.col("text"), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def test_prefix_filter_complete_and_exact_random(spark):
+    """Completeness certificate: the prefix-filtered output equals the
+    brute-force all-pairs threshold join EXACTLY (pairs AND values) on
+    a corpus engineered to contain near-dups at several overlap
+    levels."""
+    import random as _random
+
+    from subgraph_extractor_spark.operators.dedup import prefix_filter_pairs
+
+    rnd = _random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [" ".join(rnd.choices(vocab, k=30)) for _ in range(12)]
+    rows = []
+    did = 0
+    for t in base:
+        rows.append((did, t)); did += 1
+        toks = t.split()
+        # an edited near-dup: drop a token, prepend one
+        rows.append((did, " ".join(["w0"] + toks[:-2]))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.6, 0.3):
+        got = sorted(map(tuple, prefix_filter_pairs(
+            df, "doc_id", "text", thr).collect()))
+        exp = sorted(map(tuple, _brute_jaccard_pairs(
+            spark, df, thr).collect()))
+        assert got == exp and exp, (thr, len(got), len(exp))
+
+
+def test_prefix_filter_high_threshold_prunes_candidates(spark):
+    """At t=0.9 each doc indexes only ~10% of its grams + 1 — the
+    pruning the family exists for; identical twins still surface."""
+    from subgraph_extractor_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k l"),   # identical
+        (3, "z y x w v u t s r q p o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["id_a"], r["id_b"], r["jaccard"])
+           for r in prefix_filter_pairs(df, "doc_id", "text", 0.9).collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_prefix_filter_threshold_validation(spark):
+    from subgraph_extractor_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            prefix_filter_pairs(df, "doc_id", "text", bad)
+
+
+def test_prefix_filter_plan_is_equi_join_only(spark):
+    """The point of the family: candidate generation is an ordinary
+    equi-join — no cartesian/BNLJ anywhere in the plan (no
+    plan-invariant whitelist entry needed)."""
+    from subgraph_extractor_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(4)], "doc_id long, text string"
+    )
+    plan = prefix_filter_pairs(df, "doc_id", "text", 0.5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
