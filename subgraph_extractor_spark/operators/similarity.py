@@ -1533,3 +1533,41 @@ def hamming_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def binary_sign_sig64(
+    df: DataFrame, vec_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """The embedding's sign bits as ONE 64-bit signature ``(_id,
+    _sim)`` — the adapter that plugs binary-quantized embeddings into
+    the ENTIRE SimHash banded-hamming machinery
+    (``dedup.simhash_pairs_from_sigs``, ``simhash_pairs_incremental``,
+    ``streaming.perceptual_dedup_sink``): banding makes the Hamming
+    coarse pass sub-quadratic (pigeonhole-complete pair generation at
+    a distance budget) exactly as it does for text SimHash and the
+    perceptual media hashes — embeddings become the fifth 64-bit
+    signature family.
+
+    ``dim`` must be <= 64 (use the first 64 dims of a longer vector —
+    a Matryoshka-style prefix — or :func:`binary_sign_pack` +
+    :func:`hamming_topk` for full-width exact search).  Built with
+    ``shiftleft | bit`` (bitwise, so the sign bit fills without ANSI
+    arithmetic-overflow errors); dims beyond ``dim`` contribute 0 and
+    two signatures of equal ``dim`` compare over identical bit
+    positions.  Spark-internal representation (banding + verification
+    both happen here); the oracle-facing Hamming faces use the 32-bit
+    word packing.
+    """
+    if not (1 <= dim <= 64):
+        raise ValueError("dim must be in [1, 64]")
+    v = F.col(vec_col)
+    sig = F.aggregate(
+        F.slice(v, 1, dim),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(x >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("_sim"))

@@ -1152,3 +1152,51 @@ def serve_champion_lists(spark, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no champion state under {state_dir}")
     return spark.read.parquet(latest[1])
+
+
+def mg_heavy_hitters_sink(
+    spark,
+    state_dir: str,
+    key_col: str = "key",
+    m: int = 64,
+):
+    """foreachBatch sink maintaining the standing Misra-Gries
+    heavy-hitter summary (operators/freq.py::mg_summary/mg_merge) —
+    bounded continual frequency tracking: each micro-batch summarizes
+    alone (top-m exact counts) and folds into the standing state with
+    the PODS'12 merge, so the state never exceeds m rows and the
+    ingested history is never recounted.  The validity law (counter <=
+    true, true - counter <= err for every key ever streamed) holds
+    across the fold — any key whose total frequency exceeds the served
+    ``err`` is guaranteed present.
+
+    Same v{batch_id} overwrite idempotence + foreign-state guard as
+    the DSIR counts sink; a crash-replayed batch re-merges against the
+    PRE-batch version instead of double-counting.
+    """
+    from subgraph_extractor_spark.operators import freq
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        new = freq.mg_summary(batch_df.select(key_col), key_col, m)
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
+            new = freq.mg_merge(spark.read.parquet(latest[1]), new, m)
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_mg_heavy_hitters(spark, state_dir: str) -> DataFrame:
+    """The standing heavy-hitter summary from the latest persisted
+    version — (key, counter, n_total, err), self-contained."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no MG summary state under {state_dir}")
+    return spark.read.parquet(latest[1])

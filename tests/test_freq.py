@@ -239,3 +239,78 @@ def test_mg_validation(spark):
         FQ.mg_merge(s.drop("err"), s, 2)
     with pytest.raises(ValueError):
         FQ.mg_merge(s, s, 0)
+
+
+def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
+    """The streamed standing summary == the left-fold of per-batch
+    summaries replayed in batch (exact, incl. err), the validity law
+    holds against the UNION's true counts, and crash-replay does not
+    double-count."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from subgraph_extractor_spark.streaming.demo import (
+        mg_heavy_hitters_sink,
+        serve_mg_heavy_hitters,
+        _state_versions,
+    )
+
+    keys = _zipf_keys(19, n=1600)
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, key string"
+    )
+    stage = tmp_path / "mg_src"
+    stage.mkdir()
+    papq.write_table(
+        df.filter("i % 2 = 0").select("key").toArrow(),
+        str(stage / "p0.parquet"),
+    )
+    papq.write_table(
+        df.filter("i % 2 = 1").select("key").toArrow(),
+        str(stage / "p1.parquet"),
+    )
+    m = 7
+    state_dir = str(tmp_path / "mg_state")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            mg_heavy_hitters_sink(spark, state_dir, key_col="key", m=m)
+        )
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    served = sorted(
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect())
+    )
+    # batch replay of the same fold (batch order == file order)
+    s0 = FQ.mg_summary(
+        df.filter("i % 2 = 0").select("key"), "key", m
+    )
+    s1 = FQ.mg_summary(
+        df.filter("i % 2 = 1").select("key"), "key", m
+    )
+    assert served == sorted(map(tuple, FQ.mg_merge(s0, s1, m).collect()))
+
+    # validity vs the union's truth
+    from collections import Counter
+
+    true = Counter(keys)
+    for k, c, nt, e in served:
+        assert nt == len(keys) and c <= true[k] and true[k] - c <= e
+
+    # crash replay of the last batch id: identical state
+    last_v = max(v for v, _ in _state_versions(state_dir))
+    sink = mg_heavy_hitters_sink(spark, state_dir, key_col="key", m=m)
+    sink(df.filter("i % 2 = 1").select("key"), last_v)
+    assert served == sorted(
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect())
+    )

@@ -409,3 +409,72 @@ def test_hamming_topk_shuffle_is_rank_limit_capped(spark, emb):
             if "Exchange hashpartitioning(query_id" in l]
     assert part and exch, plan
     assert min(part) > min(exch), plan
+
+
+def test_binary_sig64_banded_pairs_complete(spark, emb):
+    """The sign-bit 64-bit signature plugs embeddings into the SimHash
+    banded machinery: banded pairs at max_distance d == brute-force
+    sign-hamming pairs at <= d (pigeonhole completeness inherited from
+    simhash_pairs_from_sigs).  Near-dups are synthesized: each base
+    vector gets a twin with exactly 3 dims sign-flipped, so ground
+    truth contains every (base, twin) pair by construction."""
+    from subgraph_extractor_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    base = emb.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    twin = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 3, -x - F.lit(0.001)).otherwise(x),
+        ).alias("embedding"),
+    )
+    sub = base.unionByName(twin)
+    sigs = similarity.binary_sign_sig64(sub, "embedding", "vec_id", 64)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_sigs(
+            sigs, max_distance=4, bands=8
+        ).collect()
+    )
+    rows = sub.collect()
+    signs = {r["vec_id"]: [1 if x >= 0 else 0 for x in r["embedding"]]
+             for r in rows}
+    ids = sorted(signs)
+    exp = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = sum(x != y for x, y in zip(signs[a], signs[b]))
+            if d <= 4:
+                exp.append((a, b, d))
+    assert got == sorted(exp)
+    assert len(exp) >= 50  # every synthesized twin pair is in truth
+
+
+def test_binary_sig64_matches_packed_distance(spark, emb):
+    """hamming64 over the single signature == the packed-word distance
+    (same bits, different container)."""
+    from subgraph_extractor_spark.operators.dedup import hamming64
+
+    sub = emb.filter(F.col("vec_id") < 40)
+    sigs = similarity.binary_sign_sig64(sub, "embedding", "vec_id", 64)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    via64 = {
+        (r["ia"], r["ib"]): r["d"]
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("ia"), F.col("b._id").alias("ib"),
+            hamming64(F.col("a._sim"), F.col("b._sim")).alias("d"),
+        ).collect()
+    }
+    top = similarity.hamming_topk(sub, sub, "embedding", "vec_id", 64, k=39)
+    for r in top.collect():
+        key = (min(r["query_id"], r["neighbor_id"]),
+               max(r["query_id"], r["neighbor_id"]))
+        assert via64[key] == r["dist"], (key, via64[key], r["dist"])
+
+
+def test_binary_sig64_dim_validation(spark, emb):
+    with pytest.raises(ValueError):
+        similarity.binary_sign_sig64(emb, "embedding", "vec_id", 65)
