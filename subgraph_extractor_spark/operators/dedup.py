@@ -1681,3 +1681,107 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def _hash_order_prefix(grams: Column, threshold: float) -> Column:
+    """The first ``s - ceil(t*s) + 1`` grams under the FROZEN md5 total
+    order ((md5(gram), gram) struct sort — corpus-independent, so a
+    standing corpus's prefixes never drift as ingestion changes gram
+    frequencies).  Map-only: one struct sort per row, no corpus
+    statistics."""
+    s = F.size(grams)
+    L = s - F.ceil(s * F.lit(threshold)) + 1
+    ordered = F.array_sort(
+        F.transform(
+            grams, lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
+        )
+    )
+    return F.transform(F.slice(ordered, 1, L), lambda x: x["g"])
+
+
+def prefix_filter_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental EXACT Jaccard-threshold pairs for continual
+    ingestion: every pair with J >= ``threshold`` TOUCHING the new
+    batch — batch × corpus and batch × batch, never corpus × corpus —
+    with :func:`prefix_filter_pairs`'s no-miss guarantee intact.
+
+    The one thing the incremental face must change: the full-run
+    operator orders grams by CORPUS document frequency (optimal bucket
+    sizes), but that order drifts as ingestion updates frequencies —
+    and the prefix pigeonhole lemma requires both sides' prefixes
+    under the SAME total order.  So this face freezes the order to
+    (md5(gram), gram): corpus-independent, valid forever, computable
+    map-only per row (prefix filtering is complete under ANY fixed
+    total order; frequency-ordering only optimizes bucket sizes).
+    The OUTPUT is order-independent either way — both operators emit
+    the exact verified pair set, so incremental == full-run-
+    restricted-to-batch-touching-pairs (property-tested).
+
+    Scale shape: only the BATCH side drives the prefix equi-join (the
+    right side is corpus ∪ batch, so corpus buckets without a batch
+    member produce nothing — the ``simhash_pairs_incremental``
+    asymmetry); per-ingest work scales with the batch.  Corpus state
+    is the (id, text) table itself; its prefixes recompute map-only
+    (no shuffle touches the standing side before the join).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def prep(df: DataFrame, is_batch: bool) -> DataFrame:
+        sets = df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+        return sets.select(
+            "_id",
+            "_sh",
+            F.size("_sh").alias("_s"),
+            F.lit(is_batch).alias("_is_batch"),
+        )
+
+    bsets = prep(batch, True)
+    csets = prep(corpus, False)
+    union = bsets.unionByName(csets)
+    explode_prefix = lambda sets: sets.select(
+        "_id",
+        "_s",
+        "_is_batch",
+        F.explode(_hash_order_prefix(F.col("_sh"), threshold)).alias("_g"),
+    )
+    l = explode_prefix(bsets).alias("l")
+    r = explode_prefix(union).alias("r")
+    cands = (
+        l.join(
+            r,
+            on=[
+                F.col("l._g") == F.col("r._g"),
+                F.col("l._id") != F.col("r._id"),
+                F.col("r._s") * F.lit(threshold) <= F.col("l._s"),
+                F.col("l._s") * F.lit(threshold) <= F.col("r._s"),
+            ],
+        )
+        .select(
+            F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+            F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = union.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = union.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

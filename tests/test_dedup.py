@@ -1155,3 +1155,67 @@ def test_prefix_filter_plan_is_equi_join_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_incremental_equals_full_restricted(spark):
+    """incremental(batch, corpus) == full-run over (corpus ∪ batch)
+    restricted to pairs touching the batch — exact pairs AND values
+    (both faces are complete, so their outputs are the same ground
+    truth), on a corpus engineered with cross- and within-batch
+    near-dups."""
+    import random as _random
+
+    from subgraph_extractor_spark.operators.dedup import (
+        prefix_filter_pairs,
+        prefix_filter_pairs_incremental,
+    )
+
+    rnd = _random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus_rows, batch_rows = [], []
+    did = 0
+    for _ in range(10):
+        t = " ".join(rnd.choices(vocab, k=25))
+        corpus_rows.append((did, t)); did += 1
+        # batch twin of a corpus doc (cross near-dup)
+        batch_rows.append((did, " ".join(["w0"] + t.split()[:-2]))); did += 1
+    # a within-batch twin pair
+    t = " ".join(rnd.choices(vocab, k=25))
+    batch_rows.append((did, t)); did += 1
+    batch_rows.append((did, " ".join(t.split()[1:]))); did += 1
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    thr = 0.3
+    inc = sorted(map(tuple, prefix_filter_pairs_incremental(
+        batch, corpus, "doc_id", "text", thr).collect()))
+    batch_ids = {i for i, _ in batch_rows}
+    full = prefix_filter_pairs(
+        corpus.unionByName(batch), "doc_id", "text", thr)
+    restricted = sorted(
+        tuple(r) for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    )
+    assert inc == restricted and inc
+    # corpus x corpus pairs exist in the full run but not incremental
+    assert len(full.collect()) >= len(inc)
+
+
+def test_prefix_filter_incremental_no_corpus_corpus_pairs(spark):
+    """Two corpus twins never pair in the incremental face (the
+    batch-drives-the-join asymmetry)."""
+    from subgraph_extractor_spark.operators.dedup import (
+        prefix_filter_pairs_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "x y z q r s")], "doc_id long, text string"
+    )
+    got = prefix_filter_pairs_incremental(
+        batch, corpus, "doc_id", "text", 0.5
+    ).collect()
+    assert got == []
