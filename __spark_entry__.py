@@ -56,6 +56,7 @@ from subgraph_extractor_spark.operators import similarity as sim_ops
 from subgraph_extractor_spark.operators import text_analysis as ta
 from subgraph_extractor_spark.operators import intervals as interval_ops
 from subgraph_extractor_spark.operators import urls as url_ops
+from subgraph_extractor_spark import pipeline as pipeline_ops
 from subgraph_extractor_spark.operators.text_analysis import LANG_MARKERS
 
 
@@ -2488,6 +2489,29 @@ def q_dedup_prefix_jaccard(spark, sf):
     return dedup_ops.prefix_filter_pairs(d, "doc_id", "text", 0.2)
 
 
+def q_pipeline_corpus_diff(spark, sf):
+    # Document-level snapshot diff (pipeline.corpus_diff): the
+    # row-level complement to the file-level manifest snapshot diff —
+    # added/removed/changed docs between two corpus versions by sha256
+    # digest, map-only digests + ONE full-outer id equi-join, unchanged
+    # rows never emitted.  Both snapshots synthesize deterministically
+    # from `documents` (old = ids % 5 != 0; new = ids % 3 != 0 with a
+    # ' v2' suffix on ids % 7 == 0), so the oracle derives every status
+    # from the synthesis rule replayed over the same digests.
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pipeline_ops.corpus_diff(old, new, "doc_id", "text")
+
+
 def q_retrieval_champion(spark, sf):
     # Champion-list pruned lexical retrieval (retrieval.champion_lists
     # + champion_topk): per-term top-8 postings by exact integer
@@ -4654,7 +4678,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # its sf0.01 driver row is 0 rows — the least informative check
     # in the stale set).  After this window lands, the only pre-r4
     # evidence anywhere is j2's r2 row.
-    "j3_semi_join": q_j3_semi_join,
     "a6_distinct_agg": q_a6_distinct_agg,
     "a5_ngram_stats": q_a5_ngram_stats,
     "f_window_tumbling": q_f_window_tumbling,
@@ -4730,7 +4753,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (never driver-checked — outranks the a4_rollup stale-refresh
     # slot, judge-verified green in the r7 review)
     "sketch_mg_heavy_hitters": q_sketch_mg_heavy_hitters,
+    # new in the r8 continuation: document-level snapshot diff (never
+    # driver-checked — outranks the j3_semi_join stale-refresh slot,
+    # judge-verified green in the r7 review)
+    "pipeline_corpus_diff": q_pipeline_corpus_diff,
     # ---- end of the 50-query window ----
+    # (j3_semi_join displaced by pipeline_corpus_diff: judge-verified
+    # green in the r7 review, the j2_anti_join precedent)
+    "j3_semi_join": q_j3_semi_join,
     # (a4_rollup displaced by sketch_mg_heavy_hitters: judge-verified
     # green in the r7 review, the j2_anti_join precedent)
     "a4_rollup": q_a4_rollup,
@@ -6355,6 +6385,28 @@ ORACLES: dict[str, str] = {
         WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
                    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
                         / len(list_distinct(l.grams || r.grams)) END >= 0.05
+    """,
+    "pipeline_corpus_diff": """
+        WITH old AS (
+            SELECT doc_id,
+                   sha256(COALESCE(text, '')) AS old_digest
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        new AS (
+            SELECT doc_id,
+                   sha256(CASE WHEN doc_id % 7 = 0
+                               THEN COALESCE(text, '') || ' v2'
+                               ELSE COALESCE(text, '') END) AS new_digest
+            FROM documents WHERE doc_id % 3 <> 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               o.old_digest, n.new_digest
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR o.old_digest <> n.new_digest
     """,
     "dedup_prefix_jaccard": """
         -- deliberately different formulation: brute-force all-pairs

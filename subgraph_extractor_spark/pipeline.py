@@ -269,3 +269,55 @@ def takedown(
     )
     kept = df.join(audit.select(id_col), id_col, "left_anti")
     return kept, audit
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Document-level diff between two corpus snapshots — the row-level
+    complement to the file-level manifest snapshot diff
+    (``plans/manifest.py``): which documents were ADDED, REMOVED, or
+    CHANGED between a standing training set and a fresh crawl.  The
+    routing signal for every incremental face in the repo (changed
+    docs re-enter chunk-level novelty scoring; added docs stream into
+    the champion/IVF-PQ/signature sinks; removed docs feed takedown).
+
+    Identity is the id; change is the sha256 content digest (byte
+    exact — the ``exact_dedup_by_hash`` discipline, so two snapshots
+    of a 100 TB corpus diff without comparing text: digests compute
+    map-only on each side and ONE full-outer equi-join on the id does
+    the rest).  Unchanged documents are not emitted (the diff of a
+    re-crawl is small; emitting the corpus would defeat it).
+
+    Output: (id, status in {'added','removed','changed'},
+    old_digest, new_digest) — digests NULL on the absent side.
+    """
+    o = old.select(
+        F.col(id_col),
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias(
+            "old_digest"
+        ),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias(
+            "new_digest"
+        ),
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("old_digest").isNull(), F.lit("added"))
+            .when(F.col("new_digest").isNull(), F.lit("removed"))
+            .when(
+                F.col("old_digest") != F.col("new_digest"), F.lit("changed")
+            )
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status", "old_digest", "new_digest")
+    )

@@ -160,3 +160,40 @@ def test_takedown_exact_only_and_fluent_step(spark):
     # fluent step keeps the surviving corpus
     out = CorpusPipeline(docs).takedown(removals, near_dups=False).df
     assert [r["doc_id"] for r in out.collect()] == [3]
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from subgraph_extractor_spark.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, ""), (5, "delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    # 1 removed, 2 unchanged (suppressed), 3 changed, 4 NULL->'' is
+    # byte-equal under the coalesce discipline (suppressed), 5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_corpus_diff_digests_and_empty(spark):
+    import hashlib
+
+    from subgraph_extractor_spark.pipeline import corpus_diff
+
+    old = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
+    new = spark.createDataFrame([(9, "world")], "doc_id long, text string")
+    rows = corpus_diff(old, new, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0]["status"] == "changed"
+    assert rows[0]["old_digest"] == hashlib.sha256(b"hello").hexdigest()
+    assert rows[0]["new_digest"] == hashlib.sha256(b"world").hexdigest()
+    same = corpus_diff(old, old, "doc_id", "text").collect()
+    assert same == []

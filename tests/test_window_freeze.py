@@ -4,16 +4,18 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-8 window, continuation revision: the six queries authored in the
+Round-8 window, continuation revision: the seven queries authored in the
 r8 continuation (ann_hamming, ann_hamming_rerank, retrieval_champion,
-graph_lpa, dedup_prefix_jaccard, sketch_mg_heavy_hitters) are
-never-driver-checked and so outrank six stale-refresh slots, which
+graph_lpa, dedup_prefix_jaccard, sketch_mg_heavy_hitters,
+pipeline_corpus_diff) are
+never-driver-checked and so outrank seven stale-refresh slots, which
 move just below the line (the j2_anti_join precedent): a4_rollup,
 a1_minmax_watermark, f_udaf, a9_percentiles, a10_approx_distinct,
-a11_approx_percentile — every one of them carries a green r2/r3
-driver row AND was independently judge-verified green in the r7
-review (a4_rollup, a1_minmax_watermark, f_udaf, a9_percentiles,
-a10_approx_distinct explicitly; a11 green r3).  The rest of the r8
+a11_approx_percentile, j3_semi_join — every one of them carries a
+green r2/r3 driver row AND was independently judge-verified green in
+the r7 review (a4_rollup, a1_minmax_watermark, f_udaf,
+a9_percentiles, a10_approx_distinct, j3_semi_join explicitly; a11
+green r3).  The rest of the r8
 window (the r7 verdict's task-#6 rotation of every pre-r4 row, plus
 the four earlier-r8 additions ann_ivfpq_served / dedup_cdc_novelty /
 retrieval_eval / ann_filtered) is unchanged."""
@@ -21,9 +23,8 @@ retrieval_eval / ann_filtered) is unchanged."""
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # r2-era evidence (j2_anti_join sits just below the line, the r7
-    # precedent)
-    "j3_semi_join",
+    # r2-era evidence (j2_anti_join and j3_semi_join sit just below
+    # the line, the r7 precedent)
     "a6_distinct_agg", "a5_ngram_stats",
     # r3-era evidence
     "f_window_tumbling", "dedup_exact", "dedup_ngram_jaccard",
@@ -58,6 +59,7 @@ WINDOW_50 = [
     "graph_lpa",
     "dedup_prefix_jaccard",
     "sketch_mg_heavy_hitters",
+    "pipeline_corpus_diff",
 ]
 
 # rows-only by design (raw pair/bucket dumps whose correctness rides on
