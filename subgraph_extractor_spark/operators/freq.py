@@ -369,3 +369,140 @@ def mg_oracle_sql(
         + f"""
         SELECT key, counter, n_total, err FROM {prev}"""
     )
+
+
+def mg_summary_grouped(
+    df: DataFrame, key_col: str, m: int, group_cols: list[str]
+) -> DataFrame:
+    """Per-GROUP Misra-Gries summaries — one bounded m-row summary per
+    (domain, language, shard, ...) group, the per-stratum heavy-hitter
+    state a mixture pipeline actually wants ("top boilerplate phrases
+    PER domain", "top tokens PER language").
+
+    Same validity contract as :func:`mg_summary`, held independently
+    within each group.  Unlike the global face there are no 1-row
+    anchors at all: counts, ranks, the (m+1)-th-largest err and the
+    per-group totals are ALL keyed by the group columns — every join
+    is a group-key equi-join and the per-group top-(m+1) rank filter
+    is SPARK-37099 shuffle-capped, so a skewed group costs what any
+    skewed aggregation costs (AQE-splittable), never a global sort.
+
+    Output: (*group_cols, key, counter, n_total, err).
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use mg_summary)")
+    from pyspark.sql import Window
+
+    g = [F.col(c) for c in group_cols]
+    counts = df.groupBy(*g, F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    n_tot = counts.groupBy(*group_cols).agg(
+        F.sum("counter").cast("long").alias("n_total")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("counter"), F.asc("key")
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= m + 1
+    )
+    errs = (
+        ranked.filter(F.col("_rn") == m + 1)
+        .groupBy(*group_cols)
+        .agg(F.max("counter").cast("long").alias("err"))
+    )
+    return (
+        ranked.filter(F.col("_rn") <= m)
+        .join(n_tot, group_cols)
+        .join(errs, group_cols, "left")
+        .select(
+            *group_cols,
+            "key",
+            "counter",
+            "n_total",
+            F.coalesce(F.col("err"), F.lit(0).cast("long")).alias("err"),
+        )
+    )
+
+
+def mg_merge_grouped(
+    a: DataFrame, b: DataFrame, m: int, group_cols: list[str]
+) -> DataFrame:
+    """Per-group fold of two grouped summaries (disjoint sub-streams):
+    the PODS'12 merge applied independently within each group — a
+    group present on one side only passes through unchanged (its other
+    sub-stream contributed nothing).  All joins keyed by the group
+    columns; no global state."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    cols = [*group_cols, "key", "counter", "n_total", "err"]
+    if a.columns != cols or b.columns != cols:
+        raise ValueError(f"expected grouped MG summaries with columns {cols}")
+    from pyspark.sql import Window
+
+    meta = (
+        a.select(*group_cols, "n_total", "err")
+        .distinct()
+        .withColumnsRenamed({"n_total": "_na", "err": "_ea"})
+        .join(
+            b.select(*group_cols, "n_total", "err")
+            .distinct()
+            .withColumnsRenamed({"n_total": "_nb", "err": "_eb"}),
+            group_cols,
+            "full_outer",
+        )
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("_na"), F.lit(0))
+                + F.coalesce(F.col("_nb"), F.lit(0))
+            ).alias("n_total"),
+            (
+                F.coalesce(F.col("_ea"), F.lit(0))
+                + F.coalesce(F.col("_eb"), F.lit(0))
+            ).alias("_e_sum"),
+        )
+    )
+    summed = (
+        a.select(*group_cols, "key", "counter")
+        .join(
+            b.select(*group_cols, "key", F.col("counter").alias("_cb")),
+            [*group_cols, "key"],
+            "full_outer",
+        )
+        .select(
+            *group_cols,
+            "key",
+            (
+                F.coalesce(F.col("counter"), F.lit(0))
+                + F.coalesce(F.col("_cb"), F.lit(0))
+            ).alias("counter"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("counter"), F.asc("key")
+    )
+    ranked = summed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= m + 1
+    )
+    cs = (
+        ranked.filter(F.col("_rn") == m + 1)
+        .groupBy(*group_cols)
+        .agg(F.max("counter").cast("long").alias("_C"))
+    )
+    return (
+        ranked.filter(F.col("_rn") <= m)
+        .join(cs, group_cols, "left")
+        .withColumn("_C", F.coalesce(F.col("_C"), F.lit(0).cast("long")))
+        .filter(F.col("counter") - F.col("_C") > 0)
+        .join(meta, group_cols)
+        .select(
+            *group_cols,
+            "key",
+            (F.col("counter") - F.col("_C")).alias("counter"),
+            "n_total",
+            (F.col("_e_sum") + F.col("_C")).alias("err"),
+        )
+    )

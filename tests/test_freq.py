@@ -314,3 +314,116 @@ def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
     assert served == sorted(
         map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect())
     )
+
+
+def test_mg_grouped_validity_per_group(spark):
+    """Each group's summary independently satisfies the validity and
+    guarantee laws, after a per-group merge of two sub-streams."""
+    import random as _random
+    from collections import Counter
+
+    rnd = _random.Random(31)
+    rows = []
+    for i in range(3000):
+        lang = rnd.choice(["en", "zh", "es"])
+        k = f"{lang}-k{min(int(rnd.paretovariate(1.0)), 25)}"
+        rows.append((i, lang, k))
+    df = spark.createDataFrame(rows, "i long, lang string, key string")
+    m = 5
+    a = FQ.mg_summary_grouped(
+        df.filter("i % 2 = 0").select("lang", "key"), "key", m, ["lang"]
+    )
+    b = FQ.mg_summary_grouped(
+        df.filter("i % 2 = 1").select("lang", "key"), "key", m, ["lang"]
+    )
+    merged = FQ.mg_merge_grouped(a, b, m, ["lang"])
+    true = {}
+    n_by_lang = Counter()
+    for _, lang, k in rows:
+        true[(lang, k)] = true.get((lang, k), 0) + 1
+        n_by_lang[lang] += 1
+    by_lang = {}
+    for r in merged.collect():
+        assert r["n_total"] == n_by_lang[r["lang"]]
+        assert r["counter"] <= true[(r["lang"], r["key"])]
+        assert true[(r["lang"], r["key"])] - r["counter"] <= r["err"]
+        by_lang.setdefault(r["lang"], (set(), r["err"]))[0].add(r["key"])
+    for (lang, k), t in true.items():
+        present, err = by_lang[lang]
+        if t > err:
+            assert k in present, (lang, k, t, err)
+
+
+def test_mg_grouped_equals_global_per_group(spark):
+    """A grouped summary restricted to one group == the global summary
+    of that group's rows (same build rule, keyed instead of anchored)."""
+    keys = _zipf_keys(41, n=900)
+    rows = [(i, "g0" if i % 3 else "g1", k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, grp string, key string")
+    m = 6
+    grouped = FQ.mg_summary_grouped(
+        df.select("grp", "key"), "key", m, ["grp"]
+    )
+    for grp in ("g0", "g1"):
+        got = sorted(
+            (r["key"], r["counter"], r["n_total"], r["err"])
+            for r in grouped.filter(F.col("grp") == grp).collect()
+        )
+        exp = sorted(
+            map(tuple, FQ.mg_summary(
+                df.filter(F.col("grp") == grp).select("key"), "key", m
+            ).collect())
+        )
+        assert got == exp, grp
+
+
+def test_mg_grouped_one_sided_group_passthrough(spark):
+    """A group present in only one input passes through the merge
+    unchanged."""
+    a = FQ.mg_summary_grouped(
+        spark.createDataFrame(
+            [("g0", "x")] * 4 + [("g0", "y")], "grp string, key string"
+        ),
+        "key", 2, ["grp"],
+    )
+    b = FQ.mg_summary_grouped(
+        spark.createDataFrame([("g1", "z")] * 3, "grp string, key string"),
+        "key", 2, ["grp"],
+    )
+    merged = {
+        (r["grp"], r["key"]): (r["counter"], r["n_total"], r["err"])
+        for r in FQ.mg_merge_grouped(a, b, 2, ["grp"]).collect()
+    }
+    assert merged == {
+        ("g0", "x"): (4, 5, 0),
+        ("g0", "y"): (1, 5, 0),
+        ("g1", "z"): (3, 3, 0),
+    }
+
+
+def test_mg_grouped_topm_shuffle_is_rank_limit_capped(spark):
+    """The per-group top-(m+1) rank filter runs below the group
+    exchange (a mega-group's counts never all shuffle)."""
+    df = spark.createDataFrame(
+        [("g", f"k{i % 7}") for i in range(50)], "grp string, key string"
+    )
+    out = FQ.mg_summary_grouped(df, "key", 3, ["grp"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    part = [i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(grp" in l]
+    assert part and exch, plan
+    assert min(part) > min(exch), plan
+
+
+def test_mg_grouped_validation(spark):
+    df = spark.createDataFrame([("g", "a")], "grp string, key string")
+    with pytest.raises(ValueError):
+        FQ.mg_summary_grouped(df, "key", 2, [])
+    with pytest.raises(ValueError):
+        FQ.mg_summary_grouped(df, "key", 0, ["grp"])
+    s = FQ.mg_summary_grouped(df, "key", 2, ["grp"])
+    with pytest.raises(ValueError):
+        FQ.mg_merge_grouped(s.drop("err"), s, 2, ["grp"])
