@@ -20,7 +20,7 @@ global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,3 +121,66 @@ def minmax_pruning_stats(
             F.max(c).alias(f"{c}_max"),
         ]
     return part.groupBy("_pid").agg(*aggs)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global 1-based row rank under a TOTAL order — without the
+    single-partition window ``ROW_NUMBER() OVER (ORDER BY ...)`` plans
+    to (the classic driver-melting anti-pattern: every row through one
+    task).  The scale shape instead:
+
+    1. ``repartitionByRange`` on the order columns (sampled range
+       boundaries — each partition holds one contiguous key range);
+    2. ``sortWithinPartitions`` + ``monotonically_increasing_id``,
+       whose layout is ``partition_id * 2^33 + local_row_index`` — so
+       the LOCAL sort position comes out of the id arithmetic with no
+       window and no extra shuffle;
+    3. per-partition row counts (an ``n_partitions``-row table) fold
+       into cumulative offsets with one window over that TINY table
+       (the PPS two-level-prefix-sum shape), broadcast back;
+    4. rank = offset + local index + 1.
+
+    The ranks are partition-boundary-independent — hence deterministic
+    and oracle-checkable against the naive global window — PROVIDED
+    ``order_cols`` is a total order (include a tie-breaking key; with
+    ties, which equal row gets which rank would depend on the sampled
+    boundaries).  Ascending order; rank descending by negating or
+    inverting the column.  Per-partition row counts must stay below
+    2^33 (the monotonic-id local field) — at default parallelism that
+    is ~10^10 rows per partition before it matters.
+
+    Use cases: percentile features (rank / n), exact top-p corpus
+    truncation, rank-based calibration of quality scores.  Output:
+    the input columns + ``rank_col``.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    parts = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        if n_partitions is not None
+        else df.repartitionByRange(*order_cols)
+    )
+    mid = F.monotonically_increasing_id()
+    local = parts.sortWithinPartitions(*order_cols).select(
+        "*",
+        F.shiftrightunsigned(mid, 33).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_local") + 1)
+        .drop("_pid", "_local", "_off")
+    )

@@ -4,14 +4,14 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-8 window, continuation revision: the seven queries authored in the
+Round-8 window, continuation revision: the eight queries authored in the
 r8 continuation (ann_hamming, ann_hamming_rerank, retrieval_champion,
 graph_lpa, dedup_prefix_jaccard, sketch_mg_heavy_hitters,
-pipeline_corpus_diff) are
-never-driver-checked and so outrank seven stale-refresh slots, which
+pipeline_corpus_diff, f_global_rank) are
+never-driver-checked and so outrank eight stale-refresh slots, which
 move just below the line (the j2_anti_join precedent): a4_rollup,
 a1_minmax_watermark, f_udaf, a9_percentiles, a10_approx_distinct,
-a11_approx_percentile, j3_semi_join — every one of them carries a
+a11_approx_percentile, j3_semi_join, a6_distinct_agg — every one of them carries a
 green r2/r3 driver row AND was independently judge-verified green in
 the r7 review (a4_rollup, a1_minmax_watermark, f_udaf,
 a9_percentiles, a10_approx_distinct, j3_semi_join explicitly; a11
@@ -23,9 +23,9 @@ retrieval_eval / ann_filtered) is unchanged."""
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # r2-era evidence (j2_anti_join and j3_semi_join sit just below
-    # the line, the r7 precedent)
-    "a6_distinct_agg", "a5_ngram_stats",
+    # r2-era evidence (j2_anti_join, j3_semi_join and a6_distinct_agg
+    # sit just below the line, the r7 precedent)
+    "a5_ngram_stats",
     # r3-era evidence
     "f_window_tumbling", "dedup_exact", "dedup_ngram_jaccard",
     "text_tokens", "text_quality",
@@ -60,6 +60,7 @@ WINDOW_50 = [
     "dedup_prefix_jaccard",
     "sketch_mg_heavy_hitters",
     "pipeline_corpus_diff",
+    "f_global_rank",
 ]
 
 # rows-only by design (raw pair/bucket dumps whose correctness rides on
