@@ -146,6 +146,8 @@ HEADLINE = [
     "ann_hamming_rerank",
     "retrieval_champion",
     "graph_lpa",
+    "pipeline_corpus_diff",
+    "f_global_rank",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
