@@ -1219,3 +1219,40 @@ def test_prefix_filter_incremental_no_corpus_corpus_pairs(spark):
         batch, corpus, "doc_id", "text", 0.5
     ).collect()
     assert got == []
+
+
+def test_prefix_pigeonhole_lemma_property():
+    """The mathematical guarantee prefix_filter_pairs rides on, checked
+    directly (pure python, hypothesis): under ANY total order, two
+    sets with J >= t intersect within both their first
+    |X| - ceil(t*|X|) + 1 elements.  This is the lemma; the Spark
+    tests above check the implementation against brute force."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def case(draw):
+        universe = list(range(draw(st.integers(8, 40))))
+        perm = draw(st.permutations(universe))  # the total order
+        a = draw(st.sets(st.sampled_from(universe), min_size=1))
+        b = draw(st.sets(st.sampled_from(universe), min_size=1))
+        t = draw(st.floats(0.05, 1.0, allow_nan=False))
+        return perm, a, b, t
+
+    @given(case())
+    @settings(max_examples=500, deadline=None)
+    def check(c):
+        perm, a, b, t = c
+        inter = len(a & b)
+        union = len(a | b)
+        if union == 0 or inter / union < t:
+            return
+        pos = {tok: i for i, tok in enumerate(perm)}
+        pre = lambda s: set(
+            sorted(s, key=pos.get)[: len(s) - math.ceil(t * len(s)) + 1]
+        )
+        assert pre(a) & pre(b), (sorted(a), sorted(b), t)
+
+    check()

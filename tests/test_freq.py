@@ -427,3 +427,56 @@ def test_mg_grouped_validation(spark):
     s = FQ.mg_summary_grouped(df, "key", 2, ["grp"])
     with pytest.raises(ValueError):
         FQ.mg_merge_grouped(s.drop("err"), s, 2, ["grp"])
+
+
+def test_mg_state_algebra_property():
+    """The Misra-Gries state algebra the Spark faces implement, checked
+    directly (pure python, hypothesis): over ANY random stream split
+    into ANY number of sub-streams folded left, the validity invariant
+    holds — counter <= true and true - counter <= err for EVERY key
+    (absents counting 0) — and the summary never exceeds m rows."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def build(stream, m):
+        counts = Counter(stream)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        err = ranked[m][1] if len(ranked) > m else 0
+        return dict(ranked[:m]), len(stream), err
+
+    def merge(a, b, m):
+        ca, na, ea = a
+        cb, nb, eb = b
+        summed = Counter(ca) + Counter(cb)
+        ranked = sorted(summed.items(), key=lambda kv: (-kv[1], kv[0]))
+        C = ranked[m][1] if len(ranked) > m else 0
+        kept = {k: c - C for k, c in ranked[:m] if c - C > 0}
+        return kept, na + nb, ea + eb + C
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 12), min_size=0, max_size=60),
+            min_size=1,
+            max_size=5,
+        ),
+        st.integers(1, 6),
+    )
+    @settings(max_examples=500, deadline=None)
+    def check(substreams, m):
+        state = build(substreams[0], m)
+        for s in substreams[1:]:
+            state = merge(state, build(s, m), m)
+        counters, n, err = state
+        true = Counter(k for s in substreams for k in s)
+        assert n == sum(true.values())
+        assert len(counters) <= m
+        for k in set(true) | set(counters):
+            c = counters.get(k, 0)
+            assert c <= true[k]
+            assert true[k] - c <= err
+        # pigeonhole budget: err never exceeds n/(m+1) summed per fold
+        assert err <= n  # sanity; the sharp bound is checked via laws
+
+    check()
