@@ -148,6 +148,9 @@ HEADLINE = [
     "graph_lpa",
     "pipeline_corpus_diff",
     "f_global_rank",
+    # r9 addition: exact-integer sign-LSH top-k (the full-value-oracle
+    # twin of ann_lsh) — first recorded r9 for r10+ comparability.
+    "ann_lsh_portable",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
@@ -580,13 +583,18 @@ def main() -> None:
         # production — reported for transparency, not steady-state
         "amortized": ["bucketed_build"],
     }
-    # VERDICT r7 task #1: the full record — INCLUDING the floors table
-    # that overflowed the driver's tail capture in r7 — goes to a
-    # committed local file; the stdout line stays short enough to
-    # survive the capture and points at the file.  Round number =
-    # 1 + the latest driver-written BENCH_r*.json (the driver writes
-    # its file at round END, so every run during round N lands on the
-    # same name).  Only canonical-scale runs are recorded.
+    # VERDICT r7 task #1 / r8 task #3: the full record — floors table,
+    # session echo, load gate, everything — goes to a committed local
+    # file; the stdout line carries ONLY what the driver contract and
+    # the weak-flag gate need (metric/value/unit/queries/sf, frozen
+    # subtotals, weak_vs_floor, and the pointer to the full file), with
+    # per-query values at 2 decimals.  Measured: the r8 stdout line was
+    # 2191 bytes and overflowed the driver's ~2 KB tail capture
+    # (BENCH_r08.json parsed: null); this slim line is ~1.83 KB for the
+    # current 69-query list.  Round number = 1 + the latest
+    # driver-written BENCH_r*.json (the driver writes its file at round
+    # END, so every run during round N lands on the same name).  Only
+    # canonical-scale runs are recorded.
     floors_file = None
     if sf == "0.1":
         rounds = [
@@ -602,8 +610,17 @@ def main() -> None:
         with open(os.path.join(here, floors_file), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    record["floors_file"] = floors_file
-    print(json.dumps(record, separators=(",", ":")))
+    slim = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": {q: round(t, 2) for q, t in timings.items()},
+        "sf": record["sf"],
+        "subtotals": subtotals,
+        "weak_vs_floor": weak_vs_floor,
+        "floors_file": floors_file,
+    }
+    print(json.dumps(slim, separators=(",", ":")))
     spark.stop()
 
 

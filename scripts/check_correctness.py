@@ -115,6 +115,10 @@ def main() -> int:
 
     spark = get_spark("correctness", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
+    # codegen compile gate (r8 verdict task 2): a janino failure must
+    # FAIL the query here, never silently run interpreted — the r8
+    # text_lang regression shipped because fallback=true ate the error
+    spark.conf.set("spark.sql.codegen.fallback", "false")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -192,7 +192,12 @@ def cms_estimate(
 # formulation (Agarwal et al., PODS'12).
 #
 # State row: (key, counter, n_total, err), self-contained like the
-# champion-list state.  Invariant (the "validity" law, tested):
+# champion-list state.  A summary is key rows (counter >= 1) PLUS one
+# anchor row (key NULL, counter 0, n_total, err) that carries the
+# metadata unconditionally — an empty key set is a legitimate algebra
+# element (empty batch; fully-cancelled merge) and zero rows would
+# silently lose (n_total, err), breaking every later fold.  Invariant
+# (the "validity" law, tested):
 #
 #     counter <= true(key)  and  true(key) - counter <= err
 #     for EVERY key of the stream, with counter = 0 for absent keys —
@@ -219,10 +224,37 @@ def cms_estimate(
 _MG_COLS = ["key", "counter", "n_total", "err"]
 
 
+def _mg_anchor(meta: DataFrame, key_type) -> DataFrame:
+    """The 1-row metadata anchor ``(key NULL, counter 0, n_total,
+    err)`` from a 1-row meta relation.  Every summary carries it
+    UNCONDITIONALLY: zero rows cannot carry metadata — an empty key
+    set is a legitimate algebra element (empty batch, fully-cancelled
+    merge) whose (n_total, err) MUST survive, or every later fold
+    under-reports err and silently breaks the validity law (any key
+    with true freq > err is guaranteed present).  Unconditional (not
+    emitted-iff-empty) deliberately: a conditional anchor needs a
+    count over the body, referencing the upstream plan a second time,
+    which doubles the logical plan at every fold of a chained merge
+    tree (measured: the 4-shard sketch_mg query went 2 s -> 237 s on
+    an emit-iff-empty draft)."""
+    return meta.select(
+        F.lit(None).cast(key_type).alias("key"),
+        F.lit(0).cast("long").alias("counter"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("err").cast("long").alias("err"),
+    )
+
+
 def mg_summary(df: DataFrame, key_col: str, m: int) -> DataFrame:
     """Misra-Gries summary of a batch: the top-``m`` exact counts with
     the largest pruned count as the carried error bound.  Bounded
-    state: every window/limit here runs over <= m+1 rows."""
+    state: every window/limit here runs over <= m+1 rows.
+
+    Representation: key rows (counter >= 1) plus ONE anchor row
+    ``(key NULL, counter 0, n_total, err)`` — the anchor keeps the
+    metadata alive when the key set is empty (see :func:`_mg_anchor`),
+    so an empty batch yields the identity summary (NULL, 0, 0, 0)
+    rather than zero rows.  The anchor is the only counter-0 row."""
     if m < 1:
         raise ValueError("m must be >= 1")
     from pyspark.sql import Window
@@ -240,11 +272,15 @@ def mg_summary(df: DataFrame, key_col: str, m: int) -> DataFrame:
     err_row = ranked.filter(F.col("_rn") == m + 1).agg(
         F.coalesce(F.max("counter"), F.lit(0)).cast("long").alias("err")
     )
-    return (
+    body = (
         ranked.filter(F.col("_rn") <= m)
         .crossJoin(F.broadcast(n_row))
         .crossJoin(F.broadcast(err_row))
         .select(*_MG_COLS)
+    )
+    meta = n_row.crossJoin(F.broadcast(err_row))
+    return body.unionByName(
+        _mg_anchor(meta, df.schema[key_col].dataType)
     )
 
 
@@ -253,21 +289,43 @@ def mg_merge(a: DataFrame, b: DataFrame, m: int) -> DataFrame:
     stream (Agarwal et al. PODS'12): key-wise counter sum, subtract
     the (m+1)-th largest merged counter C, drop non-positives, err =
     err_a + err_b + C.  Cost is O(m) rows — the inputs, not the
-    corpora, are the operands."""
+    corpora, are the operands.
+
+    EAGER: the <= m+1-row result is ``localCheckpoint``-ed before
+    returning.  Each input is referenced several times (metadata agg,
+    key join, the C subtraction), so a LAZY merge chain grows the
+    logical plan ~4x PER FOLD LEVEL — Catalyst plans are trees, not
+    DAGs — and a 4-shard fold tree already took minutes of optimizer
+    time (measured r9: 187 s lazy vs ~2 s checkpointed for the
+    sketch_mg query at sf0.01).  Materializing m rows per fold is the
+    bounded-state discipline every sketch in this module shares."""
     if m < 1:
         raise ValueError("m must be >= 1")
     if a.columns != _MG_COLS or b.columns != _MG_COLS:
         raise ValueError(f"expected MG summaries with columns {_MG_COLS}")
     from pyspark.sql import Window
 
-    meta_a = a.select("n_total", "err").distinct()
-    meta_b = b.select(
-        F.col("n_total").alias("_nb"), F.col("err").alias("_eb")
-    ).distinct()
+    # Metadata is carried independently of key rows: a 1-row agg is
+    # total (always one row), so a zero-row input — tolerated for
+    # robustness even though mg_summary now always emits an anchor —
+    # folds as the (0, 0) identity instead of wiping the other side
+    # (the crossJoin(distinct) encoding lost BOTH sides' metadata
+    # whenever either side had no rows).
+    meta_a = a.agg(
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("err"),
+    )
+    meta_b = b.agg(
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_nb"),
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_eb"),
+    )
     summed = (
-        a.select("key", "counter")
+        a.filter(F.col("counter") > 0)  # drop anchors: key rows only
+        .select("key", "counter")
         .join(
-            b.select("key", F.col("counter").alias("_cb")),
+            b.filter(F.col("counter") > 0).select(
+                "key", F.col("counter").alias("_cb")
+            ),
             "key",
             "full_outer",
         )
@@ -284,19 +342,28 @@ def mg_merge(a: DataFrame, b: DataFrame, m: int) -> DataFrame:
     c_row = ranked.filter(F.col("_rn") == m + 1).agg(
         F.coalesce(F.max("counter"), F.lit(0)).cast("long").alias("_C")
     )
-    return (
-        ranked.filter(F.col("_rn") <= m)
+    merged_meta = (
+        meta_a.crossJoin(F.broadcast(meta_b))
         .crossJoin(F.broadcast(c_row))
-        .filter(F.col("counter") - F.col("_C") > 0)
-        .crossJoin(F.broadcast(meta_a))
-        .crossJoin(F.broadcast(meta_b))
         .select(
-            "key",
-            (F.col("counter") - F.col("_C")).alias("counter"),
             (F.col("n_total") + F.col("_nb")).alias("n_total"),
             (F.col("err") + F.col("_eb") + F.col("_C")).alias("err"),
         )
     )
+    body = (
+        ranked.filter(F.col("_rn") <= m)
+        .crossJoin(F.broadcast(c_row))
+        .filter(F.col("counter") - F.col("_C") > 0)
+        .select("key", (F.col("counter") - F.col("_C")).alias("counter"))
+        .crossJoin(F.broadcast(merged_meta))
+        .select(*_MG_COLS)
+    )
+    # fully-cancelled merge (every counter == the (m+1)-th largest,
+    # e.g. m=1 over two disjoint equal-count summaries) drops every key
+    # row yet has n_total > 0, err > 0 — the anchor keeps them alive
+    return body.unionByName(
+        _mg_anchor(merged_meta, a.schema["key"].dataType)
+    ).localCheckpoint(eager=True)
 
 
 def mg_oracle_sql(
@@ -316,14 +383,14 @@ def mg_oracle_sql(
     ]
     for s in range(n_shards):
         parts.append(
-            f"""cnt{s} AS (
+            f"""cnt{s} AS MATERIALIZED (
                 SELECT key, CAST(COUNT(*) AS BIGINT) AS counter,
                        ROW_NUMBER() OVER (
                            ORDER BY COUNT(*) DESC, key ASC) AS rn
                 FROM keyed WHERE shard = {s} GROUP BY key)"""
         )
         parts.append(
-            f"""s{s} AS (
+            f"""s{s} AS MATERIALIZED (
                 SELECT key, counter,
                        (SELECT CAST(COALESCE(SUM(counter), 0) AS BIGINT)
                         FROM cnt{s}) AS n_total,
@@ -336,7 +403,7 @@ def mg_oracle_sql(
     for s in range(1, n_shards):
         cur = f"t{s}"
         parts.append(
-            f"""u{s} AS (
+            f"""u{s} AS MATERIALIZED (
                 SELECT COALESCE(a.key, b.key) AS key,
                        COALESCE(a.counter, 0) + COALESCE(b.counter, 0)
                            AS counter,
@@ -347,7 +414,7 @@ def mg_oracle_sql(
                 FROM {prev} a FULL OUTER JOIN s{s} b ON a.key = b.key)"""
         )
         parts.append(
-            f"""{cur} AS (
+            f"""{cur} AS MATERIALIZED (
                 SELECT key,
                        counter - (SELECT COALESCE(MAX(counter), 0)
                                   FROM u{s} WHERE rn = {m + 1}) AS counter,
@@ -363,11 +430,18 @@ def mg_oracle_sql(
                                  FROM u{s} WHERE rn = {m + 1}) > 0)"""
         )
         prev = cur
+    # the anchor row (key NULL, counter 0) the Spark faces carry
+    # unconditionally; the internal CTEs stay key-rows-only because
+    # SQL subqueries carry the metadata out-of-band
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-        SELECT key, counter, n_total, err FROM {prev}"""
+        SELECT key, counter, n_total, err FROM {prev}
+        UNION ALL
+        SELECT NULL AS key, CAST(0 AS BIGINT) AS counter,
+               (SELECT DISTINCT n_total FROM {prev}) AS n_total,
+               (SELECT DISTINCT err FROM {prev}) AS err"""
     )
 
 
@@ -379,13 +453,16 @@ def mg_summary_grouped(
     state a mixture pipeline actually wants ("top boilerplate phrases
     PER domain", "top tokens PER language").
 
-    Same validity contract as :func:`mg_summary`, held independently
-    within each group.  Unlike the global face there are no 1-row
-    anchors at all: counts, ranks, the (m+1)-th-largest err and the
-    per-group totals are ALL keyed by the group columns — every join
-    is a group-key equi-join and the per-group top-(m+1) rank filter
-    is SPARK-37099 shuffle-capped, so a skewed group costs what any
-    skewed aggregation costs (AQE-splittable), never a global sort.
+    Same validity contract and anchor representation as
+    :func:`mg_summary`, held independently within each group (one
+    ``key NULL, counter 0`` metadata anchor row per group).  Unlike
+    the global face there are no 1-row broadcast relations in the
+    plan: counts, ranks, the (m+1)-th-largest err, the per-group
+    totals AND the anchors are all keyed by the group columns — every
+    join is a group-key equi-join and the per-group top-(m+1) rank
+    filter is SPARK-37099 shuffle-capped, so a skewed group costs what
+    any skewed aggregation costs (AQE-splittable), never a global
+    sort.
 
     Output: (*group_cols, key, counter, n_total, err).
     """
@@ -413,16 +490,23 @@ def mg_summary_grouped(
         .groupBy(*group_cols)
         .agg(F.max("counter").cast("long").alias("err"))
     )
-    return (
+    meta = n_tot.join(errs, group_cols, "left").select(
+        *group_cols,
+        "n_total",
+        F.coalesce(F.col("err"), F.lit(0).cast("long")).alias("err"),
+    )
+    body = (
         ranked.filter(F.col("_rn") <= m)
-        .join(n_tot, group_cols)
-        .join(errs, group_cols, "left")
-        .select(
+        .join(meta, group_cols)
+        .select(*group_cols, "key", "counter", "n_total", "err")
+    )
+    return body.unionByName(
+        meta.select(
             *group_cols,
-            "key",
-            "counter",
+            F.lit(None).cast(df.schema[key_col].dataType).alias("key"),
+            F.lit(0).cast("long").alias("counter"),
             "n_total",
-            F.coalesce(F.col("err"), F.lit(0).cast("long")).alias("err"),
+            "err",
         )
     )
 
@@ -434,7 +518,14 @@ def mg_merge_grouped(
     the PODS'12 merge applied independently within each group — a
     group present on one side only passes through unchanged (its other
     sub-stream contributed nothing).  All joins keyed by the group
-    columns; no global state."""
+    columns; no global state.
+
+    LAZY, unlike :func:`mg_merge` (the result is state-sized — m rows
+    per group — not m rows, so eager materialization is the caller's
+    call).  Each input is referenced twice in the plan, so a LONG
+    in-plan fold chain grows the logical plan exponentially — persist
+    or localCheckpoint between folds past a few levels (the parquet-
+    backed sinks never chain: each fold starts from a scan)."""
     if m < 1:
         raise ValueError("m must be >= 1")
     cols = [*group_cols, "key", "counter", "n_total", "err"]
@@ -466,9 +557,12 @@ def mg_merge_grouped(
         )
     )
     summed = (
-        a.select(*group_cols, "key", "counter")
+        a.filter(F.col("counter") > 0)  # key rows only (no anchors)
+        .select(*group_cols, "key", "counter")
         .join(
-            b.select(*group_cols, "key", F.col("counter").alias("_cb")),
+            b.filter(F.col("counter") > 0).select(
+                *group_cols, "key", F.col("counter").alias("_cb")
+            ),
             [*group_cols, "key"],
             "full_outer",
         )
@@ -492,17 +586,42 @@ def mg_merge_grouped(
         .groupBy(*group_cols)
         .agg(F.max("counter").cast("long").alias("_C"))
     )
-    return (
-        ranked.filter(F.col("_rn") <= m)
-        .join(cs, group_cols, "left")
+    # group-keyed metadata (the merge's full fold result per group,
+    # whether or not any key row survives the subtraction)
+    meta_c = (
+        meta.join(cs, group_cols, "left")
         .withColumn("_C", F.coalesce(F.col("_C"), F.lit(0).cast("long")))
+        .select(
+            *group_cols,
+            F.col("n_total").cast("long").alias("n_total"),
+            (F.col("_e_sum") + F.col("_C")).cast("long").alias("err"),
+            F.col("_C"),
+        )
+    )
+    body = (
+        ranked.filter(F.col("_rn") <= m)
+        .join(meta_c, group_cols)
         .filter(F.col("counter") - F.col("_C") > 0)
-        .join(meta, group_cols)
         .select(
             *group_cols,
             "key",
             (F.col("counter") - F.col("_C")).alias("counter"),
             "n_total",
-            (F.col("_e_sum") + F.col("_C")).alias("err"),
+            "err",
         )
     )
+    # per-group anchors, UNCONDITIONAL like the global face: a fully-
+    # cancelled GROUP (every merged counter == that group's (m+1)-th
+    # largest) would otherwise vanish, losing its (n_total, err) — the
+    # same metadata-wipe flaw the global merge had.  meta_c already has
+    # exactly one row per group, so the anchor is a plain projection
+    # (group-keyed; no anti-join, no second reference to the body plan).
+    key_type = a.schema["key"].dataType
+    anchors = meta_c.select(
+        *group_cols,
+        F.lit(None).cast(key_type).alias("key"),
+        F.lit(0).cast("long").alias("counter"),
+        "n_total",
+        "err",
+    )
+    return body.unionByName(anchors)

@@ -530,12 +530,42 @@ def champion_lists(
         F.count(F.lit(1)).alias("doc_freq")
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    body = (
         champs.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "token", "doc_freq", "n_docs", "doc_id", "impact",
             "champ_rank",
+        )
+    )
+    return body.unionByName(
+        _champion_anchor_if_empty(body, n_docs, df.schema[id_col].dataType)
+    )
+
+
+def _champion_anchor_if_empty(
+    body: DataFrame, n_docs: DataFrame, id_type
+) -> DataFrame:
+    """1-row anchor ``(token NULL, doc_freq 0, n_docs, doc_id NULL,
+    impact 0, champ_rank 0)`` emitted ONLY when the champion state has
+    zero posting rows.  ``n_docs`` rides on posting rows; a corpus
+    whose docs are all empty/tokenless produces postings for nothing
+    yet still counts toward ``n_docs`` — without the anchor that count
+    evaporates, so a later :func:`merge_champion_lists` under-counts
+    ``n_docs`` and its idf diverges from a one-shot rebuild (breaking
+    the exact-merge / stream==batch contract).  Real rows always have
+    champ_rank >= 1; the anchor is the only champ_rank-0 row."""
+    cnt = body.agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        n_docs.crossJoin(F.broadcast(cnt))
+        .filter(F.col("_cnt") == 0)
+        .select(
+            F.lit(None).cast("string").alias("token"),
+            F.lit(0).cast("long").alias("doc_freq"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.lit(None).cast(id_type).alias("doc_id"),
+            F.lit(0).cast("long").alias("impact"),
+            F.lit(0).cast("int").alias("champ_rank"),
         )
     )
 
@@ -629,8 +659,20 @@ def merge_champion_lists(a: DataFrame, b: DataFrame, m: int = 16) -> DataFrame:
     cols = ["token", "doc_freq", "n_docs", "doc_id", "impact", "champ_rank"]
     if a.columns != cols or b.columns != cols:
         raise ValueError(f"expected champion states with columns {cols}")
-    ua = a.withColumn("_side", F.lit(0))
-    ub = b.withColumn("_side", F.lit(1))
+    # n_docs is extracted per side with a TOTAL 1-row agg (max over the
+    # side's rows: every row, anchor included, carries the same value),
+    # so a row-less legacy state folds as 0 and an anchor-only state
+    # (all-tokenless corpus) contributes its true count — recovering it
+    # from the unioned rows via distinct lost the row-less side's count
+    # entirely, silently skewing merged idf vs a one-shot rebuild.
+    na = a.agg(F.coalesce(F.max("n_docs"), F.lit(0)).alias("_na"))
+    nb = b.agg(F.coalesce(F.max("n_docs"), F.lit(0)).alias("_nb"))
+    n_docs = na.crossJoin(F.broadcast(nb)).select(
+        (F.col("_na") + F.col("_nb")).cast("long").alias("n_docs")
+    )
+    # posting rows only (champ_rank >= 1; anchors are champ_rank 0)
+    ua = a.filter(F.col("champ_rank") >= 1).withColumn("_side", F.lit(0))
+    ub = b.filter(F.col("champ_rank") >= 1).withColumn("_side", F.lit(1))
     u = ua.unionByName(ub)
     # per-side doc_freq is replicated on each champion row — collapse
     # to one row per (token, side) before the additive fold
@@ -640,13 +682,6 @@ def merge_champion_lists(a: DataFrame, b: DataFrame, m: int = 16) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("doc_freq").alias("doc_freq"))
     )
-    # n_docs is constant per side: 1-row-per-side distinct -> additive
-    # 1-row anchor (bounded state, the corpus-stats shape)
-    n_docs = (
-        u.select("_side", "n_docs")
-        .distinct()
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
     w = Window.partitionBy("token").orderBy(
         F.col("impact").desc(), F.col("doc_id").asc()
     )
@@ -655,11 +690,14 @@ def merge_champion_lists(a: DataFrame, b: DataFrame, m: int = 16) -> DataFrame:
         .withColumn("champ_rank", F.row_number().over(w))
         .filter(F.col("champ_rank") <= m)
     )
-    return (
+    body = (
         merged.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "token", "doc_freq", "n_docs", "doc_id", "impact",
             "champ_rank",
         )
+    )
+    return body.unionByName(
+        _champion_anchor_if_empty(body, n_docs, a.schema["doc_id"].dataType)
     )

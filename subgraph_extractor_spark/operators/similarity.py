@@ -735,6 +735,137 @@ def ann_topk_lsh(
     return out
 
 
+def int_lsh_planes(
+    dim: int, bits: int, seed: int = 29, span: int = 8
+) -> list[list[int]]:
+    """Integer hyperplane weights in [-span, span] from a fixed seeded
+    PRNG.  They are plan LITERALS on the Spark side and literals in the
+    generated oracle SQL, so both engines compute the identical integer
+    projections — the portability discipline of the md5-derived
+    winnowing/SimHash kernels, without needing any hash at runtime."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-span, span + 1, size=(bits, dim)).tolist()
+
+
+def quantize_int_vec(vec, scale_bits: int = 10):
+    """``floor(v * 2^scale_bits)`` per component, as bigint — bit-exact
+    on ANY IEEE engine: float32 -> float64 widening is exact, a
+    power-of-two multiply is pure exponent arithmetic, and floor is
+    exact; ``round()`` would NOT be portable (Spark rounds HALF_UP,
+    DuckDB half-away-from-zero — they differ on negative halves)."""
+    s = float(1 << scale_bits)
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(s)).cast("long")
+    )
+
+
+def lsh_portable_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Sign-LSH approximate top-k in EXACT INTEGER arithmetic end to
+    end — the full-value-oracle-checkable twin of :func:`ann_topk_lsh`
+    (whose Gaussian float projections and float cosine ranking have no
+    cross-engine replay; its correctness evidence is the recall
+    contract).  Here every step is integer: components quantize via
+    :func:`quantize_int_vec`, each signature bit is the sign of an
+    int64 dot with :func:`int_lsh_planes` literals, candidates share
+    >= 1 of ``bands`` packed band values, and candidates rank by the
+    exact int64 dot of the quantized vectors with a (dot desc, id asc)
+    tie-break — a DuckDB oracle recomputes every row bit-exactly.
+
+    Output: (query_id, neighbor_id, qdot, rank), rank 1..<=k per query
+    that has any candidate.
+
+    Plan shape: the signature stage is pure Catalyst HOFs (zip_with +
+    aggregate per bit — no Python workers), the band self-join is the
+    sub-quadratic equi-join of the LSH family, and the per-query top-k
+    window is SPARK-37099 shuffle-capped.  The ranking stage joins the
+    quantized vectors (64 longs) onto candidate pairs — fine at
+    fixture scale and honest to oracle; at 100 TB keep the pair volume
+    bounded the way :func:`ann_topk_lsh` does (shard-cogrouped scoring,
+    never vectors-onto-pairs)."""
+    planes = int_lsh_planes(dim, bits, seed)
+    rows = bits // bands
+    if rows * bands != bits:
+        raise ValueError("bits must divide evenly into bands")
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
+    )
+    band_vals = []
+    for b in range(bands):
+        val = F.lit(0).cast("long")
+        for r_ in range(rows):
+            w = planes[b * rows + r_]
+            dot = F.aggregate(
+                F.zip_with(
+                    "_qv",
+                    F.array(*[F.lit(int(x)).cast("long") for x in w]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            val = val + F.when(dot >= 0, F.lit(1 << r_)).otherwise(F.lit(0))
+        band_vals.append(val.cast("long"))
+    sig = q.select(
+        "_id", F.posexplode(F.array(*band_vals)).alias("band", "val")
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("query_id"),
+            F.col("r._id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            q.select(F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:

@@ -1184,6 +1184,12 @@ def mg_heavy_hitters_sink(
                 f"{batch_id} — state from a different run; point the sink "
                 "at a fresh state_dir (or restore the matching checkpoint)"
             )
+        if batch_df.isEmpty():
+            # defense in depth: an empty micro-batch folds as the MG
+            # identity anyway (mg_summary emits a metadata anchor row,
+            # never zero rows), but writing a new state version for it
+            # buys nothing — skip so the standing state is untouched.
+            return
         new = freq.mg_summary(batch_df.select(key_col), key_col, m)
         latest = _latest_state_version(state_dir, before=batch_id)
         if latest is not None:
@@ -1195,7 +1201,10 @@ def mg_heavy_hitters_sink(
 
 def serve_mg_heavy_hitters(spark, state_dir: str) -> DataFrame:
     """The standing heavy-hitter summary from the latest persisted
-    version — (key, counter, n_total, err), self-contained."""
+    version — (key, counter, n_total, err), self-contained.  Key rows
+    have counter >= 1; the one (key NULL, counter 0) row is the
+    metadata anchor that keeps (n_total, err) alive even when every
+    key cancels (filter ``counter > 0`` for display)."""
     latest = _latest_state_version(state_dir)
     if latest is None:
         raise FileNotFoundError(f"no MG summary state under {state_dir}")

@@ -186,8 +186,8 @@ def test_mg_oracle_replay_matches_spark(spark):
     sql = FQ.mg_oracle_sql(
         f"SELECT * FROM (VALUES {vals}) AS t(i, key)", "key", "i % 3", 3, m
     )
-    assert sorted(duckdb.sql(sql).fetchall()) == sorted(
-        map(tuple, out.collect())
+    assert sorted(duckdb.sql(sql).fetchall(), key=str) == sorted(
+        map(tuple, out.collect()), key=str
     )
 
 
@@ -200,9 +200,12 @@ def test_mg_single_shard_is_exact_topm(spark):
         [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "key string"
     )
     full = {tuple(r) for r in FQ.mg_summary(df, "key", 3).collect()}
-    assert full == {("a", 5, 10, 0), ("b", 3, 10, 0), ("c", 2, 10, 0)}
+    assert full == {
+        ("a", 5, 10, 0), ("b", 3, 10, 0), ("c", 2, 10, 0),
+        (None, 0, 10, 0),  # unconditional metadata anchor
+    }
     pruned = {tuple(r) for r in FQ.mg_summary(df, "key", 2).collect()}
-    assert pruned == {("a", 5, 10, 2), ("b", 3, 10, 2)}
+    assert pruned == {("a", 5, 10, 2), ("b", 3, 10, 2), (None, 0, 10, 2)}
 
 
 def test_mg_merge_is_deterministic_and_bounded(spark):
@@ -222,10 +225,10 @@ def test_mg_merge_is_deterministic_and_bounded(spark):
         df.filter("i % 2 = 1").repartition(7).select(F.col("key").alias("t")),
         "t", m,
     )
-    r1 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()))
-    r2 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()))
+    r1 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()), key=str)
+    r2 = sorted(map(tuple, FQ.mg_merge(a, b, m).collect()), key=str)
     assert r1 == r2
-    assert len(r1) <= m
+    assert len(r1) <= m + 1  # <= m key rows + the metadata anchor
 
 
 def test_mg_validation(spark):
@@ -239,6 +242,176 @@ def test_mg_validation(spark):
         FQ.mg_merge(s.drop("err"), s, 2)
     with pytest.raises(ValueError):
         FQ.mg_merge(s, s, 0)
+
+
+def test_mg_empty_input_is_anchor_identity(spark):
+    """mg_summary of an empty batch is the algebra's identity element —
+    ONE anchor row (NULL, 0, 0, 0), never zero rows — and merging it on
+    either side leaves a real summary unchanged.  (r8-advice bug: the
+    old rows-carry-metadata encoding crossJoined 1-row metadata
+    relations, so a zero-row side wiped BOTH sides' state — via the
+    streaming sink, permanent data loss on any empty micro-batch.)"""
+    empty = spark.createDataFrame([], "key string")
+    e = FQ.mg_summary(empty, "key", 3)
+    assert [tuple(r) for r in e.collect()] == [(None, 0, 0, 0)]
+    df = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "key string")
+    s = FQ.mg_summary(df, "key", 3)
+    expected = sorted(map(tuple, s.collect()), key=str)
+    assert sorted(map(tuple, FQ.mg_merge(s, e, 3).collect()), key=str) == expected
+    assert sorted(map(tuple, FQ.mg_merge(e, s, 3).collect()), key=str) == expected
+    # a zero-row relation with the right columns (the legacy encoding
+    # of "empty") also folds as identity instead of wiping the state
+    legacy = spark.createDataFrame(
+        [], "key string, counter long, n_total long, err long"
+    )
+    assert sorted(map(tuple, FQ.mg_merge(s, legacy, 3).collect()), key=str) == expected
+
+
+def test_mg_fully_cancelled_merge_keeps_metadata(spark):
+    """m=1 over two disjoint equal-count summaries cancels every key
+    row (counter - C == 0 for all); the anchor must keep (n_total,
+    err) so the validity law survives further folds."""
+    a = FQ.mg_summary(
+        spark.createDataFrame([("x",)] * 5, "key string"), "key", 1
+    )
+    b = FQ.mg_summary(
+        spark.createDataFrame([("y",)] * 5, "key string"), "key", 1
+    )
+    ab = FQ.mg_merge(a, b, 1)
+    assert [tuple(r) for r in ab.collect()] == [(None, 0, 10, 5)]
+    # fold a third summary in: validity must hold vs the 15-row union
+    c = FQ.mg_summary(
+        spark.createDataFrame(
+            [("z",)] * 4 + [("x",)], "key string"
+        ),
+        "key", 1,
+    )
+    final = {r["key"]: r for r in FQ.mg_merge(ab, c, 1).collect()}
+    true = {"x": 6, "y": 5, "z": 4}
+    any_row = next(iter(final.values()))
+    assert any_row["n_total"] == 15
+    err = any_row["err"]
+    for k, t in true.items():
+        got = final[k]["counter"] if k in final else 0
+        assert got <= t and t - got <= err, (k, t, got, err)
+
+
+def test_mg_grouped_fully_cancelled_group_keeps_metadata(spark):
+    """A group whose merged counters fully cancel keeps its (n_total,
+    err) via a per-group anchor row instead of vanishing — the same
+    metadata-wipe class as the global merge, at group granularity."""
+    a = FQ.mg_summary_grouped(
+        spark.createDataFrame(
+            [("g", "x")] * 5 + [("h", "p")] * 3, "grp string, key string"
+        ),
+        "key", 1, ["grp"],
+    )
+    b = FQ.mg_summary_grouped(
+        spark.createDataFrame([("g", "y")] * 5, "grp string, key string"),
+        "key", 1, ["grp"],
+    )
+    merged = FQ.mg_merge_grouped(a, b, 1, ["grp"])
+    rows = {
+        (r["grp"], r["key"]): (r["counter"], r["n_total"], r["err"])
+        for r in merged.collect()
+    }
+    assert rows == {
+        ("g", None): (0, 10, 5),  # fully-cancelled group: anchor only
+        ("h", "p"): (3, 3, 0),
+        ("h", None): (0, 3, 0),
+    }
+    # anchors fold correctly through a further per-group merge
+    c = FQ.mg_summary_grouped(
+        spark.createDataFrame([("g", "z")] * 4, "grp string, key string"),
+        "key", 1, ["grp"],
+    )
+    final = {
+        (r["grp"], r["key"]): (r["counter"], r["n_total"], r["err"])
+        for r in FQ.mg_merge_grouped(merged, c, 1, ["grp"]).collect()
+    }
+    assert final == {
+        ("g", "z"): (4, 14, 5),
+        ("g", None): (0, 14, 5),
+        ("h", "p"): (3, 3, 0),
+        ("h", None): (0, 3, 0),
+    }
+
+
+def test_mg_spark_fold_matches_model_with_degenerate_substreams(spark):
+    """The Spark faces fold exactly like the pure state algebra, over
+    chains that include EMPTY substreams and full cancellations — the
+    input class the r8 hypothesis model could not reach because it
+    carries (n, err) out-of-band as a tuple."""
+    from collections import Counter
+
+    def build(stream, m):
+        counts = Counter(stream)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        err = ranked[m][1] if len(ranked) > m else 0
+        return dict(ranked[:m]), len(stream), err
+
+    def merge(a, b, m):
+        ca, na, ea = a
+        cb, nb, eb = b
+        summed = Counter(ca) + Counter(cb)
+        ranked = sorted(summed.items(), key=lambda kv: (-kv[1], kv[0]))
+        C = ranked[m][1] if len(ranked) > m else 0
+        kept = {k: c - C for k, c in ranked[:m] if c - C > 0}
+        return kept, na + nb, ea + eb + C
+
+    cases = [
+        ([[], ["x"] * 3 + ["y"], []], 2),
+        ([["x"] * 5, ["y"] * 5, ["z"] * 4 + ["x"]], 1),
+        ([[], [], []], 3),
+        ([["a", "b", "c", "a"], [], ["b"] * 3, ["d", "d", "a"]], 2),
+    ]
+    for substreams, m in cases:
+        state_df, state_py = None, None
+        for s in substreams:
+            df = (
+                spark.createDataFrame([(k,) for k in s], "key string")
+                if s
+                else spark.createDataFrame([], "key string")
+            )
+            summ = FQ.mg_summary(df, "key", m)
+            built = build(s, m)
+            if state_df is None:
+                state_df, state_py = summ, built
+            else:
+                state_df = FQ.mg_merge(state_df, summ, m)
+                state_py = merge(state_py, built, m)
+        counters, n, err = state_py
+        rows = state_df.collect()
+        exp = [(k, c, n, err) for k, c in counters.items()] + [
+            (None, 0, n, err)  # the unconditional metadata anchor
+        ]
+        assert sorted(map(tuple, rows), key=str) == sorted(
+            exp, key=str
+        ), (substreams, m)
+
+
+def test_mg_sink_skips_empty_batch(spark, tmp_path):
+    """An empty micro-batch leaves the standing MG state byte-for-byte
+    untouched (no new version) — defense in depth over the anchor fix."""
+    from subgraph_extractor_spark.streaming.demo import (
+        mg_heavy_hitters_sink,
+        serve_mg_heavy_hitters,
+        _state_versions,
+    )
+
+    state_dir = str(tmp_path / "mg_state")
+    sink = mg_heavy_hitters_sink(spark, state_dir, key_col="key", m=2)
+    sink(spark.createDataFrame([("x",)] * 3, "key string"), 0)
+    before = sorted(
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect()),
+        key=str,
+    )
+    sink(spark.createDataFrame([], "key string"), 1)
+    assert [v for v, _ in _state_versions(state_dir)] == [0]
+    assert before == sorted(
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect()),
+        key=str,
+    )
 
 
 def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
@@ -289,7 +462,8 @@ def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
     assert q.exception() is None
 
     served = sorted(
-        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect())
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect()),
+        key=str,
     )
     # batch replay of the same fold (batch order == file order)
     s0 = FQ.mg_summary(
@@ -298,7 +472,9 @@ def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
     s1 = FQ.mg_summary(
         df.filter("i % 2 = 1").select("key"), "key", m
     )
-    assert served == sorted(map(tuple, FQ.mg_merge(s0, s1, m).collect()))
+    assert served == sorted(
+        map(tuple, FQ.mg_merge(s0, s1, m).collect()), key=str
+    )
 
     # validity vs the union's truth
     from collections import Counter
@@ -312,7 +488,8 @@ def test_mg_streaming_sink_matches_batch_fold(spark, tmp_path):
     sink = mg_heavy_hitters_sink(spark, state_dir, key_col="key", m=m)
     sink(df.filter("i % 2 = 1").select("key"), last_v)
     assert served == sorted(
-        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect())
+        map(tuple, serve_mg_heavy_hitters(spark, state_dir).collect()),
+        key=str,
     )
 
 
@@ -345,8 +522,10 @@ def test_mg_grouped_validity_per_group(spark):
     by_lang = {}
     for r in merged.collect():
         assert r["n_total"] == n_by_lang[r["lang"]]
-        assert r["counter"] <= true[(r["lang"], r["key"])]
-        assert true[(r["lang"], r["key"])] - r["counter"] <= r["err"]
+        # per-group anchors (key None) count 0 against a true freq of 0
+        t = true.get((r["lang"], r["key"]), 0)
+        assert r["counter"] <= t
+        assert t - r["counter"] <= r["err"]
         by_lang.setdefault(r["lang"], (set(), r["err"]))[0].add(r["key"])
     for (lang, k), t in true.items():
         present, err = by_lang[lang]
@@ -356,7 +535,8 @@ def test_mg_grouped_validity_per_group(spark):
 
 def test_mg_grouped_equals_global_per_group(spark):
     """A grouped summary restricted to one group == the global summary
-    of that group's rows (same build rule, keyed instead of anchored)."""
+    of that group's rows (same build rule and anchor representation,
+    group-keyed instead of 1-row-broadcast)."""
     keys = _zipf_keys(41, n=900)
     rows = [(i, "g0" if i % 3 else "g1", k) for i, k in enumerate(keys)]
     df = spark.createDataFrame(rows, "i long, grp string, key string")
@@ -366,13 +546,17 @@ def test_mg_grouped_equals_global_per_group(spark):
     )
     for grp in ("g0", "g1"):
         got = sorted(
-            (r["key"], r["counter"], r["n_total"], r["err"])
-            for r in grouped.filter(F.col("grp") == grp).collect()
+            (
+                (r["key"], r["counter"], r["n_total"], r["err"])
+                for r in grouped.filter(F.col("grp") == grp).collect()
+            ),
+            key=str,
         )
         exp = sorted(
             map(tuple, FQ.mg_summary(
                 df.filter(F.col("grp") == grp).select("key"), "key", m
-            ).collect())
+            ).collect()),
+            key=str,
         )
         assert got == exp, grp
 
@@ -397,7 +581,9 @@ def test_mg_grouped_one_sided_group_passthrough(spark):
     assert merged == {
         ("g0", "x"): (4, 5, 0),
         ("g0", "y"): (1, 5, 0),
+        ("g0", None): (0, 5, 0),
         ("g1", "z"): (3, 3, 0),
+        ("g1", None): (0, 3, 0),
     }
 
 

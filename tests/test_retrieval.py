@@ -275,6 +275,44 @@ def test_champion_merge_serving_equivalence(corpus):
     assert got == exp
 
 
+def test_champion_merge_survives_rowless_side(spark, corpus):
+    """A state built from docs that are ALL empty/tokenless has no
+    posting rows yet still counts its docs: it must carry n_docs
+    through the merge via the champ_rank-0 anchor row, keeping merged
+    idf == one-shot rebuild (the r8-advice rows-carry-metadata flaw:
+    distinct over unioned rows lost the row-less side's count)."""
+    empties = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "   ")], "doc_id bigint, text string"
+    )
+    e_state = R.champion_lists(empties, "doc_id", "text", m=2)
+    assert [tuple(r) for r in e_state.collect()] == [
+        (None, 0, 3, None, 0, 0)
+    ]
+    merged = R.merge_champion_lists(
+        R.champion_lists(corpus, "doc_id", "text", m=2), e_state, m=2
+    )
+    rebuilt = R.champion_lists(
+        corpus.unionByName(empties), "doc_id", "text", m=2
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # serving parity (idf depends on the merged n_docs), both orders
+    merged_rev = R.merge_champion_lists(
+        e_state, R.champion_lists(corpus, "doc_id", "text", m=2), m=2
+    )
+    for state in (merged, merged_rev):
+        got = [
+            tuple(r)
+            for r in R.champion_topk(state, ["join", "vector"], k=4).collect()
+        ]
+        exp = [
+            tuple(r)
+            for r in R.champion_topk(rebuilt, ["join", "vector"], k=4).collect()
+        ]
+        assert got == exp
+
+
 def test_champion_merge_schema_validation(corpus):
     ch = R.champion_lists(corpus, "doc_id", "text", m=2)
     with pytest.raises(ValueError):

@@ -478,3 +478,66 @@ def test_binary_sig64_matches_packed_distance(spark, emb):
 def test_binary_sig64_dim_validation(spark, emb):
     with pytest.raises(ValueError):
         similarity.binary_sign_sig64(emb, "embedding", "vec_id", 65)
+
+
+def test_lsh_portable_topk_matches_python_reference(spark, emb):
+    """The exact-integer sign-LSH pipeline (quantize -> integer plane
+    signs -> banded candidates -> int64-dot top-k) against a pure-
+    python/numpy replay of the SAME integer algebra — the engine-
+    portability property the DuckDB oracle relies on, certified
+    in-process."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(V * 1024.0).astype(np.int64)
+    planes = np.array(
+        similarity.int_lsh_planes(64, 32, seed=29), dtype=np.int64
+    )
+    signs = (q @ planes.T >= 0).astype(np.int64)  # (n, 32)
+    weights = 1 << np.arange(8)
+    bands = signs.reshape(len(q), 4, 8) @ weights  # (n, 4)
+    buckets = {}
+    for i in range(len(q)):
+        for b in range(4):
+            buckets.setdefault((b, bands[i, b]), []).append(i)
+    cands = {}
+    for members in buckets.values():
+        for i in members:
+            for j in members:
+                if i != j:
+                    cands.setdefault(i, set()).add(j)
+    k = 5
+    exp = set()
+    for i, cs in cands.items():
+        scored = sorted(
+            ((int(q[i] @ q[j]), int(ids[j])) for j in cs),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (dot, nid) in enumerate(scored, 1):
+            exp.add((int(ids[i]), nid, dot, rank))
+
+    got = {
+        tuple(r)
+        for r in similarity.lsh_portable_topk(
+            emb, "embedding", "vec_id", k=k
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_quantize_int_vec_floor_is_portable(spark):
+    """floor(v * 2^s) must be exact for float32 inputs (power-of-two
+    scaling is exponent arithmetic) including negative values — the
+    half-way cases where round() would diverge across engines."""
+    vals = [0.5, -0.5, 0.0009765625, -0.0009765625, 1.25, -1.25, 0.0]
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in vals])], "id long, v array<float>"
+    )
+    got = df.select(
+        similarity.quantize_int_vec(F.col("v"), 10).alias("q")
+    ).first()["q"]
+    import math
+
+    assert got == [math.floor(v * 1024.0) for v in vals]

@@ -4,69 +4,52 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-8 window, continuation revision: the eight queries authored in the
-r8 continuation (ann_hamming, ann_hamming_rerank, retrieval_champion,
-graph_lpa, dedup_prefix_jaccard, sketch_mg_heavy_hitters,
-pipeline_corpus_diff, f_global_rank) are
-never-driver-checked and so outrank eight stale-refresh slots, which
-move just below the line (the j2_anti_join precedent): a4_rollup,
-a1_minmax_watermark, f_udaf, a9_percentiles, a10_approx_distinct,
-a11_approx_percentile, j3_semi_join, a6_distinct_agg — every one of them carries a
-green r2/r3 driver row AND was independently judge-verified green in
-the r7 review (a4_rollup, a1_minmax_watermark, f_udaf,
-a9_percentiles, a10_approx_distinct, j3_semi_join explicitly; a11
-green r3).  The rest of the r8
-window (the r7 verdict's task-#6 rotation of every pre-r4 row, plus
-the four earlier-r8 additions ann_ivfpq_served / dedup_cdc_novelty /
-retrieval_eval / ann_filtered) is unchanged."""
+Round-9 window (the r8 verdict's task #6 rotation): the ten stalest
+driver rows return — a4_rollup, a6_distinct_agg, j2_anti_join,
+j3_semi_join (r2-era), a10_approx_distinct, a11_approx_percentile,
+a1_minmax_watermark, a9_percentiles, f_udaf (r3), a12_hll_incremental
+(r4) — plus the never-driver-checked ann_lsh_portable (r8 verdict task
+#7: the full-value exact-integer LSH twin), which takes the rows-only
+ann_lsh's slot.  Displaced below the line with doubly-fresh evidence
+(green r3-era AND r8 rows): a5_ngram_stats, f_window_tumbling,
+dedup_exact, dedup_ngram_jaccard, text_tokens, text_quality,
+pipeline_clean_corpus, pipeline_pack_sequences, sample_stratified,
+sample_group_topk, and ann_lsh itself.  text_lang stays in-window
+deliberately: its scorer was restructured this round (task #1 codegen
+fix) and needs a fresh driver row."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # r2-era evidence (j2_anti_join, j3_semi_join and a6_distinct_agg
-    # sit just below the line, the r7 precedent)
-    "a5_ngram_stats",
-    # r3-era evidence
-    "f_window_tumbling", "dedup_exact", "dedup_ngram_jaccard",
-    "text_tokens", "text_quality",
-    "text_lang", "pipeline_clean_corpus", "pipeline_pack_sequences",
-    "sample_stratified",
-    "sample_group_topk", "text_pii_redact", "dedup_chunks",
-    "text_repetition", "layout_zorder",
+    # r8-green rows kept one more round (text_lang: the codegen fix
+    # needs fresh driver evidence; the rest are the r8 window's tail)
+    "text_lang",
+    "text_pii_redact", "dedup_chunks", "text_repetition", "layout_zorder",
     "sample_mixture", "s1_range_scan", "p6_uint256_sum",
     "j1_catalog_join_chain", "j5_range_join",
     "j6_asof_join", "j4_similarity_topk", "sim_topk_matmul",
     "a3_pricing_summary", "w1_latest_version", "dedup_minhash",
-    "dedup_simhash", "ann_lsh",
-    "f_array", "f_collect", "f_udtf", "f_map", "f_hash",
-    "f_bitwise",
+    "dedup_simhash",
+    # new in r9: exact-integer sign-LSH, full-value DuckDB oracle
+    "ann_lsh_portable",
+    "f_array", "f_collect", "f_udtf", "f_map", "f_hash", "f_bitwise",
     "f_date", "text_fingerprint", "text_clean", "pipeline_stable_split",
-    # new in r8: the persist -> reload -> search serving loop and
-    # the chunk-level novelty signal — both never driver-checked
-    "ann_ivfpq_served",
-    "dedup_cdc_novelty",
-    # new in late r8: IR-evaluation metrics + metadata-filtered vector
-    # search
-    "retrieval_eval",
-    "ann_filtered",
-    # new in the r8 continuation: binary-quantized Hamming search
-    # (coarse + exact-rerank), champion-list pruned lexical serving,
-    # label-propagation communities, prefix-filtered exact Jaccard,
-    # Misra-Gries mergeable heavy hitters — all never driver-checked
-    "ann_hamming",
-    "ann_hamming_rerank",
-    "retrieval_champion",
-    "graph_lpa",
-    "dedup_prefix_jaccard",
-    "sketch_mg_heavy_hitters",
-    "pipeline_corpus_diff",
-    "f_global_rank",
+    "ann_ivfpq_served", "dedup_cdc_novelty", "retrieval_eval",
+    "ann_filtered", "ann_hamming", "ann_hamming_rerank",
+    "retrieval_champion", "graph_lpa", "dedup_prefix_jaccard",
+    "sketch_mg_heavy_hitters", "pipeline_corpus_diff", "f_global_rank",
+    # the task-#6 stale-evidence rotation block
+    "a4_rollup", "a6_distinct_agg", "j2_anti_join", "j3_semi_join",
+    "a10_approx_distinct", "a11_approx_percentile", "a1_minmax_watermark",
+    "a9_percentiles", "f_udaf", "a12_hll_incremental",
 ]
 
 # rows-only by design (raw pair/bucket dumps whose correctness rides on
 # an oracled contract twin: dedup_minhash_recall /
-# dedup_simhash_portable / ann_lsh_recall, all green in prior rounds)
-ROWS_ONLY = {"dedup_minhash", "dedup_simhash", "ann_lsh"}
+# dedup_simhash_portable, both green in prior rounds).  ann_lsh left
+# the window this round — its oracled evidence rides ann_lsh_recall
+# AND the new full-value ann_lsh_portable.
+ROWS_ONLY = {"dedup_minhash", "dedup_simhash"}
 
 
 def test_driver_window_is_frozen():
