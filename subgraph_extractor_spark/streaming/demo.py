@@ -1133,6 +1133,12 @@ def champion_lists_sink(
                 f"{batch_id} — state from a different run; point the sink "
                 "at a fresh state_dir (or restore the matching checkpoint)"
             )
+        if batch_df.isEmpty():
+            # defense in depth (the mg sink discipline): an empty batch
+            # folds as the identity anyway (champion_lists emits an
+            # n_docs-0 anchor, merge adds 0), but a new state version
+            # for it buys nothing — leave the standing state untouched
+            return
         new = retrieval.champion_lists(batch_df, id_col, text_col, m=m)
         latest = _latest_state_version(state_dir, before=batch_id)
         if latest is not None:
