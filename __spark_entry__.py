@@ -3352,7 +3352,7 @@ def q_sketch_mg_heavy_hitters(spark, sf):
     trimmed = F.trim(F.lower(F.col("text")))
     toks = d.filter(trimmed != "").select(
         F.col("doc_id"), F.explode(F.split(trimmed, r"\s+")).alias("tok")
-    )
+    ).persist()
     m = 24
     shards = [
         freq_ops.mg_summary(
@@ -3363,6 +3363,11 @@ def q_sketch_mg_heavy_hitters(spark, sf):
     out = shards[0]
     for s in shards[1:]:
         out = freq_ops.mg_merge(out, s, m)
+    # mg_merge is eager (bounded-state localCheckpoint per fold), so
+    # the result is fully materialized here — the token cache only has
+    # to live for this fold and releases before returning (without it,
+    # each of the four shard summaries re-runs the explode scan)
+    toks.unpersist()
     return out
 
 

@@ -666,3 +666,91 @@ def test_mg_state_algebra_property():
         assert err <= n  # sanity; the sharp bound is checked via laws
 
     check()
+
+
+def test_mg_row_encoding_algebra_property():
+    """Hypothesis over the ROW-LEVEL encoding the Spark faces use —
+    key rows (counter >= 1) plus ONE unconditional (None, 0, n, err)
+    metadata anchor — against the abstract (counters, n, err) algebra,
+    over random stream splits INCLUDING empty substreams.  This is the
+    input/encoding class the r8 model could not reach (it carried
+    metadata out-of-band as a tuple), which is exactly how the
+    metadata-wipe bug shipped: the encoding, not the algebra, was
+    wrong."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # abstract algebra (same as test_mg_state_algebra_property)
+    def build(stream, m):
+        counts = Counter(stream)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        err = ranked[m][1] if len(ranked) > m else 0
+        return dict(ranked[:m]), len(stream), err
+
+    def merge(a, b, m):
+        ca, na, ea = a
+        cb, nb, eb = b
+        summed = Counter(ca) + Counter(cb)
+        ranked = sorted(summed.items(), key=lambda kv: (-kv[1], kv[0]))
+        C = ranked[m][1] if len(ranked) > m else 0
+        kept = {k: c - C for k, c in ranked[:m] if c - C > 0}
+        return kept, na + nb, ea + eb + C
+
+    # row-level encoding: mirrors freq.mg_summary / mg_merge exactly
+    def rows_build(stream, m):
+        counters, n, err = build(stream, m)
+        return [(k, c, n, err) for k, c in counters.items()] + [
+            (None, 0, n, err)
+        ]
+
+    def rows_merge(a_rows, b_rows, m):
+        # metadata via a TOTAL 1-row aggregate (max; 0 on zero rows)
+        na = max((r[2] for r in a_rows), default=0)
+        ea = max((r[3] for r in a_rows), default=0)
+        nb = max((r[2] for r in b_rows), default=0)
+        eb = max((r[3] for r in b_rows), default=0)
+        summed = Counter()
+        for k, c, *_ in a_rows:
+            if c > 0:
+                summed[k] += c
+        for k, c, *_ in b_rows:
+            if c > 0:
+                summed[k] += c
+        ranked = sorted(summed.items(), key=lambda kv: (-kv[1], kv[0]))
+        C = ranked[m][1] if len(ranked) > m else 0
+        n, err = na + nb, ea + eb + C
+        body = [
+            (k, c - C, n, err) for k, c in ranked[:m] if c - C > 0
+        ]
+        return body + [(None, 0, n, err)]
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 12), min_size=0, max_size=60),
+            min_size=1,
+            max_size=5,
+        ),
+        st.integers(1, 6),
+    )
+    @settings(max_examples=500, deadline=None)
+    def check(substreams, m):
+        abstract = build(substreams[0], m)
+        rows = rows_build(substreams[0], m)
+        for s in substreams[1:]:
+            abstract = merge(abstract, build(s, m), m)
+            rows = rows_merge(rows, rows_build(s, m), m)
+        counters, n, err = abstract
+        exp = sorted(
+            [(k, c, n, err) for k, c in counters.items()]
+            + [(None, 0, n, err)],
+            key=str,
+        )
+        assert sorted(rows, key=str) == exp
+        # the encoding alone must reconstruct the metadata — the law
+        # the old rows-carry-metadata encoding broke on empty key sets
+        assert max((r[2] for r in rows), default=-1) == n
+        assert max((r[3] for r in rows), default=-1) == err
+
+    check()
