@@ -43,6 +43,7 @@ from subgraph_extractor_spark.operators import pca as pca_ops
 from subgraph_extractor_spark.operators import pq as pq_ops
 from subgraph_extractor_spark.operators import dedup as dedup_ops
 from subgraph_extractor_spark.operators import freq as freq_ops
+from subgraph_extractor_spark.operators import quantiles as quant_ops
 from subgraph_extractor_spark.operators import graph as graph_ops
 from subgraph_extractor_spark.operators import histogram as hist_ops
 from subgraph_extractor_spark.operators import lm as lm_ops
@@ -3371,6 +3372,42 @@ def q_sketch_mg_heavy_hitters(spark, sf):
     return out
 
 
+def q_sketch_quantile_mergeable(spark, sf):
+    # Deterministic mergeable quantile summary (quantiles.py — the
+    # Munro-Paterson/MRL collapse pinned deterministic): the
+    # rank/distribution member of the standing-sketch family.  Four
+    # deterministic sub-streams (l_orderkey % 4) of exact price cents
+    # each build a k=32 weighted middle-of-bucket summary (ranked via
+    # layout.global_rank — no single-partition window over the data);
+    # a left-fold of eager merges collapses them.  Everything is exact
+    # integer arithmetic with value-tie determinism, so the FULL state
+    # (idx, value, weight, n_total, err) incl. the metadata anchor row
+    # replays bit-exactly in DuckDB via chained MATERIALIZED CTEs.
+    # Integerization is floor(x * 128): the fixture stores the price as
+    # DOUBLE, and x*100 is inexact there — CAST of the product would
+    # TRUNCATE on Spark but ROUND on DuckDB; a power-of-two scale is
+    # pure exponent arithmetic and floor is exact on both engines (the
+    # ann_lsh_portable quantization discipline).
+    li = _t(spark, sf, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(128.0))
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+    )
+    k, n_shards = 32, 4
+    state = None
+    for s in range(n_shards):
+        summ = quant_ops.quantile_summary(
+            li.filter(F.col("l_orderkey") % n_shards == s).select("cents"),
+            "cents",
+            k,
+        )
+        state = summ if state is None else quant_ops.quantile_merge(
+            state, summ, k
+        )
+    return state
+
+
 def q_corpus_overlap(spark, sf):
     # corpus-pair contamination estimate under the error-bound contract:
     # HLL inclusion-exclusion intersection (no key shuffle — the 100 TB
@@ -4794,7 +4831,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # restructured this round (r8 verdict task #1 codegen fix) and the
     # fix needs a fresh driver row.
     "text_lang": q_text_lang,
-    "text_pii_redact": q_text_pii_redact,
+    # new in r9: deterministic mergeable quantile summary (never
+    # driver-checked — takes the text_pii_redact slot, which holds
+    # green r3-era and r8 rows and moves just below the line)
+    "sketch_quantile_mergeable": q_sketch_quantile_mergeable,
     "dedup_chunks": q_dedup_chunks,
     "text_repetition": q_text_repetition,
     "layout_zorder": q_layout_zorder,
@@ -4848,6 +4888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-query window ----
     # displaced by the r9 rotation (each holds green r3-era AND r8
     # driver rows, so their evidence is the freshest in the repo)
+    "text_pii_redact": q_text_pii_redact,
     "a5_ngram_stats": q_a5_ngram_stats,
     "f_window_tumbling": q_f_window_tumbling,
     "dedup_exact": q_dedup_exact,
@@ -8647,6 +8688,13 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["text_lang"] = _lang_pred_sql()
     out["ann_lsh_portable"] = _ann_lsh_portable_sql()
+    out["sketch_quantile_mergeable"] = quant_ops.quantile_oracle_sql(
+        "SELECT l_extendedprice, l_orderkey FROM lineitem",
+        "floor(l_extendedprice * 128.0)",
+        "l_orderkey % 4",
+        4,
+        32,
+    )
     out["text_bm25"] = _bm25_oracle_sql(_BM25_TERMS)
     # text_quality mirrors quality_features exactly (per-row IEEE math)
     d2 = "regexp_replace(concat(' ', trim(lower(text)), ' '), '\\s+', '  ', 'g')"

@@ -151,6 +151,10 @@ HEADLINE = [
     # r9 addition: exact-integer sign-LSH top-k (the full-value-oracle
     # twin of ann_lsh) — first recorded r9 for r10+ comparability.
     "ann_lsh_portable",
+    # late-r9 addition: deterministic mergeable quantile summary
+    # (4-shard build + eager fold over lineitem prices) — first
+    # recorded r9 for r10+ comparability.
+    "sketch_quantile_mergeable",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both

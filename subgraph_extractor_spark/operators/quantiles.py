@@ -1,0 +1,376 @@
+"""Deterministic mergeable quantile summary — the rank/distribution
+member of the standing-sketch family (HLL ~ distinct counts, count-min
+~ point frequencies, Misra-Gries ~ heavy hitters, KMV ~ overlap; this
+~ quantiles): a bounded k-row summary of a numeric column that answers
+any rank/quantile query within a CARRIED error bound and merges with
+other summaries without revisiting their data — the Munro-Paterson /
+MRL collapse family, pinned deterministic.
+
+Classical quantile sketches (GK, KLL, t-digest) are arrival-order- or
+RNG-dependent; every choice here is a pure function of the data so the
+whole shard-and-merge tree is engine-portable and FULL-VALUE
+oracle-checkable (the Misra-Gries discipline of freq.py):
+
+- build over a batch: sort, then one sample per bucket
+  ``[floor(i*n/k), floor((i+1)*n/k))`` at the bucket's MIDDLE rank
+  ``t_i = floor(i*n/k) + (w_i - 1) // 2`` with integer weight
+  ``w_i = floor((i+1)*n/k) - floor(i*n/k)`` (weights sum to n
+  exactly; empty buckets are skipped, so n <= k is EXACT);
+- merge: union the weighted samples (equal values combine — ties
+  collapse, making the cumulative order total), take the element at
+  weighted middle-rank of each of k fresh buckets over N = n_a + n_b;
+- carried error: ``err' = err_a + err_b + E(N)`` with
+  ``E(n) = n // (2k) + 1`` — selecting a bucket's middle misplaces a
+  rank by at most half the bucket width, and each input sample's
+  weighted position is within its own summary's err of its true rank.
+
+State row: ``(idx, value, weight, n_total, err)`` plus ONE
+unconditional ``(NULL, NULL, 0, n_total, err)`` metadata anchor row —
+the lesson of the r9 Misra-Gries fix applied from day one: zero rows
+cannot carry metadata, and an empty batch is a legitimate algebra
+element.  ``quantile_merge`` is EAGER (localCheckpoint of the <= k+1
+row result) for the same reason ``mg_merge`` is: lazy fold chains grow
+the plan tree exponentially.
+
+Validity law (tested, python-truth + hypothesis): for any target rank
+``r`` in [0, n), the summary's answer — the sample whose cumulative
+weight interval contains ``r`` — has a true rank interval within
+``err`` of ``r``.
+
+Scale shape: the build ranks via ``layout.global_rank`` (range
+repartition + local sort + two-level prefix sum — NO single-partition
+window over the data), the k-row bucket table broadcasts onto the
+ranked relation, and every merge-side window runs over <= 2k rows.
+The 100 TB use mirrors MG: one summary per batch/partition, folded in
+a tree; history is never re-sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_QS_COLS = ["idx", "value", "weight", "n_total", "err"]
+
+
+def _err_expr(n_col: str, k: int) -> str:
+    """E(n) = n // (2k) + 1 for n > 0, else 0 — the per-collapse rank
+    slack (half the largest bucket, rounded up)."""
+    return (
+        f"CASE WHEN {n_col} > 0 THEN {n_col} DIV {2 * k} + 1 "
+        f"ELSE 0 END"
+    )
+
+
+def quantile_summary(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Summary of a batch: k weighted middle-of-bucket order
+    statistics (exact when the batch has <= k rows).  NULL values are
+    excluded (SQL aggregate convention).  Values must be integral
+    (cast upstream — exact-integer arithmetic is what makes the state
+    engine-portable)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from subgraph_extractor_spark.operators.layout import global_rank
+
+    vals = df.select(
+        F.col(value_col).cast("long").alias("value")
+    ).filter(F.col("value").isNotNull())
+    n_row = vals.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = global_rank(vals, ["value"], rank_col="_rk")  # 1-based
+    buckets = (
+        n_row.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
+            "n_total",
+        )
+        .select(
+            F.col("idx").cast("int").alias("idx"),
+            "n_total",
+            F.expr(
+                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
+            ).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .select(
+            "idx",
+            "n_total",
+            "weight",
+            F.expr(
+                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
+            ).alias("_t"),
+        )
+    )
+    body = (
+        ranked.join(
+            F.broadcast(buckets), ranked["_rk"] == buckets["_t"] + 1
+        )
+        .select(
+            "idx",
+            "value",
+            "weight",
+            "n_total",
+            F.expr(_err_expr("n_total", k)).cast("long").alias("err"),
+        )
+    )
+    return body.unionByName(_qs_anchor(n_row, k))
+
+
+def _qs_anchor(n_row: DataFrame, k: int) -> DataFrame:
+    """The unconditional 1-row metadata anchor (idx NULL, value NULL,
+    weight 0, n_total, err)."""
+    return n_row.select(
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("weight"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.expr(_err_expr("n_total", k)).cast("long").alias("err"),
+    )
+
+
+def quantile_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Collapse two summaries into a valid summary of the union:
+    weighted middle-of-bucket re-selection over the combined samples,
+    err = err_a + err_b + E(n_a + n_b).  EAGER (<= k+1-row
+    localCheckpoint), the mg_merge discipline."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if a.columns != _QS_COLS or b.columns != _QS_COLS:
+        raise ValueError(
+            f"expected quantile summaries with columns {_QS_COLS}"
+        )
+    from pyspark.sql import Window
+
+    meta_a = a.agg(
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_na"),
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_ea"),
+    )
+    meta_b = b.agg(
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_nb"),
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_eb"),
+    )
+    meta = meta_a.crossJoin(F.broadcast(meta_b)).select(
+        (F.col("_na") + F.col("_nb")).alias("n_total"),
+        (
+            F.col("_ea")
+            + F.col("_eb")
+            + F.expr(_err_expr("(_na + _nb)", k))
+        ).cast("long").alias("err"),
+    )
+    # equal values COMBINE, so the cumulative order below is total and
+    # the selection deterministic; anchors (weight 0) drop out.  The
+    # window runs over <= 2k rows — bounded state, like the MG ranks.
+    combined = (
+        a.select("value", "weight")
+        .unionByName(b.select("value", "weight"))
+        .filter(F.col("weight") > 0)
+        .groupBy("value")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = combined.select(
+        "value", "weight", F.sum("weight").over(w).alias("_cum")
+    )
+    buckets = (
+        meta.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
+            "n_total",
+            "err",
+        )
+        .select(
+            F.col("idx").cast("int").alias("idx"),
+            "n_total",
+            "err",
+            F.expr(
+                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
+            ).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .select(
+            "idx",
+            "n_total",
+            "err",
+            "weight",
+            F.expr(
+                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
+            ).alias("_t"),
+        )
+    )
+    # the sample whose cumulative interval (cum - weight, cum] holds
+    # the 0-based target t, i.e. cum > t AND cum - weight <= t — a
+    # tiny (<= k x 2k) theta join between two bounded relations
+    body = (
+        F.broadcast(buckets)
+        .join(
+            cum.select(
+                F.col("value"),
+                F.col("_cum"),
+                (F.col("_cum") - F.col("weight")).alias("_prev"),
+            ),
+            (F.col("_cum") > F.col("_t")) & (F.col("_prev") <= F.col("_t")),
+        )
+        .select("idx", "value", "weight", "n_total", "err")
+    )
+    return body.unionByName(
+        meta.select(
+            F.lit(None).cast("int").alias("idx"),
+            F.lit(None).cast("long").alias("value"),
+            F.lit(0).cast("long").alias("weight"),
+            F.col("n_total"),
+            F.col("err"),
+        )
+    ).localCheckpoint(eager=True)
+
+
+def quantile_estimate(
+    summary: DataFrame, quantiles: list[float]
+) -> DataFrame:
+    """Answer quantile queries from the standing summary alone: for
+    each q, target rank r = floor(q * (n - 1)), answer = the sample
+    whose cumulative weight interval contains r.  Output (q, rank,
+    value) — empty when the summary holds no data (n = 0)."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if any(q < 0 or q > 1 for q in quantiles):
+        raise ValueError("quantiles must lie in [0, 1]")
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        summary.filter(F.col("weight") > 0)
+        .select(
+            "value",
+            "weight",
+            "n_total",
+            F.sum("weight").over(w).alias("_cum"),
+        )
+    )
+    qs = F.array(*[F.lit(float(q)) for q in sorted(set(quantiles))])
+    targets = (
+        summary.select("n_total")
+        .limit(1)
+        .select(F.explode(qs).alias("q"), "n_total")
+        .select(
+            "q",
+            F.floor(F.col("q") * (F.col("n_total") - 1))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return (
+        F.broadcast(targets)
+        .join(
+            cum,
+            (F.col("_cum") > F.col("rank"))
+            & (F.col("_cum") - F.col("weight") <= F.col("rank")),
+        )
+        .select("q", "rank", "value")
+    )
+
+
+def quantile_oracle_sql(
+    source_cte: str,
+    value_expr: str,
+    shard_expr: str,
+    n_shards: int,
+    k: int,
+) -> str:
+    """DuckDB replay of a deterministic shard-and-left-fold quantile
+    summary run — per-shard builds via ROW_NUMBER ranks + the same
+    floor-arithmetic buckets, merges as chained MATERIALIZED CTEs
+    (non-materialized CTEs re-evaluate per reference — the mg_oracle
+    lesson).  Emits the same final rows INCLUDING the anchor."""
+
+    def err_sql(n: str) -> str:
+        return f"CASE WHEN {n} > 0 THEN {n} // {2 * k} + 1 ELSE 0 END"
+
+    def buckets_sql(tag: str, n_src: str) -> str:
+        """k-row bucket relation (idx, weight, t) over scalar n."""
+        return f"""bk{tag} AS MATERIALIZED (
+            SELECT idx,
+                   ((idx + 1) * n) // {k} - (idx * n) // {k} AS weight,
+                   (idx * n) // {k}
+                     + (((idx + 1) * n) // {k} - (idx * n) // {k} - 1) // 2
+                       AS t
+            FROM (SELECT UNNEST(RANGE({k})) AS idx,
+                         (SELECT n FROM {n_src}) AS n)
+            WHERE ((idx + 1) * n) // {k} - (idx * n) // {k} > 0)"""
+
+    parts = [
+        f"src AS ({source_cte})",
+        f"vals AS (SELECT CAST({value_expr} AS BIGINT) AS value,"
+        f" {shard_expr} AS shard FROM src"
+        f" WHERE {value_expr} IS NOT NULL)",
+    ]
+    for s in range(n_shards):
+        parts.append(
+            f"""rk{s} AS MATERIALIZED (
+                SELECT value,
+                       ROW_NUMBER() OVER (ORDER BY value) - 1 AS rk
+                FROM vals WHERE shard = {s})"""
+        )
+        parts.append(
+            f"n{s} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM rk{s})"
+        )
+        parts.append(buckets_sql(f"s{s}", f"n{s}"))
+        parts.append(
+            f"""s{s} AS MATERIALIZED (
+                SELECT CAST(b.idx AS INT) AS idx, r.value,
+                       CAST(b.weight AS BIGINT) AS weight,
+                       (SELECT n FROM n{s}) AS n_total,
+                       CAST({err_sql(f"(SELECT n FROM n{s})")} AS BIGINT)
+                           AS err
+                FROM bks{s} b JOIN rk{s} r ON r.rk = b.t
+                UNION ALL
+                SELECT NULL, NULL, CAST(0 AS BIGINT),
+                       (SELECT n FROM n{s}),
+                       CAST({err_sql(f"(SELECT n FROM n{s})")} AS BIGINT))"""
+        )
+    prev = "s0"
+    for s in range(1, n_shards):
+        cur = f"t{s}"
+        parts.append(
+            f"""m{s} AS MATERIALIZED (
+                SELECT (SELECT COALESCE(MAX(n_total), 0) FROM {prev})
+                     + (SELECT COALESCE(MAX(n_total), 0) FROM s{s}) AS n,
+                       (SELECT COALESCE(MAX(err), 0) FROM {prev})
+                     + (SELECT COALESCE(MAX(err), 0) FROM s{s}) AS e)"""
+        )
+        parts.append(
+            f"""c{s} AS MATERIALIZED (
+                SELECT value, weight,
+                       SUM(weight) OVER (ORDER BY value) AS cum
+                FROM (SELECT value, SUM(weight) AS weight
+                      FROM (SELECT value, weight FROM {prev}
+                            WHERE weight > 0
+                            UNION ALL
+                            SELECT value, weight FROM s{s}
+                            WHERE weight > 0)
+                      GROUP BY value))"""
+        )
+        parts.append(buckets_sql(f"m{s}", f"m{s}"))
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+                SELECT CAST(b.idx AS INT) AS idx, c.value,
+                       CAST(b.weight AS BIGINT) AS weight,
+                       (SELECT n FROM m{s}) AS n_total,
+                       CAST((SELECT e FROM m{s})
+                            + {err_sql(f"(SELECT n FROM m{s})")} AS BIGINT)
+                           AS err
+                FROM bkm{s} b JOIN c{s} c
+                  ON c.cum > b.t AND c.cum - c.weight <= b.t
+                UNION ALL
+                SELECT NULL, NULL, CAST(0 AS BIGINT),
+                       (SELECT n FROM m{s}),
+                       CAST((SELECT e FROM m{s})
+                            + {err_sql(f"(SELECT n FROM m{s})")} AS BIGINT))"""
+        )
+        prev = cur
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT idx, value, weight, n_total, err FROM {prev}"
+    )

@@ -16,7 +16,10 @@ dedup_exact, dedup_ngram_jaccard, text_tokens, text_quality,
 pipeline_clean_corpus, pipeline_pack_sequences, sample_stratified,
 sample_group_topk, and ann_lsh itself.  text_lang stays in-window
 deliberately: its scorer was restructured this round (task #1 codegen
-fix) and needs a fresh driver row."""
+fix) and needs a fresh driver row.  Late-r9 revision: the new
+sketch_quantile_mergeable (deterministic mergeable quantile summary,
+never driver-checked) takes text_pii_redact's slot (green r3-era AND
+r8 rows — the freshest class, moved just below the line)."""
 
 import __spark_entry__ as em
 
@@ -24,7 +27,10 @@ WINDOW_50 = [
     # r8-green rows kept one more round (text_lang: the codegen fix
     # needs fresh driver evidence; the rest are the r8 window's tail)
     "text_lang",
-    "text_pii_redact", "dedup_chunks", "text_repetition", "layout_zorder",
+    # new in r9: deterministic mergeable quantile summary (takes the
+    # text_pii_redact slot — green r3-era + r8 rows, moved below)
+    "sketch_quantile_mergeable",
+    "dedup_chunks", "text_repetition", "layout_zorder",
     "sample_mixture", "s1_range_scan", "p6_uint256_sum",
     "j1_catalog_join_chain", "j5_range_join",
     "j6_asof_join", "j4_similarity_topk", "sim_topk_matmul",
