@@ -374,3 +374,215 @@ def quantile_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT idx, value, weight, n_total, err FROM {prev}"
     )
+
+
+def quantile_summary_grouped(
+    df: DataFrame, value_col: str, k: int, group_cols: list[str]
+) -> DataFrame:
+    """Per-GROUP quantile summaries — one bounded k-row summary per
+    (language, domain, shard, ...) group: the per-stratum distribution
+    state a mixture pipeline wants ("token-length quantiles PER
+    language").  Same bucket arithmetic, validity law and per-group
+    metadata anchor as the global face, held independently within each
+    group; ranks come from a per-group window (the group-local sort is
+    the irreducible cost of grouped order statistics), every join is a
+    group-key equi-join, and groups with only NULL values are absent
+    (the mg_summary_grouped convention: a group is its rows).
+
+    Output: (*group_cols, idx, value, weight, n_total, err).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use quantile_summary)")
+    from pyspark.sql import Window
+
+    vals = df.select(
+        *group_cols, F.col(value_col).cast("long").alias("value")
+    ).filter(F.col("value").isNotNull())
+    n_tab = vals.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("value")
+    ranked = vals.withColumn("_rk", F.row_number().over(w))
+    buckets = (
+        n_tab.select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
+            "n_total",
+        )
+        .select(
+            *group_cols,
+            F.col("idx").cast("int").alias("idx"),
+            "n_total",
+            F.expr(
+                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
+            ).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .select(
+            *group_cols,
+            "idx",
+            "n_total",
+            "weight",
+            F.expr(
+                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
+            ).alias("_t"),
+        )
+    )
+    body = (
+        ranked.alias("r")
+        .join(
+            buckets.alias("b"),
+            [F.col(f"r.{c}") == F.col(f"b.{c}") for c in group_cols]
+            + [F.col("r._rk") == F.col("b._t") + 1],
+        )
+        .select(
+            *[F.col(f"b.{c}") for c in group_cols],
+            "idx",
+            "value",
+            F.col("b.weight").alias("weight"),
+            "n_total",
+            F.expr(_err_expr("n_total", k)).cast("long").alias("err"),
+        )
+    )
+    anchors = n_tab.select(
+        *group_cols,
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("weight"),
+        "n_total",
+        F.expr(_err_expr("n_total", k)).cast("long").alias("err"),
+    )
+    return body.unionByName(anchors)
+
+
+def quantile_merge_grouped(
+    a: DataFrame, b: DataFrame, k: int, group_cols: list[str]
+) -> DataFrame:
+    """Per-group collapse of two grouped summaries over disjoint
+    sub-streams — a group present on one side only re-buckets from its
+    own samples alone; per-group anchors are unconditional.  All joins
+    keyed by the group columns; per-group cumulative windows run over
+    <= 2k rows.  LAZY like :func:`freq.mg_merge_grouped` (state-sized
+    output); checkpoint between folds past a few levels."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = [*group_cols, "idx", "value", "weight", "n_total", "err"]
+    if a.columns != cols or b.columns != cols:
+        raise ValueError(
+            f"expected grouped quantile summaries with columns {cols}"
+        )
+    from pyspark.sql import Window
+
+    meta = (
+        a.groupBy(*group_cols)
+        .agg(
+            F.max("n_total").cast("long").alias("_na"),
+            F.max("err").cast("long").alias("_ea"),
+        )
+        .join(
+            b.groupBy(*group_cols).agg(
+                F.max("n_total").cast("long").alias("_nb"),
+                F.max("err").cast("long").alias("_eb"),
+            ),
+            group_cols,
+            "full_outer",
+        )
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col("_na"), F.lit(0))
+                + F.coalesce(F.col("_nb"), F.lit(0))
+            ).cast("long").alias("n_total"),
+            (
+                F.coalesce(F.col("_ea"), F.lit(0))
+                + F.coalesce(F.col("_eb"), F.lit(0))
+            ).cast("long").alias("_e_sum"),
+        )
+        .select(
+            *group_cols,
+            "n_total",
+            (
+                F.col("_e_sum")
+                + F.expr(_err_expr("n_total", k))
+            ).cast("long").alias("err"),
+        )
+    )
+    combined = (
+        a.select(*group_cols, "value", "weight")
+        .unionByName(b.select(*group_cols, "value", "weight"))
+        .filter(F.col("weight") > 0)
+        .groupBy(*group_cols, "value")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = combined.select(
+        *group_cols,
+        "value",
+        "weight",
+        F.sum("weight").over(w).alias("_cum"),
+    )
+    buckets = (
+        meta.select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
+            "n_total",
+            "err",
+        )
+        .select(
+            *group_cols,
+            F.col("idx").cast("int").alias("idx"),
+            "n_total",
+            "err",
+            F.expr(
+                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
+            ).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .select(
+            *group_cols,
+            "idx",
+            "n_total",
+            "err",
+            "weight",
+            F.expr(
+                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
+            ).alias("_t"),
+        )
+    )
+    body = (
+        buckets.alias("b")
+        .join(
+            cum.select(
+                *group_cols,
+                F.col("value"),
+                F.col("_cum"),
+                (F.col("_cum") - F.col("weight")).alias("_prev"),
+            ).alias("c"),
+            [F.col(f"b.{g}") == F.col(f"c.{g}") for g in group_cols]
+            + [
+                F.col("c._cum") > F.col("b._t"),
+                F.col("c._prev") <= F.col("b._t"),
+            ],
+        )
+        .select(
+            *[F.col(f"b.{g}") for g in group_cols],
+            "idx",
+            "value",
+            F.col("b.weight").alias("weight"),
+            "n_total",
+            "err",
+        )
+    )
+    anchors = meta.select(
+        *group_cols,
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("weight"),
+        "n_total",
+        "err",
+    )
+    return body.unionByName(anchors)

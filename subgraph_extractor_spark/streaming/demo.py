@@ -1215,3 +1215,58 @@ def serve_mg_heavy_hitters(spark, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no MG summary state under {state_dir}")
     return spark.read.parquet(latest[1])
+
+
+def quantile_summary_sink(
+    spark,
+    state_dir: str,
+    value_col: str = "value",
+    k: int = 64,
+):
+    """foreachBatch sink maintaining the standing mergeable quantile
+    summary (operators/quantiles.py) — continual distribution tracking
+    (document-length / score drift over an ingested corpus): each
+    micro-batch builds its own k-row summary and collapses into the
+    standing state, which never exceeds k+1 rows and answers any
+    rank/quantile query within the carried error bound; history is
+    never re-sorted.  Same v{batch_id} overwrite idempotence +
+    foreign-state guard as the MG sink; a crash-replayed batch
+    re-merges against the PRE-batch version instead of double-counting
+    n_total."""
+    from subgraph_extractor_spark.operators import quantiles
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ahead = [v for v, _ in _state_versions(state_dir) if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"{state_dir} holds versions {sorted(ahead)} beyond batch "
+                f"{batch_id} — state from a different run; point the sink "
+                "at a fresh state_dir (or restore the matching checkpoint)"
+            )
+        if batch_df.isEmpty():
+            # an empty batch folds as the identity (the summary's
+            # metadata anchor makes that safe), but a new state
+            # version buys nothing — the MG sink discipline
+            return
+        new = quantiles.quantile_summary(
+            batch_df.select(value_col), value_col, k
+        )
+        latest = _latest_state_version(state_dir, before=batch_id)
+        if latest is not None:
+            new = quantiles.quantile_merge(
+                spark.read.parquet(latest[1]), new, k
+            )
+        new.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return fold
+
+
+def serve_quantile_summary(spark, state_dir: str) -> DataFrame:
+    """The standing quantile summary from the latest persisted version
+    — (idx, value, weight, n_total, err), self-contained; feed it to
+    ``quantiles.quantile_estimate``.  Sample rows have weight >= 1;
+    the one weight-0 row is the metadata anchor."""
+    latest = _latest_state_version(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no quantile summary state under {state_dir}")
+    return spark.read.parquet(latest[1])

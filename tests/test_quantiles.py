@@ -269,3 +269,170 @@ def test_quantile_algebra_property():
             _law(rows, n, err, allv)
 
     check()
+
+
+def test_grouped_build_equals_global_per_group(spark):
+    """A grouped summary restricted to one group == the global summary
+    of that group's rows (same bucket rule and anchor representation,
+    group-keyed instead of broadcast)."""
+    import random
+
+    rnd = random.Random(43)
+    rows = [
+        ("g0" if i % 3 else "g1", rnd.randint(0, 200)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    k = 7
+    grouped = Q.quantile_summary_grouped(df, "x", k, ["grp"])
+    for grp in ("g0", "g1"):
+        got = sorted(
+            (
+                (r["idx"], r["value"], r["weight"], r["n_total"], r["err"])
+                for r in grouped.filter(F.col("grp") == grp).collect()
+            ),
+            key=str,
+        )
+        exp = sorted(
+            map(
+                tuple,
+                Q.quantile_summary(
+                    df.filter(F.col("grp") == grp).select("x"), "x", k
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert got == exp, grp
+
+
+def test_grouped_merge_validity_per_group(spark):
+    """Each group's merged summary independently satisfies the rank-
+    validity law, including a group present on one side only (which
+    re-collapses from its own samples) and per-group anchors."""
+    import random
+
+    rnd = random.Random(47)
+    rows = []
+    for i in range(900):
+        grp = rnd.choice(["en", "zh"])
+        rows.append((i, grp, rnd.randint(0, 500)))
+    rows += [(10_000 + i, "solo", rnd.randint(0, 99)) for i in range(120)]
+    df = spark.createDataFrame(rows, "i long, grp string, x long")
+    k = 8
+    a = Q.quantile_summary_grouped(
+        df.filter("i % 2 = 0").select("grp", "x"), "x", k, ["grp"]
+    )
+    b = Q.quantile_summary_grouped(
+        df.filter("i % 2 = 1").select("grp", "x"), "x", k, ["grp"]
+    )
+    merged = Q.quantile_merge_grouped(a, b, k, ["grp"])
+    by_grp = {}
+    for r in merged.collect():
+        by_grp.setdefault(r["grp"], []).append(r)
+    truth = {}
+    for _, grp, x in rows:
+        truth.setdefault(grp, []).append(x)
+    assert set(by_grp) == set(truth)
+    for grp, rws in by_grp.items():
+        n = rws[0]["n_total"]
+        err = rws[0]["err"]
+        assert n == len(truth[grp])
+        samples = [
+            (r["idx"], r["value"], r["weight"]) for r in rws if r["weight"]
+        ]
+        assert sum(w for _, _, w in samples) == n
+        assert any(r["weight"] == 0 and r["idx"] is None for r in rws)
+        _law(samples, n, err, truth[grp])
+
+
+def test_grouped_validation(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, x long")
+    with pytest.raises(ValueError):
+        Q.quantile_summary_grouped(df, "x", 2, [])
+    with pytest.raises(ValueError):
+        Q.quantile_summary_grouped(df, "x", 0, ["grp"])
+    s = Q.quantile_summary_grouped(df, "x", 2, ["grp"])
+    with pytest.raises(ValueError):
+        Q.quantile_merge_grouped(s.drop("err"), s, 2, ["grp"])
+    with pytest.raises(ValueError):
+        Q.quantile_merge_grouped(s, s, 0, ["grp"])
+
+
+def test_quantile_streaming_sink_matches_batch_fold(spark, tmp_path):
+    """The streamed standing summary == the batch left-fold of
+    per-batch summaries (exact, incl. err and the anchor), the
+    validity law holds against the union's truth, crash-replay does
+    not double-count, and empty batches leave the state untouched."""
+    import random
+
+    import pyarrow.parquet as papq
+
+    from subgraph_extractor_spark.streaming.demo import (
+        _state_versions,
+        quantile_summary_sink,
+        serve_quantile_summary,
+    )
+
+    rnd = random.Random(53)
+    vals = [rnd.randint(0, 2_000) for _ in range(1_400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, value long"
+    )
+    stage = tmp_path / "qs_src"
+    stage.mkdir()
+    papq.write_table(
+        df.filter("i % 2 = 0").select("value").toArrow(),
+        str(stage / "p0.parquet"),
+    )
+    papq.write_table(
+        df.filter("i % 2 = 1").select("value").toArrow(),
+        str(stage / "p1.parquet"),
+    )
+    k = 9
+    state_dir = str(tmp_path / "qs_state")
+    stream = (
+        spark.readStream.schema("value long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            quantile_summary_sink(spark, state_dir, value_col="value", k=k)
+        )
+        .option("checkpointLocation", str(tmp_path / "qs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    served = sorted(
+        map(tuple, serve_quantile_summary(spark, state_dir).collect()),
+        key=str,
+    )
+    s0 = Q.quantile_summary(df.filter("i % 2 = 0").select("value"), "value", k)
+    s1 = Q.quantile_summary(df.filter("i % 2 = 1").select("value"), "value", k)
+    assert served == sorted(
+        map(tuple, Q.quantile_merge(s0, s1, k).collect()), key=str
+    )
+    # validity vs the union's truth
+    rows = [(i, v, w) for i, v, w, _, _ in served if w > 0]
+    n = max(r[3] for r in served)
+    err = max(r[4] for r in served)
+    assert n == len(vals) and sum(w for _, _, w in rows) == n
+    _law(rows, n, err, vals)
+
+    # crash replay of the last batch id: identical state
+    last_v = max(v for v, _ in _state_versions(state_dir))
+    sink = quantile_summary_sink(spark, state_dir, value_col="value", k=k)
+    sink(df.filter("i % 2 = 1").select("value"), last_v)
+    assert served == sorted(
+        map(tuple, serve_quantile_summary(spark, state_dir).collect()),
+        key=str,
+    )
+    # empty batch: no new version, state byte-identical
+    sink(spark.createDataFrame([], "value long"), last_v + 1)
+    assert max(v for v, _ in _state_versions(state_dir)) == last_v
+    assert served == sorted(
+        map(tuple, serve_quantile_summary(spark, state_dir).collect()),
+        key=str,
+    )
