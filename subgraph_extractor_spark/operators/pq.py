@@ -39,9 +39,14 @@ Scale shape:
   compressed corpus.
 * **Search** (:func:`pq_topk`): the query set broadcasts onto the
   code table (the documented retrieval asymmetry every op in
-  operators/similarity.py uses — the corpus never moves); per-pair
-  cost is m ``element_at`` lookups + a fold, pure codegen; one
-  per-query window takes top-k with the (distance, id) tie-break.
+  operators/similarity.py uses — the corpus never moves); the
+  per-query ADC table comes from an Arrow int64 kernel (the literal-
+  tensor Catalyst formulation computed the same integers but its
+  m*k*dsub expression tree cost fixed seconds of plan/codegen per
+  batch — r9 measured the serving pair 3-6 s -> 0.6-1.2 s at sf0.1);
+  per-pair cost is m ``element_at`` lookups + a fold, pure codegen;
+  one per-query window takes top-k with the (distance, id)
+  tie-break.
 
 The reference engine has no vector search at all (it extracts subgraph
 entity tables, reference cli.py); this family is part of the
@@ -51,6 +56,8 @@ parity.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -285,8 +292,9 @@ def pq_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """ADC search: per query an m x k table of EXACT integer distances
-    from its subvectors to every codeword (pure codegen over the
-    literal codebooks — k*m BIGINTs per query row), then each corpus
+    from its subvectors to every codeword (Arrow int64 kernel — k*m
+    BIGINTs per query row, bit-identical to the former literal-tensor
+    codegen whose plan cost was fixed seconds/batch), then each corpus
     item's approximate distance is m ``element_at`` lookups summed.
     Queries broadcast onto the code table; the per-query top-``k`` by
     (distance asc, doc_id asc) is shuffle-capped by SPARK-37099 (see
@@ -294,34 +302,12 @@ def pq_topk(
     map-partition), never the full Q x N scored set.
 
     Output: (query_id, doc_id, rank, adc_dist)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    scale = float(1 << scale_bits)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
-    )
-    qtable = F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist(
-                        F.slice(q, s * dsub + 1, dsub),
-                        F.array(
-                            *[
-                                F.lit(int(v)).cast("long")
-                                for v in codebooks[s][j]
-                            ]
-                        ),
-                    )
-                    for j in range(len(codebooks[s]))
-                ]
-            )
-            for s in range(m)
-        ]
-    )
+    # query-side ADC tables via the Arrow kernel — the literal-tensor
+    # Catalyst formulation computed the same integers but its m*k*dsub
+    # expression tree cost fixed seconds of planning/codegen per batch
     qside = queries.select(
-        F.col(id_col).alias("query_id"), qtable.alias("_qt")
+        F.col(id_col).alias("query_id"),
+        _qtable_udf(codebooks, scale_bits)(F.col(vec_col)).alias("_qt"),
     )
     adc = F.aggregate(
         F.zip_with(
@@ -532,6 +518,83 @@ def pq_oracle_sql(
                        ORDER BY adc_dist, doc_id) AS INT) AS rank
             FROM scored)
         WHERE rank <= {topk}"""
+    )
+
+
+def _qtable_udf(codebooks: list[list[list[int]]], scale_bits: int):
+    """Arrow kernel: quantize a float-vector column and produce the
+    m x k exact int64 ADC distance table per row — value-identical to
+    the literal-codebook Catalyst formulation (numpy int64 arithmetic
+    is exact and wraps like a JVM long), but WITHOUT the m*k*dsub-term
+    literal expression tree, whose Catalyst/codegen cost is a fixed
+    multi-second tax on EVERY query batch at any data size (the
+    ann_lsh_portable lesson; measured on the serving pair below)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    cb = np.array(codebooks, dtype=np.int64)  # (m, k, dsub)
+    m, _k, dsub = cb.shape
+    scale = float(1 << scale_bits)
+
+    @pandas_udf(ArrayType(ArrayType(LongType())))
+    def qt(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        Q = np.floor(M * scale).astype(np.int64)
+        d = Q.reshape(len(Q), m, 1, dsub) - cb[None, :, :, :]
+        tab = (d * d).sum(axis=3)  # (n, m, k) int64
+        return pd.Series([[r.tolist() for r in t] for t in tab])
+
+    return qt
+
+
+def _probe_qtables(
+    qv: DataFrame,
+    id_type: str,
+    cells: list,
+    codebooks: list,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, cell, _qt): per query its ``nprobe`` nearest cells
+    by exact integer (squared distance asc, cell asc) — stable argsort
+    reproduces the tie-break — each with the RESIDUAL ADC table, in
+    one Arrow kernel over (query_id, q) rows.  Replaces the explode +
+    window + literal-tensor projection whose plan cost was fixed
+    seconds per batch; the values are bit-identical."""
+    C = np.array(cells, dtype=np.int64)  # (n_cells, dim)
+    cb = np.array(codebooks, dtype=np.int64)  # (m, k, dsub)
+    m, _k, dsub = cb.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(
+                pdf["q"].map(lambda v: np.asarray(v, dtype=np.int64))
+                .to_numpy()
+            )
+            diff = Q[:, None, :] - C[None, :, :]
+            dists = (diff * diff).sum(axis=2)  # (n, n_cells)
+            order = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+            qids, cells_out, qts = [], [], []
+            for r in range(len(Q)):
+                for cell in order[r]:
+                    rq = Q[r] - C[cell]
+                    d2 = rq.reshape(m, 1, dsub) - cb
+                    tab = (d2 * d2).sum(axis=2)
+                    qids.append(pdf["query_id"].iloc[r])
+                    cells_out.append(int(cell))
+                    qts.append([t.tolist() for t in tab])
+            yield pd.DataFrame(
+                {"query_id": qids, "cell": cells_out, "_qt": qts}
+            )
+
+    return qv.mapInPandas(
+        gen,
+        schema=f"query_id {id_type}, cell int, _qt array<array<bigint>>",
     )
 
 
@@ -791,45 +854,18 @@ def ivfpq_search(
         quantized_vectors,
     )
 
-    dim = len(cells[0])
-    cells_lit = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in cells
-        ]
-    )
     q = quantized_vectors(queries, vec_col, id_col, scale_bits)
 
     # query side: nprobe nearest cells per query, each row carrying the
-    # residual ADC table for that (query, cell)
+    # residual ADC table for that (query, cell) — one Arrow kernel
+    # (stable argsort = the (dist asc, cell asc) tie-break; identical
+    # integers to the former explode + window + literal-tensor stage,
+    # whose plan cost was fixed seconds per batch)
     if n_queries is not None:
         q = q.orderBy("id").limit(n_queries)
     qv = q.select(F.col("id").alias("query_id"), "q")
-    qc = qv.select(
-        "query_id",
-        "q",
-        F.posexplode(cells_lit).alias("cell", "_cvec"),
-    ).select(
-        "query_id",
-        "cell",
-        F.zip_with("q", F.col("_cvec"), lambda x, c: x - c).alias("_rq"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        _sqdist(
-            F.col("_rq"),
-            F.array(*[F.lit(0).cast("long")] * dim),
-        ).asc(),
-        F.col("cell").asc(),
-    )
-    probed = (
-        qc.withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            "query_id",
-            "cell",
-            _qtable_from_rq(F.col("_rq"), codebooks).alias("_qt"),
-        )
-    )
+    id_type = dict(queries.dtypes)[id_col]
+    probed = _probe_qtables(qv, id_type, cells, codebooks, nprobe)
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
