@@ -3408,6 +3408,23 @@ def q_sketch_quantile_mergeable(spark, sf):
     return state
 
 
+def q_sketch_quantile_grouped(spark, sf):
+    # Per-GROUP mergeable quantile summaries (quantiles.
+    # quantile_summary_grouped): token-length distribution state PER
+    # LANGUAGE — one bounded k=8 summary per lang, each satisfying the
+    # validity law independently, with per-group metadata anchors.
+    # The value expression is EXACTLY text_tokens' oracled token count
+    # (whitespace tokens, ''-safe), so per-row cross-engine equality
+    # is already certified; the oracle replays the per-group ranks and
+    # the floor-bucket arithmetic in one window query.
+    d = _t(spark, sf, "documents")
+    vals = d.select(
+        "lang",
+        ta.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return quant_ops.quantile_summary_grouped(vals, "n_tok", 8, ["lang"])
+
+
 def q_corpus_overlap(spark, sf):
     # corpus-pair contamination estimate under the error-bound contract:
     # HLL inclusion-exclusion intersection (no key shuffle — the 100 TB
@@ -4906,6 +4923,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    # new in late r9 (below the line; never driver-checked — a r10
+    # window-rotation candidate): per-language token-length quantile
+    # summaries, the grouped face of sketch_quantile_mergeable
+    "sketch_quantile_grouped": q_sketch_quantile_grouped,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,
@@ -8688,6 +8709,14 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["text_lang"] = _lang_pred_sql()
     out["ann_lsh_portable"] = _ann_lsh_portable_sql()
+    out["sketch_quantile_grouped"] = quant_ops.quantile_grouped_oracle_sql(
+        "SELECT lang, text FROM documents",
+        "CASE WHEN trim(text) = '' THEN 0 "
+        f"ELSE CAST({_WS_TOKENS} AS BIGINT) END",
+        "lang",
+        "lang",
+        8,
+    )
     out["sketch_quantile_mergeable"] = quant_ops.quantile_oracle_sql(
         "SELECT l_extendedprice, l_orderkey FROM lineitem",
         "floor(l_extendedprice * 128.0)",

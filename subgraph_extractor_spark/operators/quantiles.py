@@ -586,3 +586,51 @@ def quantile_merge_grouped(
         "err",
     )
     return body.unionByName(anchors)
+
+
+def quantile_grouped_oracle_sql(
+    source_cte: str,
+    value_expr: str,
+    group_expr: str,
+    group_alias: str,
+    k: int,
+) -> str:
+    """DuckDB replay of a single :func:`quantile_summary_grouped`
+    build (no merge tree — the grouped face's unit of state is one
+    build per batch): per-group ROW_NUMBER ranks + the same
+    floor-arithmetic buckets, emitting the same rows INCLUDING the
+    per-group anchors.  Output columns: (group_alias, idx, value,
+    weight, n_total, err)."""
+    err = f"CASE WHEN n > 0 THEN n // {2 * k} + 1 ELSE 0 END"
+    return f"""
+    WITH src AS ({source_cte}),
+    vals AS (
+      SELECT {group_expr} AS grp, CAST({value_expr} AS BIGINT) AS value
+      FROM src WHERE ({value_expr}) IS NOT NULL
+    ),
+    rk AS MATERIALIZED (
+      SELECT grp, value,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY value) - 1 AS rk
+      FROM vals
+    ),
+    ng AS MATERIALIZED (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY grp
+    ),
+    bk AS MATERIALIZED (
+      SELECT grp, idx, n,
+             ((idx + 1) * n) // {k} - (idx * n) // {k} AS weight,
+             (idx * n) // {k}
+               + (((idx + 1) * n) // {k} - (idx * n) // {k} - 1) // 2 AS t
+      FROM (SELECT grp, UNNEST(RANGE({k})) AS idx, n FROM ng)
+      WHERE ((idx + 1) * n) // {k} - (idx * n) // {k} > 0
+    )
+    SELECT b.grp AS {group_alias}, CAST(b.idx AS INT) AS idx, r.value,
+           CAST(b.weight AS BIGINT) AS weight, b.n AS n_total,
+           CAST({err.replace("n >", "b.n >").replace("n //", "b.n //")}
+                AS BIGINT) AS err
+    FROM bk b JOIN rk r ON r.grp = b.grp AND r.rk = b.t
+    UNION ALL
+    SELECT grp AS {group_alias}, NULL, NULL, CAST(0 AS BIGINT), n,
+           CAST({err} AS BIGINT)
+    FROM ng
+    """

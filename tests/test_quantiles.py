@@ -436,3 +436,29 @@ def test_quantile_streaming_sink_matches_batch_fold(spark, tmp_path):
         map(tuple, serve_quantile_summary(spark, state_dir).collect()),
         key=str,
     )
+
+
+def test_grouped_oracle_replay_matches_spark(spark):
+    """The grouped single-build oracle (per-group ROW_NUMBER + the
+    same floor buckets) equals quantile_summary_grouped row-for-row,
+    anchors included."""
+    import random
+
+    import duckdb
+
+    rnd = random.Random(61)
+    rows = [
+        (rnd.choice(["a", "b", "c"]), rnd.randint(0, 300))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long")
+    k = 6
+    got = sorted(
+        map(tuple, Q.quantile_summary_grouped(df, "x", k, ["grp"]).collect()),
+        key=str,
+    )
+    vals = ",".join(f"('{g}',{x})" for g, x in rows)
+    sql = Q.quantile_grouped_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(grp, x)", "x", "grp", "grp", k
+    )
+    assert sorted(duckdb.sql(sql).fetchall(), key=str) == got
