@@ -4852,7 +4852,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-checked — takes the text_pii_redact slot, which holds
     # green r3-era and r8 rows and moves just below the line)
     "sketch_quantile_mergeable": q_sketch_quantile_mergeable,
-    "dedup_chunks": q_dedup_chunks,
+    # late r9: its grouped face (never driver-checked — takes the
+    # dedup_chunks slot, green r3-era + r8 rows, moved below)
+    "sketch_quantile_grouped": q_sketch_quantile_grouped,
     "text_repetition": q_text_repetition,
     "layout_zorder": q_layout_zorder,
     "sample_mixture": q_sample_mixture,
@@ -4905,6 +4907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-query window ----
     # displaced by the r9 rotation (each holds green r3-era AND r8
     # driver rows, so their evidence is the freshest in the repo)
+    "dedup_chunks": q_dedup_chunks,
     "text_pii_redact": q_text_pii_redact,
     "a5_ngram_stats": q_a5_ngram_stats,
     "f_window_tumbling": q_f_window_tumbling,
@@ -4923,10 +4926,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
-    # new in late r9 (below the line; never driver-checked — a r10
-    # window-rotation candidate): per-language token-length quantile
-    # summaries, the grouped face of sketch_quantile_mergeable
-    "sketch_quantile_grouped": q_sketch_quantile_grouped,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_balanced": q_emb_kmeans_balanced,
     "ann_pq": q_ann_pq,

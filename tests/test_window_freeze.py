@@ -30,7 +30,10 @@ WINDOW_50 = [
     # new in r9: deterministic mergeable quantile summary (takes the
     # text_pii_redact slot — green r3-era + r8 rows, moved below)
     "sketch_quantile_mergeable",
-    "dedup_chunks", "text_repetition", "layout_zorder",
+    # late r9: its grouped face (takes the dedup_chunks slot — green
+    # r3-era + r8 rows, moved below)
+    "sketch_quantile_grouped",
+    "text_repetition", "layout_zorder",
     "sample_mixture", "s1_range_scan", "p6_uint256_sum",
     "j1_catalog_join_chain", "j5_range_join",
     "j6_asof_join", "j4_similarity_topk", "sim_topk_matmul",
