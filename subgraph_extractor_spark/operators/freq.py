@@ -376,7 +376,15 @@ def mg_oracle_sql(
     """DuckDB replay of a deterministic shard-and-merge-tree MG run:
     per-shard summaries via QUALIFY windows, merges as chained CTEs —
     the same exact integers, a deliberately different formulation
-    (window ranks instead of limit + struct plumbing)."""
+    (window ranks instead of limit + struct plumbing).
+
+    Metadata (n_total, err) rides dedicated ALWAYS-1-ROW ``meta{s}`` /
+    ``mt{s}`` CTEs (scalar subqueries with COALESCE(...,0)) — the
+    pattern ``quantiles.quantile_oracle_sql`` uses — NOT ``SELECT
+    DISTINCT`` over the key-rows CTEs: an empty shard or a
+    fully-cancelled merge has ZERO key rows, and DISTINCT over an empty
+    relation yields NULL metadata where the Spark fold (anchor rows,
+    see ``_mg_anchor``) correctly preserves real totals."""
     parts = [
         f"src AS ({source_cte})",
         f"keyed AS (SELECT {key_expr} AS key, {shard_expr} AS shard FROM src)",
@@ -390,18 +398,19 @@ def mg_oracle_sql(
                 FROM keyed WHERE shard = {s} GROUP BY key)"""
         )
         parts.append(
-            f"""s{s} AS MATERIALIZED (
-                SELECT key, counter,
-                       (SELECT CAST(COALESCE(SUM(counter), 0) AS BIGINT)
+            f"""meta{s} AS MATERIALIZED (
+                SELECT (SELECT CAST(COALESCE(SUM(counter), 0) AS BIGINT)
                         FROM cnt{s}) AS n_total,
                        (SELECT CAST(COALESCE(MAX(counter), 0) AS BIGINT)
-                        FROM cnt{s} WHERE rn = {m + 1}) AS err
-                FROM cnt{s} WHERE rn <= {m})"""
+                        FROM cnt{s} WHERE rn = {m + 1}) AS err)"""
+        )
+        parts.append(
+            f"""s{s} AS MATERIALIZED (
+                SELECT key, counter FROM cnt{s} WHERE rn <= {m})"""
         )
     # left-fold merge tree: t1 = merge(s0, s1), t2 = merge(t1, s2), ...
-    prev = "s0"
+    prev, mprev = "s0", "meta0"
     for s in range(1, n_shards):
-        cur = f"t{s}"
         parts.append(
             f"""u{s} AS MATERIALIZED (
                 SELECT COALESCE(a.key, b.key) AS key,
@@ -414,34 +423,38 @@ def mg_oracle_sql(
                 FROM {prev} a FULL OUTER JOIN s{s} b ON a.key = b.key)"""
         )
         parts.append(
-            f"""{cur} AS MATERIALIZED (
-                SELECT key,
-                       counter - (SELECT COALESCE(MAX(counter), 0)
-                                  FROM u{s} WHERE rn = {m + 1}) AS counter,
-                       (SELECT DISTINCT n_total FROM {prev})
-                           + (SELECT DISTINCT n_total FROM s{s}) AS n_total,
-                       (SELECT DISTINCT err FROM {prev})
-                           + (SELECT DISTINCT err FROM s{s})
+            f"""mt{s} AS MATERIALIZED (
+                SELECT a.n_total + b.n_total AS n_total,
+                       a.err + b.err
                            + (SELECT COALESCE(MAX(counter), 0)
                               FROM u{s} WHERE rn = {m + 1}) AS err
+                FROM {mprev} a, meta{s} b)"""
+        )
+        parts.append(
+            f"""t{s} AS MATERIALIZED (
+                SELECT key,
+                       counter - (SELECT COALESCE(MAX(counter), 0)
+                                  FROM u{s} WHERE rn = {m + 1}) AS counter
                 FROM u{s}
                 WHERE rn <= {m}
                   AND counter - (SELECT COALESCE(MAX(counter), 0)
                                  FROM u{s} WHERE rn = {m + 1}) > 0)"""
         )
-        prev = cur
+        prev, mprev = f"t{s}", f"mt{s}"
     # the anchor row (key NULL, counter 0) the Spark faces carry
-    # unconditionally; the internal CTEs stay key-rows-only because
-    # SQL subqueries carry the metadata out-of-band
+    # unconditionally; key rows and metadata recombine only here
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-        SELECT key, counter, n_total, err FROM {prev}
+        SELECT key, counter,
+               (SELECT n_total FROM {mprev}) AS n_total,
+               (SELECT err FROM {mprev}) AS err
+        FROM {prev}
         UNION ALL
         SELECT NULL AS key, CAST(0 AS BIGINT) AS counter,
-               (SELECT DISTINCT n_total FROM {prev}) AS n_total,
-               (SELECT DISTINCT err FROM {prev}) AS err"""
+               (SELECT n_total FROM {mprev}) AS n_total,
+               (SELECT err FROM {mprev}) AS err"""
     )
 
 

@@ -528,7 +528,14 @@ def _qtable_udf(codebooks: list[list[list[int]]], scale_bits: int):
     is exact and wraps like a JVM long), but WITHOUT the m*k*dsub-term
     literal expression tree, whose Catalyst/codegen cost is a fixed
     multi-second tax on EVERY query batch at any data size (the
-    ann_lsh_portable lesson; measured on the serving pair below)."""
+    ann_lsh_portable lesson; measured on the serving pair below).
+
+    Input contract: vectors are non-null-COLUMN rows of ``dim``
+    finite floats (the embedding-table contract everywhere in this
+    package).  A NULL vector row maps to a NULL table (matching the
+    replaced Catalyst formulation's NULL propagation); a ragged or
+    NaN-component vector is undefined behavior — numpy's NaN->int64
+    cast is platform-specific where Spark's non-ANSI cast yields 0."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -538,15 +545,22 @@ def _qtable_udf(codebooks: list[list[list[int]]], scale_bits: int):
 
     @pandas_udf(ArrayType(ArrayType(LongType())))
     def qt(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
+        mask = vecs.notna()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
         M = np.stack(
-            vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+            vecs[mask].map(
+                lambda v: np.asarray(v, dtype=np.float64)
+            ).to_numpy()
         )
         Q = np.floor(M * scale).astype(np.int64)
         d = Q.reshape(len(Q), m, 1, dsub) - cb[None, :, :, :]
         tab = (d * d).sum(axis=3)  # (n, m, k) int64
-        return pd.Series([[r.tolist() for r in t] for t in tab])
+        out = pd.Series([None] * len(vecs), dtype=object)
+        out.iloc[np.flatnonzero(mask.to_numpy())] = [
+            [r.tolist() for r in t] for t in tab
+        ]
+        return out
 
     return qt
 
@@ -563,13 +577,20 @@ def _probe_qtables(
     reproduces the tie-break — each with the RESIDUAL ADC table, in
     one Arrow kernel over (query_id, q) rows.  Replaces the explode +
     window + literal-tensor projection whose plan cost was fixed
-    seconds per batch; the values are bit-identical."""
+    seconds per batch; the values are bit-identical.
+
+    Input contract: ``q`` rows are non-null int64 arrays of the cell
+    dimension (they come from ``quantized_vectors``, which floors
+    finite floats).  NULL rows are dropped — a query with no vector
+    has no probe-able cells (the replaced formulation NULL-propagated
+    them into rank oblivion the same way)."""
     C = np.array(cells, dtype=np.int64)  # (n_cells, dim)
     cb = np.array(codebooks, dtype=np.int64)  # (m, k, dsub)
     m, _k, dsub = cb.shape
 
     def gen(batches):
         for pdf in batches:
+            pdf = pdf[pdf["q"].notna()]
             if len(pdf) == 0:
                 continue
             Q = np.stack(

@@ -539,26 +539,30 @@ def champion_lists(
         )
     )
     return body.unionByName(
-        _champion_anchor_if_empty(body, n_docs, df.schema[id_col].dataType)
+        _champion_anchor(n_docs, df.schema[id_col].dataType)
     )
 
 
-def _champion_anchor_if_empty(
-    body: DataFrame, n_docs: DataFrame, id_type
-) -> DataFrame:
-    """1-row anchor ``(token NULL, doc_freq 0, n_docs, doc_id NULL,
-    impact 0, champ_rank 0)`` emitted ONLY when the champion state has
-    zero posting rows.  ``n_docs`` rides on posting rows; a corpus
-    whose docs are all empty/tokenless produces postings for nothing
-    yet still counts toward ``n_docs`` — without the anchor that count
-    evaporates, so a later :func:`merge_champion_lists` under-counts
-    ``n_docs`` and its idf diverges from a one-shot rebuild (breaking
-    the exact-merge / stream==batch contract).  Real rows always have
-    champ_rank >= 1; the anchor is the only champ_rank-0 row."""
-    cnt = body.agg(F.count(F.lit(1)).alias("_cnt"))
+def _champion_anchor(n_docs: DataFrame, id_type) -> DataFrame:
+    """UNCONDITIONAL 1-row anchor ``(token NULL, doc_freq 0, n_docs,
+    doc_id NULL, impact 0, champ_rank 0)``.  ``n_docs`` rides on
+    posting rows; a corpus whose docs are all empty/tokenless produces
+    postings for nothing yet still counts toward ``n_docs`` — without
+    the anchor that count evaporates, so a later
+    :func:`merge_champion_lists` under-counts ``n_docs`` and its idf
+    diverges from a one-shot rebuild (breaking the exact-merge /
+    stream==batch contract).  Real rows always have champ_rank >= 1;
+    anchors are the champ_rank-0 rows, and every serving/merge face
+    selects on token/champ_rank, never the raw union.
+
+    Unconditional on purpose (the ``freq._mg_anchor`` discipline, per
+    the r9 advice): the previous emit-iff-empty variant referenced the
+    body plan a second time through a ``count(*)`` gate, doubling the
+    logical plan per lazy merge fold — the exact blowup class
+    ``_mg_anchor``'s docstring documents (an emit-iff-empty MG draft
+    measured 2 s -> 237 s over 7 folds)."""
     return (
-        n_docs.crossJoin(F.broadcast(cnt))
-        .filter(F.col("_cnt") == 0)
+        n_docs
         .select(
             F.lit(None).cast("string").alias("token"),
             F.lit(0).cast("long").alias("doc_freq"),
@@ -699,5 +703,5 @@ def merge_champion_lists(a: DataFrame, b: DataFrame, m: int = 16) -> DataFrame:
         )
     )
     return body.unionByName(
-        _champion_anchor_if_empty(body, n_docs, a.schema["doc_id"].dataType)
+        _champion_anchor(n_docs, a.schema["doc_id"].dataType)
     )

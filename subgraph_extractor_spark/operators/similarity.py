@@ -801,7 +801,11 @@ def lsh_portable_topk(
     # both sides of the ranking joins (cache scope == operator scope,
     # the _banded_signatures discipline)
     q = (
-        df.repartition(par)
+        # NULL vectors carry no similarity evidence; the kernel below
+        # np.stacks the batch, so they must not reach it (non-null
+        # finite-float input contract, shared with the pq kernels)
+        df.filter(F.col(vec_col).isNotNull())
+        .repartition(par)
         .select(
             F.col(id_col).alias("_id"),
             quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
@@ -820,6 +824,8 @@ def lsh_portable_topk(
 
     @pandas_udf(ArrayType(LongType()))
     def int_band_sig(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=object)
         M = np.stack(
             qvs.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
         )  # (n, dim)

@@ -191,6 +191,60 @@ def test_mg_oracle_replay_matches_spark(spark):
     )
 
 
+def test_mg_oracle_replay_empty_shard_and_cancelled_merge(spark):
+    """The r9-ADVICE divergence class: the oracle's metadata must ride
+    ALWAYS-1-ROW CTEs, so an EMPTY shard and a FULLY-CANCELLED merge
+    (zero key rows survive) still replay the Spark fold's real
+    (n_total, err) — not NULLs from DISTINCT-over-empty."""
+    import duckdb
+
+    from subgraph_extractor_spark.operators import freq as FQ
+
+    # shard 1 is empty: every row lands in shard 0 or 2
+    rows = [(i, k) for i, k in enumerate(["a"] * 5 + ["b"] * 3 + ["c"] * 2)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    m = 2
+    out = None
+    for s in range(3):
+        summ = FQ.mg_summary(
+            df.filter((F.col("i") % 2) * 2 == s).select(
+                F.col("key").alias("t")
+            ),
+            "t", m,
+        )
+        out = summ if out is None else FQ.mg_merge(out, summ, m)
+    vals = ",".join(f"({i},'{k}')" for i, k in rows)
+    sql = FQ.mg_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(i, key)",
+        "key", "(i % 2) * 2", 3, m,
+    )
+    spark_rows = sorted(map(tuple, out.collect()), key=str)
+    assert sorted(duckdb.sql(sql).fetchall(), key=str) == spark_rows
+    # the metadata survived the empty shard: real totals, not NULL
+    assert all(r[2] == 10 for r in spark_rows)
+
+    # m=1 over two disjoint equal-count shards: the merge cancels every
+    # key row; only the anchor survives, carrying (n_total=4, err=2)
+    rows2 = [(0, "a"), (1, "b"), (2, "a"), (3, "b")]
+    df2 = spark.createDataFrame(rows2, "i long, key string")
+    out2 = FQ.mg_merge(
+        FQ.mg_summary(
+            df2.filter("i % 2 = 0").select(F.col("key").alias("t")), "t", 1
+        ),
+        FQ.mg_summary(
+            df2.filter("i % 2 = 1").select(F.col("key").alias("t")), "t", 1
+        ),
+        1,
+    )
+    vals2 = ",".join(f"({i},'{k}')" for i, k in rows2)
+    sql2 = FQ.mg_oracle_sql(
+        f"SELECT * FROM (VALUES {vals2}) AS t(i, key)", "key", "i % 2", 2, 1
+    )
+    assert sorted(duckdb.sql(sql2).fetchall(), key=str) == sorted(
+        map(tuple, out2.collect()), key=str
+    ) == [(None, 0, 4, 2)]
+
+
 def test_mg_single_shard_is_exact_topm(spark):
     """A summary of a stream with <= m distinct keys carries the exact
     counts with err 0; with > m keys, err = the largest pruned count."""

@@ -255,7 +255,8 @@ def test_champion_merge_equals_rebuild(spark, sf_dir):
         m=m,
     )
     rebuilt = R.champion_lists(docs, "doc_id", "text", m=m)
-    key = lambda df: sorted(map(tuple, df.collect()))
+    # key=str: the unconditional metadata anchor row carries NULLs
+    key = lambda df: sorted(map(tuple, df.collect()), key=str)
     assert key(merged) == key(rebuilt)
 
 
@@ -294,8 +295,8 @@ def test_champion_merge_survives_rowless_side(spark, corpus):
     rebuilt = R.champion_lists(
         corpus.unionByName(empties), "doc_id", "text", m=2
     )
-    assert sorted(map(tuple, merged.collect())) == sorted(
-        map(tuple, rebuilt.collect())
+    assert sorted(map(tuple, merged.collect()), key=str) == sorted(
+        map(tuple, rebuilt.collect()), key=str
     )
     # serving parity (idf depends on the merged n_docs), both orders
     merged_rev = R.merge_champion_lists(
@@ -373,7 +374,7 @@ def test_champion_streaming_matches_batch_rebuild(spark, tmp_path):
 
     served = serve_champion_lists(spark, state_dir)
     rebuilt = R.champion_lists(docs, "doc_id", "text", m=2)
-    key = lambda df: sorted(map(tuple, df.collect()))
+    key = lambda df: sorted(map(tuple, df.collect()), key=str)
     assert key(served) == key(rebuilt)
 
     # served ranking == rebuilt ranking
