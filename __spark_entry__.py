@@ -1940,6 +1940,86 @@ def q_dedup_simhash_portable(spark, sf):
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_dedup_minhash_portable(spark, sf):
+    # MinHash-LSH banding under a FULL-VALUE cross-engine check (the
+    # ann_lsh_portable / dedup_simhash_portable discipline applied to
+    # MinHash): the portable signature family — md5_number_lower gram
+    # hashes mod M31, the seeded _affine_params permutations shared
+    # verbatim with the generated SQL, base-M31 band folds — is
+    # recomputable in pure SQL, so the oracle replays signatures,
+    # banding, the candidate set AND the exact hash-set Jaccard: every
+    # (id_a, id_b, jaccard) row must match bit-exactly.  Stronger than
+    # the recall contract riding dedup_minhash_recall: this certifies
+    # signature parity and the banded plan's candidate completeness in
+    # one driver hash.
+    d = _t(spark, sf, "documents")
+    return dedup_ops.minhash_dedup_pairs_portable(
+        d, "text", "doc_id", threshold=0.5
+    )
+
+
+def _dedup_minhash_portable_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of minhash_dedup_pairs_portable: the SAME seeded
+    affine params as integer literals (dedup._affine_params), the same
+    md5 gram hashes, minima, base-M31 band folds, banded candidates and
+    exact hash-set Jaccard."""
+    from subgraph_extractor_spark.operators.dedup import (
+        MERSENNE_31,
+        MINHASH_PORTABLE_HASHES,
+        _affine_params,
+    )
+
+    params = _affine_params(MINHASH_PORTABLE_HASHES)
+    pvals = ",".join(
+        f"({i},CAST({a} AS BIGINT),CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH p(i, a, b) AS (VALUES {pvals}),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              FOR i IN range(1, len(t) - 1)]) AS gs
+        FROM toks WHERE len(t) >= 3
+    ),
+    gh AS (
+        SELECT DISTINCT doc_id,
+               CAST(md5_number_lower(g) % {MERSENNE_31} AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    ),
+    mins AS (
+        SELECT gh.doc_id, p.i,
+               MIN((p.a * gh.h + p.b) % {MERSENNE_31}) AS m
+        FROM gh, p GROUP BY gh.doc_id, p.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               CAST(SUM(CASE WHEN i % 2 = 0 THEN m * {MERSENNE_31}
+                             ELSE m END) AS BIGINT) AS bucket
+        FROM mins GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(h) AS hs FROM gh GROUP BY doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                   / len(list_distinct(x.hs || y.hs)) AS jaccard
+        FROM cand c
+        JOIN sets x ON x.doc_id = c.id_a
+        JOIN sets y ON y.doc_id = c.id_b)
+    WHERE jaccard >= {threshold}
+    """
+
+
 def q_image_dhash_pairs(spark, sf):
     # Driver surface for the perceptual image-dedup family
     # (operators/multimodal.py:300-353 + operators/imagecodec.dhash64):
@@ -4830,49 +4910,87 @@ def q_sample_pps(spark, sf):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order = the driver's check budget (exactly the first 50 entries
-    # per round).  Round-9 window (the r8 verdict's task #6 rotation):
-    # the ten stalest driver rows return to the window — a4_rollup,
-    # a6_distinct_agg, j2_anti_join, j3_semi_join (r2-era),
-    # a10_approx_distinct, a11_approx_percentile, a1_minmax_watermark,
-    # a9_percentiles, f_udaf (r3), a12_hll_incremental (r4) — plus the
-    # never-driver-checked ann_lsh_portable (the r8 verdict's task #7
-    # full-value integer-LSH twin), which takes the slot of the
-    # rows-only ann_lsh (its oracled evidence now rides BOTH
-    # ann_lsh_recall and the portable twin).  Displaced just below the
-    # line with multiply-refreshed evidence (green r3-era AND r8
-    # driver rows; the j2_anti_join precedent): a5_ngram_stats,
-    # f_window_tumbling, dedup_exact, dedup_ngram_jaccard, text_tokens,
-    # text_quality, pipeline_clean_corpus, pipeline_pack_sequences,
-    # sample_stratified, sample_group_topk, and ann_lsh itself.
-    # text_lang deliberately STAYS in-window: its scorer was
-    # restructured this round (r8 verdict task #1 codegen fix) and the
-    # fix needs a fresh driver row.
-    "text_lang": q_text_lang,
-    # new in r9: deterministic mergeable quantile summary (never
-    # driver-checked — takes the text_pii_redact slot, which holds
-    # green r3-era and r8 rows and moves just below the line)
-    "sketch_quantile_mergeable": q_sketch_quantile_mergeable,
-    # late r9: its grouped face (never driver-checked — takes the
-    # dedup_chunks slot, green r3-era + r8 rows, moved below)
-    "sketch_quantile_grouped": q_sketch_quantile_grouped,
-    "text_repetition": q_text_repetition,
-    "layout_zorder": q_layout_zorder,
-    "sample_mixture": q_sample_mixture,
+    # per round; tests/test_window_freeze.py pins it).  Round-10 window
+    # (the r9 verdict's tasks #1/#2, taken to their fixpoint): the full
+    # staleness ledger — not just coverage_gap.py's truncated top-10 —
+    # shows exactly 50 queries whose last green driver row dates to r4
+    # or never (the CORRECTNESS union across r1-r9), so the window IS
+    # that set: after this round NO query's driver evidence predates
+    # r5.  Included by construction: the never-checked
+    # dedup_minhash_portable (task #1's full-value portable-md5 MinHash
+    # twin — seeded affine permutations shared verbatim with its
+    # generated DuckDB SQL) and dedup_simhash_portable (last green r4),
+    # which REPLACE the two rows-only pair dumps dedup_minhash /
+    # dedup_simhash (the ann_lsh precedent — both keep their oracled
+    # evidence riding the recall/portable twins below the line), so
+    # the window carries zero `err` rows of any kind; plus all ten of
+    # coverage_gap.py's headline r4 rotation candidates (task #2).
+    # Displaced: every entry with r8/r9-green evidence (the freshest
+    # classes in the repo), listed below the line in catalog order.
+
+    "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_simhash_portable": q_dedup_simhash_portable,
+    "a13_histogram_percentile": q_a13_histogram_percentile,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "cdc_apply_incremental": q_cdc_apply_incremental,
+    "cdc_latest_state": q_cdc_latest_state,
+    "corpus_overlap": q_corpus_overlap,
+    "dedup_bloom_probe": q_dedup_bloom_probe,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_incremental_recall": q_dedup_incremental_recall,
+    "w7_sessionize": q_w7_sessionize,
+    "f_vector": q_f_vector,
+    "pipeline_contamination": q_pipeline_contamination,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "text_winnowing": q_text_winnowing,
+    "emb_neardup": q_emb_neardup,
+    "dedup_passage_spans": q_dedup_passage_spans,
+    "pipeline_remove_passages": q_pipeline_remove_passages,
+    "text_bm25": q_text_bm25,
+    "rollup_incremental": q_rollup_incremental,
+    "pipeline_dedup_corpus": q_pipeline_dedup_corpus,
+    "quality_linear_score": q_quality_linear_score,
+    "text_token_df": q_text_token_df,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "f_vector_quantize": q_f_vector_quantize,
+    "sim_topk_quantized": q_sim_topk_quantized,
+    "f_null_semantics": q_f_null_semantics,
+    "j8_asof_nearest": q_j8_asof_nearest,
+    "text_heavy_hitters": q_text_heavy_hitters,
+    "profile_documents": q_profile_documents,
+    "text_inverted_index": q_text_inverted_index,
+    "text_index_incremental": q_text_index_incremental,
+    "tpch_q2_shape": q_tpch_q2_shape,
+    "tpch_q4_shape": q_tpch_q4_shape,
+    "tpch_q7_shape": q_tpch_q7_shape,
+    "tpch_q8_shape": q_tpch_q8_shape,
+    "tpch_q9_shape": q_tpch_q9_shape,
+    "tpch_q10_shape": q_tpch_q10_shape,
+    "tpch_q11_shape": q_tpch_q11_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
+    "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q15_shape": q_tpch_q15_shape,
+    "tpch_q16_shape": q_tpch_q16_shape,
+    "tpch_q17_shape": q_tpch_q17_shape,
+    "tpch_q18_shape": q_tpch_q18_shape,
+    "tpch_q20_shape": q_tpch_q20_shape,
+    "text_bigram_lm": q_text_bigram_lm,
+    "quality_lm_novelty": q_quality_lm_novelty,
+    # ---- end of the 50-query window ----
+    # below the line: r9-green (freshest), then the r6-r8 classes.
+    # dedup_minhash / dedup_simhash are the rows-only raw pair
+    # dumps displaced by their full-value portable twins; kept
+    # declared for the bench and the sweep.
     "s1_range_scan": q_s1_range_scan,
     "p6_uint256_sum": q_p6_uint256_sum,
     "j1_catalog_join_chain": q_j1_catalog_join_chain,
     "j5_range_join": q_j5_range_join,
     "j6_asof_join": q_j6_asof_join,
-    "j4_similarity_topk": q_j4_similarity_topk,
-    "sim_topk_matmul": q_sim_topk_matmul,
     "a3_pricing_summary": q_a3_pricing_summary,
     "w1_latest_version": q_w1_latest_version,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    # new in r9: exact-integer sign-LSH with a full-value DuckDB oracle
     "ann_lsh_portable": q_ann_lsh_portable,
-    "f_array": q_f_array,
-    "f_collect": q_f_collect,
     "f_udtf": q_f_udtf,
     "f_map": q_f_map,
     "f_hash": q_f_hash,
@@ -4893,7 +5011,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_mg_heavy_hitters": q_sketch_mg_heavy_hitters,
     "pipeline_corpus_diff": q_pipeline_corpus_diff,
     "f_global_rank": q_f_global_rank,
-    # -- the task-#6 stale-evidence rotation block --
     "a4_rollup": q_a4_rollup,
     "a6_distinct_agg": q_a6_distinct_agg,
     "j2_anti_join": q_j2_anti_join,
@@ -4904,9 +5021,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_percentiles": q_a9_percentiles,
     "f_udaf": q_f_udaf,
     "a12_hll_incremental": q_a12_hll_incremental,
-    # ---- end of the 50-query window ----
-    # displaced by the r9 rotation (each holds green r3-era AND r8
-    # driver rows, so their evidence is the freshest in the repo)
+    "text_lang": q_text_lang,
+    "sketch_quantile_mergeable": q_sketch_quantile_mergeable,
+    "sketch_quantile_grouped": q_sketch_quantile_grouped,
+    "text_repetition": q_text_repetition,
+    "layout_zorder": q_layout_zorder,
+    "sample_mixture": q_sample_mixture,
+    "j4_similarity_topk": q_j4_similarity_topk,
+    "sim_topk_matmul": q_sim_topk_matmul,
+    "f_array": q_f_array,
+    "f_collect": q_f_collect,
     "dedup_chunks": q_dedup_chunks,
     "text_pii_redact": q_text_pii_redact,
     "a5_ngram_stats": q_a5_ngram_stats,
@@ -4919,10 +5043,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "sample_group_topk": q_sample_group_topk,
-    # rows-only raw pair dump: its correctness evidence rides the
-    # oracled ann_lsh_recall contract AND the new full-value
-    # ann_lsh_portable twin (both in better standing than a rows-only
-    # driver row); kept declared for the bench and the sweep
     "ann_lsh": q_ann_lsh,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "dedup_cdc_chunks": q_dedup_cdc_chunks,
@@ -4974,8 +5094,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_distinct_listing": q_s4_distinct_listing,
     "p7_multi_target_mapping": q_p7_multi_target_mapping,
     "p8_mapping_compiler": q_p8_mapping_compiler,
-    # -- green r6 driver rows (CORRECTNESS_r06, 48 matched + 2
-    #    rows-only by design) and the stable r2-r4 core below --
     "pipeline_semdedup": q_pipeline_semdedup,
     "pipeline_semdedup_best": q_pipeline_semdedup_best,
     "pipeline_shuffle_shard": q_pipeline_shuffle_shard,
@@ -5026,55 +5144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
     "graph_triangles": q_graph_triangles,
     "sim_maxsim_quantized": q_sim_maxsim_quantized,
-    "w7_sessionize": q_w7_sessionize,
-    "f_vector": q_f_vector,
-    "pipeline_contamination": q_pipeline_contamination,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_star": q_dedup_clusters_star,
-    "dedup_minhash_recall": q_dedup_minhash_recall,
-    "dedup_simhash_portable": q_dedup_simhash_portable,
-    "dedup_incremental_recall": q_dedup_incremental_recall,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf": q_ann_ivf,
-    "text_winnowing": q_text_winnowing,
-    "emb_neardup": q_emb_neardup,
-    "dedup_passage_spans": q_dedup_passage_spans,
-    "pipeline_remove_passages": q_pipeline_remove_passages,
-    "cdc_latest_state": q_cdc_latest_state,
-    "cdc_apply_incremental": q_cdc_apply_incremental,
-    "text_bm25": q_text_bm25,
-    "rollup_incremental": q_rollup_incremental,
-    "dedup_bloom_probe": q_dedup_bloom_probe,
-    "corpus_overlap": q_corpus_overlap,
-    "pipeline_dedup_corpus": q_pipeline_dedup_corpus,
-    "quality_linear_score": q_quality_linear_score,
-    "text_token_df": q_text_token_df,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "f_vector_quantize": q_f_vector_quantize,
-    "sim_topk_quantized": q_sim_topk_quantized,
-    "f_null_semantics": q_f_null_semantics,
-    "j8_asof_nearest": q_j8_asof_nearest,
-    "text_heavy_hitters": q_text_heavy_hitters,
-    "a13_histogram_percentile": q_a13_histogram_percentile,
-    "profile_documents": q_profile_documents,
-    "text_inverted_index": q_text_inverted_index,
-    "text_index_incremental": q_text_index_incremental,
-    "tpch_q2_shape": q_tpch_q2_shape,
-    "tpch_q4_shape": q_tpch_q4_shape,
-    "tpch_q7_shape": q_tpch_q7_shape,
-    "tpch_q8_shape": q_tpch_q8_shape,
-    "tpch_q9_shape": q_tpch_q9_shape,
-    "tpch_q10_shape": q_tpch_q10_shape,
-    "tpch_q11_shape": q_tpch_q11_shape,
-    "tpch_q12_shape": q_tpch_q12_shape,
-    "tpch_q13_shape": q_tpch_q13_shape,
-    "tpch_q15_shape": q_tpch_q15_shape,
-    "tpch_q16_shape": q_tpch_q16_shape,
-    "tpch_q17_shape": q_tpch_q17_shape,
-    "tpch_q18_shape": q_tpch_q18_shape,
-    "tpch_q20_shape": q_tpch_q20_shape,
-    "text_bigram_lm": q_text_bigram_lm,
-    "quality_lm_novelty": q_quality_lm_novelty,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
 }
 
 
@@ -7154,6 +7225,11 @@ ORACLES: dict[str, str] = {
     # brute-force every pair within hamming <= 3.  Pigeonhole banding is
     # complete at 4 bands, so the Spark pipeline's banded output must
     # equal this exactly — row set AND hamming values.
+    # Portable-MinHash contract: the generated SQL shares the seeded
+    # affine-permutation literals with the Spark kernel; signatures,
+    # banding, candidates and the exact hash-set Jaccard all replay in
+    # pure SQL — full differential check of the banded LSH plan.
+    "dedup_minhash_portable": _dedup_minhash_portable_sql(),
     "dedup_simhash_portable": """
         WITH toks AS (
             SELECT doc_id,

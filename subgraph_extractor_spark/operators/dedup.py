@@ -1503,6 +1503,164 @@ def simhash_signatures_portable(
 
 
 # --------------------------------------------------------------------------
+# portable MinHash (full-value cross-engine oracle twin)
+# --------------------------------------------------------------------------
+
+MINHASH_PORTABLE_HASHES = 16
+MINHASH_PORTABLE_BANDS = 8  # 8 bands x 2 rows
+
+
+def _minhash_md5_udf(num_hashes: int, bands: int):
+    """Arrow-batched PORTABLE MinHash — every ingredient has an exact
+    ANSI-SQL/DuckDB mirror (the ``_simhash_md5_udf`` discipline applied
+    to MinHash), so the ENTIRE near-dup pipeline — signatures, banding,
+    candidate set, exact Jaccard — is cross-engine hash-checkable:
+
+    - tokens: the shared tokenizer contract (lower → trim spaces →
+      split on the RE2 ASCII ``\\s`` class, empty edge tokens kept);
+    - grams: DISTINCT word 3-grams joined by one space;
+    - gram hash: lower 64 bits of MD5 (DuckDB ``md5_number_lower``)
+      reduced mod M31 = 2^31-1, hash set DEDUPLICATED (mod-M31
+      collisions collapse identically on both engines);
+    - minima: h_i(x) = (a_i*x + b_i) mod M31 over the seeded
+      ``_affine_params`` family — a,x < 2^31 so a*x+b < 2^62 is exact
+      int64 on both engines;
+    - band buckets: ``bands`` buckets of r = num_hashes/bands = 2
+      minima folded as m_even * M31_PRIME + m_odd < 2^62 — exact int64,
+      collision-free (base-M31 positional encoding), no FNV fold (its
+      uint64 wrap has no portable SQL face).
+
+    Returns struct(h: array<long> sorted distinct gram hashes,
+    bands: array<long> bucket values); docs with < 3 tokens get h = []
+    and bands = NULL (excluded from banding AND verification — no
+    shingle evidence, the ``_minhash_banded`` sentinel rationale).
+
+    Input contract: text may be NULL/empty (maps to no grams); the
+    kernel never np.stacks raw input."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    if r != 2:
+        raise ValueError(
+            "the portable band fold encodes exactly 2 minima per bucket "
+            f"(m_even * M31 + m_odd < 2^62); got rows-per-band {r}"
+        )
+    params = _affine_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    _split = re.compile(r"[\t\n\f\r ]+").split
+
+    @pandas_udf("h array<long>, bands array<long>")
+    def mh(texts: pd.Series) -> pd.DataFrame:
+        hs_out, bd_out = [], []
+        for t in texts:
+            toks = _split(t.lower().strip(" ")) if t else []
+            if toks == [""]:
+                toks = []
+            if len(toks) < 3:
+                hs_out.append([])
+                bd_out.append(None)
+                continue
+            grams = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            hs = sorted(
+                {
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[8:],
+                        "little",
+                    )
+                    % MERSENNE_31
+                    for g in grams
+                }
+            )
+            H = np.array(hs, dtype=np.int64)[None, :]
+            sig = ((A * H + B) % MERSENNE_31).min(axis=1)  # (num_hashes,)
+            buckets = sig[0::2] * MERSENNE_31 + sig[1::2]
+            hs_out.append(hs)
+            bd_out.append(buckets.tolist())
+        return pd.DataFrame({"h": hs_out, "bands": bd_out})
+
+    return mh
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``minhash_dedup_pairs`` under a FULL-VALUE cross-engine check
+    (the ``ann_lsh_portable`` / ``simhash_dedup_pairs_portable``
+    discipline applied to MinHash-LSH): the portable md5/affine
+    signature family (see :func:`_minhash_md5_udf`) is recomputable in
+    pure SQL, so a DuckDB oracle replays signatures, banding, the
+    candidate set AND the exact hash-set Jaccard — every (id_a, id_b,
+    jaccard) row must match bit-exactly.  That is a stronger statement
+    than the recall contract (``dedup_minhash_recall``): it certifies
+    signature parity and the banded plan's candidate set in one driver
+    hash.
+
+    Geometry: 16 hashes in 8 bands of 2 (P[candidate] = 1-(1-s²)⁸ ≈
+    0.90 at s = 0.5) — ample for the oracle contract since BOTH
+    engines band identically; the production face with tuned recall
+    and the mega-bucket cap is ``minhash_dedup_pairs`` (the cap is
+    deliberately absent here: its window-rank tie-breaks are
+    plan-order-dependent, which would poison a bit-exact contract).
+
+    Plan shape: one Arrow kernel map-side (signatures + buckets in the
+    same pass as the gram-hash sets), one bucket-keyed shuffle into
+    the in-bucket combination expansion (``bucket_pairs`` — no
+    self-join, no second kernel run), two id-keyed joins for the exact
+    Jaccard verification.  Output: (id_a, id_b, jaccard >= threshold).
+    """
+    st = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        _minhash_md5_udf(
+            MINHASH_PORTABLE_HASHES, MINHASH_PORTABLE_BANDS
+        )(F.col(text_col)).alias("_s"),
+    ).select(
+        "_id",
+        F.col("_s.h").alias("_h"),
+        F.col("_s.bands").alias("_b"),
+    )
+    # persist: the kernel output feeds banding AND both verification
+    # joins (three plan branches — the minhash_dedup_pairs discipline)
+    sh = st.filter(F.size("_h") > 0).persist()
+    sh.count()
+    banded = sh.select(
+        "_id", F.posexplode("_b").alias("band", "bucket")
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_set("_id").alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    cands = bucket_pairs(buckets)
+    verified = (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return verified
+
+
+# --------------------------------------------------------------------------
 # embedding near-dup
 # --------------------------------------------------------------------------
 

@@ -57,6 +57,60 @@ def test_minhash_recall_against_bruteforce(spark, docs):
     assert recall >= 0.8, f"minhash recall too low: {recall}"
 
 
+def test_minhash_portable_precision_and_edges(spark, docs):
+    """The portable twin is full-value oracled at both scales by the
+    driver harness; pytest covers the edges the fixture corpus lacks:
+    verified pairs are a subset of the brute-force truth at the same
+    threshold (precision 1.0 — verification is exact Jaccard over the
+    identical gram-hash sets), NULL/empty/sub-shingle docs drop out,
+    identical docs always pair at jaccard 1.0, and the pipeline is
+    deterministic across runs."""
+    got = dedup.minhash_dedup_pairs_portable(
+        docs, "text", "doc_id", threshold=0.5
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    assert rows, "fixture should contain near-duplicate documents"
+    assert all(0.5 <= j <= 1.0 for j in rows.values())
+
+    edge = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical -> j=1.0
+            (3, None),
+            (4, ""),
+            (5, "   "),
+            (6, "two tokens"),  # sub-shingle: no 3-gram evidence
+            (7, "alpha beta gamma delta zeta"),  # near-dup of 1/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs_portable(
+            edge, "text", "doc_id", threshold=0.2
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert not any(3 in p or 4 in p or 5 in p or 6 in p for p in out)
+    # (1,7)/(2,7): grams {abc,bcd,cde} vs {abc,bcd,cdz} -> j = 2/4
+    assert out.get((1, 7)) == out.get((2, 7)) == 0.5
+    # determinism
+    out2 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs_portable(
+            edge, "text", "doc_id", threshold=0.2
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_minhash_portable_geometry_validation():
+    with pytest.raises(ValueError):
+        dedup._minhash_md5_udf(16, 5)  # bands must divide num_hashes
+    with pytest.raises(ValueError):
+        dedup._minhash_md5_udf(32, 8)  # rows-per-band must be 2
+
+
 def test_minhash_identical_docs_always_pair(spark):
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)]
     rows += [(10, "totally different words entirely unrelated content here now")]

@@ -4,61 +4,50 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-9 window (the r8 verdict's task #6 rotation): the ten stalest
-driver rows return — a4_rollup, a6_distinct_agg, j2_anti_join,
-j3_semi_join (r2-era), a10_approx_distinct, a11_approx_percentile,
-a1_minmax_watermark, a9_percentiles, f_udaf (r3), a12_hll_incremental
-(r4) — plus the never-driver-checked ann_lsh_portable (r8 verdict task
-#7: the full-value exact-integer LSH twin), which takes the rows-only
-ann_lsh's slot.  Displaced below the line with doubly-fresh evidence
-(green r3-era AND r8 rows): a5_ngram_stats, f_window_tumbling,
-dedup_exact, dedup_ngram_jaccard, text_tokens, text_quality,
-pipeline_clean_corpus, pipeline_pack_sequences, sample_stratified,
-sample_group_topk, and ann_lsh itself.  text_lang stays in-window
-deliberately: its scorer was restructured this round (task #1 codegen
-fix) and needs a fresh driver row.  Late-r9 revision: the new
-sketch_quantile_mergeable (deterministic mergeable quantile summary,
-never driver-checked) takes text_pii_redact's slot (green r3-era AND
-r8 rows — the freshest class, moved just below the line)."""
+Round-10 window (the r9 verdict's tasks #1/#2 at their fixpoint): the
+full CORRECTNESS r1-r9 staleness ledger shows exactly 50 queries whose
+last green driver row dates to r4 or never — this window is that set,
+so after r10 no query's driver evidence predates r5.  It contains the
+never-checked dedup_minhash_portable (task #1: the full-value
+portable-md5 MinHash twin) and dedup_simhash_portable (last green r4),
+replacing the rows-only dedup_minhash / dedup_simhash pair dumps (the
+ann_lsh precedent), so every window row is oracled — CORRECTNESS_r10
+should carry zero `err` entries of any kind.  All ten of
+coverage_gap.py's headline rotation candidates (task #2) are included
+by construction.  Displaced below the line: every r8/r9-green entry
+(the freshest evidence classes in the repo)."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # r8-green rows kept one more round (text_lang: the codegen fix
-    # needs fresh driver evidence; the rest are the r8 window's tail)
-    "text_lang",
-    # new in r9: deterministic mergeable quantile summary (takes the
-    # text_pii_redact slot — green r3-era + r8 rows, moved below)
-    "sketch_quantile_mergeable",
-    # late r9: its grouped face (takes the dedup_chunks slot — green
-    # r3-era + r8 rows, moved below)
-    "sketch_quantile_grouped",
-    "text_repetition", "layout_zorder",
-    "sample_mixture", "s1_range_scan", "p6_uint256_sum",
-    "j1_catalog_join_chain", "j5_range_join",
-    "j6_asof_join", "j4_similarity_topk", "sim_topk_matmul",
-    "a3_pricing_summary", "w1_latest_version", "dedup_minhash",
-    "dedup_simhash",
-    # new in r9: exact-integer sign-LSH, full-value DuckDB oracle
-    "ann_lsh_portable",
-    "f_array", "f_collect", "f_udtf", "f_map", "f_hash", "f_bitwise",
-    "f_date", "text_fingerprint", "text_clean", "pipeline_stable_split",
-    "ann_ivfpq_served", "dedup_cdc_novelty", "retrieval_eval",
-    "ann_filtered", "ann_hamming", "ann_hamming_rerank",
-    "retrieval_champion", "graph_lpa", "dedup_prefix_jaccard",
-    "sketch_mg_heavy_hitters", "pipeline_corpus_diff", "f_global_rank",
-    # the task-#6 stale-evidence rotation block
-    "a4_rollup", "a6_distinct_agg", "j2_anti_join", "j3_semi_join",
-    "a10_approx_distinct", "a11_approx_percentile", "a1_minmax_watermark",
-    "a9_percentiles", "f_udaf", "a12_hll_incremental",
+    # task #1: the portable full-value twins (minhash new this round,
+    # never driver-checked; simhash last green r4)
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    # task #2: coverage_gap.py's headline ten (last checked r4)
+    "a13_histogram_percentile", "ann_ivf", "ann_lsh_recall",
+    "cdc_apply_incremental", "cdc_latest_state", "corpus_overlap",
+    "dedup_bloom_probe", "dedup_clusters", "dedup_clusters_star",
+    "dedup_incremental_recall",
+    # the rest of the r4-era ledger (last green r4, in catalog order)
+    "w7_sessionize", "f_vector", "pipeline_contamination",
+    "dedup_minhash_recall", "text_winnowing", "emb_neardup",
+    "dedup_passage_spans", "pipeline_remove_passages", "text_bm25",
+    "rollup_incremental", "pipeline_dedup_corpus",
+    "quality_linear_score", "text_token_df", "text_bpe_tokens",
+    "f_vector_quantize", "sim_topk_quantized", "f_null_semantics",
+    "j8_asof_nearest", "text_heavy_hitters", "profile_documents",
+    "text_inverted_index", "text_index_incremental",
+    "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
+    "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q13_shape", "tpch_q15_shape",
+    "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
+    "tpch_q20_shape", "text_bigram_lm", "quality_lm_novelty",
 ]
 
-# rows-only by design (raw pair/bucket dumps whose correctness rides on
-# an oracled contract twin: dedup_minhash_recall /
-# dedup_simhash_portable, both green in prior rounds).  ann_lsh left
-# the window this round — its oracled evidence rides ann_lsh_recall
-# AND the new full-value ann_lsh_portable.
-ROWS_ONLY = {"dedup_minhash", "dedup_simhash"}
+# every window row is oracled this round — the rows-only raw pair
+# dumps (dedup_minhash, dedup_simhash) left the window for their
+# full-value portable twins
+ROWS_ONLY: set[str] = set()
 
 
 def test_driver_window_is_frozen():
