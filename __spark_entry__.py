@@ -4109,12 +4109,90 @@ def q_pipeline_shuffle_shard(spark, sf):
 
 
 def q_ann_projected(spark, sf):
-    # raw coarse-to-fine ANN output (bench-comparable); correctness
-    # rides on the ann_projected_recall contract
+    # coarse-to-fine projected ANN in EXACT INTEGER arithmetic end to
+    # end (r9 verdict task #7: oracle this face for real): components
+    # quantize by floor(v * 2^10), the projection is the integer md5
+    # matrix (2*md5_byte - 255 — the same md5 family as the float
+    # deployment face, scaled into exact integers), the coarse pass is
+    # an exact int64 sharded matmul top-(k*expand), and candidates
+    # re-rank by the exact int64 full-dim quantized dot — DuckDB
+    # replays every (query_id, neighbor_id, qdot, rank) row
+    # bit-exactly.  The float deployment face (BLAS projection + float
+    # cosine) keeps its recall contract as ann_projected_recall.
     emb = _t(spark, sf, "embeddings")
-    return sim_ops.projected_topk_rerank(
+    return sim_ops.projected_topk_portable(
         emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
     )
+
+
+def _ann_projected_sql(
+    in_dim: int = 64,
+    out_dim: int = 32,
+    seed: str = "rp",
+    scale_bits: int = 10,
+    k: int = 5,
+    expand: int = 30,
+) -> str:
+    """DuckDB replay of projected_topk_portable: the SAME integer md5
+    projection matrix literals (similarity.int_projection_matrix), the
+    same floor(v * 2^s) quantization, exact integer coarse
+    top-(k*expand) per query, exact int64 full-dim re-rank."""
+    from subgraph_extractor_spark.operators.similarity import (
+        int_projection_matrix,
+    )
+
+    W = int_projection_matrix(in_dim, out_dim, seed)
+    scale = float(1 << scale_bits)
+    wvals = ",".join(
+        f"({j},{i + 1},{W[j][i]})"
+        for j in range(out_dim)
+        for i in range(in_dim)
+    )
+    return f"""
+    WITH w(j, i, wt) AS (VALUES {wvals}),
+    qv AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    p AS (
+      SELECT qv.vec_id, w.j, CAST(SUM(w.wt * qv.q) AS BIGINT) AS pj
+      FROM qv JOIN w ON w.i = qv.i
+      GROUP BY qv.vec_id, w.j
+    ),
+    pdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.pj * b.pj) AS BIGINT) AS pdot
+      FROM p a JOIN p b ON a.j = b.j AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY pdot DESC, neighbor_id ASC) AS cr
+        FROM pdots)
+      WHERE cr <= {k * expand}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
+      FROM coarse c
+      JOIN qv qa ON qa.vec_id = c.query_id
+      JOIN qv qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
 
 
 def q_ann_projected_recall(spark, sf):
@@ -6720,6 +6798,11 @@ ORACLES: dict[str, str] = {
                TRUE AS recall_ge_075
         FROM embeddings
     """,
+    # exact-integer coarse-to-fine projected ANN (r9 verdict task #7):
+    # the generated SQL shares the integer md5 projection-matrix
+    # literals with the Spark kernel and replays quantization, the
+    # coarse top-(k*expand) and the full-dim integer re-rank bit-exactly
+    "ann_projected": _ann_projected_sql(),
     "ann_projected_lsh_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                TRUE AS recall_ge_075

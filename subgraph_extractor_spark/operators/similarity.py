@@ -888,6 +888,202 @@ def lsh_portable_topk(
     return out
 
 
+def int_projection_matrix(
+    in_dim: int, out_dim: int, seed: str = "rp"
+) -> list[list[int]]:
+    """Integer random-projection matrix W[j][i] = 2*md5_byte - 255 —
+    the :func:`projection_matrix` md5 family scaled by 255 into exact
+    zero-mean integers in [-255, 255], so the projection is replayable
+    bit-exactly in any engine with 64-bit integer SUM (the
+    ``int_lsh_planes`` portability discipline, md5-derived so the
+    matrix needs no PRNG on either engine)."""
+    import hashlib
+
+    def w(j: int, i: int) -> int:
+        b = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0]
+        return 2 * b - 255
+
+    return [[w(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def projected_topk_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    out_dim: int = 32,
+    in_dim: int = 64,
+    expand: int = 30,
+    seed: str = "rp",
+    scale_bits: int = 10,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Coarse-to-fine projected ANN in EXACT INTEGER arithmetic end to
+    end — the full-value-oracle twin of :func:`projected_topk_rerank`
+    (whose float BLAS projection and float cosine have no cross-engine
+    replay; its evidence is the ann_projected_recall contract).  The
+    ``lsh_portable_topk`` discipline applied to the FLAT coarse pass:
+
+    - components quantize via :func:`quantize_int_vec`
+      (floor(v * 2^scale_bits) — bit-exact on any IEEE engine);
+    - the projection is the integer md5 matrix of
+      :func:`int_projection_matrix` applied as ONE Arrow int64 matmul
+      (numpy int64 arithmetic is exact and wraps like a JVM long;
+      the envelope below never wraps);
+    - the coarse pass is the sharded-matmul shape of
+      :func:`topk_matmul` with int64 dots and an exact
+      (pdot desc, neighbor_id asc) two-level top-(k*expand) — corpus
+      shuffles once, per-shard tiles are memory-bounded, the global
+      merge window sees k*expand*n_shards rows per query;
+    - the re-rank is the exact int64 dot of the quantized FULL vectors
+      over candidates only (an Arrow kernel — the candidate table is
+      Q x k*expand rows and interpreted HOF lambdas over it were the
+      measured cost class in ann_projected's float twin).
+
+    Overflow envelope (doc-checked, generous): |q_i| <= 2^scale_bits *
+    max|v|; |p_j| <= in_dim * 255 * |q_i|; |pdot| <= out_dim * p_j^2 —
+    for unit-scale embeddings at the defaults that is ~9e15, three
+    orders under 2^63.
+
+    Output: (query_id, neighbor_id, qdot, rank), rank 1..<=k per
+    query, qdot the exact int64 full-dim quantized dot — every row
+    replayable in pure SQL (see the generated oracle in
+    ``__spark_entry__._ann_projected_sql``)."""
+    spark = df.sparkSession
+    W = np.array(
+        int_projection_matrix(in_dim, out_dim, seed), dtype=np.int64
+    ).T  # (in_dim, out_dim)
+    scale = float(1 << scale_bits)
+
+    @pandas_udf(ArrayType(LongType()))
+    def int_proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        Q = np.floor(M * scale).astype(np.int64)  # (n, in_dim)
+        return pd.Series(list(Q @ W))  # exact int64
+
+    @pandas_udf(LongType())
+    def int_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(a.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy())
+        B = np.stack(b.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy())
+        return pd.Series((A * B).sum(axis=1))
+
+    S = _n_shards(df, n_shards)
+    id_type = dict(df.dtypes)[id_col]
+    # non-null contract shared with every vector kernel here
+    base = df.filter(F.col(vec_col).isNotNull())
+    proj = base.select(
+        F.col(id_col).alias("_id"), int_proj(F.col(vec_col)).alias("_p")
+    )
+    # the projection kernel feeds both cogroup sides and runs twice —
+    # bounded by out_dim/in_dim of one corpus scan; see the measured
+    # persist non-result in projected_topk_rerank's in-body note
+    c = proj.select(
+        _shard_of(F.col("_id"), S).alias("_shard"),
+        F.col("_id").alias("_cid"),
+        F.col("_p").alias("_cv"),
+    )
+    shards = spark.range(S).select(F.col("id").cast("int").alias("_shard"))
+    q = proj.select(
+        F.col("_id").alias("_qid"), F.col("_p").alias("_qv")
+    ).crossJoin(F.broadcast(shards))
+    kk_target = k * expand
+    MASK = np.iinfo(np.int64).min + 1  # self-match sentinel; |pdot| << |MASK|
+
+    def shard_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "_pdot": pd.Series([], dtype="int64"),
+                }
+            )
+        Q = np.stack(
+            qpdf["_qv"].map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
+        )
+        C = np.stack(
+            cpdf["_cv"].map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
+        )
+        c_ids = cpdf["_cid"].to_numpy()
+        q_ids = qpdf["_qid"].to_numpy()
+        D = Q @ C.T  # exact int64
+        for i, qid in enumerate(q_ids):
+            D[i, c_ids == qid] = MASK
+        kk = min(kk_target, D.shape[1])
+        part = np.argpartition(-D, kth=kk - 1, axis=1)[:, :kk]
+        pd_ = np.take_along_axis(D, part, axis=1)
+        pids = c_ids[part]
+        order = np.lexsort((pids, -pd_), axis=1)
+        dots = np.take_along_axis(pd_, order, axis=1).ravel()
+        cids = np.take_along_axis(pids, order, axis=1).ravel()
+        qcol = np.repeat(q_ids, kk)
+        keep = dots != MASK
+        return pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": cids[keep],
+                "_pdot": dots[keep],
+            }
+        )
+
+    scored = (
+        q.groupby("_shard")
+        .cogroup(c.groupby("_shard"))
+        .applyInPandas(
+            shard_topk,
+            schema=(
+                f"query_id {id_type}, neighbor_id {id_type}, _pdot long"
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_pdot").desc(), F.col("neighbor_id").asc()
+    )
+    coarse = (
+        scored.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= kk_target)
+        .select("query_id", "neighbor_id")
+    )
+    # exact full-dim re-rank over the quantized vectors, Arrow int dot
+    qint = base.select(
+        F.col(id_col).alias("_iid"),
+        quantize_int_vec(F.col(vec_col), scale_bits).alias("_iq"),
+    )
+    pairs = (
+        coarse.join(
+            qint.select(
+                F.col("_iid").alias("query_id"), F.col("_iq").alias("_qa")
+            ),
+            "query_id",
+        )
+        .join(
+            qint.select(
+                F.col("_iid").alias("neighbor_id"), F.col("_iq").alias("_qb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("_qa"), F.col("_qb")).alias("qdot"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:

@@ -208,6 +208,62 @@ def test_projected_rerank_contract(spark, sf_dir):
         assert len(set(neighbors)) == 3 and q not in neighbors
 
 
+def test_projected_portable_recall_and_contract(spark, sf_dir):
+    """The exact-integer portable twin (projected_topk_portable) is
+    full-value oracled by the driver harness; pytest asserts what the
+    oracle can't — the QUALITY contract vs the float brute force: with
+    the coverage-scaled expand, integer quantization (floor x 2^10)
+    plus the integer projection must not cost recall vs the exact
+    baseline.  Also: top-k shape, determinism across repartitioning,
+    and null vectors dropping out."""
+    from subgraph_extractor_spark.operators.similarity import (
+        projected_topk_portable,
+    )
+    from subgraph_extractor_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    n = emb.count()
+    expand = max(30, -(-3 * n // (10 * k)))
+    exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
+    out = projected_topk_portable(
+        emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64, expand=expand
+    )
+    rows = out.collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, f"portable projected recall too low: {recall}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    assert len(by_q) == n
+    for q, lst in by_q.items():
+        assert sorted(rk for rk, _ in lst) == list(range(1, len(lst) + 1))
+        neighbors = [nb for _, nb in lst]
+        assert len(set(neighbors)) == len(neighbors) and q not in neighbors
+    # determinism under different physical layouts (exact integers:
+    # no accumulation-order noise by construction)
+    rows2 = projected_topk_portable(
+        emb.repartition(7), "embedding", "vec_id", k=k, out_dim=32,
+        in_dim=64, expand=expand,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # null vectors drop out instead of poisoning the kernels
+    withnull = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(99999, None)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    rows3 = projected_topk_portable(
+        withnull, "embedding", "vec_id", k=k, out_dim=32, in_dim=64,
+        expand=expand,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows3))
+
+
 def test_projected_lsh_composition_recall_and_shape(spark, emb):
     """The sub-quadratic coarse-to-fine composition (projection ->
     sign-LSH in projected space -> full-dim re-rank): top-k contract
