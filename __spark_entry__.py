@@ -1940,6 +1940,49 @@ def q_dedup_simhash_portable(spark, sf):
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_text_html_extract(spark, sf):
+    # HTML -> main-text boilerplate extraction (operators/html.py — the
+    # first stage of the crawl-to-corpus chain, r9 verdict task #6):
+    # each fixture document is wrapped in a deterministically-messy
+    # crawl page — head/style junk, a nav link bar, the escaped body
+    # text in a content div, a link-farm "Related/More" div (pure
+    # anchor text -> dropped by the link-density rule, NOT by a
+    # container rule), an aside and a footer both derived from doc_id —
+    # and the extractor must recover exactly the original text
+    # (whitespace-collapsed).  The oracle does NOT run a second parser
+    # (the url_canonical_dedup discipline): it derives the EXPECTED
+    # extraction directly from the synthesis parameters — escape then
+    # entity-decode is the identity, boilerplate contributes nothing —
+    # so a shared parsing misunderstanding cannot cancel out.
+    from subgraph_extractor_spark.operators import html as html_ops
+
+    d = _t(spark, sf, "documents")
+    esc = html_ops.html_escape_expr(F.coalesce(F.col("text"), F.lit("")))
+    g = (F.col("doc_id") % 7).cast("string")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>page</title><style>p{margin:0}</style>"
+            "<script>var nav = \"<p>fake</p>\";</script></head><body>"
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> "
+            "<a href=\"/sec/"
+        ),
+        g,
+        F.lit("\">Section</a></nav><div class=\"content\"><p>"),
+        esc,
+        F.lit(
+            "</p></div><div><a href=\"/rel\">Related</a> "
+            "<a href=\"/more\">More stories</a></div><aside>ad block "
+        ),
+        g,
+        F.lit("</aside><footer>&copy; site "),
+        g,
+        F.lit("</footer></body></html>"),
+    )
+    return html_ops.extract_main_text(
+        d.select("doc_id", page.alias("_html")), "_html"
+    ).select("doc_id", "main_text")
+
+
 def q_dedup_minhash_portable(spark, sf):
     # MinHash-LSH banding under a FULL-VALUE cross-engine check (the
     # ann_lsh_portable / dedup_simhash_portable discipline applied to
@@ -5048,7 +5091,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10_shape": q_tpch_q10_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
-    "tpch_q13_shape": q_tpch_q13_shape,
+    # never-driver-checked mid-round addition (r9 verdict task #6) —
+    # takes the tpch_q13_shape slot (the one r4-era row deliberately
+    # left for r11: a plain SQL left-join/count shape whose 13 sibling
+    # tpch shapes all sit in this window)
+    "text_html_extract": q_text_html_extract,
     "tpch_q15_shape": q_tpch_q15_shape,
     "tpch_q16_shape": q_tpch_q16_shape,
     "tpch_q17_shape": q_tpch_q17_shape,
@@ -5057,6 +5104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
+    "tpch_q13_shape": q_tpch_q13_shape,
     # below the line: r9-green (freshest), then the r6-r8 classes.
     # dedup_minhash / dedup_simhash are the rows-only raw pair
     # dumps displaced by their full-value portable twins; kept
@@ -7308,6 +7356,19 @@ ORACLES: dict[str, str] = {
     # brute-force every pair within hamming <= 3.  Pigeonhole banding is
     # complete at 4 bands, so the Spark pipeline's banded output must
     # equal this exactly — row set AND hamming values.
+    # HTML-extraction contract (url_canonical_dedup discipline): the
+    # expected main text is derived from the synthesis parameters —
+    # the wrapper's boilerplate contributes nothing and escape +
+    # entity-decode is the identity — so the oracle is the original
+    # text under the repo-wide ASCII whitespace collapse, never a
+    # second HTML parser whose bugs could cancel the kernel's.
+    "text_html_extract": r"""
+        SELECT doc_id,
+               trim(regexp_replace(COALESCE(text, ''),
+                                   '[\t\n\f\r ]+', ' ', 'g'),
+                    ' ') AS main_text
+        FROM documents
+    """,
     # Portable-MinHash contract: the generated SQL shares the seeded
     # affine-permutation literals with the Spark kernel; signatures,
     # banding, candidates and the exact hash-set Jaccard all replay in
