@@ -60,6 +60,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from subgraph_extractor_spark.operators.clustering import _fdiv
@@ -156,6 +157,31 @@ def _split_q(qdf: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _assign_codes_kernel(cents: list[list[list[int]]]):
+    """Arrow-kernel subspace code assignment for the TRAINING loop:
+    per (s, qsub) row, argmin_j of the exact int64 squared distance to
+    ``cents[s][j]`` — value-identical to the ``_argmin_code`` codegen
+    expression (numpy int64 is exact; ``np.argmin`` returns the first
+    minimal index = the (dist, j) lexicographic tie-break).  See the
+    in-loop comment in :func:`_train_on_subvectors` for why training
+    assignments ride a kernel while the encode faces stay codegen."""
+    CB = np.array(cents, dtype=np.int64)  # (m, k, dsub)
+
+    @pandas_udf("int")
+    def assign(s: pd.Series, qsub: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        sv = s.to_numpy()
+        Q = np.stack(
+            qsub.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
+        )
+        d = Q[:, None, :] - CB[sv]  # (n, k, dsub)
+        dist = (d * d).sum(axis=2)
+        return pd.Series(dist.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
 def _train_on_subvectors(
     sub: DataFrame, m: int, k: int, dsub: int, iters: int
 ) -> list[list[list[int]]]:
@@ -180,12 +206,21 @@ def _train_on_subvectors(
         cents[r["s"]][r["j"]] = list(r["qsub"])
 
     for _ in range(iters):
-        cb_lit = _codebooks_lit(cents)
         assigned = sub.select(
             "s",
             "qsub",
-            _argmin_code(
-                F.col("qsub"), F.element_at(cb_lit, F.col("s") + 1)
+            # Arrow kernel, not the literal-tensor argmin: the training
+            # loop rebuilds the m*k*dsub literal every iteration, and
+            # each fresh expression tree pays a fixed Catalyst
+            # analysis/codegen tax per Lloyd pass (r9 verdict task #3 —
+            # the serving-side _qtable_udf lesson applied to training).
+            # Values are bit-identical: numpy int64 is exact and
+            # np.argmin's first-min IS the (dist, j) tie-break.  The
+            # one-plan map faces (pq_encode / ivfpq_encode) keep the
+            # codegen argmin — they compile once and compose
+            # Python-free.
+            _assign_codes_kernel(cents)(
+                F.col("s"), F.col("qsub")
             ).alias("j"),
         )
         sums = (
@@ -247,17 +282,72 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes) — each vector compressed to ``m`` codeword indices.
     Map-only whole-stage codegen: quantize, slice per subspace, argmin
-    against the literal codebooks.  This is the persistable compressed
-    corpus (m bytes/vector at k <= 256)."""
-    scale = float(1 << scale_bits)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
-    )
+    against the codebooks (Arrow kernel — see :func:`_encode_kernel`
+    for the bit-identity and fixed-plan-tax rationale).  This is the
+    persistable compressed corpus (m bytes/vector at k <= 256)."""
     return df.select(
         F.col(id_col).alias("id"),
-        _codes_from_q(q, codebooks).alias("codes"),
-    )
+        _encode_kernel(None, codebooks, scale_bits)(
+            F.col(vec_col)
+        ).alias("_e"),
+    ).select("id", F.col("_e.codes").alias("codes"))
+
+
+def _encode_kernel(
+    cells: list | None,
+    codebooks: list[list[list[int]]],
+    scale_bits: int,
+):
+    """Arrow encode kernel: quantize (floor(v * 2^s) — the identical
+    IEEE-exact op as the Catalyst transform), optionally route to the
+    nearest coarse cell and subtract its centroid (IVF residual), then
+    argmin each subspace slice against the codebooks.  One numpy int64
+    pass per batch, bit-identical to the literal-tensor codegen chain
+    it replaces (exact arithmetic; np.argmin first-min == the
+    (dist, j) lexicographic tie-break) — whose m*k*dsub-term expression
+    tree cost a fixed ~2.5 s of Catalyst analysis/codegen per job at
+    ANY data size (measured at sf0.1; the r9 serving-kernel lesson —
+    _qtable_udf — applied to the encode face).  At 100 TB the kernel
+    is one Arrow-batched map pass, still shuffle-free.
+
+    Returns struct(cell int, codes array<int>); ``cells=None`` encodes
+    plain PQ (cell fixed at 0, no residual).  Input contract: non-null
+    ``dim``-length finite-float vectors (the embedding-table contract;
+    NULL rows map to a NULL struct)."""
+    C = None if cells is None else np.array(cells, dtype=np.int64)
+    CB = np.array(codebooks, dtype=np.int64)  # (m, k, dsub)
+    m, _k, dsub = CB.shape
+    scale = float(1 << scale_bits)
+
+    @pandas_udf("cell int, codes array<int>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        mask = vecs.notna()
+        out_cell = pd.Series([None] * len(vecs), dtype=object)
+        out_codes = pd.Series([None] * len(vecs), dtype=object)
+        if mask.any():
+            M = np.stack(
+                vecs[mask].map(
+                    lambda v: np.asarray(v, dtype=np.float64)
+                ).to_numpy()
+            )
+            Q = np.floor(M * scale).astype(np.int64)
+            if C is None:
+                cell = np.zeros(len(Q), dtype=np.int32)
+                R = Q
+            else:
+                d = Q[:, None, :] - C[None, :, :]
+                cell = (d * d).sum(axis=2).argmin(axis=1)
+                R = Q - C[cell]
+                cell = cell.astype(np.int32)
+            Rs = R.reshape(len(R), m, 1, dsub)
+            dist = ((Rs - CB[None]) ** 2).sum(axis=3)  # (n, m, k)
+            codes = dist.argmin(axis=2).astype(np.int32)
+            pos = np.flatnonzero(mask.to_numpy())
+            out_cell.iloc[pos] = [int(c) for c in cell]
+            out_codes.iloc[pos] = [list(c) for c in codes]
+        return pd.DataFrame({"cell": out_cell, "codes": out_codes})
+
+    return enc
 
 
 def _codes_from_q(q, codebooks: list[list[list[int]]]):
@@ -723,7 +813,6 @@ def ivfpq_build_index(
     face."""
     from subgraph_extractor_spark.operators.clustering import (
         kmeans_train_centroids,
-        quantized_vectors,
     )
 
     head = corpus.select(vec_col).first()
@@ -738,25 +827,26 @@ def ivfpq_build_index(
         corpus, vec_col, id_col,
         k=n_cells, iters=iters_cells, scale_bits=scale_bits,
     )
-    cells_lit = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in cells
-        ]
-    )
-    q = quantized_vectors(corpus, vec_col, id_col, scale_bits)
-    resid = q.select(
-        "id",
-        _argmin_code(F.col("q"), cells_lit).alias("cell"),
-        F.col("q"),
-    ).select(
-        "id",
-        "cell",
-        F.zip_with(
-            "q",
-            F.element_at(cells_lit, F.col("cell") + 1),
-            lambda x, c: x - c,
-        ).alias("q"),
+    # training residuals via one Arrow kernel (quantize + cell argmin +
+    # subtract) — same bit-identity/plan-tax rationale as
+    # _encode_kernel; the literal-tensor form re-paid codegen per build
+    C = np.array(cells, dtype=np.int64)
+    scale = float(1 << scale_bits)
+
+    @pandas_udf("array<long>")
+    def _resid(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        Q = np.floor(M * scale).astype(np.int64)
+        d = Q[:, None, :] - C[None, :, :]
+        cell = (d * d).sum(axis=2).argmin(axis=1)
+        return pd.Series(list(Q - C[cell]))
+
+    resid = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _resid(F.col(vec_col)).alias("q")
     )
     sub = _split_q(resid.select("id", "q"), m).persist()
     try:
@@ -788,46 +878,28 @@ def ivfpq_encode(
     this function, so incrementally encoded batches are bit-identical
     to what a full rebuild with the same model would emit.
 
-    Map-only whole-stage codegen (cell argmin over a literal centroid
-    tensor, residual subtract, per-subspace code argmin) — no shuffle;
-    appending a batch to a billion-vector index costs one scan of the
-    BATCH.  Output: (id, [carry_cols...,] cell, codes).
+    Map-only Arrow kernel (cell argmin, residual subtract, per-subspace
+    code argmin in one numpy pass — see :func:`_encode_kernel` for the
+    bit-identity and fixed-plan-tax rationale) — no shuffle; appending
+    a batch to a billion-vector index costs one scan of the BATCH.
+    Output: (id, [carry_cols...,] cell, codes).
 
     ``carry_cols`` pass metadata columns through to the code table
     map-only (no id join) — the filtered-serving face: a code table
     carrying its filter columns (and written partitioned by them)
     lets :func:`ivfpq_search`'s ``filter_expr`` prune at the SCAN, so
     a selective predicate cuts both I/O and scored candidates."""
-    from subgraph_extractor_spark.operators.clustering import (
-        quantized_vectors,
-    )
-
     carry = list(carry_cols or [])
-    cells_lit = F.array(
-        *[
-            F.array(*[F.lit(int(v)).cast("long") for v in c])
-            for c in cells
-        ]
-    )
-    q = quantized_vectors(df, vec_col, id_col, scale_bits, carry_cols=carry)
-    resid = q.select(
-        "id",
-        *carry,
-        _argmin_code(F.col("q"), cells_lit).alias("cell"),
-        F.col("q"),
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        _encode_kernel(cells, codebooks, scale_bits)(
+            F.col(vec_col)
+        ).alias("_e"),
     ).select(
-        "id",
-        *carry,
-        "cell",
-        F.zip_with(
-            "q",
-            F.element_at(cells_lit, F.col("cell") + 1),
-            lambda x, c: x - c,
-        ).alias("q"),
-    )
-    return resid.select(
-        "id", *carry, "cell",
-        _codes_from_q(F.col("q"), codebooks).alias("codes"),
+        "id", *carry,
+        F.col("_e.cell").alias("cell"),
+        F.col("_e.codes").alias("codes"),
     )
 
 
