@@ -4273,17 +4273,101 @@ def q_ann_projected_recall(spark, sf):
 
 
 def q_ann_projected_lsh(spark, sf):
-    # raw output of the SUB-QUADRATIC coarse-to-fine composition
-    # (projection -> sign-LSH in projected space -> full-dim re-rank,
-    # similarity.projected_lsh_topk) — the shape the flat coarse pass's
-    # own docstring prescribes at corpus x corpus scale, now a
-    # first-class operator.  Bench-comparable deployment parameters
-    # (absolute expand=30, the candidate cost model); correctness rides
-    # on the ann_projected_lsh_recall contract.
+    # the SUB-QUADRATIC coarse-to-fine composition (projection ->
+    # sign-LSH in projected space -> full-dim re-rank) in EXACT INTEGER
+    # arithmetic end to end (r10: the ann_projected treatment applied
+    # to the composition — the last rows-only ANN face): the integer
+    # md5 projection feeds seeded integer sign-hyperplanes, candidates
+    # share >= 1 of 4 packed bands (equi-join, never all-pairs), and
+    # the exact int64 quantized full-dim dot ranks them — DuckDB
+    # replays every (query_id, neighbor_id, qdot, rank) row bit-
+    # exactly.  The float BLAS composition keeps its recall contract
+    # as ann_projected_lsh_recall.
     emb = _t(spark, sf, "embeddings")
-    return sim_ops.projected_lsh_topk(
-        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64, expand=30
+    return sim_ops.projected_lsh_topk_portable(
+        emb, "embedding", "vec_id", k=5, out_dim=32, in_dim=64
     )
+
+
+def _ann_projected_lsh_sql(
+    in_dim: int = 64,
+    out_dim: int = 32,
+    bits: int = 32,
+    bands: int = 4,
+    seed: str = "rp",
+    plane_seed: int = 31,
+    scale_bits: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB replay of projected_lsh_topk_portable: the SAME integer
+    projection-matrix and hyperplane literals, quantize -> project ->
+    sign bands -> banded candidates -> exact int64 full-dim rerank."""
+    from subgraph_extractor_spark.operators.similarity import (
+        int_lsh_planes,
+        int_projection_matrix,
+    )
+
+    W = int_projection_matrix(in_dim, out_dim, seed)
+    planes = int_lsh_planes(out_dim, bits, plane_seed)
+    rows = bits // bands
+    scale = float(1 << scale_bits)
+    wvals = ",".join(
+        f"({j},{i + 1},{W[j][i]})"
+        for j in range(out_dim)
+        for i in range(in_dim)
+    )
+    pvals = ",".join(
+        f"({b},{j},{planes[b][j]})"
+        for b in range(bits)
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH w(j, i, wt) AS (VALUES {wvals}),
+    pl(bit, j, wt) AS (VALUES {pvals}),
+    qv AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    p AS (
+      SELECT qv.vec_id, w.j, CAST(SUM(w.wt * qv.q) AS BIGINT) AS pj
+      FROM qv JOIN w ON w.i = qv.i
+      GROUP BY qv.vec_id, w.j
+    ),
+    bits_t AS (
+      SELECT p.vec_id, pl.bit,
+             CASE WHEN SUM(pl.wt * p.pj) >= 0 THEN 1 ELSE 0 END AS b
+      FROM p JOIN pl ON pl.j = p.j
+      GROUP BY p.vec_id, pl.bit
+    ),
+    sig AS (
+      SELECT vec_id, bit // {rows} AS band,
+             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
+      FROM bits_t GROUP BY vec_id, bit // {rows}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT pr.query_id, pr.neighbor_id,
+             CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
+      FROM pairs pr
+      JOIN qv qa ON qa.vec_id = pr.query_id
+      JOIN qv qb ON qb.vec_id = pr.neighbor_id AND qb.i = qa.i
+      GROUP BY pr.query_id, pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
 
 
 def q_ann_projected_lsh_recall(spark, sf):
@@ -6851,6 +6935,9 @@ ORACLES: dict[str, str] = {
     # literals with the Spark kernel and replays quantization, the
     # coarse top-(k*expand) and the full-dim integer re-rank bit-exactly
     "ann_projected": _ann_projected_sql(),
+    # the sub-quadratic composition, same discipline (r10): projection
+    # + sign-LSH banding + exact integer rerank, all literals shared
+    "ann_projected_lsh": _ann_projected_lsh_sql(),
     "ann_projected_lsh_recall": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                TRUE AS recall_ge_075

@@ -1084,6 +1084,130 @@ def projected_topk_portable(
     )
 
 
+def projected_lsh_topk_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    out_dim: int = 32,
+    in_dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: str = "rp",
+    plane_seed: int = 31,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """The sub-quadratic coarse-to-fine composition (projection →
+    sign-LSH in the projected space → exact full-dim re-rank) in EXACT
+    INTEGER arithmetic end to end — the full-value-oracle twin of
+    :func:`projected_lsh_topk` (whose float BLAS projection/cosine ride
+    the ann_projected_lsh_recall contract).  Composes the two existing
+    portable primitives: the integer md5 projection of
+    :func:`projected_topk_portable` and the sign-LSH banding of
+    :func:`lsh_portable_topk`, applied to the PROJECTED vectors:
+
+    - quantize: floor(v * 2^scale_bits), exact on any IEEE engine;
+    - project: the :func:`int_projection_matrix` literals, one Arrow
+      int64 matmul;
+    - signature: ``bits`` sign bits of int64 dots against seeded
+      integer hyperplanes (:func:`int_lsh_planes` over ``out_dim``),
+      packed into ``bands`` band values — candidates share >= 1 band
+      (the sub-quadratic equi-join, never all-pairs);
+    - re-rank: exact int64 dot of the quantized FULL vectors over
+      candidates only, (qdot desc, neighbor_id asc) top-``k``.
+
+    Output: (query_id, neighbor_id, qdot, rank) — every row replayable
+    in pure SQL (``__spark_entry__._ann_projected_lsh_sql``)."""
+    planes = int_lsh_planes(out_dim, bits, plane_seed)
+    rows = bits // bands
+    if rows * bands != bits:
+        raise ValueError("bits must divide evenly into bands")
+    W = np.array(
+        int_projection_matrix(in_dim, out_dim, seed), dtype=np.int64
+    ).T  # (in_dim, out_dim)
+    P = np.array(planes, dtype=np.int64).T  # (out_dim, bits)
+    pack = (1 << np.arange(rows)).astype(np.int64)
+    scale = float(1 << scale_bits)
+
+    @pandas_udf(ArrayType(LongType()))
+    def proj_band_sig(vecs: pd.Series) -> pd.Series:
+        # quantize -> project -> sign bits -> packed band values, one
+        # numpy int64 pass (exact; the int_band_sig discipline with the
+        # projection fused in)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        Q = np.floor(M * scale).astype(np.int64)
+        pr = Q @ W  # (n, out_dim) exact
+        signs = (pr @ P >= 0).astype(np.int64)  # (n, bits)
+        vals = signs.reshape(len(M), bands, rows) @ pack
+        return pd.Series(list(vals))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.filter(F.col(vec_col).isNotNull()).repartition(par)
+    q = base.select(
+        F.col(id_col).alias("_id"),
+        quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
+        proj_band_sig(F.col(vec_col)).alias("_sig"),
+    ).persist()
+    q.count()  # one materialization: sig explode + both rerank joins
+    sig = q.select(
+        "_id", F.posexplode("_sig").alias("band", "val")
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("query_id"),
+            F.col("r._id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            q.select(
+                F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")
+            ),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
+    return out
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:

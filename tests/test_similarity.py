@@ -264,6 +264,40 @@ def test_projected_portable_recall_and_contract(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows3))
 
 
+def test_projected_lsh_portable_recall_and_shape(spark, sf_dir):
+    """The exact-integer portable composition (projection -> sign-LSH
+    bands -> int rerank) is full-value oracled by the driver; pytest
+    asserts the quality contract vs float brute force and the top-k
+    shape (LSH may yield < k candidates for sparse-bucket queries)."""
+    from subgraph_extractor_spark.operators.similarity import (
+        projected_lsh_topk_portable,
+    )
+    from subgraph_extractor_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
+    rows = projected_lsh_topk_portable(
+        emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64
+    ).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    # double approximation (projection noise x band recall) on the
+    # worst-case near-random fixture; the driver oracle is the strong
+    # check — this floor just catches a broken composition
+    assert recall >= 0.5, f"portable composition recall too low: {recall}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    for q, lst in by_q.items():
+        assert sorted(rk for rk, _ in lst) == list(range(1, len(lst) + 1))
+        neighbors = [nb for _, nb in lst]
+        assert len(set(neighbors)) == len(neighbors) and q not in neighbors
+
+
 def test_projected_lsh_composition_recall_and_shape(spark, emb):
     """The sub-quadratic coarse-to-fine composition (projection ->
     sign-LSH in projected space -> full-dim re-rank): top-k contract
