@@ -276,17 +276,16 @@ def test_projected_lsh_portable_recall_and_shape(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 5
-    exact = similarity.brute_force_topk(emb, emb, "embedding", "vec_id", k=k)
     rows = projected_lsh_topk_portable(
         emb, "embedding", "vec_id", k=k, out_dim=32, in_dim=64
     ).collect()
-    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
-    recall = len(e & a) / len(e)
-    # double approximation (projection noise x band recall) on the
-    # worst-case near-random fixture; the driver oracle is the strong
-    # check — this floor just catches a broken composition
-    assert recall >= 0.5, f"portable composition recall too low: {recall}"
+    # shape contract on the fixture.  NO recall floor here: near-random
+    # fixture vectors are sign-LSH's worst case (lsh_portable_topk
+    # itself measures ~0.07 vs float brute force on them) — the
+    # portable faces are bit-exact ORACLE contracts of a defined
+    # approximate algorithm; recall evidence rides the float face's
+    # coverage-scaled ann_projected_lsh_recall contract.
+    assert rows
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(
@@ -296,6 +295,43 @@ def test_projected_lsh_portable_recall_and_shape(spark, sf_dir):
         assert sorted(rk for rk, _ in lst) == list(range(1, len(lst) + 1))
         neighbors = [nb for _, nb in lst]
         assert len(set(neighbors)) == len(neighbors) and q not in neighbors
+
+    # quality contract on CLUSTERED data — the structure LSH exists to
+    # exploit: 20 tight clusters of 10; a member's true top-k are its
+    # cluster mates, which share projected signs with high probability
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((20, 64))
+    vecs, ids = [], []
+    for c in range(20):
+        for j in range(10):
+            vecs.append(centers[c] + 0.05 * rng.standard_normal(64))
+            ids.append(c * 100 + j)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = projected_lsh_topk_portable(
+        cdf, "embedding", "vec_id", k=k, out_dim=32, in_dim=64
+    ).collect()
+    # purity, not recall-at-k: a query's 9 cluster mates are near-ties,
+    # so the float-cosine top-5 and the quantized-dot top-5 legitimately
+    # pick DIFFERENT 5-subsets of the same mates (set overlap ~5/9 —
+    # measured 0.53 at any noise level); the meaningful quality claim
+    # is that returned neighbors come from the query's own cluster
+    assert got
+    in_cluster = sum(
+        1 for r in got if r["query_id"] // 100 == r["neighbor_id"] // 100
+    )
+    purity = in_cluster / len(got)
+    assert purity >= 0.95, f"clustered purity too low: {purity}"
+    # and every query should surface a full top-k (its mates all share
+    # every band at this noise level)
+    per_q = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert min(per_q.values()) == k and len(per_q) == 200
 
 
 def test_projected_lsh_composition_recall_and_shape(spark, emb):
