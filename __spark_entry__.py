@@ -1978,9 +1978,18 @@ def q_text_html_extract(spark, sf):
         g,
         F.lit("</footer></body></html>"),
     )
-    return html_ops.extract_main_text(
-        d.select("doc_id", page.alias("_html")), "_html"
-    ).select("doc_id", "main_text")
+    # one extraction record per page: main text AND the outlink list
+    # (operators/html.py:extract_links — the crawl-frontier face), the
+    # pair a real crawl pipeline emits in one pass.  Links join with
+    # '|' so the driver hash covers order and multiplicity.
+    wrapped = d.select("doc_id", page.alias("_html"))
+    return html_ops.extract_links(
+        html_ops.extract_main_text(wrapped, "_html"), "_html"
+    ).select(
+        "doc_id",
+        "main_text",
+        F.concat_ws("|", F.col("hrefs")).alias("links"),
+    )
 
 
 def q_dedup_minhash_portable(spark, sf):
@@ -7453,7 +7462,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                trim(regexp_replace(COALESCE(text, ''),
                                    '[\t\n\f\r ]+', ' ', 'g'),
-                    ' ') AS main_text
+                    ' ') AS main_text,
+               '/|/about|/sec/' || CAST(doc_id % 7 AS VARCHAR)
+                   || '|/rel|/more' AS links
         FROM documents
     """,
     # Portable-MinHash contract: the generated SQL shares the seeded

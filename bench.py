@@ -155,6 +155,15 @@ HEADLINE = [
     # (4-shard build + eager fold over lineitem prices) — first
     # recorded r9 for r10+ comparability.
     "sketch_quantile_mergeable",
+    # r10 additions (first recorded r10 for r11+ comparability):
+    # the full-value portable-md5 MinHash twin (r9 verdict task #1) and
+    # the HTML -> main-text boilerplate extraction kernel (task #6).
+    # Note: ann_projected and ann_projected_lsh changed FORMULATION in
+    # r10 (float BLAS -> exact-integer portable, now full-value
+    # oracled) — their pre-r10 floors measure a different computation;
+    # BASELINE.md carries the trail.
+    "dedup_minhash_portable",
+    "text_html_extract",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both

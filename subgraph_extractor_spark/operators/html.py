@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 _SKIP_TAGS = frozenset(
     ["script", "style", "noscript", "template", "head", "svg", "iframe"]
@@ -174,6 +174,60 @@ def extract_main_text(
     def ext(htmls: pd.Series) -> pd.Series:
         return pd.Series(
             [extract_main_text_str(h, mld) for h in htmls], dtype=object
+        )
+
+    return df.withColumn(out_col, ext(F.col(html_col)))
+
+
+class _LinkParser(HTMLParser):
+    """Collects (position, href) for every ``<a href=...>`` in document
+    order — including links inside boilerplate containers (a crawl
+    frontier wants nav/footer outlinks too; filter AFTER extraction
+    with ``urls.py``'s canonicalization/domain policies).  Entity
+    references inside attribute values arrive already decoded."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, val in attrs:
+                if name == "href" and val is not None:
+                    self.hrefs.append(val)
+                    break
+
+
+def extract_links_str(html: str | None) -> list[str]:
+    """Pure-Python outlink extraction of one document (the kernel
+    body): hrefs in document order, duplicates kept (frequency is a
+    signal for the domain-cap policies downstream).  NULL/unparseable
+    input degrades to []."""
+    if not html or not isinstance(html, str):
+        return []
+    p = _LinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    return p.hrefs
+
+
+def extract_links(
+    df: DataFrame, html_col: str, out_col: str = "hrefs"
+) -> DataFrame:
+    """Map-only outlink extraction of an HTML column: ``df`` plus
+    ``out_col`` holding array<string> hrefs in document order — the
+    crawl-frontier/link-graph half of the HTML family (compose with
+    ``operators/urls.py`` canonicalization and ``operators/graph.py``
+    PageRank for the crawl-graph pipeline).  One Arrow-batched kernel,
+    no shuffle."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def ext(htmls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_links_str(h) for h in htmls], dtype=object
         )
 
     return df.withColumn(out_col, ext(F.col(html_col)))

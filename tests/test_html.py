@@ -68,6 +68,28 @@ def test_entities_comments_case_and_malformed():
     assert ex("<p>a<br>b<hr>c</p>") == "a b c"
 
 
+def test_link_extraction():
+    # document order, duplicates kept, nav/footer links included (the
+    # crawl frontier wants them; policy filtering is urls.py's job)
+    assert H.extract_links_str(
+        '<nav><a href="/">H</a> <a href="/a">A</a></nav>'
+        '<p>x <a href="/sec/3">S</a></p><a>no href</a>'
+        '<a href="/a">again</a>'
+    ) == ["/", "/a", "/sec/3", "/a"]
+    # entity-decoded attribute values; quoted '>' survives
+    assert H.extract_links_str(
+        '<a href="/q?a=1&amp;b=2">x</a><a href="x>y">z</a>'
+    ) == ["/q?a=1&b=2", "x>y"]
+    # links inside script strings are NOT links
+    assert H.extract_links_str(
+        "<script>var s = '<a href=\"/fake\">x</a>';</script>"
+        '<a href="/real">r</a>'
+    ) == ["/real"]
+    assert H.extract_links_str(None) == []
+    assert H.extract_links_str("") == []
+    assert H.extract_links_str(123) == []
+
+
 def test_whitespace_collapse_is_the_ascii_contract():
     # \t \n \f \r and space collapse; other controls are data
     assert ex("<p>a\t\n b\f\rc</p>") == "a b c"
