@@ -1992,6 +1992,72 @@ def q_text_html_extract(spark, sf):
     )
 
 
+def q_pipeline_crawl_e2e(spark, sf):
+    # The COMPLETE crawl-to-corpus chain in one oracled query — the
+    # composition the r10 HTML family exists for: synthesize a messy
+    # crawl record per document (the url_canonical_dedup raw-URL pair
+    # + an HTML page wrapping the escaped text), then run the real
+    # pipeline stages end to end:
+    #   1. html.extract_main_text        (boilerplate removal)
+    #   2. token-count quality gate      (n_tokens >= 5, ta.token_count)
+    #   3. urls.url_exact_dedup          (canonicalize + min-id survivor
+    #      — the even/odd raw variants collapse to one URL per group)
+    #   4. dedup.exact_dedup on the text (content survivor, min id)
+    # Every stage is deterministic and synthesis-derivable, so the
+    # oracle replays the WHOLE chain without parsing any HTML or URL:
+    # expected text from the whitespace collapse, expected canonical
+    # URL from g, both survivor rules as min-id QUALIFY windows.
+    from subgraph_extractor_spark.operators import html as html_ops
+
+    d = _t(spark, sf, "documents")
+    g = F.expr("doc_id div 2")
+    esc = html_ops.html_escape_expr(F.coalesce(F.col("text"), F.lit("")))
+    page = F.concat(
+        F.lit(
+            "<html><head><title>p</title><style>p{margin:0}</style>"
+            "</head><body><nav><a href=\"/\">Home</a></nav><article><p>"
+        ),
+        esc,
+        F.lit("</p></article><footer>&copy; site "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    suffix = (
+        F.when(g % 3 == 0, F.lit(".co.uk"))
+        .when(g % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".github.io"))
+    )
+    host = F.concat(F.lit("site"), (g % 37).cast("string"), suffix)
+    path = F.concat(F.lit("/Articles/"), g.cast("string"))
+    messy = F.concat(
+        F.lit("HTTP://"), F.upper(host), F.lit(":80"), path,
+        F.lit("/?utm_source=feed&b=2&a=1#sec"),
+    )
+    cleanish = F.concat(F.lit("http://"), host, path, F.lit("?b=2&a=1"))
+    raw = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, messy)
+        .otherwise(cleanish)
+        .alias("raw_url"),
+        page.alias("_html"),
+    )
+    ext = html_ops.extract_main_text(raw, "_html")
+    gated = ext.withColumn(
+        "n_tokens", ta.token_count(F.col("main_text")).cast("bigint")
+    ).filter(F.col("n_tokens") >= 5)
+    url_kept = url_ops.url_exact_dedup(gated, "raw_url", "doc_id")
+    stage2 = url_kept.join(
+        gated.select("doc_id", "main_text", "n_tokens"), "doc_id"
+    )
+    survivors = dedup_ops.exact_dedup(stage2, "main_text", "doc_id")
+    return (
+        survivors.join(
+            stage2.select("doc_id", "canonical_url", "n_tokens"), "doc_id"
+        )
+        .select("doc_id", "canonical_url", "n_tokens", "main_text")
+    )
+
+
 def q_dedup_minhash_portable(spark, sf):
     # MinHash-LSH banding under a FULL-VALUE cross-engine check (the
     # ann_lsh_portable / dedup_simhash_portable discipline applied to
@@ -5183,7 +5249,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q10_shape": q_tpch_q10_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
-    "tpch_q12_shape": q_tpch_q12_shape,
+    # never-driver-checked mid-round addition: the complete
+    # crawl-to-corpus chain (extract -> gate -> URL dedup -> content
+    # dedup) as ONE oracled query — takes the tpch_q12_shape slot
+    # (the second r4-era row deliberately left for r11, with 13
+    # sibling tpch shapes in this window)
+    "pipeline_crawl_e2e": q_pipeline_crawl_e2e,
     # never-driver-checked mid-round addition (r9 verdict task #6) —
     # takes the tpch_q13_shape slot (the one r4-era row deliberately
     # left for r11: a plain SQL left-join/count shape whose 13 sibling
@@ -5198,6 +5269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
     "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
     # below the line: r9-green (freshest), then the r6-r8 classes.
     # dedup_minhash / dedup_simhash are the rows-only raw pair
     # dumps displaced by their full-value portable twins; kept
@@ -7452,6 +7524,47 @@ ORACLES: dict[str, str] = {
     # brute-force every pair within hamming <= 3.  Pigeonhole banding is
     # complete at 4 bands, so the Spark pipeline's banded output must
     # equal this exactly — row set AND hamming values.
+    # Crawl-to-corpus e2e contract: the oracle replays the WHOLE chain
+    # from the synthesis parameters (expected text = the whitespace
+    # collapse, expected canonical URL from g, both survivor rules as
+    # min-id QUALIFY windows) — no HTML or URL parsing on the oracle
+    # side, so a shared misunderstanding cannot cancel out.
+    "pipeline_crawl_e2e": r"""
+        WITH base AS (
+            SELECT doc_id, doc_id // 2 AS g,
+                   trim(regexp_replace(COALESCE(text, ''),
+                                       '[\t\n\f\r ]+', ' ', 'g'),
+                        ' ') AS mt
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, g, mt,
+                   CAST(len(string_split(mt, ' ')) AS BIGINT) AS n_tokens
+            FROM base
+            WHERE mt <> ''
+              AND len(string_split(mt, ' ')) >= 5
+        ),
+        url_kept AS (
+            SELECT doc_id, g, mt, n_tokens
+            FROM gated
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY g ORDER BY doc_id) = 1
+        ),
+        content_kept AS (
+            SELECT doc_id, g, mt, n_tokens
+            FROM url_kept
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY mt ORDER BY doc_id) = 1
+        )
+        SELECT doc_id,
+               'http://site' || CAST(g % 37 AS VARCHAR) ||
+               CASE g % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                    ELSE '.github.io' END ||
+               '/Articles/' || CAST(g AS VARCHAR) || '?a=1&b=2'
+                   AS canonical_url,
+               n_tokens, mt AS main_text
+        FROM content_kept
+    """,
     # HTML-extraction contract (url_canonical_dedup discipline): the
     # expected main text is derived from the synthesis parameters —
     # the wrapper's boilerplate contributes nothing and escape +

@@ -39,11 +39,12 @@ WINDOW_50 = [
     "text_inverted_index", "text_index_incremental",
     "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
     "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
-    "tpch_q12_shape",
-    # never-driver-checked mid-round addition (r9 verdict task #6);
-    # takes the tpch_q13_shape slot — the ONE r4-era row deliberately
-    # left for r11 (a plain SQL left-join/count shape; its 13 sibling
-    # tpch shapes are all in this window)
+    # never-driver-checked mid-round additions: the HTML extraction
+    # record (r9 verdict task #6) and the crawl-to-corpus e2e chain
+    # built on it — they take the tpch_q12/q13 slots (the TWO r4-era
+    # rows deliberately left for r11: plain SQL join/count shapes with
+    # 12 sibling tpch shapes in this window)
+    "pipeline_crawl_e2e",
     "text_html_extract",
     "tpch_q15_shape",
     "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
