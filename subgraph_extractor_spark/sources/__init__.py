@@ -3,4 +3,4 @@ from subgraph_extractor_spark.sources.readers import (  # noqa: F401
     load_tables,
     range_scan,
 )
-from subgraph_extractor_spark.sources import webdataset  # noqa: F401
+from subgraph_extractor_spark.sources import warc, webdataset  # noqa: F401
