@@ -166,6 +166,54 @@ def read_warc(
     return files.mapInPandas(gen, schema=WARC_SCHEMA)
 
 
+def read_warc_stream(
+    spark: SparkSession,
+    path_glob: str,
+    types: tuple[str, ...] | None = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — the continual-ingestion
+    face: crawl archives LAND continuously (a crawler drops one file
+    per fetch batch), and this turns each newly arrived archive into
+    record rows exactly once (Structured Streaming file-source
+    tracking).  Same schema and kernel as the batch reader, so
+    downstream foreachBatch pipelines (extraction → quality → the
+    incremental dedup/index sinks in ``streaming/``) compose
+    unchanged; ``max_files_per_trigger`` bounds per-batch memory (one
+    archive is one in-memory blob, the webdataset contract)."""
+    keep = None if types is None else set(types)
+    # streaming sources need an explicit schema; binaryFile's is fixed
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    files = reader.load(path_glob).select("path", "content")
+
+    def gen(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {
+                f.name: [] for f in WARC_SCHEMA.fields
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content)):
+                    if keep is not None and rec["warc_type"] not in keep:
+                        continue
+                    cols["warc_path"].append(path)
+                    for k in (
+                        "warc_type", "record_id", "target_uri",
+                        "warc_date", "content_type",
+                    ):
+                        cols[k].append(rec[k])
+                    cols["payload"].append(rec["payload"])
+            yield pd.DataFrame(cols)
+
+    return files.mapInPandas(gen, schema=WARC_SCHEMA)
+
+
 def http_response(payload: bytes) -> tuple[int, str, bytes]:
     """Split a raw HTTP response payload into (status, content_type
     lowercased, body).  Malformed input degrades to (0, '', payload) —

@@ -86,6 +86,46 @@ def test_http_response_split():
     assert W.http_response(b"no headers here") == (0, "", b"no headers here")
 
 
+def test_streaming_reader_matches_batch_and_is_incremental(spark, tmp_path):
+    """read_warc_stream == read_warc over the same archives, and a
+    restarted stream (same checkpoint) processes ONLY newly landed
+    archives — the exactly-once continual-ingestion contract."""
+    import os
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.warc").write_bytes(W.encode_warc(_records()))
+
+    def drain():
+        q = (
+            W.read_warc_stream(spark, str(src) + "/*.warc*")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    drain()
+    first = spark.read.parquet(str(out)).collect()
+    assert len(first) == 2  # a.warc's two response records
+    # second archive lands; restart processes only the delta
+    (src / "b.warc.gz").write_bytes(
+        W.encode_warc(_records(), gzip_members=True)
+    )
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 4
+    batch = W.read_warc(spark, str(src) + "/*.warc*").collect()
+    key = lambda r: (r["target_uri"], r["record_id"], bytes(r["payload"]))
+    assert sorted(map(key, rows)) == sorted(map(key, batch))
+    assert os.path.isdir(ckpt)
+
+
 def test_spark_reader_and_crawl_chain(spark, tmp_path):
     # two archives (one plain, one gzip-membered), one task each
     (tmp_path / "a.warc").write_bytes(W.encode_warc(_records()))
