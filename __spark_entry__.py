@@ -1992,6 +1992,39 @@ def q_text_html_extract(spark, sf):
     )
 
 
+def q_url_robots_filter(spark, sf):
+    # RFC 9309 longest-match robots filtering (urls.robots_filter —
+    # the politeness gate in front of the crawl chain): synthesized
+    # URLs http://h{doc_id%5}.com/p/{doc_id%13}/x against a 5-host
+    # policy table exercising the three semantic edges — PREFIX
+    # matching ('/p/1' blocks m ∈ {1,10,11,12}, the string-prefix
+    # subtlety), the longest rule winning ('/p/12' allow, len 5, beats
+    # both '/p/1' and h2's site-wide '/' disallow), and the equal-
+    # length tie going to allow (h3's '/p/5' pair).  The oracle derives
+    # every verdict from the synthesis parameters as one CASE — no
+    # second matcher.
+    d = _t(spark, sf, "documents").select("doc_id")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), (F.col("doc_id") % 13).cast("string"),
+            F.lit("/x"),
+        ).alias("url"),
+    )
+    rules = [(f"h{k}.com", "/p/1", False) for k in range(5)]
+    rules += [(f"h{k}.com", "/p/12", True) for k in range(5)]
+    rules += [
+        ("h2.com", "/", False),
+        ("h3.com", "/p/5", False),
+        ("h3.com", "/p/5", True),
+    ]
+    rdf = spark.createDataFrame(
+        rules, "host string, rule_path string, allow boolean"
+    )
+    return url_ops.robots_filter(raw, "url", "doc_id", rdf)
+
+
 def q_pipeline_crawl_e2e(spark, sf):
     # The COMPLETE crawl-to-corpus chain in one oracled query — the
     # composition the r10 HTML family exists for: synthesize a messy
@@ -5256,7 +5289,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8_shape": q_tpch_q8_shape,
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q10_shape": q_tpch_q10_shape,
-    "tpch_q11_shape": q_tpch_q11_shape,
+    # never-driver-checked mid-round addition: RFC 9309 robots-policy
+    # filtering — takes the tpch_q11_shape slot (third r4-era row
+    # leading r11; 11 sibling tpch shapes remain in this window)
+    "url_robots_filter": q_url_robots_filter,
     # never-driver-checked mid-round addition: the complete
     # crawl-to-corpus chain (extract -> gate -> URL dedup -> content
     # dedup) as ONE oracled query — takes the tpch_q12_shape slot
@@ -5276,6 +5312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
+    "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q13_shape": q_tpch_q13_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
     # below the line: r9-green (freshest), then the r6-r8 classes.
@@ -7532,6 +7569,23 @@ ORACLES: dict[str, str] = {
     # brute-force every pair within hamming <= 3.  Pigeonhole banding is
     # complete at 4 bands, so the Spark pipeline's banded output must
     # equal this exactly — row set AND hamming values.
+    # Robots-policy contract: every verdict derived from the synthesis
+    # parameters as one CASE (m = doc_id%13, h = doc_id%5) — the
+    # longest-match/tie logic is never re-implemented on this side
+    "url_robots_filter": """
+        SELECT doc_id, url FROM (
+            SELECT doc_id,
+                   'http://h' || CAST(doc_id % 5 AS VARCHAR) ||
+                   '.com/p/' || CAST(doc_id % 13 AS VARCHAR) || '/x'
+                       AS url,
+                   doc_id % 5 AS h, doc_id % 13 AS m
+            FROM documents)
+        WHERE CASE
+            WHEN m = 12 THEN TRUE
+            WHEN m IN (1, 10, 11) THEN FALSE
+            WHEN h = 2 THEN FALSE
+            ELSE TRUE END
+    """,
     # Crawl-to-corpus e2e contract: the oracle replays the WHOLE chain
     # from the synthesis parameters (expected text = the whitespace
     # collapse, expected canonical URL from g, both survivor rules as

@@ -195,3 +195,81 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def url_path(url: Column) -> Column:
+    """Raw path of a URL column ('' -> '/'), query/fragment stripped —
+    the robots matching subject (RFC 9309 matches the path-and-query;
+    this module's simplified rule grammar is prefix-over-path, the
+    overwhelmingly common robots.txt form)."""
+    rest = F.regexp_replace(
+        F.substring_index(url, "#", 1),
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://",
+        "",
+    )
+    raw = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def robots_filter(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    rules: DataFrame,
+    keep_unmatched_hosts: bool = True,
+) -> DataFrame:
+    """Crawl-policy filtering under RFC 9309 longest-match semantics —
+    the politeness gate a crawl corpus must pass before anything else
+    in the chain touches it.  ``rules`` is the parsed per-host policy
+    table ``(host, rule_path, allow boolean)`` (one row per
+    Allow/Disallow line; empty-Disallow "allow all" lines simply have
+    no row).  For each URL:
+
+    - applicable rules = the url's host's rules whose ``rule_path`` is
+      a PREFIX of the url path;
+    - the most specific (longest ``rule_path``) applicable rule wins;
+      at equal length ``allow`` wins (RFC 9309 §2.2.2);
+    - no applicable rule (or an unlisted host, when
+      ``keep_unmatched_hosts``) → allowed.
+
+    ``id_col`` must be unique per row (the winner-selection window
+    key).
+
+    Plan shape: the rules table broadcasts (robots policies are KB-MB
+    per crawl — dimension-sized by construction), applicability is a
+    host equi-join + a prefix ``startswith`` filter, and the winner is
+    one (length desc, allow desc) row_number window keyed by the URL's
+    row — no shuffle of the corpus beyond the window's hash exchange.
+    Output: the allowed subset of ``df``, original columns.
+    """
+    host = url_host(F.col(url_col))
+    path = url_path(F.col(url_col))
+    keyed = df.withColumn("_rb_host", host).withColumn("_rb_path", path)
+    r = rules.select(
+        F.col("host").alias("_rb_host"),
+        F.col("rule_path").alias("_rb_rule"),
+        F.col("allow").alias("_rb_allow"),
+    )
+    joined = keyed.join(F.broadcast(r), "_rb_host", "left").withColumn(
+        "_rb_hit",
+        F.col("_rb_rule").isNotNull()
+        & F.col("_rb_path").startswith(F.col("_rb_rule")),
+    )
+    # winner-per-row window keyed by the row id (never the full row —
+    # partitioning a window by wide text columns would shuffle the
+    # whole payload as the key)
+    w = Window.partitionBy(F.col(id_col)).orderBy(
+        F.when(F.col("_rb_hit"), F.length("_rb_rule")).otherwise(-1).desc(),
+        F.col("_rb_allow").desc_nulls_last(),
+    )
+    best = (
+        joined.withColumn("_rb_rk", F.row_number().over(w))
+        .filter(F.col("_rb_rk") == 1)
+        .withColumn(
+            "_rb_verdict",
+            F.when(~F.col("_rb_hit"), F.lit(keep_unmatched_hosts))
+            .otherwise(F.col("_rb_allow")),
+        )
+        .filter(F.col("_rb_verdict"))
+    )
+    return best.select(*df.columns)

@@ -137,3 +137,56 @@ def test_domain_stats(spark):
         for r in u.domain_stats(df, "url").collect()
     }
     assert got == {"a.co.uk": 2, "b.com": 1}
+
+
+def _robots_rules(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, rule_path string, allow boolean"
+    )
+
+
+def test_robots_filter_longest_match_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/p/1/x"),    # blocked by /p/1
+            (2, "http://a.com/p/12/x"),   # /p/12 allow beats /p/1
+            (3, "http://a.com/p/10/x"),   # PREFIX subtlety: /p/1 matches
+            (4, "http://a.com/q"),        # no applicable rule -> allowed
+            (5, "http://b.com/p/1/x"),    # unlisted host -> allowed
+            (6, "http://c.com/any"),      # site-wide '/' disallow
+            (7, "http://d.com/t"),        # equal-length tie -> allow wins
+        ],
+        ["doc_id", "url"],
+    )
+    rules = _robots_rules(
+        spark,
+        [
+            ("a.com", "/p/1", False),
+            ("a.com", "/p/12", True),
+            ("c.com", "/", False),
+            ("d.com", "/t", False),
+            ("d.com", "/t", True),
+        ],
+    )
+    kept = {
+        r["doc_id"]
+        for r in u.robots_filter(df, "url", "doc_id", rules).collect()
+    }
+    assert kept == {2, 4, 5, 7}
+    # strict crawls drop unlisted hosts
+    strict = {
+        r["doc_id"]
+        for r in u.robots_filter(
+            df, "url", "doc_id", rules, keep_unmatched_hosts=False
+        ).collect()
+    }
+    assert strict == {2, 7}
+    # original columns (and only them) survive
+    out = u.robots_filter(df, "url", "doc_id", rules)
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_robots_filter_empty_rules_is_passthrough(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")], ["doc_id", "url"])
+    rules = _robots_rules(spark, [])
+    assert u.robots_filter(df, "url", "doc_id", rules).count() == 1
