@@ -2109,11 +2109,16 @@ def q_dedup_minhash_portable(spark, sf):
     )
 
 
-def _dedup_minhash_portable_sql(threshold: float = 0.5) -> str:
+def _dedup_minhash_portable_sql(
+    threshold: float = 0.5, extra_where: str = ""
+) -> str:
     """DuckDB replay of minhash_dedup_pairs_portable: the SAME seeded
     affine params as integer literals (dedup._affine_params), the same
     md5 gram hashes, minima, base-M31 band folds, banded candidates and
-    exact hash-set Jaccard."""
+    exact hash-set Jaccard.  ``extra_where`` restricts the FULL-RUN
+    pair set (e.g. to batch-touching pairs — the incremental face's
+    oracle: equality then certifies the batch-driven plan misses no
+    pair the full run would find)."""
     from subgraph_extractor_spark.operators.dedup import (
         MERSENNE_31,
         MINHASH_PORTABLE_HASHES,
@@ -2167,7 +2172,7 @@ def _dedup_minhash_portable_sql(threshold: float = 0.5) -> str:
         FROM cand c
         JOIN sets x ON x.doc_id = c.id_a
         JOIN sets y ON y.doc_id = c.id_b)
-    WHERE jaccard >= {threshold}
+    WHERE jaccard >= {threshold}{extra_where}
     """
 
 
@@ -3368,16 +3373,21 @@ def q_dedup_incremental_recall(spark, sf):
 
 
 def q_dedup_incremental(spark, sf):
-    # raw continual-ingestion dedup: 10% of the corpus arrives as the
-    # new batch; pairs touching the batch are found and verified WITHOUT
-    # ever expanding corpus x corpus buckets.  Checked by the oracled
-    # dedup_incremental_recall contract; rows-only here.  Not a bench
-    # headline: at fixture scale the corpus-side signature pass (which a
-    # deployment amortizes via the stored corpus_hashes_df table)
-    # dominates, so the operator's asymptotic win is not visible at
-    # 5k docs — the pair-expansion saving is the 100x story.
+    # continual-ingestion dedup under the PORTABLE signature family
+    # (r10: the ann_projected treatment applied to the incremental
+    # face): 10% of the corpus arrives as the new batch; pairs touching
+    # the batch are found WITHOUT ever expanding corpus x corpus
+    # buckets (batch buckets drive the band join).  The oracle is the
+    # FULL-RUN portable SQL restricted to batch-touching pairs, so one
+    # driver hash certifies signature parity AND that the batch-driven
+    # plan misses no pair the full run finds (the incremental ==
+    # full-restricted law as a cross-engine differential).  The
+    # production crc32/FNV face stays checked by the oracled
+    # dedup_incremental_recall contract.  Not a bench headline: at
+    # fixture scale the corpus-side signature pass (amortized in a
+    # deployment via the stored signature table) dominates.
     d = _t(spark, sf, "documents")
-    return dedup_ops.minhash_dedup_incremental(
+    return dedup_ops.minhash_dedup_incremental_portable(
         d.filter(F.col("doc_id") % 10 == 0),
         d.filter(F.col("doc_id") % 10 != 0),
         "text",
@@ -7647,6 +7657,12 @@ ORACLES: dict[str, str] = {
     # banding, candidates and the exact hash-set Jaccard all replay in
     # pure SQL — full differential check of the banded LSH plan.
     "dedup_minhash_portable": _dedup_minhash_portable_sql(),
+    # the incremental face: the full-run portable pair set restricted
+    # to batch-touching pairs (batch = doc_id % 10 == 0) — equality
+    # certifies the batch-driven plan's completeness cross-engine
+    "dedup_incremental": _dedup_minhash_portable_sql(
+        extra_where="\n      AND (id_a % 10 = 0 OR id_b % 10 = 0)"
+    ),
     "dedup_simhash_portable": """
         WITH toks AS (
             SELECT doc_id,

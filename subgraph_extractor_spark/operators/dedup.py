@@ -1660,6 +1660,84 @@ def minhash_dedup_pairs_portable(
     return verified
 
 
+def minhash_dedup_incremental_portable(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental face of :func:`minhash_dedup_pairs_portable` —
+    verified near-dup pairs TOUCHING the new batch under the portable
+    md5/affine signature family, so the ENTIRE incremental run is
+    full-value oracle-checkable: the DuckDB replay is the full-run
+    portable SQL restricted to batch-touching pairs, and equality
+    certifies in one hash that (a) the signatures/banding/Jaccard
+    match and (b) the batch-driven plan misses NO pair the full run
+    would find (the incremental == full-restricted law, here as a
+    cross-engine differential instead of a property test).
+
+    Scale shape (the ``simhash_pairs_incremental`` pattern): only the
+    BATCH side drives the band join — left side is batch buckets,
+    right side is (corpus ∪ batch) buckets — so corpus buckets with no
+    batch member produce nothing and per-ingest work scales with the
+    batch.  A re-ingested id drops its self-pair (id inequality).
+    Output (id_a, id_b, jaccard), id_a < id_b."""
+    mh = _minhash_md5_udf(MINHASH_PORTABLE_HASHES, MINHASH_PORTABLE_BANDS)
+
+    def side(df: DataFrame) -> DataFrame:
+        st = _spread(df).select(
+            F.col(id_col).alias("_id"), mh(F.col(text_col)).alias("_s")
+        ).select(
+            "_id",
+            F.col("_s.h").alias("_h"),
+            F.col("_s.bands").alias("_b"),
+        )
+        return st.filter(F.size("_h") > 0)
+
+    sn = side(new_df).persist()
+    sc = side(corpus_df).persist()
+    sn.count()
+    sc.count()
+    bn = sn.select("_id", F.posexplode("_b").alias("band", "bucket"))
+    bc = sc.select("_id", F.posexplode("_b").alias("band", "bucket"))
+    right = bn.unionByName(bc)
+    cands = (
+        bn.alias("l")
+        .join(
+            right.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.least(F.col("l._id"), F.col("r._id")).alias("id_a"),
+            F.greatest(F.col("l._id"), F.col("r._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    union_h = sn.unionByName(sc).select("_id", "_h").distinct()
+    verified = (
+        cands.join(
+            union_h.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            union_h.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    sn.unpersist()
+    sc.unpersist()
+    return verified
+
+
 # --------------------------------------------------------------------------
 # embedding near-dup
 # --------------------------------------------------------------------------

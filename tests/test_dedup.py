@@ -104,6 +104,29 @@ def test_minhash_portable_precision_and_edges(spark, docs):
     assert out == out2
 
 
+def test_minhash_portable_incremental_equals_full_restricted(spark, docs):
+    """The portable incremental face == the portable full run over
+    (corpus ∪ batch) restricted to batch-touching pairs — the same law
+    the driver oracle certifies cross-engine (its SQL is the full-run
+    replay + the batch filter)."""
+    batch = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_dedup_incremental_portable(
+            batch, corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_dedup_pairs_portable(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+        if r["id_a"] % 10 == 0 or r["id_b"] % 10 == 0
+    }
+    assert got == full and got, "fixture should contain cross-batch dups"
+
+
 def test_minhash_portable_geometry_validation():
     with pytest.raises(ValueError):
         dedup._minhash_md5_udf(16, 5)  # bands must divide num_hashes
