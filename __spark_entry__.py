@@ -1992,6 +1992,89 @@ def q_text_html_extract(spark, sf):
     )
 
 
+def q_emb_neardup_portable(spark, sf):
+    # Embedding-cosine near-dup in EXACT INTEGER arithmetic end to end
+    # (r10: the last dedup family without a bit-exact face gets one):
+    # quantize floor(v*2^10), candidates share >= 1 sign-LSH band over
+    # the seeded integer hyperplanes, and the cosine >= 2/5 threshold
+    # verifies as the pure integer predicate dot >= 0 AND 25*dot^2 >=
+    # 4*|a|^2*|b|^2 — no division, no sqrt (libm would break the
+    # replay).  DuckDB recomputes every (id_a, id_b, qdot) row
+    # bit-exactly.  The float production face keeps its emb_neardup
+    # recall contract.
+    emb = _t(spark, sf, "embeddings")
+    return dedup_ops.embedding_neardup_pairs_portable(
+        emb, "embedding", "vec_id", threshold_num=2, threshold_den=5
+    )
+
+
+def _emb_neardup_portable_sql(
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    scale_bits: int = 10,
+    num: int = 2,
+    den: int = 5,
+) -> str:
+    """DuckDB replay of embedding_neardup_pairs_portable: the SAME
+    integer hyperplane literals, floor quantization, banded candidates
+    and the division-free integer cosine-threshold predicate."""
+    from subgraph_extractor_spark.operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, bits, seed)
+    rows = bits // bands
+    scale = float(1 << scale_bits)
+    wvals = ",".join(
+        f"({b},{j + 1},{planes[b][j]})"
+        for b in range(bits)
+        for j in range(dim)
+    )
+    return f"""
+    WITH w(bit, j, wt) AS (VALUES {wvals}),
+    qv AS (
+      SELECT vec_id, j,
+             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings)
+    ),
+    bits_t AS (
+      SELECT qv.vec_id, w.bit,
+             CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
+      FROM qv JOIN w ON w.j = qv.j
+      GROUP BY qv.vec_id, w.bit
+    ),
+    sig AS (
+      SELECT vec_id, bit // {rows} AS band,
+             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
+      FROM bits_t GROUP BY vec_id, bit // {rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+      FROM qv GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
+      FROM cand c
+      JOIN qv qa ON qa.vec_id = c.id_a
+      JOIN qv qb ON qb.vec_id = c.id_b AND qb.j = qa.j
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT d.id_a, d.id_b, d.qdot
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.qdot >= 0
+      AND {den * den} * d.qdot * d.qdot >= {num * num} * na.n2 * nb.n2
+    """
+
+
 def q_url_robots_filter(spark, sf):
     # RFC 9309 longest-match robots filtering (urls.robots_filter —
     # the politeness gate in front of the crawl chain): synthesized
@@ -5298,7 +5381,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7_shape": q_tpch_q7_shape,
     "tpch_q8_shape": q_tpch_q8_shape,
     "tpch_q9_shape": q_tpch_q9_shape,
-    "tpch_q10_shape": q_tpch_q10_shape,
+    # never-driver-checked mid-round addition: exact-integer
+    # embedding-cosine near-dup (takes the tpch_q10_shape slot —
+    # fourth r4-era row leading r11)
+    "emb_neardup_portable": q_emb_neardup_portable,
     # never-driver-checked mid-round addition: RFC 9309 robots-policy
     # filtering — takes the tpch_q11_shape slot (third r4-era row
     # leading r11; 11 sibling tpch shapes remain in this window)
@@ -5322,6 +5408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
+    "tpch_q10_shape": q_tpch_q10_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q13_shape": q_tpch_q13_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
@@ -7579,6 +7666,9 @@ ORACLES: dict[str, str] = {
     # brute-force every pair within hamming <= 3.  Pigeonhole banding is
     # complete at 4 bands, so the Spark pipeline's banded output must
     # equal this exactly — row set AND hamming values.
+    # Integer-cosine near-dup contract: hyperplane literals + the
+    # division/sqrt-free threshold predicate shared with the kernel
+    "emb_neardup_portable": _emb_neardup_portable_sql(),
     # Robots-policy contract: every verdict derived from the synthesis
     # parameters as one CASE (m = doc_id%13, h = doc_id%5) — the
     # longest-match/tie logic is never re-implemented on this side

@@ -1742,6 +1742,147 @@ def minhash_dedup_incremental_portable(
 # embedding near-dup
 # --------------------------------------------------------------------------
 
+def embedding_neardup_pairs_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs in EXACT INTEGER arithmetic end
+    to end — the full-value-oracle twin of
+    :func:`embedding_neardup_pairs` (whose Gaussian float LSH + float
+    cosine ride the emb_neardup recall contract).  The last dedup
+    family without a bit-exact cross-engine face gets one:
+
+    - components quantize via ``similarity.quantize_int_vec``
+      (floor(v * 2^scale_bits));
+    - candidates share >= 1 sign-LSH band over the seeded INTEGER
+      hyperplanes of ``similarity.int_lsh_planes`` (the
+      lsh_portable_topk signature — same sub-quadratic equi-join);
+    - verification is the cosine threshold as a PURE INTEGER
+      predicate: for t = num/den >= 0,
+      ``cos(a,b) >= t  <=>  dot >= 0  AND  den^2*dot^2 >=
+      num^2*|a|^2*|b|^2`` — no division, no sqrt (sqrt is
+      libm-dependent and would break the cross-engine replay), every
+      term an exact int64 under the documented envelope (dim * 2^2s *
+      max|v|^2 per norm; den^2*dot^2 needs |dot| < 2^31/den * ...,
+      generous at the defaults for unit-scale embeddings).
+
+    Semantics note: the threshold applies to the cosine of the
+    QUANTIZED vectors — a fixed, documented transform of the input
+    (floor at 2^-10 resolution), self-consistently replayed by the
+    oracle; boundary pairs within quantization noise of t may differ
+    from the float face, which keeps its own recall contract.
+
+    Output: (id_a, id_b, qdot) with id_a < id_b — integer columns
+    only, so the driver hash is engine-exact."""
+    from subgraph_extractor_spark.operators.similarity import (
+        int_lsh_planes,
+        quantize_int_vec,
+    )
+
+    if threshold_num < 0 or threshold_den <= 0:
+        raise ValueError("threshold must be a non-negative rational")
+    planes = int_lsh_planes(64, bits, seed)
+    rows = bits // bands
+    if rows * bands != bits:
+        raise ValueError("bits must divide evenly into bands")
+    planes_t = np.array(planes, dtype=np.int64).T  # (dim, bits)
+    pack = (1 << np.arange(rows)).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def band_sig(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            qvs.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
+        )
+        signs = (M @ planes_t >= 0).astype(np.int64)
+        return pd.Series(list(signs.reshape(len(M), bands, rows) @ pack))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    q = (
+        df.filter(F.col(vec_col).isNotNull())
+        .repartition(par)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
+        )
+        .withColumn("_sig", band_sig(F.col("_qv")))
+        .withColumn(
+            "_n2",
+            F.aggregate(
+                F.zip_with("_qv", "_qv", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .persist()
+    )
+    q.count()  # one materialization: banding + both verification joins
+    sig = q.select("_id", F.posexplode("_sig").alias("band", "val"))
+    l, r = sig.alias("l"), sig.alias("r")
+    cands = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        )
+        .distinct()
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    verified = (
+        cands.join(
+            q.select(
+                F.col("_id").alias("id_a"),
+                F.col("_qv").alias("_qa"),
+                F.col("_n2").alias("_na2"),
+            ),
+            "id_a",
+        )
+        .join(
+            q.select(
+                F.col("_id").alias("id_b"),
+                F.col("_qv").alias("_qb"),
+                F.col("_n2").alias("_nb2"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(
+            (F.col("qdot") >= 0)
+            & (
+                F.lit(den2) * F.col("qdot") * F.col("qdot")
+                >= F.lit(num2) * F.col("_na2") * F.col("_nb2")
+            )
+        )
+        .select("id_a", "id_b", "qdot")
+        .localCheckpoint(eager=True)
+    )
+    q.unpersist()
+    return verified
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -127,6 +127,50 @@ def test_minhash_portable_incremental_equals_full_restricted(spark, docs):
     assert got == full and got, "fixture should contain cross-batch dups"
 
 
+def test_embedding_neardup_portable_contract(spark, sf_dir):
+    """The integer-cosine face: every returned pair's FLOAT cosine sits
+    near/above the threshold (quantization at 2^-10 can only move the
+    boundary by ~1e-3), pairs are deterministic across partitionings,
+    the integer predicate matches a float-reference check on the
+    returned rows, and NULL vectors drop out."""
+    import numpy as np
+
+    from subgraph_extractor_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs_portable(
+        emb, "embedding", "vec_id", threshold_num=2, threshold_den=5
+    )
+    rows = out.collect()
+    assert rows, "fixture should contain cosine>=0.4 candidate pairs"
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in rows:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.4 - 2e-3, (r["id_a"], r["id_b"], cos)
+    rows2 = dedup.embedding_neardup_pairs_portable(
+        emb.repartition(7), "embedding", "vec_id",
+        threshold_num=2, threshold_den=5,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    withnull = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(99999, None)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    rows3 = dedup.embedding_neardup_pairs_portable(
+        withnull, "embedding", "vec_id", threshold_num=2, threshold_den=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows3))
+    with pytest.raises(ValueError):
+        dedup.embedding_neardup_pairs_portable(
+            emb, "embedding", "vec_id", threshold_num=-1
+        )
+
+
 def test_minhash_portable_geometry_validation():
     with pytest.raises(ValueError):
         dedup._minhash_md5_udf(16, 5)  # bands must divide num_hashes

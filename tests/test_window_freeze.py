@@ -38,13 +38,15 @@ WINDOW_50 = [
     "j8_asof_nearest", "text_heavy_hitters", "profile_documents",
     "text_inverted_index", "text_index_incremental",
     "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
-    "tpch_q9_shape", "tpch_q10_shape",
-    # never-driver-checked mid-round additions: RFC 9309 robots-policy
-    # filtering, the HTML extraction record (r9 verdict task #6) and
-    # the crawl-to-corpus e2e chain built on it — they take the
-    # tpch_q11/q12/q13 slots (the THREE r4-era rows deliberately left
-    # to lead r11: plain SQL join/count shapes with 11 sibling tpch
-    # shapes still in this window)
+    "tpch_q9_shape",
+    # never-driver-checked mid-round additions: exact-integer
+    # embedding-cosine near-dup, RFC 9309 robots-policy filtering, the
+    # HTML extraction record (r9 verdict task #6) and the
+    # crawl-to-corpus e2e chain built on it — they take the
+    # tpch_q10/q11/q12/q13 slots (the FOUR r4-era rows deliberately
+    # left to lead r11: plain SQL join/count shapes with 10 sibling
+    # tpch shapes still in this window)
+    "emb_neardup_portable",
     "url_robots_filter",
     "pipeline_crawl_e2e",
     "text_html_extract",
