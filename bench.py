@@ -164,6 +164,17 @@ HEADLINE = [
     # BASELINE.md carries the trail.
     "dedup_minhash_portable",
     "text_html_extract",
+    # late-r10 additions: the crawl chain end-to-end (extract -> gate
+    # -> URL dedup -> content dedup over synthesized crawl records),
+    # RFC 9309 robots filtering, and the exact-integer embedding
+    # near-dup (banded integer sign-LSH + division-free cosine
+    # predicate).  dedup_incremental is deliberately NOT benched (its
+    # corpus-side signature pass dominates at fixture scale and is
+    # amortized in deployments via the stored signature table — see
+    # the query's comment).
+    "pipeline_crawl_e2e",
+    "url_robots_filter",
+    "emb_neardup_portable",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
