@@ -70,12 +70,22 @@ def main() -> None:
         for q in never:
             mark = " (in current window — next round)" if q in pending else ""
             print(f"  - {q}{mark}")
-    stale = sorted(
+    last = sorted(
         ((q, max(r)) for q, r in seen.items() if q in declared),
         key=lambda t: (t[1], t[0]),
-    )[:10]
-    print("oldest driver evidence (rotation candidates):")
-    for q, r in stale:
+    )
+    # full histogram FIRST: the r9 verdict planned a 10-slot rotation
+    # off the truncated list below while 49 queries actually sat at
+    # r4 — the whole distribution is what a window repack needs
+    from collections import Counter
+
+    hist = Counter(r for _, r in last)
+    print(
+        "last-checked histogram: "
+        + ", ".join(f"r{r}: {n}" for r, n in sorted(hist.items()))
+    )
+    print("oldest driver evidence (rotation candidates, top 10):")
+    for q, r in last[:10]:
         print(f"  - {q}: last checked r{r}")
     # a never-checked query outside the window cannot get a row next
     # round — a planning bug at a round boundary, expected transiently
