@@ -1978,17 +1978,29 @@ def q_text_html_extract(spark, sf):
         g,
         F.lit("</footer></body></html>"),
     )
-    # one extraction record per page: main text AND the outlink list
-    # (operators/html.py:extract_links — the crawl-frontier face), the
-    # pair a real crawl pipeline emits in one pass.  Links join with
-    # '|' so the driver hash covers order and multiplicity.
+    # one extraction record per page: main text, the outlink list
+    # (html.extract_links — the crawl-frontier face) AND the
+    # (href=anchor) pairs (html.extract_anchor_texts — the inlink
+    # ranking signal), everything a real crawl pipeline emits in one
+    # pass.  '|'-joined so the driver hash covers order + multiplicity.
     wrapped = d.select("doc_id", page.alias("_html"))
-    return html_ops.extract_links(
-        html_ops.extract_main_text(wrapped, "_html"), "_html"
-    ).select(
+    out = html_ops.extract_anchor_texts(
+        html_ops.extract_links(
+            html_ops.extract_main_text(wrapped, "_html"), "_html"
+        ),
+        "_html",
+    )
+    return out.select(
         "doc_id",
         "main_text",
         F.concat_ws("|", F.col("hrefs")).alias("links"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                "anchors",
+                lambda a: F.concat(a["href"], F.lit("="), a["anchor"]),
+            ),
+        ).alias("anchors"),
     )
 
 
@@ -7739,7 +7751,10 @@ ORACLES: dict[str, str] = {
                                    '[\t\n\f\r ]+', ' ', 'g'),
                     ' ') AS main_text,
                '/|/about|/sec/' || CAST(doc_id % 7 AS VARCHAR)
-                   || '|/rel|/more' AS links
+                   || '|/rel|/more' AS links,
+               '/=Home|/about=About|/sec/' || CAST(doc_id % 7 AS VARCHAR)
+                   || '=Section|/rel=Related|/more=More stories'
+                   AS anchors
         FROM documents
     """,
     # Portable-MinHash contract: the generated SQL shares the seeded

@@ -198,6 +198,88 @@ class _LinkParser(HTMLParser):
                     break
 
 
+class _AnchorParser(HTMLParser):
+    """Collects (href, anchor_text) pairs in document order — the
+    inlink ranking signal (anchor text describes the TARGET, the
+    classic web-IR field).  One open anchor at a time: a nested
+    ``<a>`` implicitly closes the current one (browser behavior);
+    anchors without href are skipped; text inside script/style never
+    counts (CDATA handling is the stdlib parser's)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: StringIO = StringIO()
+
+    def _close(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, self._buf.getvalue()))
+        self._href = None
+        self._buf = StringIO()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._close()  # nested <a> implicitly closes the open one
+            for name, val in attrs:
+                if name == "href" and val is not None:
+                    self._href = val
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.write(data)
+
+
+def extract_anchor_texts_str(html: str | None) -> list[tuple[str, str]]:
+    """Pure-Python (href, anchor_text) extraction of one document —
+    anchor text whitespace-collapsed under the repo-wide ASCII class.
+    NULL/unparseable input degrades to []."""
+    if not html or not isinstance(html, str):
+        return []
+    p = _AnchorParser()
+    try:
+        p.feed(html)
+        p.close()
+        p._close()  # unclosed trailing anchor still counts
+    except Exception:
+        return []
+    return [
+        (href, _WS.sub(" ", text).strip(" ")) for href, text in p.pairs
+    ]
+
+
+def extract_anchor_texts(
+    df: DataFrame, html_col: str, out_col: str = "anchors"
+) -> DataFrame:
+    """Map-only anchor-text extraction: ``df`` plus ``out_col`` holding
+    array<struct<href, anchor>> in document order.  Aggregate per href
+    across the corpus (groupBy target + collect/string_agg) for the
+    inlink anchor-text index — plain oracled DataFrame ops from there."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("href", StringType()),
+                StructField("anchor", StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def ext(htmls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_anchor_texts_str(h) for h in htmls], dtype=object
+        )
+
+    return df.withColumn(out_col, ext(F.col(html_col)))
+
+
 def extract_links_str(html: str | None) -> list[str]:
     """Pure-Python outlink extraction of one document (the kernel
     body): hrefs in document order, duplicates kept (frequency is a

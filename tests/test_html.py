@@ -146,3 +146,19 @@ def test_validation_and_block_joining():
     # non-string input degrades to '' (the documented crawl-pipeline
     # posture: a dirty row must never fail the batch)
     assert ex(123) == ""
+
+
+def test_anchor_text_extraction():
+    ea = H.extract_anchor_texts_str
+    assert ea(
+        '<nav><a href="/">Home</a> <a href="/a">Ab  out</a></nav>'
+        '<p><a href="/x">see <b>also</b> 3</a></p><a>no href</a>'
+        '<a href="/t">tail'
+    ) == [("/", "Home"), ("/a", "Ab out"), ("/x", "see also 3"),
+          ("/t", "tail")]
+    # nested <a> implicitly closes the open one (browser behavior);
+    # text after the inner close belongs to no anchor
+    assert ea('<a href="/o">outer <a href="/i">inner</a> after</a>') == [
+        ("/o", "outer"), ("/i", "inner"),
+    ]
+    assert ea(None) == [] and ea("") == [] and ea(123) == []
