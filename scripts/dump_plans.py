@@ -180,6 +180,27 @@ SHOW = [
         "hash-prefix buckets cumsum in parallel, 256-row offset table "
         "broadcasts back; no global single-partition window",
     ),
+    # r10 additions
+    (
+        "text_html_extract",
+        "crawl extraction: ONE map-only stage — synthesis concat + "
+        "three Arrow kernels (text/links/anchors), zero shuffle",
+    ),
+    (
+        "pipeline_crawl_e2e",
+        "crawl chain e2e: map-only extract+gate, canonical-URL and "
+        "content survivor groupBys, id equi-joins — no cartesian",
+    ),
+    (
+        "emb_neardup_portable",
+        "integer cosine near-dup: band equi-join candidates + id "
+        "equi-join verification; division-free threshold in codegen",
+    ),
+    (
+        "url_robots_filter",
+        "robots gate: broadcast rules left join + one id-keyed "
+        "row_number window — corpus shuffles once on the window key",
+    ),
 ]
 
 
