@@ -2020,7 +2020,7 @@ def q_emb_neardup_portable(spark, sf):
     )
 
 
-def _emb_neardup_portable_sql(
+def _emb_neardup_pair_ctes(
     dim: int = 64,
     bits: int = 32,
     bands: int = 4,
@@ -2029,9 +2029,10 @@ def _emb_neardup_portable_sql(
     num: int = 2,
     den: int = 5,
 ) -> str:
-    """DuckDB replay of embedding_neardup_pairs_portable: the SAME
-    integer hyperplane literals, floor quantization, banded candidates
-    and the division-free integer cosine-threshold predicate."""
+    """The CTE chain (w .. dots .. pairs) shared by the
+    emb_neardup_portable oracle and the semdedup_portable composition:
+    integer hyperplane literals, floor quantization, banded candidates,
+    the division-free integer cosine-threshold predicate."""
     from subgraph_extractor_spark.operators.similarity import int_lsh_planes
 
     planes = int_lsh_planes(dim, bits, seed)
@@ -2042,8 +2043,7 @@ def _emb_neardup_portable_sql(
         for b in range(bits)
         for j in range(dim)
     )
-    return f"""
-    WITH w(bit, j, wt) AS (VALUES {wvals}),
+    return f"""w(bit, j, wt) AS (VALUES {wvals}),
     qv AS (
       SELECT vec_id, j,
              CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
@@ -2077,14 +2077,80 @@ def _emb_neardup_portable_sql(
       JOIN qv qa ON qa.vec_id = c.id_a
       JOIN qv qb ON qb.vec_id = c.id_b AND qb.j = qa.j
       GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT d.id_a, d.id_b, d.qdot
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+      WHERE d.qdot >= 0
+        AND {den * den} * d.qdot * d.qdot >= {num * num} * na.n2 * nb.n2
+    )"""
+
+
+def _emb_neardup_portable_sql(**kw) -> str:
+    """DuckDB replay of embedding_neardup_pairs_portable — the shared
+    pair CTEs with a plain final select."""
+    return (
+        "WITH "
+        + _emb_neardup_pair_ctes(**kw)
+        + "\n    SELECT id_a, id_b, qdot FROM pairs"
     )
-    SELECT d.id_a, d.id_b, d.qdot
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.id_a
-    JOIN norms nb ON nb.vec_id = d.id_b
-    WHERE d.qdot >= 0
-      AND {den * den} * d.qdot * d.qdot >= {num * num} * na.n2 * nb.n2
+
+
+def _semdedup_portable_sql(**kw) -> str:
+    """DuckDB replay of semdedup over the PORTABLE integer-cosine
+    pairs: the shared pair CTEs feed the recursive-CTE reachability +
+    min-id survivor machinery of the pipeline_semdedup oracle — the
+    scale-path SemDeDup (banded candidates, not all-pairs) certified
+    end to end in one hash."""
+    return (
+        "WITH RECURSIVE "
+        + _emb_neardup_pair_ctes(**kw)
+        + """,
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.lbl FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    members AS (
+        SELECT id AS member_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY id
+    ),
+    reps AS (
+        SELECT cluster_id, MIN(member_id) AS rep_id
+        FROM members GROUP BY cluster_id
+    ),
+    losers AS (
+        SELECT m.member_id
+        FROM members m JOIN reps r USING (cluster_id)
+        WHERE m.member_id <> r.rep_id
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT member_id FROM losers)
     """
+    )
+
+
+def q_semdedup_portable(spark, sf):
+    # SemDeDup on the SCALE path, fully oracled (r10): the banded
+    # integer-cosine pairs (emb_neardup_portable — sub-quadratic
+    # candidates, division-free threshold) feed the cluster/survivor
+    # stages, and the oracle replays pairs AND reachability AND the
+    # min-id survivor rule in one recursive-CTE query — the end-to-end
+    # certification semdedup_approx (float LSH candidates) can't have;
+    # that face keeps its per-component contracts.
+    emb = _t(spark, sf, "embeddings")
+    pairs = dedup_ops.embedding_neardup_pairs_portable(
+        emb, "embedding", "vec_id", threshold_num=2, threshold_den=5
+    ).select("id_a", "id_b")
+    out = semdedup_ops.semantic_dedup(emb, pairs, "vec_id")
+    return out.select("vec_id", "label")
 
 
 def q_url_robots_filter(spark, sf):
@@ -5392,7 +5458,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4_shape": q_tpch_q4_shape,
     "tpch_q7_shape": q_tpch_q7_shape,
     "tpch_q8_shape": q_tpch_q8_shape,
-    "tpch_q9_shape": q_tpch_q9_shape,
+    # never-driver-checked mid-round addition: scale-path SemDeDup
+    # over the portable integer-cosine pairs (takes the tpch_q9_shape
+    # slot — fifth r4-era row leading r11)
+    "semdedup_portable": q_semdedup_portable,
     # never-driver-checked mid-round addition: exact-integer
     # embedding-cosine near-dup (takes the tpch_q10_shape slot —
     # fourth r4-era row leading r11)
@@ -5420,6 +5489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "quality_lm_novelty": q_quality_lm_novelty,
     # ---- end of the 50-query window ----
+    "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q10_shape": q_tpch_q10_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q13_shape": q_tpch_q13_shape,
@@ -7681,6 +7751,9 @@ ORACLES: dict[str, str] = {
     # Integer-cosine near-dup contract: hyperplane literals + the
     # division/sqrt-free threshold predicate shared with the kernel
     "emb_neardup_portable": _emb_neardup_portable_sql(),
+    # Scale-path SemDeDup over the portable pairs: one recursive-CTE
+    # replay of candidates + reachability + survivor rule
+    "semdedup_portable": _semdedup_portable_sql(),
     # Robots-policy contract: every verdict derived from the synthesis
     # parameters as one CASE (m = doc_id%13, h = doc_id%5) — the
     # longest-match/tie logic is never re-implemented on this side

@@ -38,14 +38,14 @@ WINDOW_50 = [
     "j8_asof_nearest", "text_heavy_hitters", "profile_documents",
     "text_inverted_index", "text_index_incremental",
     "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
-    "tpch_q9_shape",
-    # never-driver-checked mid-round additions: exact-integer
-    # embedding-cosine near-dup, RFC 9309 robots-policy filtering, the
-    # HTML extraction record (r9 verdict task #6) and the
-    # crawl-to-corpus e2e chain built on it — they take the
-    # tpch_q10/q11/q12/q13 slots (the FOUR r4-era rows deliberately
-    # left to lead r11: plain SQL join/count shapes with 10 sibling
-    # tpch shapes still in this window)
+    # never-driver-checked mid-round additions: scale-path SemDeDup
+    # over the portable pairs, exact-integer embedding-cosine
+    # near-dup, RFC 9309 robots-policy filtering, the HTML extraction
+    # record (r9 verdict task #6) and the crawl-to-corpus e2e chain
+    # built on it — they take the tpch_q9..q13 slots (the FIVE r4-era
+    # rows deliberately left to lead r11: plain SQL join/count shapes
+    # with 9 sibling tpch shapes still in this window)
+    "semdedup_portable",
     "emb_neardup_portable",
     "url_robots_filter",
     "pipeline_crawl_e2e",
