@@ -75,6 +75,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: their \r-erase fragments land in
+        # captured stdout and EAT the driver's ~2000-byte tail budget
+        # that bench.py's one-line JSON contract must fit inside (the
+        # r8 truncation class — BENCH_r08 parsed: null)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # target (one task per rowgroup-sized split); leave it.
