@@ -2051,6 +2051,10 @@ def _emb_neardup_pair_ctes(
                    generate_subscripts(embedding, 1) AS j
             FROM embeddings)
     ),
+    norms AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+      FROM qv GROUP BY vec_id
+    ),
     bits_t AS (
       SELECT qv.vec_id, w.bit,
              CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
@@ -2058,18 +2062,20 @@ def _emb_neardup_pair_ctes(
       GROUP BY qv.vec_id, w.bit
     ),
     sig AS (
+      -- mirror of the kernel's n2 > 0 pre-band filter: zero-quantized
+      -- vectors (undefined cosine) never band, so they can't all
+      -- collide on the all-ones signature and slip the 0 >= 0
+      -- degenerate threshold
       SELECT vec_id, bit // {rows} AS band,
              CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
-      FROM bits_t GROUP BY vec_id, bit // {rows}
+      FROM bits_t
+      WHERE vec_id IN (SELECT vec_id FROM norms WHERE n2 > 0)
+      GROUP BY vec_id, bit // {rows}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sig a JOIN sig b
         ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
-    ),
-    norms AS (
-      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
-      FROM qv GROUP BY vec_id
     ),
     dots AS (
       SELECT c.id_a, c.id_b, CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot

@@ -1681,7 +1681,17 @@ def minhash_dedup_incremental_portable(
     BATCH side drives the band join — left side is batch buckets,
     right side is (corpus ∪ batch) buckets — so corpus buckets with no
     batch member produce nothing and per-ingest work scales with the
-    batch.  A re-ingested id drops its self-pair (id inequality).
+    batch.
+
+    Re-ingest semantics (LATEST WINS): an id present on BOTH sides is
+    scored with its BATCH signature only — verification dedupes the
+    signature table to one row per id, batch side preferred, so a
+    changed document never emits two conflicting jaccard rows for the
+    same pair.  Its similarity to its own previous version is out of
+    scope by construction (the old version is superseded, and the
+    id-inequality join drops the self-pair); stale-version band
+    buckets may still PROPOSE candidates, which then verify against
+    the new signature — a recall bonus, never a correctness leak.
     Output (id_a, id_b, jaccard), id_a < id_b."""
     mh = _minhash_md5_udf(MINHASH_PORTABLE_HASHES, MINHASH_PORTABLE_BANDS)
 
@@ -1718,7 +1728,15 @@ def minhash_dedup_incremental_portable(
         )
         .distinct()
     )
-    union_h = sn.unionByName(sc).select("_id", "_h").distinct()
+    # one signature per id, batch side preferred (latest wins): a
+    # re-ingested id whose text changed would otherwise carry two
+    # (_id, _h) rows and emit every touching pair twice with
+    # conflicting jaccard values
+    union_h = sn.select("_id", "_h").distinct().unionByName(
+        sc.select("_id", "_h").distinct().join(
+            sn.select("_id").distinct(), "_id", "left_anti"
+        )
+    )
     verified = (
         cands.join(
             union_h.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha")),
@@ -1815,7 +1833,6 @@ def embedding_neardup_pairs_portable(
             F.col(id_col).alias("_id"),
             quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
         )
-        .withColumn("_sig", band_sig(F.col("_qv")))
         .withColumn(
             "_n2",
             F.aggregate(
@@ -1824,6 +1841,12 @@ def embedding_neardup_pairs_portable(
                 lambda acc, x: acc + x,
             ),
         )
+        # zero-quantized vectors have undefined cosine AND an all-ones
+        # sign-band signature (every plane dot is 0 >= 0), so without
+        # this filter they'd all bucket together and the verification
+        # predicate degenerates to 0 >= 0 — drop them before banding
+        .filter(F.col("_n2") > 0)
+        .withColumn("_sig", band_sig(F.col("_qv")))
         .persist()
     )
     q.count()  # one materialization: banding + both verification joins

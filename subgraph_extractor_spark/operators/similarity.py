@@ -1016,12 +1016,17 @@ def projected_topk_portable(
         for i, qid in enumerate(q_ids):
             D[i, c_ids == qid] = MASK
         kk = min(kk_target, D.shape[1])
-        part = np.argpartition(-D, kth=kk - 1, axis=1)[:, :kk]
-        pd_ = np.take_along_axis(D, part, axis=1)
-        pids = c_ids[part]
-        order = np.lexsort((pids, -pd_), axis=1)
-        dots = np.take_along_axis(pd_, order, axis=1).ravel()
-        cids = np.take_along_axis(pids, order, axis=1).ravel()
+        # id-aware top-kk: a bare argpartition picks an ARBITRARY
+        # member among pdot ties spanning the kk-th boundary, while
+        # the DuckDB oracle's ROW_NUMBER orders (pdot DESC,
+        # neighbor_id ASC) — a boundary tie would diverge the coarse
+        # set and break the bit-exact replay.  Full-row lexsort on the
+        # composite key costs O(m log m) vs argpartition's O(m), but
+        # the Q @ C.T matmul above already dominates at O(m·out_dim).
+        cid_b = np.broadcast_to(c_ids, D.shape)
+        order = np.lexsort((cid_b, -D), axis=1)[:, :kk]
+        dots = np.take_along_axis(D, order, axis=1).ravel()
+        cids = np.take_along_axis(cid_b, order, axis=1).ravel()
         qcol = np.repeat(q_ids, kk)
         keep = dots != MASK
         return pd.DataFrame(

@@ -229,8 +229,10 @@ def robots_filter(
       a PREFIX of the url path;
     - the most specific (longest ``rule_path``) applicable rule wins;
       at equal length ``allow`` wins (RFC 9309 §2.2.2);
-    - no applicable rule (or an unlisted host, when
-      ``keep_unmatched_hosts``) → allowed.
+    - a LISTED host with no applicable rule → allowed unconditionally
+      (RFC 9309: no matching group line means no restriction);
+    - an UNLISTED host (no rules row at all — robots.txt never
+      fetched/parsed) → governed by ``keep_unmatched_hosts``.
 
     ``id_col`` must be unique per row (the winner-selection window
     key).
@@ -267,7 +269,11 @@ def robots_filter(
         .filter(F.col("_rb_rk") == 1)
         .withColumn(
             "_rb_verdict",
-            F.when(~F.col("_rb_hit"), F.lit(keep_unmatched_hosts))
+            # host unlisted (left join found no rules row) -> the flag;
+            # host listed but no rule prefix-matches -> allowed
+            # unconditionally (RFC 9309); otherwise the winning rule.
+            F.when(F.col("_rb_rule").isNull(), F.lit(keep_unmatched_hosts))
+            .when(~F.col("_rb_hit"), F.lit(True))
             .otherwise(F.col("_rb_allow")),
         )
         .filter(F.col("_rb_verdict"))

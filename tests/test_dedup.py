@@ -127,6 +127,30 @@ def test_minhash_portable_incremental_equals_full_restricted(spark, docs):
     assert got == full and got, "fixture should contain cross-batch dups"
 
 
+def test_minhash_portable_incremental_reingest_latest_wins(spark):
+    """A re-ingested id whose text CHANGED is scored with its batch
+    signature only: one jaccard row per touching pair (never two
+    conflicting rows from the two versions), pairs reflect the NEW
+    text, and the doc's similarity to its own superseded version is
+    out of scope (latest wins)."""
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame(
+        [(1, t_a), (2, t_a), (3, t_b)], ["doc_id", "text"]
+    )
+    # id 1 re-ingested: its text changed from t_a to t_b
+    batch = spark.createDataFrame([(1, t_b)], ["doc_id", "text"])
+    rows = dedup.minhash_dedup_incremental_portable(
+        batch, corpus, "text", "doc_id", threshold=0.5
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate pair rows: {rows}"
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # new text t_b matches doc 3 exactly; the OLD t_a identity with
+    # doc 2 must not surface (that would be the superseded version)
+    assert out == {(1, 3): 1.0}, out
+
+
 def test_embedding_neardup_portable_contract(spark, sf_dir):
     """The integer-cosine face: every returned pair's FLOAT cosine sits
     near/above the threshold (quantization at 2^-10 can only move the
@@ -165,6 +189,26 @@ def test_embedding_neardup_portable_contract(spark, sf_dir):
         withnull, "embedding", "vec_id", threshold_num=2, threshold_den=5
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows3))
+    # zero-quantized vectors (exact zeros AND sub-quantum magnitudes
+    # that floor to zero) have undefined cosine; they must not pair
+    # with each other or anything else — without the n2 > 0 pre-band
+    # filter they'd all share the all-ones sign signature and pass the
+    # degenerate 0 >= 0 integer threshold
+    dim = len(next(iter(vecs.values())))
+    withzeros = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [
+                (99901, [0.0] * dim),
+                (99902, [0.0] * dim),
+                (99903, [1e-6] * dim),  # floors to the zero vector
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+    )
+    rows4 = dedup.embedding_neardup_pairs_portable(
+        withzeros, "embedding", "vec_id", threshold_num=2, threshold_den=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows4))
     with pytest.raises(ValueError):
         dedup.embedding_neardup_pairs_portable(
             emb, "embedding", "vec_id", threshold_num=-1

@@ -264,6 +264,34 @@ def test_projected_portable_recall_and_contract(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows3))
 
 
+def test_projected_portable_boundary_ties_resolve_by_id(spark):
+    """Coarse-stage tie discipline: when pdot ties span the per-shard
+    top-kk boundary (here: ALL candidates tie — identical vectors),
+    the survivors must be the lowest neighbor_ids, exactly as the
+    driver oracle's ROW_NUMBER OVER (pdot DESC, neighbor_id ASC)
+    demands.  A bare argpartition would pick arbitrary tie members
+    and diverge the replay."""
+    from subgraph_extractor_spark.operators.similarity import (
+        projected_topk_portable,
+    )
+
+    vec = [0.25] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = projected_topk_portable(
+        emb, "embedding", "vec_id", k=3, out_dim=32, in_dim=64, expand=1
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(by_q) == set(range(12))
+    for q, lst in by_q.items():
+        expected = [i for i in range(12) if i != q][:3]
+        assert [nb for _, nb in sorted(lst)] == expected, (q, sorted(lst))
+
+
 def test_projected_lsh_portable_recall_and_shape(spark, sf_dir):
     """The exact-integer portable composition (projection -> sign-LSH
     bands -> int rerank) is full-value oracled by the driver; pytest

@@ -173,14 +173,17 @@ def test_robots_filter_longest_match_and_ties(spark):
         for r in u.robots_filter(df, "url", "doc_id", rules).collect()
     }
     assert kept == {2, 4, 5, 7}
-    # strict crawls drop unlisted hosts
+    # strict crawls drop UNLISTED hosts only (doc 5); a listed host
+    # whose rules simply don't apply (doc 4: a.com/q) stays allowed —
+    # RFC 9309: no matching group line means no restriction, so the
+    # flag governs robots-never-fetched hosts, not rule misses
     strict = {
         r["doc_id"]
         for r in u.robots_filter(
             df, "url", "doc_id", rules, keep_unmatched_hosts=False
         ).collect()
     }
-    assert strict == {2, 7}
+    assert strict == {2, 4, 7}
     # original columns (and only them) survive
     out = u.robots_filter(df, "url", "doc_id", rules)
     assert out.columns == ["doc_id", "url"]
