@@ -5407,24 +5407,11 @@ def q_sample_pps(spark, sf):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # order = the driver's check budget (exactly the first 50 entries
-    # per round; tests/test_window_freeze.py pins it).  Round-10 window
-    # (the r9 verdict's tasks #1/#2, taken to their fixpoint): the full
-    # staleness ledger — not just coverage_gap.py's truncated top-10 —
-    # shows exactly 50 queries whose last green driver row dates to r4
-    # or never (the CORRECTNESS union across r1-r9), so the window IS
-    # that set: after this round NO query's driver evidence predates
-    # r5.  Included by construction: the never-checked
-    # dedup_minhash_portable (task #1's full-value portable-md5 MinHash
-    # twin — seeded affine permutations shared verbatim with its
-    # generated DuckDB SQL) and dedup_simhash_portable (last green r4),
-    # which REPLACE the two rows-only pair dumps dedup_minhash /
-    # dedup_simhash (the ann_lsh precedent — both keep their oracled
-    # evidence riding the recall/portable twins below the line), so
-    # the window carries zero `err` rows of any kind; plus all ten of
-    # coverage_gap.py's headline r4 rotation candidates (task #2).
-    # Displaced: every entry with r8/r9-green evidence (the freshest
-    # classes in the repo), listed below the line in catalog order.
+    # Declaration order here is the historical catalog; the DRIVER
+    # check order (first 50 entries = the round's correctness budget)
+    # is imposed by the _R11_WINDOW repack after this literal — see
+    # the comment there and tests/test_window_freeze.py, which pins
+    # the effective window.
 
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_simhash_portable": q_dedup_simhash_portable,
@@ -5667,6 +5654,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_maxsim_quantized": q_sim_maxsim_quantized,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+}
+
+# Round-11 driver window (the r10 verdict's task #1): the CORRECTNESS
+# r1-r10 staleness ledger shows 55 queries whose last green driver row
+# dates to r6 or earlier — the five r4-era tpch shapes deliberately
+# left to lead this round, plus the full 50-query r6 cohort.  The
+# window takes the five r4 rows and 45 of the r6 rows; the FIVE
+# deferred r6 rows (four ts_* window/agg shapes and the grouped twin
+# of the in-window dataset_fingerprint — the lowest-risk plain-SQL
+# shapes in the cohort) lead r12, after which every query's driver
+# evidence is r6+ and the ledger is two rounds deep at most.  Every
+# window row is full-value oracled (the four documented rows-only raw
+# faces all sit below the line).  tests/test_window_freeze.py pins
+# this list; the repack below is mechanical reordering only — it adds
+# or drops nothing (asserted).
+_R11_WINDOW = [
+    # r4-era (stalest): the five plain-SQL tpch join/count shapes
+    "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q13_shape",
+    # r6 cohort, catalog order, minus the five deferred rows
+    "a14_mad_outliers", "ann_projected_lsh", "ann_projected_lsh_recall",
+    "ann_projected_recall", "audio_excerpt_containment",
+    "audio_spectral_pairs", "dataset_fingerprint", "dedup_containment",
+    "dedup_editdist", "dedup_incremental", "dedup_simhash_incremental",
+    "graph_pagerank", "graph_pagerank_seeded", "graph_triangles",
+    "image_dhash_pairs", "j10_interval_contains", "j9_interval_overlap",
+    "pipeline_chunk_overlap", "pipeline_negative_samples",
+    "pipeline_pretraining_e2e", "pipeline_semdedup",
+    "pipeline_semdedup_best", "pipeline_shard_append",
+    "pipeline_shuffle_shard", "quality_classifier",
+    "quality_compression_gate", "quality_gopher_rules", "sample_pps",
+    "sample_temperature", "sim_maxsim_quantized", "sketch_kmv_distinct",
+    "sketch_kmv_overlap", "text_bpe_train", "tpch_q14_shape",
+    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel", "ts_resample",
+    "url_canonical_dedup", "url_domain_cap", "video_dhash_pairs",
+    "video_frame_containment",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+assert set(_R11_WINDOW) <= set(QUERIES), sorted(
+    set(_R11_WINDOW) - set(QUERIES)
+)
+QUERIES = {
+    k: QUERIES[k]
+    for k in (*_R11_WINDOW, *(q for q in QUERIES if q not in set(_R11_WINDOW)))
 }
 
 

@@ -32,7 +32,15 @@ def declared_queries(repo: str) -> list[str]:
     )
     if not m:
         raise SystemExit("could not locate the QUERIES literal")
-    return re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(1), re.M)
+    catalog = re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(1), re.M)
+    # r11+: the driver order is imposed by a _R<N>_WINDOW repack after
+    # the literal — mirror it (window first, then catalog order)
+    w = re.search(r"^_R\d+_WINDOW = \[\n(.*?)\n\]\n", src, re.S | re.M)
+    if not w:
+        return catalog
+    window = re.findall(r'"([a-z0-9_]+)"', w.group(1))
+    rest = [q for q in catalog if q not in set(window)]
+    return window + rest
 
 
 def driver_rows(repo: str) -> dict[str, list[int]]:

@@ -4,61 +4,56 @@ inserting a new query in the wrong place) would silently swap which
 queries get driver rows.  This pins the current window; changing it is
 a deliberate act that must update this list.
 
-Round-10 window (the r9 verdict's tasks #1/#2 at their fixpoint): the
-full CORRECTNESS r1-r9 staleness ledger shows exactly 50 queries whose
-last green driver row dates to r4 or never — this window is that set,
-so after r10 no query's driver evidence predates r5.  It contains the
-never-checked dedup_minhash_portable (task #1: the full-value
-portable-md5 MinHash twin) and dedup_simhash_portable (last green r4),
-replacing the rows-only dedup_minhash / dedup_simhash pair dumps (the
-ann_lsh precedent), so every window row is oracled — CORRECTNESS_r10
-should carry zero `err` entries of any kind.  All ten of
-coverage_gap.py's headline rotation candidates (task #2) are included
-by construction.  Displaced below the line: every r8/r9-green entry
-(the freshest evidence classes in the repo)."""
+Round-11 window (the r10 verdict's task #1): the CORRECTNESS r1-r10
+staleness ledger shows 55 queries whose last green driver row dates to
+r6 or earlier — the five r4-era tpch shapes deliberately left to lead
+this round, plus the complete 50-query r6 cohort.  The window takes
+the five r4 rows and 45 of the r6 rows in catalog order; the FIVE
+deferred r6 rows (ts_moving_avg, ts_ohlc, ts_sliding,
+ts_interval_coverage, dataset_fingerprint_groups — four plain
+window/agg shapes and the grouped twin of the in-window
+dataset_fingerprint, the lowest-risk members of the cohort) lead the
+r12 window, after which no query's driver evidence will predate r11's
+floor.  Every window row is full-value oracled; the four documented
+rows-only raw faces (dedup_minhash, dedup_simhash, ann_lsh,
+semdedup_approx) all sit below the line, their evidence riding the
+oracled portable/recall twins."""
 
 import __spark_entry__ as em
 
 WINDOW_50 = [
-    # task #1: the portable full-value twins (minhash new this round,
-    # never driver-checked; simhash last green r4)
-    "dedup_minhash_portable", "dedup_simhash_portable",
-    # task #2: coverage_gap.py's headline ten (last checked r4)
-    "a13_histogram_percentile", "ann_ivf", "ann_lsh_recall",
-    "cdc_apply_incremental", "cdc_latest_state", "corpus_overlap",
-    "dedup_bloom_probe", "dedup_clusters", "dedup_clusters_star",
-    "dedup_incremental_recall",
-    # the rest of the r4-era ledger (last green r4, in catalog order)
-    "w7_sessionize", "f_vector", "pipeline_contamination",
-    "dedup_minhash_recall", "text_winnowing", "emb_neardup",
-    "dedup_passage_spans", "pipeline_remove_passages", "text_bm25",
-    "rollup_incremental", "pipeline_dedup_corpus",
-    "quality_linear_score", "text_token_df", "text_bpe_tokens",
-    "f_vector_quantize", "sim_topk_quantized", "f_null_semantics",
-    "j8_asof_nearest", "text_heavy_hitters", "profile_documents",
-    "text_inverted_index", "text_index_incremental",
-    "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
-    # never-driver-checked mid-round additions: scale-path SemDeDup
-    # over the portable pairs, exact-integer embedding-cosine
-    # near-dup, RFC 9309 robots-policy filtering, the HTML extraction
-    # record (r9 verdict task #6) and the crawl-to-corpus e2e chain
-    # built on it — they take the tpch_q9..q13 slots (the FIVE r4-era
-    # rows deliberately left to lead r11: plain SQL join/count shapes
-    # with 9 sibling tpch shapes still in this window)
-    "semdedup_portable",
-    "emb_neardup_portable",
-    "url_robots_filter",
-    "pipeline_crawl_e2e",
-    "text_html_extract",
-    "tpch_q15_shape",
-    "tpch_q16_shape", "tpch_q17_shape", "tpch_q18_shape",
-    "tpch_q20_shape", "text_bigram_lm", "quality_lm_novelty",
+    # r4-era (stalest): the five plain-SQL tpch join/count shapes
+    "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q13_shape",
+    # r6 cohort, catalog order, minus the five deferred rows
+    "a14_mad_outliers", "ann_projected_lsh", "ann_projected_lsh_recall",
+    "ann_projected_recall", "audio_excerpt_containment",
+    "audio_spectral_pairs", "dataset_fingerprint", "dedup_containment",
+    "dedup_editdist", "dedup_incremental", "dedup_simhash_incremental",
+    "graph_pagerank", "graph_pagerank_seeded", "graph_triangles",
+    "image_dhash_pairs", "j10_interval_contains", "j9_interval_overlap",
+    "pipeline_chunk_overlap", "pipeline_negative_samples",
+    "pipeline_pretraining_e2e", "pipeline_semdedup",
+    "pipeline_semdedup_best", "pipeline_shard_append",
+    "pipeline_shuffle_shard", "quality_classifier",
+    "quality_compression_gate", "quality_gopher_rules", "sample_pps",
+    "sample_temperature", "sim_maxsim_quantized", "sketch_kmv_distinct",
+    "sketch_kmv_overlap", "text_bpe_train", "tpch_q14_shape",
+    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel", "ts_resample",
+    "url_canonical_dedup", "url_domain_cap", "video_dhash_pairs",
+    "video_frame_containment",
 ]
 
-# every window row is oracled this round — the rows-only raw pair
-# dumps (dedup_minhash, dedup_simhash) left the window for their
-# full-value portable twins
+# every window row is full-value oracled this round
 ROWS_ONLY: set[str] = set()
+
+# deferred to lead the r12 window (last green r6) — pinned here so the
+# next rotation starts from a recorded plan, not a re-derivation
+DEFERRED_R6 = [
+    "ts_moving_avg", "ts_ohlc", "ts_sliding", "ts_interval_coverage",
+    "dataset_fingerprint_groups",
+]
 
 
 def test_driver_window_is_frozen():
@@ -69,3 +64,11 @@ def test_window_queries_all_oracled():
     oracles = em.oracle_sql()
     missing = [q for q in WINDOW_50 if q not in oracles and q not in ROWS_ONLY]
     assert not missing, missing
+
+
+def test_repack_is_a_permutation():
+    # the window repack reorders the catalog; it must not add or drop
+    qs = em.queries()
+    assert len(qs) == len(set(qs)) == 218
+    assert set(DEFERRED_R6) <= set(qs)
+    assert not (set(DEFERRED_R6) & set(WINDOW_50))
