@@ -39,10 +39,18 @@ HEADLINE = [
     "j6_asof_join",
     "f_window_tumbling",
     "dedup_exact",
-    "dedup_minhash",
+    # r11 (VERDICT r10 task #5): dedup_minhash and ann_lsh — the
+    # rows-only float faces — are RETIRED from the headline list in
+    # favor of their full-value portable twins (dedup_minhash_portable,
+    # ann_lsh_portable), which were benched alongside them for two
+    # rounds (~4.5 s of redundant headline time measuring the same
+    # banding plans twice).  The floats keep their pytest recall
+    # contracts and their driver-oracled recall/portable evidence; the
+    # frozen common19/common24 subtotals substitute the twins via
+    # COMMON_SUBS below (echoed in the output JSON) — floor continuity
+    # is mapped in BASELINE.md "Recorded-baseline amendments (r11)".
     "dedup_simhash",
     "sim_topk_matmul",
-    "ann_lsh",
     "text_tokens",
     "text_lang",
     "dedup_chunks",
@@ -209,6 +217,20 @@ COMMON_24 = COMMON_19 + [
     "extract_lineitem_3level", "pipeline_contamination",
 ]
 
+# r11 continuity map for the frozen subsets: the retired float faces
+# are represented by their portable twins (same banding plan, md5/
+# integer kernels, full-value oracled).  The twins ran FASTER than the
+# floats in both r10 records (minhash 2.2 vs 2.3, lsh 2.2 vs 3.2
+# driver; 1.87 vs 1.62 / 2.24 vs 2.36 committed), so a subtotal drop
+# of up to ~1 s at the r11 boundary is substitution, not plan work —
+# BASELINE.md carries the amendment.  The substitution is echoed in
+# the output JSON ("subs") so every future reader of the subtotal
+# sees it.
+COMMON_SUBS = {
+    "dedup_minhash": "dedup_minhash_portable",
+    "ann_lsh": "ann_lsh_portable",
+}
+
 
 # Pinned bench session: round-over-round numbers are only comparable if
 # the session is identical, so the parallelism knobs are EXPLICIT here
@@ -271,6 +293,17 @@ def main() -> None:
     qs = entrymod.queries()
     # warm-up: prime JVM, parquet footer caches, Python workers
     qs["a1_minmax_watermark"](spark, sf_dir).count()
+    # pinned per-query warm-up (VERDICT r10 task #2): queries with a
+    # DOCUMENTED multi-execution JIT/Arrow convergence curve (the
+    # ann_projected kernel measured 29 -> 17 -> 3.2 s over three
+    # executions in a cold JVM — similarity.py:1379's in-body note)
+    # run once UNTIMED here so the min-of-N passes below all see the
+    # converged JIT state.  This pins the steady-state floor the
+    # methodology note in BASELINE.md describes; it does not change
+    # what min-of-N measures for already-converged queries.
+    for _wname in ("ann_projected",):
+        qs[_wname](spark, sf_dir).count()
+    gc.collect()
 
     timings: dict[str, float] = {}
     # multiple full passes over the list (min per query): later passes run
@@ -460,6 +493,19 @@ def main() -> None:
         codes.count()
         ivf_idx[n_cells] = (cells, books, codes)
     qbatch = emb.orderBy("vec_id").limit(200)
+    # one untimed search per index first (same JIT-pinning rationale
+    # as the ann_projected warm-up: the first Arrow-kernel execution
+    # after the builds carries codegen/allocator warm-up that min-of-N
+    # was absorbing only by luck of pass order)
+    pq_ops.pq_topk(
+        qbatch, flat_codes, "embedding", "vec_id", flat_books, k=3
+    ).count()
+    _c0, _b0, _codes0 = ivf_idx[4]
+    pq_ops.ivfpq_search(
+        qbatch, "embedding", "vec_id", _c0, _b0, _codes0,
+        nprobe=2, topk=3, n_queries=200, exclude_self=True,
+    ).count()
+    gc.collect()
     for _run in range(n_passes):
         t0 = time.time()
         pq_ops.pq_topk(
@@ -488,11 +534,12 @@ def main() -> None:
     # subtotal can never silently cover fewer queries)
     subtotals = {}
     for label, subset in (("common19_r1", COMMON_19), ("common24_r3", COMMON_24)):
-        present = [q for q in subset if q in timings]
+        mapped = [COMMON_SUBS.get(q, q) for q in subset]
+        present = [q for q in mapped if q in timings]
         subtotals[label] = round(sum(timings[q] for q in present), 3)
-        if len(present) != len(subset):
+        if len(present) != len(mapped):
             subtotals[label + "_missing"] = [
-                q for q in subset if q not in timings
+                q for q in mapped if q not in timings
             ]
     # Machine-readable per-query floors (VERDICT r6 stretch #7): the
     # best-ever recorded value per query across every BENCH_r*.json in
@@ -600,6 +647,9 @@ def main() -> None:
         "loadavg_1m_start_end": [load_start, round(os.getloadavg()[0], 2)],
         "load_gate": load_gate,
         "subtotals": subtotals,
+        # frozen-subset continuity: retired float faces represented by
+        # their portable twins (full record only; BASELINE.md r11 note)
+        "subs": COMMON_SUBS,
         "weak_vs_floor": weak_vs_floor,
         "floors_zero_or_absent": floors_zero_or_absent,
         "session": session,
