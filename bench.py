@@ -291,6 +291,21 @@ def main() -> None:
             pass
 
     qs = entrymod.queries()
+
+    # Scale-point subset runs (VERDICT r10 task #4): a run at a
+    # NON-canonical sf (e.g. the derived .scale/sf1.0 tiling) restricts
+    # to a frozen subset so the scaling table compares like-for-like.
+    # SPARK_GRAFT_BENCH_SUBSET=common19|common24; empty = full list.
+    # Floors/weak-gate/local-record stay sf0.1-only regardless.
+    subset_name = os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "")
+    if subset_name:
+        base = {"common19": COMMON_19, "common24": COMMON_24}[subset_name]
+        want = {COMMON_SUBS.get(q, q) for q in base}
+        headline = [q for q in HEADLINE if q in want]
+    else:
+        want = None
+        headline = HEADLINE
+
     # warm-up: prime JVM, parquet footer caches, Python workers
     qs["a1_minmax_watermark"](spark, sf_dir).count()
     # pinned per-query warm-up (VERDICT r10 task #2): queries with a
@@ -302,7 +317,8 @@ def main() -> None:
     # methodology note in BASELINE.md describes; it does not change
     # what min-of-N measures for already-converged queries.
     for _wname in ("ann_projected",):
-        qs[_wname](spark, sf_dir).count()
+        if _wname in headline:
+            qs[_wname](spark, sf_dir).count()
     gc.collect()
 
     timings: dict[str, float] = {}
@@ -317,7 +333,7 @@ def main() -> None:
     # is echoed in the output JSON.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for _pass in range(n_passes):
-        for name in HEADLINE:
+        for name in headline:
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
@@ -332,7 +348,7 @@ def main() -> None:
             # mid-job.
             gc.collect()
 
-    for name in HEADLINE_ONCE:
+    for name in (HEADLINE_ONCE if want is None else []):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -375,7 +391,8 @@ def main() -> None:
     # pipeline entries get the same min-of-N treatment as the headline
     # queries (fresh output dir per run — a re-run over the same dir
     # would incremental-short-circuit at the stored watermark)
-    for _run in range(n_passes):
+    _ext_n = n_passes if want is None or "extract_events" in want else 0
+    for _run in range(_ext_n):
         out = tempfile.mkdtemp(prefix="bench_extract_")
         t0 = time.time()
         run_extraction(spark, cfg, {"events": ev}, out, 0, int(hi))
@@ -402,7 +419,8 @@ def main() -> None:
             }
         },
     }
-    for _run in range(n_passes):
+    _li_n = n_passes if want is None or "extract_lineitem_3level" in want else 0
+    for _run in range(_li_n):
         out2 = tempfile.mkdtemp(prefix="bench_extract_li_")
         t0 = time.time()
         run_extraction(spark, cfg2, {"lineitem": li}, out2, 0, int(hi_li))
@@ -433,7 +451,8 @@ def main() -> None:
     )
     from concurrent.futures import ThreadPoolExecutor
 
-    for _run in range(n_passes):
+    _bk_n = n_passes if want is None or "bucketed_build" in want else 0
+    for _run in range(_bk_n):
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
         t0 = time.time()
@@ -475,58 +494,61 @@ def main() -> None:
     # probe-ranking overhead at fixture scale).
     from subgraph_extractor_spark.operators import pq as pq_ops
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    flat_books = pq_ops.pq_train_codebooks(
-        emb, "embedding", "vec_id", m=8, k=8, iters=2
-    )
-    flat_codes = pq_ops.pq_encode(
-        emb, "embedding", "vec_id", flat_books
-    ).persist()
-    flat_codes.count()
-    ivf_idx = {}
-    for n_cells in (4, 16):
-        cells, books, codes = pq_ops.ivfpq_build_index(
-            emb, "embedding", "vec_id", n_cells=n_cells, m=8, k_codes=8,
-            iters_cells=2, iters_pq=2,
+    # subset scale-point runs skip the PQ serving block (index
+    # builds are expensive and none of its entries are in common19/24)
+    if want is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        flat_books = pq_ops.pq_train_codebooks(
+            emb, "embedding", "vec_id", m=8, k=8, iters=2
         )
-        codes = codes.persist()
-        codes.count()
-        ivf_idx[n_cells] = (cells, books, codes)
-    qbatch = emb.orderBy("vec_id").limit(200)
-    # one untimed search per index first (same JIT-pinning rationale
-    # as the ann_projected warm-up: the first Arrow-kernel execution
-    # after the builds carries codegen/allocator warm-up that min-of-N
-    # was absorbing only by luck of pass order)
-    pq_ops.pq_topk(
-        qbatch, flat_codes, "embedding", "vec_id", flat_books, k=3
-    ).count()
-    _c0, _b0, _codes0 = ivf_idx[4]
-    pq_ops.ivfpq_search(
-        qbatch, "embedding", "vec_id", _c0, _b0, _codes0,
-        nprobe=2, topk=3, n_queries=200, exclude_self=True,
-    ).count()
-    gc.collect()
-    for _run in range(n_passes):
-        t0 = time.time()
+        flat_codes = pq_ops.pq_encode(
+            emb, "embedding", "vec_id", flat_books
+        ).persist()
+        flat_codes.count()
+        ivf_idx = {}
+        for n_cells in (4, 16):
+            cells, books, codes = pq_ops.ivfpq_build_index(
+                emb, "embedding", "vec_id", n_cells=n_cells, m=8, k_codes=8,
+                iters_cells=2, iters_pq=2,
+            )
+            codes = codes.persist()
+            codes.count()
+            ivf_idx[n_cells] = (cells, books, codes)
+        qbatch = emb.orderBy("vec_id").limit(200)
+        # one untimed search per index first (same JIT-pinning rationale
+        # as the ann_projected warm-up: the first Arrow-kernel execution
+        # after the builds carries codegen/allocator warm-up that min-of-N
+        # was absorbing only by luck of pass order)
         pq_ops.pq_topk(
             qbatch, flat_codes, "embedding", "vec_id", flat_books, k=3
         ).count()
-        dt = round(time.time() - t0, 3)
-        timings["ann_pq_search"] = min(
-            timings.get("ann_pq_search", dt), dt
-        )
-        for n_cells, label in ((4, "ann_ivfpq_search"), (16, "ann_ivfpq_search_c16")):
-            cells, books, codes = ivf_idx[n_cells]
+        _c0, _b0, _codes0 = ivf_idx[4]
+        pq_ops.ivfpq_search(
+            qbatch, "embedding", "vec_id", _c0, _b0, _codes0,
+            nprobe=2, topk=3, n_queries=200, exclude_self=True,
+        ).count()
+        gc.collect()
+        for _run in range(n_passes):
             t0 = time.time()
-            pq_ops.ivfpq_search(
-                qbatch, "embedding", "vec_id", cells, books, codes,
-                nprobe=2, topk=3, n_queries=200, exclude_self=True,
+            pq_ops.pq_topk(
+                qbatch, flat_codes, "embedding", "vec_id", flat_books, k=3
             ).count()
             dt = round(time.time() - t0, 3)
-            timings[label] = min(timings.get(label, dt), dt)
-    flat_codes.unpersist()
-    for _nc, (_c, _b, codes) in ivf_idx.items():
-        codes.unpersist()
+            timings["ann_pq_search"] = min(
+                timings.get("ann_pq_search", dt), dt
+            )
+            for n_cells, label in ((4, "ann_ivfpq_search"), (16, "ann_ivfpq_search_c16")):
+                cells, books, codes = ivf_idx[n_cells]
+                t0 = time.time()
+                pq_ops.ivfpq_search(
+                    qbatch, "embedding", "vec_id", cells, books, codes,
+                    nprobe=2, topk=3, n_queries=200, exclude_self=True,
+                ).count()
+                dt = round(time.time() - t0, 3)
+                timings[label] = min(timings.get(label, dt), dt)
+        flat_codes.unpersist()
+        for _nc, (_c, _b, codes) in ivf_idx.items():
+            codes.unpersist()
 
     total = round(sum(timings.values()), 3)
     # frozen-subset subtotals: comparable round-over-round regardless of

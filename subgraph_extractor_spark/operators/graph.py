@@ -80,6 +80,7 @@ def pagerank_fixed_point(
     seeds: DataFrame | None = None,
     seed_col: str = "node",
     init_ranks: DataFrame | None = None,
+    plan_sink: list | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over a directed edge table.
 
@@ -237,6 +238,13 @@ def pagerank_fixed_point(
             .cast("long")
             .alias("rank"),
         )
+        if plan_sink is not None:
+            # diagnostic surface for the per-round shuffle pin
+            # (tests/test_graph.py): the SparkPlan of one round,
+            # captured pre-checkpoint so the full round tree is visible
+            plan_sink.append(
+                ranks._jdf.queryExecution().executedPlan().toString()
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.localCheckpoint(eager=True)
@@ -603,6 +611,7 @@ def label_propagation(
     dst: str = "dst",
     iters: int = 4,
     checkpoint_every: int = 1,
+    plan_sink: list | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.
     2007) — community detection over an undirected view of the edge
@@ -697,6 +706,12 @@ def label_propagation(
             )
             .select("node", F.col("_best.label").alias("label"))
         )
+        if plan_sink is not None:
+            # diagnostic surface for the per-round shuffle pin
+            # (tests/test_graph.py)
+            plan_sink.append(
+                labels._jdf.queryExecution().executedPlan().toString()
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
     out = labels.localCheckpoint(eager=True)
