@@ -76,7 +76,10 @@ def cmd_extract(args) -> int:
 
 def cmd_suggest_config(args) -> int:
     from subgraph_extractor_spark import get_spark
-    from subgraph_extractor_spark.config_suggest import suggest_config
+    from subgraph_extractor_spark.config_suggest import (
+        interactive_config,
+        suggest_config,
+    )
 
     spark = get_spark("subgraph-config")
     names = [
@@ -85,7 +88,15 @@ def cmd_suggest_config(args) -> int:
         if f.endswith(".parquet")
     ]
     tables = _load_tables(spark, args.tables_dir, names)
-    conf = suggest_config(args.name, args.version, args.subgraph, tables)
+    if getattr(args, "interactive", False):
+        # the reference config_generator's menu walk (cli.py:383-487)
+        # as a plain prompt loop; accepting every default emits the
+        # same YAML as the non-interactive path
+        conf = interactive_config(
+            args.name, args.version, args.subgraph, tables
+        )
+    else:
+        conf = suggest_config(args.name, args.version, args.subgraph, tables)
     with open(args.output, "w", encoding="utf-8") as fh:
         yaml.safe_dump(conf, fh)
     print(f"wrote {args.output} ({len(names)} tables)")
@@ -111,6 +122,12 @@ def main(argv=None) -> int:
     sg.add_argument("--version", default="0.0.1")
     sg.add_argument("--subgraph", required=True)
     sg.add_argument("--output", required=True)
+    sg.add_argument(
+        "--interactive",
+        action="store_true",
+        help="prompt-loop table/column selection with LIMIT-10 previews "
+        "(the reference config_generator flow, curses-free)",
+    )
     sg.set_defaults(fn=cmd_suggest_config)
 
     args = parser.parse_args(argv)

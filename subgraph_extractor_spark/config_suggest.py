@@ -84,3 +84,122 @@ def suggest_config(
             for t, df in tables.items()
         },
     }
+
+
+def interactive_config(
+    name: str,
+    version: str,
+    subgraph: str,
+    tables: dict[str, DataFrame],
+    *,
+    input_fn=input,
+    echo=print,
+    preview_rows: int = 10,
+    partition_sizes: list[int] | None = None,
+) -> dict:
+    """Curses-free interactive twin of :func:`suggest_config` — the
+    reference's ``config_generator`` flow (cli.py:383-487) re-expressed
+    as a plain prompt loop so it runs anywhere a TTY (or a scripted
+    stdin) exists, no TerminalMenu dependency:
+
+    1. table multi-select with live ``LIMIT 10`` previews
+       (``p <i>`` previews a table, reference cli.py:429-434;
+       '', 'all', or a comma list of indices/names selects);
+    2. per selected table, multi-select WHICH unbounded-numeric columns
+       get the clamped-uint64 mapping (reference cli.py:466-484;
+       '' or 'all' maps every one — the non-interactive default —
+       'none' maps none; unmapped numerics still export as bytes via
+       ``numeric_columns``, the reference's fallback).
+
+    Accepting every default produces a dict IDENTICAL to
+    :func:`suggest_config` (the tested contract).  ``input_fn`` /
+    ``echo`` exist so tests drive the loop with scripted stdin."""
+    names = sorted(tables)
+    echo("Please select the tables you want to extract")
+    for i, t in enumerate(names):
+        echo(f"  [{i}] {t}")
+    echo("('' or 'all' = every table; 'p <i>' previews LIMIT "
+         f"{preview_rows}; or a comma list of indices/names)")
+    chosen: list[str] | None = None
+    while chosen is None:
+        raw = input_fn("tables> ").strip()
+        if raw.startswith("p ") or raw.startswith("p\t"):
+            tok = raw[1:].strip()
+            t = names[int(tok)] if tok.isdigit() else tok
+            if t not in tables:
+                echo(f"no such table: {t}")
+                continue
+            echo(tables[t].limit(preview_rows).toPandas().to_string())
+            continue
+        if raw in ("", "all"):
+            chosen = list(names)
+            continue
+        picks, ok = [], True
+        for item in raw.split(","):
+            item = item.strip()
+            t = names[int(item)] if item.isdigit() else item
+            if t not in tables:
+                echo(f"no such table: {item}")
+                ok = False
+                break
+            if t not in picks:
+                picks.append(t)
+        if ok and picks:
+            chosen = picks
+
+    conf: dict = {
+        "name": name,
+        "version": version,
+        "subgraph": subgraph,
+        "tables": {},
+    }
+    for t in chosen:
+        tc = suggest_table_config(
+            tables[t], partition_sizes=partition_sizes
+        )
+        numeric = tc.get("numeric_columns", [])
+        if numeric:
+            echo(
+                f"These columns in table {t} are unbounded-numeric and "
+                "will be exported as bytes unless mapped — which should "
+                "be mapped to uint64?"
+            )
+            for i, c in enumerate(numeric):
+                echo(f"  [{i}] {c}")
+            echo("('' or 'all' = every column; 'none' = keep all as bytes)")
+            sel: list[str] | None = None
+            while sel is None:
+                raw = input_fn(f"{t} mappings> ").strip()
+                if raw in ("", "all"):
+                    sel = list(numeric)
+                elif raw == "none":
+                    sel = []
+                else:
+                    picks, ok = [], True
+                    for item in raw.split(","):
+                        item = item.strip()
+                        c = (
+                            numeric[int(item)]
+                            if item.isdigit() and int(item) < len(numeric)
+                            else item
+                        )
+                        if c not in numeric:
+                            echo(f"no such column: {item}")
+                            ok = False
+                            break
+                        if c not in picks:
+                            picks.append(c)
+                    if ok:
+                        sel = picks
+            if set(sel) != set(numeric):
+                mappings = {
+                    c: m
+                    for c, m in tc["column_mappings"].items()
+                    if c in set(sel)
+                }
+                if mappings:
+                    tc["column_mappings"] = mappings
+                else:
+                    del tc["column_mappings"]
+        conf["tables"][t] = tc
+    return conf

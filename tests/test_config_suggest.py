@@ -75,3 +75,95 @@ def test_two_table_extraction_with_suggested_config(spark, tmp_path):
     )
     assert any(v is False and int(a) == 0 for a, v in pairs)  # clamped
     assert any(v is True for _, v in pairs)
+
+
+def _scripted(lines):
+    it = iter(lines)
+
+    def input_fn(prompt=""):
+        try:
+            return next(it)
+        except StopIteration:  # pragma: no cover - test bug guard
+            raise AssertionError(f"prompt loop asked beyond script: {prompt}")
+
+    return input_fn
+
+
+def test_interactive_all_defaults_equals_noninteractive(spark):
+    """VERDICT r10 task #7 (reference config_generator, cli.py:383-487):
+    walking the two menus accepting every default must emit a config
+    IDENTICAL to the non-interactive path."""
+    from subgraph_extractor_spark.config_suggest import interactive_config
+
+    tables = {"alpha": _entity(spark, 3, 10**19), "beta": _entity(spark, 3, 7)}
+    echoed: list[str] = []
+    # menu 1: '' = all tables; menu 2 (x2, one per table): '' = map all
+    conf = interactive_config(
+        "sugg", "0.0.1", "QmS", tables,
+        input_fn=_scripted(["", "", ""]), echo=echoed.append,
+    )
+    assert conf == suggest_config("sugg", "0.0.1", "QmS", tables)
+    assert any("select the tables" in m for m in echoed)
+
+
+def test_interactive_preview_and_selection(spark):
+    """'p <i>' previews LIMIT 10 without consuming the selection; a
+    comma pick restricts tables; 'none' keeps numerics as bytes
+    (numeric_columns stays — the reference's bytes fallback — while
+    column_mappings is dropped)."""
+    from subgraph_extractor_spark.config_suggest import interactive_config
+
+    tables = {"alpha": _entity(spark, 15, 10**19), "beta": _entity(spark, 3, 7)}
+    echoed: list[str] = []
+    conf = interactive_config(
+        "sugg", "0.0.1", "QmS", tables,
+        input_fn=_scripted(["p 0", "alpha", "none"]),
+        echo=echoed.append,
+    )
+    preview = next(m for m in echoed if "_block_number" in m and "0x" in m)
+    assert len(preview.splitlines()) <= 11 + 1  # LIMIT 10 (+ header)
+    assert list(conf["tables"]) == ["alpha"]
+    tc = conf["tables"]["alpha"]
+    assert tc["numeric_columns"] == ["amount"]
+    assert "column_mappings" not in tc
+
+
+def test_interactive_reprompts_on_bad_input(spark):
+    from subgraph_extractor_spark.config_suggest import interactive_config
+
+    tables = {"alpha": _entity(spark, 3, 10**19)}
+    conf = interactive_config(
+        "sugg", "0.0.1", "QmS", tables,
+        input_fn=_scripted(["nosuch", "0", "7", "all"]),
+        echo=lambda *_: None,
+    )
+    assert list(conf["tables"]) == ["alpha"]
+    assert "column_mappings" in conf["tables"]["alpha"]
+
+
+def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch):
+    """suggest-config --interactive with scripted stdin produces a YAML
+    file byte-identical to the non-interactive invocation."""
+    import sys
+
+    import yaml
+
+    from subgraph_extractor_spark import cli
+
+    src = str(tmp_path / "tables")
+    os.makedirs(src)
+    _entity(spark, 5, 10**19).write.mode("overwrite").parquet(
+        os.path.join(src, "alpha.parquet")
+    )
+    out_i = str(tmp_path / "conf_i.yaml")
+    out_n = str(tmp_path / "conf_n.yaml")
+    base = ["suggest-config", "--tables-dir", src, "--name", "sugg",
+            "--subgraph", "QmS"]
+    assert cli.main([*base, "--output", out_n]) == 0
+    import io
+    monkeypatch.setattr(sys, "stdin", io.StringIO("\n\n"))
+    monkeypatch.setattr("builtins.input", lambda prompt="": "")
+    assert cli.main([*base, "--output", out_i, "--interactive"]) == 0
+    with open(out_n) as a, open(out_i) as b:
+        na, nb = yaml.safe_load(a), yaml.safe_load(b)
+    assert na == nb

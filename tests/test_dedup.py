@@ -1421,3 +1421,93 @@ def test_prefix_pigeonhole_lemma_property():
         assert pre(a) & pre(b), (sorted(a), sorted(b), t)
 
     check()
+
+
+def test_cdc_chunks_sink_read_during_compaction_is_snapshot_consistent(
+    spark, tmp_path
+):
+    """VERDICT r10 task #6: a reader racing a compaction cycle gets
+    either the OLD or the NEW complete snapshot view, never a mix.
+
+    Three race windows, each driven explicitly:
+
+    1. mid-write (snapshot dir exists, no _SUCCESS yet — the
+       crash-interrupted shape): serving must IGNORE the uncommitted
+       snapshot and return the old complete view;
+    2. reader enumerated its read-set BEFORE the compacting batch
+       landed and pruned: every enumerated path must still exist
+       (previous-cycle retention) and reading them must reproduce the
+       old complete view;
+    3. after _SUCCESS: the read-set is the new snapshot plus only
+       NEWER deltas — never the new snapshot mixed with the deltas it
+       folded in (which would double-count).
+    """
+    import os
+
+    from subgraph_extractor_spark.streaming.demo import (
+        _delta_state_parts,
+        cdc_chunks_sink,
+        serve_cdc_chunks,
+    )
+
+    import random
+    rng = random.Random(48)
+    words = [f"w{j}" for j in range(20)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(6, 24))))
+        for i in range(12)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    fold = cdc_chunks_sink(spark, state, kept, divisor=4, compact_every=2)
+    # batches 0..2: c1 lands at b1 (first compaction, nothing to prune),
+    # v2 is the open cycle's delta
+    for b in range(3):
+        fold(
+            ddf.filter(
+                (F.col("doc_id") >= 3 * b) & (F.col("doc_id") < 3 * (b + 1))
+            ),
+            b,
+        )
+    old_view = {tuple(r) for r in serve_cdc_chunks(spark, state).collect()}
+    want_old = {
+        tuple(r)
+        for r in dedup.cdc_chunk_dedup(
+            ddf.filter("doc_id < 9"), "doc_id", "text", divisor=4
+        ).collect()
+    }
+    assert old_view == want_old
+
+    # window 1: an IN-FLIGHT snapshot write (no _SUCCESS) — plant a
+    # poisoned c3 so that including it would visibly corrupt the view
+    poison = spark.createDataFrame(
+        [(999, 0, "deadbeef")], "doc_id long, chunk_pos int, chunk_sha string"
+    )
+    poison.write.mode("overwrite").parquet(f"{state}/c3")
+    os.remove(f"{state}/c3/_SUCCESS")
+    racing_read = {
+        tuple(r) for r in serve_cdc_chunks(spark, state).collect()
+    }
+    assert racing_read == want_old, "uncommitted snapshot leaked into a read"
+
+    # window 2: reader enumerated BEFORE the compacting batch + prune
+    parts_before = _delta_state_parts(state)
+    fold(ddf.filter("doc_id >= 9 and doc_id < 12"), 3)  # real c3 + prune
+    for p in parts_before:
+        assert os.path.isdir(p), f"pruned a path a one-cycle reader holds: {p}"
+    stale_read = {
+        tuple(r) for r in spark.read.parquet(*parts_before).collect()
+    }
+    assert stale_read == want_old
+
+    # window 3: committed — the read-set is exactly the new snapshot
+    # (no folded-in deltas alongside it)
+    parts_after = _delta_state_parts(state)
+    assert [os.path.basename(p) for p in parts_after] == ["c3"]
+    new_view = {tuple(r) for r in serve_cdc_chunks(spark, state).collect()}
+    want_new = {
+        tuple(r)
+        for r in dedup.cdc_chunk_dedup(ddf, "doc_id", "text", divisor=4)
+        .collect()
+    }
+    assert new_view == want_new
