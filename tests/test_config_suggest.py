@@ -159,6 +159,10 @@ def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch
     out_n = str(tmp_path / "conf_n.yaml")
     base = ["suggest-config", "--tables-dir", src, "--name", "sugg",
             "--subgraph", "QmS"]
+    # the CLI command ends with spark.stop() (correct for its real
+    # process-entry use); running it IN-PROCESS must not kill the
+    # suite's shared session, so stop() is no-opped for this test
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
     assert cli.main([*base, "--output", out_n]) == 0
     import io
     monkeypatch.setattr(sys, "stdin", io.StringIO("\n\n"))
