@@ -161,13 +161,21 @@ def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch
             "--subgraph", "QmS"]
     # the CLI command ends with spark.stop() (correct for its real
     # process-entry use); running it IN-PROCESS must not kill the
-    # suite's shared session, so stop() is no-opped for this test
+    # suite's shared session, so stop() is no-opped for this test.
+    # Its get_spark() also re-applies builder confs to the EXISTING
+    # session via getOrCreate (shuffle.partitions 8 -> 32), which
+    # broke a downstream bucketed-plan pin in the full suite — snapshot
+    # and restore every conf the in-process run can touch.
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
-    assert cli.main([*base, "--output", out_n]) == 0
-    import io
-    monkeypatch.setattr(sys, "stdin", io.StringIO("\n\n"))
-    monkeypatch.setattr("builtins.input", lambda prompt="": "")
-    assert cli.main([*base, "--output", out_i, "--interactive"]) == 0
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert cli.main([*base, "--output", out_n]) == 0
+        import io
+        monkeypatch.setattr(sys, "stdin", io.StringIO("\n\n"))
+        monkeypatch.setattr("builtins.input", lambda prompt="": "")
+        assert cli.main([*base, "--output", out_i, "--interactive"]) == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     with open(out_n) as a, open(out_i) as b:
         na, nb = yaml.safe_load(a), yaml.safe_load(b)
     assert na == nb

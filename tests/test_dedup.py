@@ -1063,9 +1063,23 @@ def test_cdc_chunks_sink_bucketed_plan_and_state(spark, tmp_path):
         assert got == want
 
         # plan shape of a THIRD ingest's probe against the standing
-        # table (forced sort-merge so broadcast can't hide the shape)
+        # table (forced sort-merge so broadcast can't hide the shape).
+        # The one-exchange shape needs the join's target partitioning to
+        # align with the table's 8 buckets — pin shuffle.partitions=8
+        # explicitly (the conftest default, but a prior in-process
+        # get_spark() can have re-applied 32 to the shared session) and
+        # keep the auto-bucketed-scan cost rule from disabling the
+        # bucketed read in a warm session.
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        old_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
         try:
             corpus = spark.table(table).drop("_v")
             probe = cdc_chunk_dedup_incremental(
@@ -1080,6 +1094,11 @@ def test_cdc_chunks_sink_bucketed_plan_and_state(spark, tmp_path):
             assert "Bucketed: true" in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                old_abs,
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
