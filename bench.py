@@ -690,9 +690,12 @@ def main() -> None:
     # current 69-query list.  Round number = 1 + the latest
     # driver-written BENCH_r*.json (the driver writes its file at round
     # END, so every run during round N lands on the same name).  Only
-    # canonical-scale runs are recorded.
+    # canonical-scale FULL-LIST runs are recorded: a subset run at
+    # sf0.1 (e.g. the scale-sweep's like-for-like common19 pass) would
+    # otherwise silently clobber the round's committed full record
+    # with a ~20-query partial one.
     floors_file = None
-    if sf == "0.1":
+    if sf == "0.1" and want is None:
         rounds = [
             int(m.group(1))
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))

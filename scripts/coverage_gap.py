@@ -34,11 +34,14 @@ def declared_queries(repo: str) -> list[str]:
         raise SystemExit("could not locate the QUERIES literal")
     catalog = re.findall(r'^\s{4}"([a-z0-9_]+)":', m.group(1), re.M)
     # r11+: the driver order is imposed by a _R<N>_WINDOW repack after
-    # the literal — mirror it (window first, then catalog order)
-    w = re.search(r"^_R\d+_WINDOW = \[\n(.*?)\n\]\n", src, re.S | re.M)
-    if not w:
+    # the literal — mirror it (window first, then catalog order).  At
+    # runtime the LAST repack executed wins, so if a future rotation
+    # appends an _R<N+1>_WINDOW block instead of replacing the old one,
+    # mirror the last match, not the first.
+    ws = re.findall(r"^_R\d+_WINDOW = \[\n(.*?)\n\]\n", src, re.S | re.M)
+    if not ws:
         return catalog
-    window = re.findall(r'"([a-z0-9_]+)"', w.group(1))
+    window = re.findall(r'"([a-z0-9_]+)"', ws[-1])
     rest = [q for q in catalog if q not in set(window)]
     return window + rest
 

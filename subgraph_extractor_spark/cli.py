@@ -27,6 +27,18 @@ import sys
 import yaml
 
 
+def _no_active_session() -> bool:
+    """True when this process/thread has no live SparkSession yet.
+
+    Commands stop only sessions they created: invoked in-process (a
+    test, a notebook, another Spark app), ``get_spark`` reuses the
+    host's session and ``spark.stop()`` here would kill the host's
+    SparkContext out from under it (the r11 pytest cascade class)."""
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() is None
+
+
 def _load_tables(spark, tables_dir: str, names):
     out = {}
     for name in names:
@@ -61,6 +73,7 @@ def cmd_extract(args) -> int:
 
     with open(args.config, "r", encoding="utf-8") as fh:
         config = yaml.safe_load(fh)
+    owns_session = _no_active_session()
     spark = get_spark("subgraph-extract")
     tables = _load_tables(spark, args.tables_dir, config["tables"])
     if args.earliest is not None and args.latest is not None:
@@ -70,7 +83,8 @@ def cmd_extract(args) -> int:
     written = run_extraction(spark, config, tables, args.output, lo, hi)
     for t, files in written.items():
         print(f"{t}: {len(files)} partition files committed")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
@@ -81,6 +95,7 @@ def cmd_suggest_config(args) -> int:
         suggest_config,
     )
 
+    owns_session = _no_active_session()
     spark = get_spark("subgraph-config")
     names = [
         f[: -len(".parquet")]
@@ -100,7 +115,8 @@ def cmd_suggest_config(args) -> int:
     with open(args.output, "w", encoding="utf-8") as fh:
         yaml.safe_dump(conf, fh)
     print(f"wrote {args.output} ({len(names)} tables)")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

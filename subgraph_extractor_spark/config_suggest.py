@@ -125,7 +125,11 @@ def interactive_config(
         raw = input_fn("tables> ").strip()
         if raw.startswith("p ") or raw.startswith("p\t"):
             tok = raw[1:].strip()
-            t = names[int(tok)] if tok.isdigit() else tok
+            t = (
+                names[int(tok)]
+                if tok.isdigit() and int(tok) < len(names)
+                else tok
+            )
             if t not in tables:
                 echo(f"no such table: {t}")
                 continue
@@ -137,7 +141,11 @@ def interactive_config(
         picks, ok = [], True
         for item in raw.split(","):
             item = item.strip()
-            t = names[int(item)] if item.isdigit() else item
+            t = (
+                names[int(item)]
+                if item.isdigit() and int(item) < len(names)
+                else item
+            )
             if t not in tables:
                 echo(f"no such table: {item}")
                 ok = False

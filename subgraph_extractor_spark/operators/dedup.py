@@ -1731,9 +1731,15 @@ def minhash_dedup_incremental_portable(
     # one signature per id, batch side preferred (latest wins): a
     # re-ingested id whose text changed would otherwise carry two
     # (_id, _h) rows and emit every touching pair twice with
-    # conflicting jaccard values
-    union_h = sn.select("_id", "_h").distinct().unionByName(
-        sc.select("_id", "_h").distinct().join(
+    # conflicting jaccard values.  The reduction is a groupBy-max
+    # (arrays order lexicographically), not distinct(): distinct()
+    # keeps BOTH rows when the same id appears twice WITHIN one side
+    # with different text (duplicate ids inside one batch, or a
+    # corpus built without this guarantee) — max picks one
+    # deterministically there too.
+    one_per_id = lambda s: s.groupBy("_id").agg(F.max("_h").alias("_h"))
+    union_h = one_per_id(sn).unionByName(
+        one_per_id(sc).join(
             sn.select("_id").distinct(), "_id", "left_anti"
         )
     )

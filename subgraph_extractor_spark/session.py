@@ -64,6 +64,17 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` selects local parallelism (default all cores);
     on a real cluster ``master`` comes from spark-submit and is left alone.
     """
+    # Reuse a pre-existing session UNTOUCHED.  getOrCreate() on an
+    # existing session re-applies every runtime-settable builder conf
+    # to it — an in-process CLI call would silently flip the host
+    # application's shuffle.partitions (8 -> 32 bit a pytest
+    # bucketed-join plan pin in r11) and its Arrow/ANSI settings.
+    # The session's owner picked those confs; a library entry point
+    # has no business mutating them.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

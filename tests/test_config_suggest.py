@@ -141,6 +141,23 @@ def test_interactive_reprompts_on_bad_input(spark):
     assert "column_mappings" in conf["tables"]["alpha"]
 
 
+def test_interactive_reprompts_on_out_of_range_index(spark):
+    """A numeric pick past the end of the menu re-prompts like a bad
+    name does (it used to raise IndexError and abort the whole run),
+    for both the 'p <i>' preview and the selection list."""
+    from subgraph_extractor_spark.config_suggest import interactive_config
+
+    tables = {"alpha": _entity(spark, 3, 10**19)}
+    echoed: list[str] = []
+    conf = interactive_config(
+        "sugg", "0.0.1", "QmS", tables,
+        input_fn=_scripted(["p 9", "9", "0", "all"]),
+        echo=echoed.append,
+    )
+    assert sum("no such table" in m for m in echoed) == 2
+    assert list(conf["tables"]) == ["alpha"]
+
+
 def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch):
     """suggest-config --interactive with scripted stdin produces a YAML
     file byte-identical to the non-interactive invocation."""
@@ -159,14 +176,17 @@ def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch
     out_n = str(tmp_path / "conf_n.yaml")
     base = ["suggest-config", "--tables-dir", src, "--name", "sugg",
             "--subgraph", "QmS"]
-    # the CLI command ends with spark.stop() (correct for its real
-    # process-entry use); running it IN-PROCESS must not kill the
-    # suite's shared session, so stop() is no-opped for this test.
-    # Its get_spark() also re-applies builder confs to the EXISTING
-    # session via getOrCreate (shuffle.partitions 8 -> 32), which
-    # broke a downstream bucketed-plan pin in the full suite — snapshot
-    # and restore every conf the in-process run can touch.
-    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # In-process CLI runs must leave the host application's session
+    # alone: get_spark() returns the active session verbatim (no
+    # getOrCreate conf re-application — the r11 shuffle.partitions
+    # 8 -> 32 leak class) and the command skips spark.stop() for a
+    # session it did not create.  stop is instrumented, NOT no-opped:
+    # a call here is the bug this test pins.
+    stop_calls: list[bool] = []
+    real_stop = type(spark).stop
+    monkeypatch.setattr(
+        type(spark), "stop", lambda self: stop_calls.append(True)
+    )
     shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         assert cli.main([*base, "--output", out_n]) == 0
@@ -174,7 +194,12 @@ def test_interactive_cli_flag_writes_identical_yaml(spark, tmp_path, monkeypatch
         monkeypatch.setattr(sys, "stdin", io.StringIO("\n\n"))
         monkeypatch.setattr("builtins.input", lambda prompt="": "")
         assert cli.main([*base, "--output", out_i, "--interactive"]) == 0
+        assert stop_calls == []  # library run never stops the host session
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == shuffle_before
+        )
     finally:
+        monkeypatch.setattr(type(spark), "stop", real_stop)
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     with open(out_n) as a, open(out_i) as b:
         na, nb = yaml.safe_load(a), yaml.safe_load(b)

@@ -151,6 +151,31 @@ def test_minhash_portable_incremental_reingest_latest_wins(spark):
     assert out == {(1, 3): 1.0}, out
 
 
+def test_minhash_portable_incremental_intra_batch_duplicate_id(spark):
+    """One signature per id holds WITHIN a side too: a batch carrying
+    the same id twice with different text must still emit exactly one
+    jaccard row per touching pair (a distinct()-based reduction kept
+    both signature rows and fanned the verify joins out)."""
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame([(2, t_a), (3, t_b)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, t_a), (1, t_b)], ["doc_id", "text"])
+    rows = dedup.minhash_dedup_incremental_portable(
+        batch, corpus, "text", "doc_id", threshold=0.5
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate pair rows: {rows}"
+    # the surviving signature is deterministic (lexicographic-max of
+    # the two hash arrays), so exactly ONE of the two texts' identity
+    # pairs surfaces — never both
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert out in ({(1, 2): 1.0}, {(1, 3): 1.0}), out
+    rows2 = dedup.minhash_dedup_incremental_portable(
+        batch, corpus, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert out == {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows2}
+
+
 def test_embedding_neardup_portable_contract(spark, sf_dir):
     """The integer-cosine face: every returned pair's FLOAT cosine sits
     near/above the threshold (quantization at 2^-10 can only move the
