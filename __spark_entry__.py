@@ -2840,6 +2840,24 @@ def q_ann_filtered(spark, sf):
     )
 
 
+def q_ann_filtered_banded(spark, sf):
+    # Scale-path twin of ann_filtered (similarity.filtered_banded_
+    # topk), added on the sf1.0 full-headline evidence: the exact
+    # filtered face measured 74x time at 10x data (quadratic within
+    # each label block — BENCH_scale_sf1_full_r11.json), so the
+    # serving path splits every label block further by sign-LSH band
+    # value: candidates = equi-join on (label, band, val).  Exact
+    # integer arithmetic end to end (quantize_int_vec + int_lsh_planes
+    # + int64 dot, the ann_lsh_portable discipline) — DuckDB replays
+    # every (query_id, neighbor_id, qdot, rank) row bit-exactly.
+    # Recall vs the exact face is a pytest contract
+    # (tests/test_similarity.py::test_filtered_banded_recall).
+    emb = _t(spark, sf, "embeddings")
+    return sim_ops.filtered_banded_topk(
+        emb, "embedding", "vec_id", ["label"], k=5
+    )
+
+
 def q_ann_hamming(spark, sf):
     # Binary-quantized (1-bit/dim) Hamming search coarse pass
     # (similarity.binary_sign_pack + hamming_topk): the 50-query batch
@@ -3999,6 +4017,74 @@ def _ann_lsh_portable_sql(
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM sig a JOIN sig b
         ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
+      FROM pairs p
+      JOIN qv qa ON qa.vec_id = p.query_id
+      JOIN qv qb ON qb.vec_id = p.neighbor_id AND qb.j = qa.j
+      GROUP BY p.query_id, p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def _ann_filtered_banded_sql(
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    scale_bits: int = 10,
+    k: int = 5,
+) -> str:
+    """DuckDB replay of filtered_banded_topk: _ann_lsh_portable_sql
+    with the filter column (label) carried into the candidate join —
+    pairs must share (label, band, band value)."""
+    from subgraph_extractor_spark.operators.similarity import int_lsh_planes
+
+    planes = int_lsh_planes(dim, bits, seed)
+    rows = bits // bands
+    scale = float(1 << scale_bits)
+    wvals = ",".join(
+        f"({b},{j + 1},{planes[b][j]})"
+        for b in range(bits)
+        for j in range(dim)
+    )
+    return f"""
+    WITH w(bit, j, wt) AS (VALUES {wvals}),
+    qv AS (
+      SELECT vec_id, j,
+             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings)
+    ),
+    bits_t AS (
+      SELECT qv.vec_id, w.bit,
+             CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
+      FROM qv JOIN w ON w.j = qv.j
+      GROUP BY qv.vec_id, w.bit
+    ),
+    sig AS (
+      SELECT vec_id, bit // {rows} AS band,
+             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
+      FROM bits_t GROUP BY vec_id, bit // {rows}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM sig a
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN sig b ON a.band = b.band AND a.val = b.val
+                AND a.vec_id <> b.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+                        AND eb.label = ea.label
     ),
     scored AS (
       SELECT p.query_id, p.neighbor_id,
@@ -5654,17 +5740,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_maxsim_quantized": q_sim_maxsim_quantized,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    # r11 continuation: the filtered-search scale path, added when the
+    # sf1.0 full-headline sweep measured the exact filtered face
+    # quadratic (74x at 10x data) — below the r11 driver line; rotates
+    # into a future window like every new entry
+    "ann_filtered_banded": q_ann_filtered_banded,
 }
 
 # Round-11 driver window (the r10 verdict's task #1): the CORRECTNESS
 # r1-r10 staleness ledger shows 55 queries whose last green driver row
 # dates to r6 or earlier — the five r4-era tpch shapes deliberately
 # left to lead this round, plus the full 50-query r6 cohort.  The
-# window takes the five r4 rows and 45 of the r6 rows; the FIVE
-# deferred r6 rows (four ts_* window/agg shapes and the grouped twin
-# of the in-window dataset_fingerprint — the lowest-risk plain-SQL
-# shapes in the cohort) lead r12, after which every query's driver
-# evidence is r6+ and the ledger is two rounds deep at most.  Every
+# window takes the five r4 rows and 44 of the r6 rows plus the new
+# never-driver-checked ann_filtered_banded (rotation discipline); the
+# SIX deferred r6 rows (five ts_* window/agg shapes and the grouped
+# twin of the in-window dataset_fingerprint — the lowest-risk
+# plain-SQL shapes in the cohort) lead r12, after which every query's
+# driver evidence is r6+ and the ledger is two rounds deep at most.  Every
 # window row is full-value oracled (the four documented rows-only raw
 # faces all sit below the line).  tests/test_window_freeze.py pins
 # this list; the repack below is mechanical reordering only — it adds
@@ -5673,7 +5765,7 @@ _R11_WINDOW = [
     # r4-era (stalest): the five plain-SQL tpch join/count shapes
     "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
     "tpch_q12_shape", "tpch_q13_shape",
-    # r6 cohort, catalog order, minus the five deferred rows
+    # r6 cohort, catalog order, minus the six deferred rows
     "a14_mad_outliers", "ann_projected_lsh", "ann_projected_lsh_recall",
     "ann_projected_recall", "audio_excerpt_containment",
     "audio_spectral_pairs", "dataset_fingerprint", "dedup_containment",
@@ -5688,9 +5780,15 @@ _R11_WINDOW = [
     "sample_temperature", "sim_maxsim_quantized", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "text_bpe_train", "tpch_q14_shape",
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel", "ts_resample",
+    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel",
     "url_canonical_dedup", "url_domain_cap", "video_dhash_pairs",
     "video_frame_containment",
+    # r11 continuation: the new filtered-search scale path is
+    # never-driver-checked, so it must sit inside the window (the
+    # rotation discipline tests/test_coverage_gap.py enforces);
+    # ts_resample (plain resample agg, green since r2, bench-timed
+    # every round) moves to the deferred list to make room
+    "ann_filtered_banded",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 assert set(_R11_WINDOW) <= set(QUERIES), sorted(
@@ -9433,6 +9531,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["text_lang"] = _lang_pred_sql()
     out["ann_lsh_portable"] = _ann_lsh_portable_sql()
+    out["ann_filtered_banded"] = _ann_filtered_banded_sql()
     out["sketch_quantile_grouped"] = quant_ops.quantile_grouped_oracle_sql(
         "SELECT lang, text FROM documents",
         "CASE WHEN trim(text) = '' THEN 0 "

@@ -145,6 +145,11 @@ HEADLINE = [
     # harness (truncated-dim quantized run + metrics joins), first
     # recorded r8 for r9+ comparability.
     "ann_filtered",
+    # r11 continuation: the filtered-search scale path (label + sign-
+    # LSH band candidate generation), added when the sf1.0 full sweep
+    # measured the exact face quadratic (74x at 10x data); first
+    # recorded r11 for r12+ comparability.
+    "ann_filtered_banded",
     "retrieval_eval",
     # r8-continuation additions: binary-quantized Hamming search
     # (coarse pass + exact-rerank deployment face), champion-list

@@ -759,6 +759,33 @@ def quantize_int_vec(vec, scale_bits: int = 10):
     )
 
 
+def _int_band_sig_udf(planes, bands: int, rows: int):
+    """Arrow-batched integer sign-LSH signature kernel: one int64
+    matmul per batch against the literal plane matrix — the SAME exact
+    integer algebra as a per-bit zip_with/aggregate formulation (numpy
+    int64 matmul is exact), but that formulation's 32-aggregate
+    expression tree cost ~5 s of Catalyst/codegen time PER QUERY at
+    any data size (measured: 5.3 s at 500 rows == 6.0 s at 5 000
+    rows); this is the _band_signature_udf discipline with integers
+    instead of floats.  Shared by the plain and the filtered portable
+    LSH faces so their signatures are bit-identical."""
+    planes_t = np.array(planes, dtype=np.int64).T  # (dim, bits)
+    pack = (1 << np.arange(rows)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def int_band_sig(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            qvs.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
+        )  # (n, dim)
+        signs = (M @ planes_t >= 0).astype(np.int64)  # (n, bits)
+        vals = signs.reshape(len(M), bands, rows) @ pack  # (n, bands)
+        return pd.Series(list(vals))
+
+    return int_band_sig
+
+
 def lsh_portable_topk(
     df: DataFrame,
     vec_col: str,
@@ -812,26 +839,7 @@ def lsh_portable_topk(
         )
         .persist()
     )
-    # signature kernel: Arrow-batched int64 matmul against the literal
-    # plane matrix — the SAME exact integer algebra as a per-bit
-    # zip_with/aggregate formulation (numpy int64 matmul is exact), but
-    # that formulation's 32-aggregate expression tree cost ~5 s of
-    # Catalyst/codegen time PER QUERY at any data size (measured:
-    # 5.3 s at 500 rows == 6.0 s at 5 000 rows); the kernel is the
-    # _band_signature_udf discipline with integers instead of floats.
-    planes_t = np.array(planes, dtype=np.int64).T  # (dim, bits)
-    pack = (1 << np.arange(rows)).astype(np.int64)
-
-    @pandas_udf(ArrayType(LongType()))
-    def int_band_sig(qvs: pd.Series) -> pd.Series:
-        if len(qvs) == 0:
-            return pd.Series([], dtype=object)
-        M = np.stack(
-            qvs.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
-        )  # (n, dim)
-        signs = (M @ planes_t >= 0).astype(np.int64)  # (n, bits)
-        vals = signs.reshape(len(M), bands, rows) @ pack  # (n, bands)
-        return pd.Series(list(vals))
+    int_band_sig = _int_band_sig_udf(planes, bands, rows)
 
     sig = q.select(
         "_id", F.posexplode(int_band_sig(F.col("_qv"))).alias("band", "val")
@@ -1831,6 +1839,125 @@ def filtered_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def filtered_banded_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    filter_cols: list[str],
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Scale-path twin of :func:`filtered_quantized_topk`: filtered
+    vector search whose candidate join key is (filter_cols..., band,
+    band value) instead of filter_cols alone.
+
+    Why it exists — measured, not argued: the exact filtered face
+    considers every pair inside each filter block, Σ_b |block_b|²
+    work.  The derived-sf1.0 full-headline sweep
+    (BENCH_scale_sf1_full_r11.json) measured that quadratic signature
+    directly: 74x time at 10x data, the worst entry on the board,
+    while every banded/bucketed face stayed <= 10x (linear).  Filter
+    blocks GROW with the corpus (a language or tenant partition is a
+    constant fraction of 100 TB), so the exact face cannot be the
+    serving path.  Here each filter block is further split by the
+    sign-LSH band value: candidates = equi-join on (filter_cols,
+    band, val), Σ over the much finer (block × band × val) buckets —
+    the same sub-quadratic shape :func:`lsh_portable_topk` measured at
+    6.8x for 10x data.  The predicate still rides the join key, so
+    every candidate satisfies the filter by construction (no
+    post-filter recall loss), and AQE skew-join splitting applies to a
+    hot (label, band, val) bucket like any skewed key.
+
+    Exactness discipline: everything is integer — components quantize
+    via :func:`quantize_int_vec` (floor(v * 2^10)), signature bits are
+    signs of int64 dots against the :func:`int_lsh_planes` literals
+    (the SAME planes/kernel as lsh_portable_topk, bit-identical
+    signatures), candidates rank by the exact int64 quantized dot with
+    a (qdot desc, neighbor_id asc) tie-break — a DuckDB oracle replays
+    every (query_id, neighbor_id, qdot, rank) row bit-exactly.  Recall
+    vs the exact filtered face is a measured pytest contract (the
+    approximation is candidate coverage, never scoring).
+
+    Output: (query_id, neighbor_id, qdot, rank), rank 1..<=k per query
+    with any same-block band collision."""
+    planes = int_lsh_planes(dim, bits, seed)
+    rows = bits // bands
+    if rows * bands != bits:
+        raise ValueError("bits must divide evenly into bands")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    q = (
+        df.filter(F.col(vec_col).isNotNull())
+        .repartition(par)
+        .select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in filter_cols],
+            quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
+        )
+        .persist()
+    )
+    int_band_sig = _int_band_sig_udf(planes, bands, rows)
+    sig = q.select(
+        "_id",
+        *filter_cols,
+        F.posexplode(int_band_sig(F.col("_qv"))).alias("band", "val"),
+    ).persist()
+    sig.count()
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[F.col(f"l.{c}") == F.col(f"r.{c}") for c in filter_cols]
+            + [
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.val") == F.col("r.val"),
+                F.col("l._id") != F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("query_id"),
+            F.col("r._id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            q.select(F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    q.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -695,3 +695,97 @@ def test_quantize_int_vec_floor_is_portable(spark):
     import math
 
     assert got == [math.floor(v * 1024.0) for v in vals]
+
+
+def test_filtered_banded_matches_python_reference(spark, emb):
+    """filtered_banded_topk against a pure-python replay of the same
+    integer algebra with the label constraint folded into the bucket
+    key — the portability property its DuckDB oracle relies on."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    rows = [r for r in rows if r["embedding"] is not None]
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = np.array([r["label"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(V * 1024.0).astype(np.int64)
+    planes = np.array(
+        similarity.int_lsh_planes(64, 32, seed=29), dtype=np.int64
+    )
+    signs = (q @ planes.T >= 0).astype(np.int64)
+    weights = 1 << np.arange(8)
+    bands = signs.reshape(len(q), 4, 8) @ weights
+    buckets = {}
+    for i in range(len(q)):
+        for b in range(4):
+            buckets.setdefault((labs[i], b, bands[i, b]), []).append(i)
+    cands = {}
+    for members in buckets.values():
+        for i in members:
+            for j in members:
+                if i != j:
+                    cands.setdefault(i, set()).add(j)
+    k = 5
+    exp = set()
+    for i, cs in cands.items():
+        scored = sorted(
+            ((int(q[i] @ q[j]), int(ids[j])) for j in cs),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (dot, nid) in enumerate(scored, 1):
+            exp.add((int(ids[i]), nid, dot, rank))
+
+    got = {
+        tuple(r)
+        for r in similarity.filtered_banded_topk(
+            emb, "embedding", "vec_id", ["label"], k=k
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_filtered_banded_recall_planted(spark):
+    """Recall contract for the filtered-search scale path, on PLANTED
+    structure: the driver fixture's labels are independent of its
+    embedding geometry (measured: no within-label exact-top-5 pair
+    reaches cosine 0.5 at sf0.01, and even the GLOBAL top-1 cosine
+    medians ~0.4), so an absolute recall floor against full exact
+    top-5 is a property of that randomness, not of any index — no
+    sub-quadratic method can beat candidate-fraction recall on
+    near-random neighbors.  The meaningful contract is the production
+    regime: strongly-similar same-label pairs (the ones filtered
+    search exists to find) must be recalled.  Plant same-label
+    near-duplicates at cosine ~0.98 among random noise and require
+    >= 0.9 of the planted pairs in the result (expected band-collision
+    probability at theta ~= 11.5 deg with 4x8-bit bands is ~0.97)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim, n_labels = 200, 64, 4
+    rows, planted = [], []
+    vid = 0
+    for i in range(n):
+        lab = int(i % n_labels)
+        base = rng.normal(size=dim)
+        rows.append((vid, lab, [float(x) for x in base]))
+        a = vid
+        vid += 1
+        if i % 4 == 0:
+            twin = base + rng.normal(scale=0.2, size=dim)
+            rows.append((vid, lab, [float(x) for x in twin]))
+            planted.append((a, vid))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.filtered_banded_topk(
+            df, "embedding", "vec_id", ["label"], k=5
+        ).collect()
+    }
+    hits = sum(
+        ((a, b) in got) + ((b, a) in got) for a, b in planted
+    )
+    recall = hits / (2 * len(planted))
+    assert recall >= 0.9, f"planted-pair recall {recall:.3f} < 0.9"

@@ -8,10 +8,12 @@ Round-11 window (the r10 verdict's task #1): the CORRECTNESS r1-r10
 staleness ledger shows 55 queries whose last green driver row dates to
 r6 or earlier — the five r4-era tpch shapes deliberately left to lead
 this round, plus the complete 50-query r6 cohort.  The window takes
-the five r4 rows and 45 of the r6 rows in catalog order; the FIVE
-deferred r6 rows (ts_moving_avg, ts_ohlc, ts_sliding,
-ts_interval_coverage, dataset_fingerprint_groups — four plain
-window/agg shapes and the grouped twin of the in-window
+the five r4 rows and 44 of the r6 rows in catalog order plus the new
+never-driver-checked ann_filtered_banded (the rotation discipline:
+a query with no driver row anywhere must sit inside the window); the
+SIX deferred r6 rows (ts_moving_avg, ts_ohlc, ts_sliding,
+ts_interval_coverage, dataset_fingerprint_groups, ts_resample — five
+plain window/agg shapes and the grouped twin of the in-window
 dataset_fingerprint, the lowest-risk members of the cohort) lead the
 r12 window, after which no query's driver evidence will predate r11's
 floor.  Every window row is full-value oracled; the four documented
@@ -40,9 +42,12 @@ WINDOW_50 = [
     "sample_temperature", "sim_maxsim_quantized", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "text_bpe_train", "tpch_q14_shape",
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel", "ts_resample",
+    "tpch_q6_shape", "ts_cohort_retention", "ts_funnel",
     "url_canonical_dedup", "url_domain_cap", "video_dhash_pairs",
     "video_frame_containment",
+    # never-driver-checked new entry (r11 continuation) — must be in
+    # the window per the rotation discipline
+    "ann_filtered_banded",
 ]
 
 # every window row is full-value oracled this round
@@ -52,7 +57,7 @@ ROWS_ONLY: set[str] = set()
 # next rotation starts from a recorded plan, not a re-derivation
 DEFERRED_R6 = [
     "ts_moving_avg", "ts_ohlc", "ts_sliding", "ts_interval_coverage",
-    "dataset_fingerprint_groups",
+    "dataset_fingerprint_groups", "ts_resample",
 ]
 
 
@@ -69,6 +74,6 @@ def test_window_queries_all_oracled():
 def test_repack_is_a_permutation():
     # the window repack reorders the catalog; it must not add or drop
     qs = em.queries()
-    assert len(qs) == len(set(qs)) == 218
+    assert len(qs) == len(set(qs)) == 219
     assert set(DEFERRED_R6) <= set(qs)
     assert not (set(DEFERRED_R6) & set(WINDOW_50))
