@@ -2850,8 +2850,10 @@ def q_ann_filtered_banded(spark, sf):
     # integer arithmetic end to end (quantize_int_vec + int_lsh_planes
     # + int64 dot, the ann_lsh_portable discipline) — DuckDB replays
     # every (query_id, neighbor_id, qdot, rank) row bit-exactly.
-    # Recall vs the exact face is a pytest contract
-    # (tests/test_similarity.py::test_filtered_banded_recall).
+    # Recall is contracted on PLANTED same-label near-duplicates
+    # (tests/test_similarity.py::test_filtered_banded_recall_planted;
+    # BASELINE.md documents why a floor vs the exact face is
+    # meaningless on this fixture's geometry-independent labels).
     emb = _t(spark, sf, "embeddings")
     return sim_ops.filtered_banded_topk(
         emb, "embedding", "vec_id", ["label"], k=5
@@ -3979,10 +3981,15 @@ def _ann_lsh_portable_sql(
     seed: int = 29,
     scale_bits: int = 10,
     k: int = 5,
+    filter_col: str | None = None,
 ) -> str:
     """DuckDB replay of lsh_portable_topk: the SAME integer hyperplane
     literals (similarity.int_lsh_planes), the same floor(v * 2^s)
-    quantization, banded self-join, exact int64 dot ranking."""
+    quantization, banded self-join, exact int64 dot ranking.  With
+    ``filter_col`` set it replays filtered_banded_topk instead — the
+    filter column joins the candidate key, everything else is the
+    SAME generated SQL (one generator, like the one shared operator
+    body: the two faces cannot drift)."""
     from subgraph_extractor_spark.operators.similarity import int_lsh_planes
 
     planes = int_lsh_planes(dim, bits, seed)
@@ -3993,99 +4000,43 @@ def _ann_lsh_portable_sql(
         for b in range(bits)
         for j in range(dim)
     )
-    return f"""
-    WITH w(bit, j, wt) AS (VALUES {wvals}),
-    qv AS (
-      SELECT vec_id, j,
-             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
-      FROM (SELECT vec_id, unnest(embedding) AS comp,
-                   generate_subscripts(embedding, 1) AS j
-            FROM embeddings)
-    ),
-    bits_t AS (
-      SELECT qv.vec_id, w.bit,
-             CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
-      FROM qv JOIN w ON w.j = qv.j
-      GROUP BY qv.vec_id, w.bit
-    ),
-    sig AS (
-      SELECT vec_id, bit // {rows} AS band,
-             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
-      FROM bits_t GROUP BY vec_id, bit // {rows}
-    ),
-    pairs AS (
+    if filter_col is None:
+        pairs_cte = """pairs AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM sig a JOIN sig b
         ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id
-    ),
-    scored AS (
-      SELECT p.query_id, p.neighbor_id,
-             CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
-      FROM pairs p
-      JOIN qv qa ON qa.vec_id = p.query_id
-      JOIN qv qb ON qb.vec_id = p.neighbor_id AND qb.j = qa.j
-      GROUP BY p.query_id, p.neighbor_id
-    )
-    SELECT query_id, neighbor_id, qdot, rank FROM (
-      SELECT query_id, neighbor_id, qdot,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY query_id
-               ORDER BY qdot DESC, neighbor_id ASC) AS INT) AS rank
-      FROM scored)
-    WHERE rank <= {k}
-    """
-
-
-def _ann_filtered_banded_sql(
-    dim: int = 64,
-    bits: int = 32,
-    bands: int = 4,
-    seed: int = 29,
-    scale_bits: int = 10,
-    k: int = 5,
-) -> str:
-    """DuckDB replay of filtered_banded_topk: _ann_lsh_portable_sql
-    with the filter column (label) carried into the candidate join —
-    pairs must share (label, band, band value)."""
-    from subgraph_extractor_spark.operators.similarity import int_lsh_planes
-
-    planes = int_lsh_planes(dim, bits, seed)
-    rows = bits // bands
-    scale = float(1 << scale_bits)
-    wvals = ",".join(
-        f"({b},{j + 1},{planes[b][j]})"
-        for b in range(bits)
-        for j in range(dim)
-    )
-    return f"""
-    WITH w(bit, j, wt) AS (VALUES {wvals}),
-    qv AS (
-      SELECT vec_id, j,
-             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
-      FROM (SELECT vec_id, unnest(embedding) AS comp,
-                   generate_subscripts(embedding, 1) AS j
-            FROM embeddings)
-    ),
-    bits_t AS (
-      SELECT qv.vec_id, w.bit,
-             CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
-      FROM qv JOIN w ON w.j = qv.j
-      GROUP BY qv.vec_id, w.bit
-    ),
-    sig AS (
-      SELECT vec_id, bit // {rows} AS band,
-             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
-      FROM bits_t GROUP BY vec_id, bit // {rows}
-    ),
-    pairs AS (
+    )"""
+    else:
+        pairs_cte = f"""pairs AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM sig a
       JOIN embeddings ea ON ea.vec_id = a.vec_id
       JOIN sig b ON a.band = b.band AND a.val = b.val
                 AND a.vec_id <> b.vec_id
       JOIN embeddings eb ON eb.vec_id = b.vec_id
-                        AND eb.label = ea.label
+                        AND eb.{filter_col} = ea.{filter_col}
+    )"""
+    return f"""
+    WITH w(bit, j, wt) AS (VALUES {wvals}),
+    qv AS (
+      SELECT vec_id, j,
+             CAST(floor(CAST(comp AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings)
     ),
+    bits_t AS (
+      SELECT qv.vec_id, w.bit,
+             CASE WHEN SUM(w.wt * qv.q) >= 0 THEN 1 ELSE 0 END AS b
+      FROM qv JOIN w ON w.j = qv.j
+      GROUP BY qv.vec_id, w.bit
+    ),
+    sig AS (
+      SELECT vec_id, bit // {rows} AS band,
+             CAST(SUM(b * (1 << (bit % {rows}))) AS BIGINT) AS val
+      FROM bits_t GROUP BY vec_id, bit // {rows}
+    ),
+    {pairs_cte},
     scored AS (
       SELECT p.query_id, p.neighbor_id,
              CAST(SUM(qa.q * qb.q) AS BIGINT) AS qdot
@@ -9531,7 +9482,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["text_lang"] = _lang_pred_sql()
     out["ann_lsh_portable"] = _ann_lsh_portable_sql()
-    out["ann_filtered_banded"] = _ann_filtered_banded_sql()
+    out["ann_filtered_banded"] = _ann_lsh_portable_sql(filter_col="label")
     out["sketch_quantile_grouped"] = quant_ops.quantile_grouped_oracle_sql(
         "SELECT lang, text FROM documents",
         "CASE WHEN trim(text) = '' THEN 0 "

@@ -59,8 +59,15 @@ SHAPES = {
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--all"]
     include_rows_only = "--all" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # first positional is the sf dir ONLY if it exists on disk —
+    # `check_determinism.py some_query` would otherwise silently run
+    # the whole sweep against a nonexistent data dir
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    elif args and (os.sep in args[0] or args[0].startswith(".")):
+        raise SystemExit(f"sf dir does not exist: {args[0]}")
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     import __spark_entry__ as entrymod
     from subgraph_extractor_spark import get_spark
@@ -84,6 +91,11 @@ def main() -> int:
             hashes, counts = {}, {}
             try:
                 for shape, confs in SHAPES.items():
+                    # a query that leaks a persisted DataFrame would let
+                    # shape B read shape A's cached InMemoryRelation and
+                    # pass vacuously — clear between shapes so the check
+                    # is sound independent of operator cache discipline
+                    spark.catalog.clearCache()
                     for k, v in confs.items():
                         spark.conf.set(k, v)
                     pdf = fn(spark, sf_dir).toPandas()

@@ -818,82 +818,15 @@ def lsh_portable_topk(
     quantized vectors (64 longs) onto candidate pairs — fine at
     fixture scale and honest to oracle; at 100 TB keep the pair volume
     bounded the way :func:`ann_topk_lsh` does (shard-cogrouped scoring,
-    never vectors-onto-pairs)."""
-    planes = int_lsh_planes(dim, bits, seed)
-    rows = bits // bands
-    if rows * bands != bits:
-        raise ValueError("bits must divide evenly into bands")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # persist the quantized table: it feeds the signature stage AND
-    # both sides of the ranking joins (cache scope == operator scope,
-    # the _banded_signatures discipline)
-    q = (
-        # NULL vectors carry no similarity evidence; the kernel below
-        # np.stacks the batch, so they must not reach it (non-null
-        # finite-float input contract, shared with the pq kernels)
-        df.filter(F.col(vec_col).isNotNull())
-        .repartition(par)
-        .select(
-            F.col(id_col).alias("_id"),
-            quantize_int_vec(F.col(vec_col), scale_bits).alias("_qv"),
-        )
-        .persist()
-    )
-    int_band_sig = _int_band_sig_udf(planes, bands, rows)
+    never vectors-onto-pairs).
 
-    sig = q.select(
-        "_id", F.posexplode(int_band_sig(F.col("_qv"))).alias("band", "val")
-    ).persist()
-    sig.count()
-    l, r = sig.alias("l"), sig.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.val") == F.col("r.val"),
-                F.col("l._id") != F.col("r._id"),
-            ],
-        )
-        .select(
-            F.col("l._id").alias("query_id"),
-            F.col("r._id").alias("neighbor_id"),
-        )
-        .distinct()
+    Implementation: this IS :func:`filtered_banded_topk` with an empty
+    filter-column list (one shared body — a tie-break / envelope /
+    cache-scope fix cannot drift between the two faces)."""
+    return filtered_banded_topk(
+        df, vec_col, id_col, [], k=k, dim=dim, bits=bits,
+        bands=bands, seed=seed, scale_bits=scale_bits,
     )
-    scored = (
-        pairs.join(
-            q.select(F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")),
-            "query_id",
-        )
-        .join(
-            q.select(
-                F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qb")
-            ),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("_qa", "_qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("qdot"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col("neighbor_id").asc()
-    )
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "qdot", "rank")
-        .localCheckpoint(eager=True)
-    )
-    sig.unpersist()
-    q.unpersist()
-    return out
 
 
 def int_projection_matrix(
@@ -1880,18 +1813,28 @@ def filtered_banded_topk(
     (the SAME planes/kernel as lsh_portable_topk, bit-identical
     signatures), candidates rank by the exact int64 quantized dot with
     a (qdot desc, neighbor_id asc) tie-break — a DuckDB oracle replays
-    every (query_id, neighbor_id, qdot, rank) row bit-exactly.  Recall
-    vs the exact filtered face is a measured pytest contract (the
-    approximation is candidate coverage, never scoring).
+    every (query_id, neighbor_id, qdot, rank) row bit-exactly.  The
+    approximation is candidate coverage, never scoring; the recall
+    contract runs on PLANTED same-label near-duplicates
+    (tests/test_similarity.py::test_filtered_banded_recall_planted —
+    BASELINE.md documents why an absolute floor vs the exact face is
+    meaningless on the driver fixture's geometry-independent labels).
 
     Output: (query_id, neighbor_id, qdot, rank), rank 1..<=k per query
-    with any same-block band collision."""
+    with any same-block band collision.  ``filter_cols=[]`` degrades
+    to plain :func:`lsh_portable_topk` (which delegates here)."""
     planes = int_lsh_planes(dim, bits, seed)
     rows = bits // bands
     if rows * bands != bits:
         raise ValueError("bits must divide evenly into bands")
     par = df.sparkSession.sparkContext.defaultParallelism
+    # persist the quantized table: it feeds the signature stage AND
+    # both sides of the ranking joins (cache scope == operator scope,
+    # the _banded_signatures discipline)
     q = (
+        # NULL vectors carry no similarity evidence; the signature
+        # kernel np.stacks the batch, so they must not reach it
+        # (non-null finite-float input contract, shared with pq)
         df.filter(F.col(vec_col).isNotNull())
         .repartition(par)
         .select(

@@ -704,7 +704,14 @@ def test_filtered_banded_matches_python_reference(spark, emb):
     import numpy as np
 
     rows = emb.select("vec_id", "label", "embedding").collect()
-    rows = [r for r in rows if r["embedding"] is not None]
+    # NULL embeddings are filtered by the operator; NULL labels drop
+    # out of its equi-join (SQL NULL = NULL is false) — mirror both,
+    # or a fixture regeneration with NULL labels would fail this test
+    # against a wrong expected set
+    rows = [
+        r for r in rows
+        if r["embedding"] is not None and r["label"] is not None
+    ]
     ids = np.array([r["vec_id"] for r in rows])
     labs = np.array([r["label"] for r in rows])
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)

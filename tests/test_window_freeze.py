@@ -27,7 +27,7 @@ WINDOW_50 = [
     # r4-era (stalest): the five plain-SQL tpch join/count shapes
     "tpch_q9_shape", "tpch_q10_shape", "tpch_q11_shape",
     "tpch_q12_shape", "tpch_q13_shape",
-    # r6 cohort, catalog order, minus the five deferred rows
+    # r6 cohort, catalog order, minus the six deferred rows
     "a14_mad_outliers", "ann_projected_lsh", "ann_projected_lsh_recall",
     "ann_projected_recall", "audio_excerpt_containment",
     "audio_spectral_pairs", "dataset_fingerprint", "dedup_containment",
