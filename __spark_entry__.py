@@ -3982,6 +3982,7 @@ def _ann_lsh_portable_sql(
     scale_bits: int = 10,
     k: int = 5,
     filter_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB replay of lsh_portable_topk: the SAME integer hyperplane
     literals (similarity.int_lsh_planes), the same floor(v * 2^s)
@@ -3989,7 +3990,10 @@ def _ann_lsh_portable_sql(
     ``filter_col`` set it replays filtered_banded_topk instead — the
     filter column joins the candidate key, everything else is the
     SAME generated SQL (one generator, like the one shared operator
-    body: the two faces cannot drift)."""
+    body: the two faces cannot drift).  ``max_bucket_size`` replays
+    the degenerate-bucket cap (drop every signature row whose
+    (filter, band, val) bucket exceeds the cap) when the operator
+    runs with one."""
     from subgraph_extractor_spark.operators.similarity import int_lsh_planes
 
     planes = int_lsh_planes(dim, bits, seed)
@@ -4000,7 +4004,34 @@ def _ann_lsh_portable_sql(
         for b in range(bits)
         for j in range(dim)
     )
-    if filter_col is None:
+    if max_bucket_size is not None:
+        # capped form: materialize the (filter?, band, val) signature
+        # table, drop over-cap buckets with a window count (the
+        # operator's exact formulation), pair within what survives
+        if filter_col is None:
+            sigf = "SELECT vec_id, band, val FROM sig"
+            part, fc_eq, fc_col = "band, val", "", ""
+        else:
+            sigf = (
+                f"SELECT s.vec_id, e.{filter_col} AS fc, s.band, s.val"
+                " FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id"
+            )
+            part, fc_eq, fc_col = (
+                "fc, band, val", "a.fc = b.fc AND ", "fc, "
+            )
+        pairs_cte = f"""sigf AS ({sigf}),
+    capped AS (
+      SELECT {fc_col}vec_id, band, val FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY {part}) AS bsz FROM sigf)
+      WHERE bsz <= {max_bucket_size}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM capped a JOIN capped b
+        ON {fc_eq}a.band = b.band AND a.val = b.val
+       AND a.vec_id <> b.vec_id
+    )"""
+    elif filter_col is None:
         pairs_cte = """pairs AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM sig a JOIN sig b

@@ -796,6 +796,7 @@ def lsh_portable_topk(
     bands: int = 4,
     seed: int = 29,
     scale_bits: int = 10,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sign-LSH approximate top-k in EXACT INTEGER arithmetic end to
     end — the full-value-oracle-checkable twin of :func:`ann_topk_lsh`
@@ -826,6 +827,7 @@ def lsh_portable_topk(
     return filtered_banded_topk(
         df, vec_col, id_col, [], k=k, dim=dim, bits=bits,
         bands=bands, seed=seed, scale_bits=scale_bits,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -1785,6 +1787,7 @@ def filtered_banded_topk(
     bands: int = 4,
     seed: int = 29,
     scale_bits: int = 10,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale-path twin of :func:`filtered_quantized_topk`: filtered
     vector search whose candidate join key is (filter_cols..., band,
@@ -1822,7 +1825,18 @@ def filtered_banded_topk(
 
     Output: (query_id, neighbor_id, qdot, rank), rank 1..<=k per query
     with any same-block band collision.  ``filter_cols=[]`` degrades
-    to plain :func:`lsh_portable_topk` (which delegates here)."""
+    to plain :func:`lsh_portable_topk` (which delegates here).
+
+    ``max_bucket_size`` is the degenerate-bucket guard the float face
+    (:func:`_banded_signatures`) carries: a (filter..., band, val)
+    bucket with b members emits b(b-1) ordered pairs, so one
+    boilerplate bucket (near-constant vectors) can dominate the whole
+    job; buckets over the cap carry almost no discriminative signal
+    and are DROPPED — counted within the filter partition, so one
+    tenant's boilerplate cannot evict another's members.  Mirrored
+    bit-exactly in the DuckDB oracle generator
+    (``_ann_lsh_portable_sql(max_bucket_size=...)``); default None
+    keeps the uncapped semantics the registry oracles pin."""
     planes = int_lsh_planes(dim, bits, seed)
     rows = bits // bands
     if rows * bands != bits:
@@ -1849,7 +1863,17 @@ def filtered_banded_topk(
         "_id",
         *filter_cols,
         F.posexplode(int_band_sig(F.col("_qv"))).alias("band", "val"),
-    ).persist()
+    )
+    if max_bucket_size is not None:
+        # window count (one shuffle, no join) — the _banded_signatures
+        # cap applied to the portable signature table
+        wb = Window.partitionBy(*filter_cols, "band", "val")
+        sig = (
+            sig.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    sig = sig.persist()
     sig.count()
     l, r = sig.alias("l"), sig.alias("r")
     pairs = (

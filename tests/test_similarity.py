@@ -796,3 +796,66 @@ def test_filtered_banded_recall_planted(spark):
     )
     recall = hits / (2 * len(planted))
     assert recall >= 0.9, f"planted-pair recall {recall:.3f} < 0.9"
+
+
+def test_banded_bucket_cap_mirrors_oracle(spark):
+    """Degenerate-bucket guard on the portable faces: a boilerplate
+    block of IDENTICAL vectors collides in every band, so its
+    (label, band, val) buckets exceed the cap and are dropped on BOTH
+    engines — while a planted normal near-dup pair survives.  Spark
+    and the generated DuckDB SQL (max_bucket_size branch of
+    _ann_lsh_portable_sql) must agree row-for-row, for the filtered
+    and the unfiltered face.  Values are float32-exact so the two
+    engines quantize identically."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import _ann_lsh_portable_sql
+
+    rng = np.random.RandomState(3)
+    f32 = lambda v: [float(x) for x in v.astype(np.float32)]
+    rows = []
+    const = rng.normal(size=64)
+    for vid in range(30):  # boilerplate: identical vectors, label 0
+        rows.append((vid, 0, f32(const)))
+    a = rng.normal(size=64)
+    qa, qb = 30, 31
+    rows.append((qa, 0, f32(a)))
+    rows.append((qb, 0, f32(a + rng.normal(scale=0.1, size=64))))
+    for vid in range(32, 37):  # a second label, random vectors
+        rows.append((vid, 1, f32(rng.normal(size=64))))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "label": [r[1] for r in rows],
+            "embedding": [r[2] for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+
+    for filt, kwargs in ((["label"], {"filter_col": "label"}), ([], {})):
+        got = {
+            tuple(r)
+            for r in similarity.filtered_banded_topk(
+                df, "embedding", "vec_id", filt, k=5, max_bucket_size=10
+            ).collect()
+        }
+        want = {
+            (int(q), int(n), int(d), int(rk))
+            for q, n, d, rk in con.execute(
+                _ann_lsh_portable_sql(max_bucket_size=10, **kwargs)
+            ).fetchall()
+        }
+        assert got == want, f"filter={filt}"
+        block = set(range(30))
+        assert not any(r[0] in block or r[1] in block for r in got), (
+            f"boilerplate bucket leaked pairs: filter={filt}"
+        )
+        assert any(r[0] == qa and r[1] == qb for r in got), (
+            f"planted pair lost: filter={filt}"
+        )
