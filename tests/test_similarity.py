@@ -859,3 +859,69 @@ def test_banded_bucket_cap_mirrors_oracle(spark):
         assert any(r[0] == qa and r[1] == qb for r in got), (
             f"planted pair lost: filter={filt}"
         )
+
+
+def test_banded_wide_config_mirrors_oracle(spark):
+    """The scale sweep's SUB-LINEAR config (128 bits / 8 bands =
+    16-bit rows — scripts/filtered_scale_bench.py measured exponents
+    0.41/0.45 with flat planted recall) gets the same oracle-grade
+    evidence as the registry's 32/4 face: Spark vs the generated
+    DuckDB SQL row-for-row on a synthetic corpus with planted
+    same-label near-duplicates.  Also exercises a MULTI-column filter
+    (label, tenant): both columns must ride the candidate join key."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import _ann_lsh_portable_sql
+
+    rng = np.random.RandomState(5)
+    f32 = lambda v: [float(x) for x in v.astype(np.float32)]
+    rows = []
+    for vid in range(60):
+        base = rng.normal(size=64)
+        rows.append((vid * 2, vid % 3, f32(base)))
+        rows.append(
+            (vid * 2 + 1, vid % 3, f32(base + 0.2 * rng.normal(size=64)))
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        tuple(r)
+        for r in similarity.filtered_banded_topk(
+            df, "embedding", "vec_id", ["label"], k=5, bits=128, bands=8
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "label": [r[1] for r in rows],
+            "embedding": [r[2] for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = {
+        (int(q), int(n), int(d), int(rk))
+        for q, n, d, rk in con.execute(
+            _ann_lsh_portable_sql(bits=128, bands=8, filter_col="label")
+        ).fetchall()
+    }
+    assert got == want
+    # every planted same-label twin pair found (theta ~11.5deg:
+    # per-band collision 0.936^16 ~ 0.35, >=1 of 8 bands ~ 0.97)
+    planted = [(v * 2, v * 2 + 1) for v in range(60)]
+    hits = sum(((a, b) in {(g[0], g[1]) for g in got}) for a, b in planted)
+    assert hits >= 0.9 * len(planted)
+
+    # multi-column filter: tenant splits each label block in two;
+    # cross-tenant pairs must vanish even for identical vectors
+    df2 = df.withColumn("tenant", (F.col("vec_id") % 2).cast("int"))
+    out2 = similarity.filtered_banded_topk(
+        df2, "embedding", "vec_id", ["label", "tenant"], k=5,
+        bits=128, bands=8,
+    ).collect()
+    tenant_of = {r[0]: r[0] % 2 for r in rows}
+    for r in out2:
+        assert tenant_of[r["query_id"]] == tenant_of[r["neighbor_id"]]
