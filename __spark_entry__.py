@@ -2245,10 +2245,27 @@ def q_pipeline_crawl_e2e(spark, sf):
     gated = ext.withColumn(
         "n_tokens", ta.token_count(F.col("main_text")).cast("bigint")
     ).filter(F.col("n_tokens") >= 5)
+    # r11 opt (guide §2.4, §4.1): three consumers of `gated` (the URL
+    # survivor pass and the two reattach joins) each rebuilt the whole
+    # scan -> ArrowEvalPython subtree — 4 parquet scans and 6 Arrow
+    # evaluations of the parser kernel per run
+    # (plans/r11/pipeline_crawl_e2e_before.txt).  One localCheckpoint
+    # of the extraction output (the repo's standard intra-plan
+    # materialization, scoped to this call — every bench pass still
+    # recomputes from parquet) makes every downstream stage a
+    # metadata-only join: 1 scan, 1 Arrow eval.  `_html` is projected
+    # away first so only the extracted text is materialized.
+    gated = gated.select(
+        "doc_id", "raw_url", "main_text", "n_tokens"
+    ).localCheckpoint(eager=True)
     url_kept = url_ops.url_exact_dedup(gated, "raw_url", "doc_id")
     stage2 = url_kept.join(
         gated.select("doc_id", "main_text", "n_tokens"), "doc_id"
     )
+    # (A second checkpoint of stage2 — deduping the canonicalization
+    # regex that still runs twice below — A/B-measured WORSE: 2.12 vs
+    # 2.00 s noop-min; the materialization pass costs more than the
+    # duplicated codegen regex over the survivors.  Left recomputed.)
     survivors = dedup_ops.exact_dedup(stage2, "main_text", "doc_id")
     return (
         survivors.join(
@@ -3674,40 +3691,63 @@ def q_dedup_bloom_probe(spark, sf):
     # set logic), and `prune_covers_most_novel` certifies the sketch
     # actually did the pruning (definitely-new ≥ 90% of true-new —
     # fails if the probe degenerates to flagging everything positive).
+    # r11 opt (guide §2.4, §8 "decide with small rows"): the previous
+    # formulation rebuilt every shared subtree per consumer — 8 scans
+    # of documents, TWO sketch builds and TWO cogroup probes per run
+    # (plans/r11/dedup_bloom_probe_before.txt) — because corpus_digests
+    # fed bloom_build AND the residual anti-join, batch fed the
+    # incremental op AND a second probe AND the distinct count, and the
+    # unreused sketch subtree was inlined under both probes.  The
+    # digests ARE the decision metadata, so: one digest pass per side
+    # (checkpointed — tiny 64-hex tables), one sketch build, and ONE
+    # probe whose split serves both faces: the pruned-count face
+    # (definitely-new rows = Bloom-negative) and the survivor face
+    # (definitely-new + anti-join residual of the Bloom-positive).
+    # Identical composed result — the probe input (min-id row per batch
+    # digest) is the same representative set the incremental operator's
+    # per-digest window picked, and the oracle's n_batch_distinct is
+    # already sha-distinct (the op's own exactness contract).  Stage
+    # count: 8 scans -> 2, sketch builds 2 -> 1, probes 2 -> 1.
     d = _t(spark, sf, "documents")
     corpus_digests = (
         d.filter(F.col("doc_id") % 2 == 0)
         .select(F.sha2(F.col("text"), 256).alias("content_sha256"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sketch = bloom_ops.bloom_build(
         corpus_digests, "content_sha256", num_shards=8,
         num_bits=1 << 17, num_hashes=7,
-    )
-    batch = d.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" NOVEL"))
-        ).otherwise(F.col("text")),
-    )
-    survivors = bloom_ops.exact_dedup_incremental_bloom(
-        batch, "text", "doc_id", corpus_digests, sketch, num_shards=8
-    )
-    flagged = bloom_ops.bloom_probe(
-        batch.select(
-            "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    ).localCheckpoint(eager=True)
+    batch_digests = (
+        d.select(
+            "doc_id",
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.col("text"), F.lit(" NOVEL")),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("content_sha256"),
         )
         .groupBy("content_sha256")
-        .agg(F.min("doc_id").alias("doc_id")),
-        "content_sha256",
-        sketch,
-        num_shards=8,
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    n_new = survivors.agg(F.count(F.lit(1)).alias("n_new"))
-    n_pruned = flagged.filter(~F.col("maybe_in_corpus")).agg(
-        F.count(F.lit(1)).alias("_n_pruned")
+    flagged = bloom_ops.bloom_probe(
+        batch_digests, "content_sha256", sketch, num_shards=8
+    ).localCheckpoint(eager=True)
+    definitely_new = flagged.filter(~F.col("maybe_in_corpus"))
+    residual = (
+        flagged.filter(F.col("maybe_in_corpus"))
+        .join(corpus_digests, "content_sha256", "left_anti")
     )
-    n_batch = batch.select("text").distinct().agg(
+    n_new = (
+        definitely_new.unionByName(residual)
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    n_pruned = definitely_new.agg(F.count(F.lit(1)).alias("_n_pruned"))
+    n_batch = batch_digests.agg(
         F.count(F.lit(1)).alias("n_batch_distinct")
     )
     return (
