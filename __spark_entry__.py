@@ -2777,6 +2777,17 @@ def q_retrieval_rrf(spark, sf):
     li = _t(spark, sf, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")
 
+    # r11 opt note: a single-pass restructure (ONE groupBy computing
+    # both DECIMAL sums, stack-melt to (_list, _v), one per-list rank
+    # window — 1 scan + 1 agg exchange instead of 2 + 2) was
+    # oracle-verified identical and A/B-measured SLOWER here: min-of-5
+    # interleaved 1.41-1.63 s vs 1.20 s for this two-branch shape.
+    # The two independent scan+agg branches are separate stages the
+    # scheduler runs CONCURRENTLY across the idle cores, while the
+    # fused chain serializes scan -> window -> fuse; the scans are
+    # 3-column pruned, so the saved pass is smaller than the lost
+    # overlap.  At 100 TB (scan-bound, no idle capacity) the fused
+    # shape wins — kept in the round notes, not shipped.
     def _top50(value_col):
         top = (
             li.groupBy("l_partkey")
@@ -3875,17 +3886,23 @@ def q_sketch_quantile_mergeable(spark, sf):
     grouped = quant_ops.quantile_summary_grouped(
         li, "cents", k, ["_shard"]
     ).localCheckpoint(eager=True)
-    # r11 opt note: a lazy fold (quantile_merge without its eager
-    # checkpoint) was A/B-measured at 1.88 -> 3.66 s noop-min — each
-    # merge references its inputs twice (meta + combined), so laziness
-    # duplicates subtrees exponentially down the fold, exactly as the
-    # quantiles.py module banner warns.  The eager per-merge barrier
-    # stands as the measured optimum.
+    # r11 opt: lazy single-job fold.  The first attempt (dropping the
+    # eager checkpoints from the OLD two-reference quantile_merge) was
+    # A/B-measured at 1.88 -> 3.66 s noop-min — each merge referenced
+    # its inputs twice (meta + combined), so laziness duplicated
+    # subtrees exponentially down the fold.  The merge was then
+    # reformulated single-reference (metadata rides the tagged union
+    # through one bounded window; bucket selection via explode
+    # containment — quantiles.py), making lazy growth LINEAR: the
+    # whole 3-merge fold is now ONE job over the <= 4*(k+1)
+    # checkpointed build rows instead of three checkpoint-barrier
+    # jobs.  Values bit-identical (same combined stream, cumulative
+    # order, bucket arithmetic); the DuckDB oracle is unchanged.
     state = None
     for s in range(n_shards):
         summ = grouped.filter(F.col("_shard") == s).drop("_shard")
         state = summ if state is None else quant_ops.quantile_merge(
-            state, summ, k
+            state, summ, k, eager=False
         )
     return state
 

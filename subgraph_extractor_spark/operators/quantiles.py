@@ -28,9 +28,12 @@ State row: ``(idx, value, weight, n_total, err)`` plus ONE
 unconditional ``(NULL, NULL, 0, n_total, err)`` metadata anchor row —
 the lesson of the r9 Misra-Gries fix applied from day one: zero rows
 cannot carry metadata, and an empty batch is a legitimate algebra
-element.  ``quantile_merge`` is EAGER (localCheckpoint of the <= k+1
-row result) for the same reason ``mg_merge`` is: lazy fold chains grow
-the plan tree exponentially.
+element.  ``quantile_merge`` references each input exactly ONCE
+(r11 single-reference formulation), so a lazy fold's plan grows
+linearly; it is still EAGER by default (localCheckpoint of the
+<= k+1 row result, the mg_merge discipline) to bound plan depth in
+long incremental folds, with ``eager=False`` for bounded folds that
+want the whole chain in one job.
 
 Validity law (tested, python-truth + hypothesis): for any target rank
 ``r`` in [0, n), the summary's answer — the sample whose cumulative
@@ -126,11 +129,33 @@ def _qs_anchor(n_row: DataFrame, k: int) -> DataFrame:
     )
 
 
-def quantile_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+def quantile_merge(
+    a: DataFrame, b: DataFrame, k: int, eager: bool = True
+) -> DataFrame:
     """Collapse two summaries into a valid summary of the union:
     weighted middle-of-bucket re-selection over the combined samples,
-    err = err_a + err_b + E(n_a + n_b).  EAGER (<= k+1-row
-    localCheckpoint), the mg_merge discipline."""
+    err = err_a + err_b + E(n_a + n_b).
+
+    SINGLE-REFERENCE formulation (r11): each input enters the plan
+    exactly once — both sides' metadata ride the tagged union through
+    one unpartitioned window over the <= 2(k+1)-row state instead of
+    separate per-side aggregates, and the bucket selection is a
+    per-sample ``explode(sequence(0, k-1))`` containment test instead
+    of a join against a separately derived bucket relation.  With one
+    reference per input a lazy left fold grows LINEARLY (the old
+    two-reference shape duplicated each fold level's subtree into the
+    next, which is why every merge had to checkpoint).  ``eager=True``
+    (the default, the mg_merge discipline) still truncates with a
+    <= k+1-row ``localCheckpoint`` — the right call for long-running
+    incremental folds; a bounded fold over a handful of shards can
+    pass ``eager=False`` and evaluate the whole chain in one job.
+
+    Values are bit-identical to the two-reference formulation: same
+    combined stream (ties collapse), same cumulative order, same
+    bucket arithmetic, same anchor row (the weight-0 NULL-value
+    anchors travel the same chain — their group never matches a
+    bucket's containment interval because its cumulative span is
+    empty, and idx -1 marks the anchor through the explode)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if a.columns != _QS_COLS or b.columns != _QS_COLS:
@@ -139,87 +164,79 @@ def quantile_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         )
     from pyspark.sql import Window
 
-    meta_a = a.agg(
-        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_na"),
-        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_ea"),
+    un = a.withColumn("_side", F.lit(0)).unionByName(
+        b.withColumn("_side", F.lit(1))
     )
-    meta_b = b.agg(
-        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_nb"),
-        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_eb"),
-    )
-    meta = meta_a.crossJoin(F.broadcast(meta_b)).select(
-        (F.col("_na") + F.col("_nb")).alias("n_total"),
-        (
-            F.col("_ea")
-            + F.col("_eb")
-            + F.expr(_err_expr("(_na + _nb)", k))
-        ).cast("long").alias("err"),
+    # ONE window over the entire (bounded, <= 2(k+1)-row) state
+    # attaches both sides' (n_total, err) to every row; every summary
+    # row carries its side's metadata, so max-per-side recovers it.
+    w_all = Window.partitionBy()
+    _side_max = lambda side, col: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("_side") == side, F.col(col))).over(w_all),
+        F.lit(0),
+    ).cast("long")
+    st = un.select(
+        "value",
+        "weight",
+        (_side_max(0, "n_total") + _side_max(1, "n_total")).alias("_n"),
+        (_side_max(0, "err") + _side_max(1, "err")).alias("_e0"),
+    ).withColumn(
+        "_e",
+        (F.col("_e0") + F.expr(_err_expr("_n", k))).cast("long"),
     )
     # equal values COMBINE, so the cumulative order below is total and
-    # the selection deterministic; anchors (weight 0) drop out.  The
-    # window runs over <= 2k rows — bounded state, like the MG ranks.
-    combined = (
-        a.select("value", "weight")
-        .unionByName(b.select("value", "weight"))
-        .filter(F.col("weight") > 0)
-        .groupBy("value")
-        .agg(F.sum("weight").cast("long").alias("weight"))
+    # the selection deterministic.  The NULL-value anchor group (the
+    # only weight-0 rows) collapses to one weight-0 row and sorts
+    # first, so non-null cumulative sums are unchanged.
+    comb = st.groupBy("value").agg(
+        F.sum("weight").cast("long").alias("_w"),
+        F.max("_n").alias("_n"),
+        F.max("_e").alias("_e"),
     )
-    w = Window.orderBy("value").rowsBetween(
+    w_cum = Window.orderBy(F.col("value").asc_nulls_first()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = combined.select(
-        "value", "weight", F.sum("weight").over(w).alias("_cum")
+    cum = comb.select(
+        "value", "_w", "_n", "_e", F.sum("_w").over(w_cum).alias("_cum")
     )
-    buckets = (
-        meta.select(
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
-            "n_total",
-            "err",
+    # per-sample bucket containment: sample with cumulative interval
+    # (_cum - _w, _cum] owns bucket i iff its 0-based middle target t_i
+    # falls inside — same predicate as the old theta join, evaluated as
+    # a k-wide explode over <= 2k rows.  idx -1 = the anchor row.
+    bw = f"(((_i + 1) * _n) DIV {k} - (_i * _n) DIV {k})"
+    t = f"((_i * _n) DIV {k} + ({bw} - 1) DIV 2)"
+    out = (
+        cum.select(
+            "value",
+            "_w",
+            "_n",
+            "_e",
+            "_cum",
+            F.explode(
+                F.when(
+                    F.col("value").isNull(), F.array(F.lit(-1))
+                ).otherwise(F.sequence(F.lit(0), F.lit(k - 1)))
+            ).alias("_i"),
+        )
+        .filter(
+            F.expr(
+                f"_i = -1 OR ({bw} > 0 AND _cum > {t}"
+                f" AND _cum - _w <= {t})"
+            )
         )
         .select(
-            F.col("idx").cast("int").alias("idx"),
-            "n_total",
-            "err",
-            F.expr(
-                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
-            ).cast("long").alias("weight"),
-        )
-        .filter(F.col("weight") > 0)
-        .select(
-            "idx",
-            "n_total",
-            "err",
-            "weight",
-            F.expr(
-                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
-            ).alias("_t"),
-        )
-    )
-    # the sample whose cumulative interval (cum - weight, cum] holds
-    # the 0-based target t, i.e. cum > t AND cum - weight <= t — a
-    # tiny (<= k x 2k) theta join between two bounded relations
-    body = (
-        F.broadcast(buckets)
-        .join(
-            cum.select(
-                F.col("value"),
-                F.col("_cum"),
-                (F.col("_cum") - F.col("weight")).alias("_prev"),
+            F.expr("CASE WHEN _i >= 0 THEN _i END").cast("int").alias(
+                "idx"
             ),
-            (F.col("_cum") > F.col("_t")) & (F.col("_prev") <= F.col("_t")),
+            F.col("value").cast("long").alias("value"),
+            F.expr(f"CASE WHEN _i >= 0 THEN {bw} ELSE 0 END")
+            .cast("long")
+            .alias("weight"),
+            F.col("_n").cast("long").alias("n_total"),
+            F.col("_e").cast("long").alias("err"),
         )
-        .select("idx", "value", "weight", "n_total", "err")
     )
-    return body.unionByName(
-        meta.select(
-            F.lit(None).cast("int").alias("idx"),
-            F.lit(None).cast("long").alias("value"),
-            F.lit(0).cast("long").alias("weight"),
-            F.col("n_total"),
-            F.col("err"),
-        )
-    ).localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=True) if eager else out
 
 
 def quantile_estimate(
