@@ -2263,15 +2263,22 @@ def q_pipeline_crawl_e2e(spark, sf):
         gated.select("doc_id", "main_text", "n_tokens"), "doc_id"
     )
     # (A second checkpoint of stage2 — deduping the canonicalization
-    # regex that still runs twice below — A/B-measured WORSE: 2.12 vs
+    # regex that still ran twice below — A/B-measured WORSE: 2.12 vs
     # 2.00 s noop-min; the materialization pass costs more than the
-    # duplicated codegen regex over the survivors.  Left recomputed.)
-    survivors = dedup_ops.exact_dedup(stage2, "main_text", "doc_id")
-    return (
-        survivors.join(
-            stage2.select("doc_id", "canonical_url", "n_tokens"), "doc_id"
-        )
-        .select("doc_id", "canonical_url", "n_tokens", "main_text")
+    # duplicated codegen regex over the survivors.)
+    # r11 opt, second cut: no checkpoint AND no duplication — the
+    # content-dedup groupBy CARRIES the survivor row's
+    # (canonical_url, n_tokens) through min(struct(doc_id, ...))
+    # (exact_dedup's carry face), so the reattach join — whose stage2
+    # reference re-evaluated the canonicalization subtree — is gone
+    # outright.  doc_id is unique in stage2 (one raw_url per doc, one
+    # survivor per canonical group), so the carried values are exactly
+    # the values the join produced.  Oracle: match.
+    survivors = dedup_ops.exact_dedup(
+        stage2, "main_text", "doc_id", carry=["canonical_url", "n_tokens"]
+    )
+    return survivors.select(
+        "doc_id", "canonical_url", "n_tokens", "main_text"
     )
 
 

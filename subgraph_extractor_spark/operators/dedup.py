@@ -34,18 +34,43 @@ MERSENNE_31 = (1 << 31) - 1  # prime modulus for the affine MinHash family
 # --------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    keep: str = "min",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Exact content dedup: keep one representative id per distinct
     content value.  Implemented as a single hash groupBy on the content —
     Catalyst plans partial (map-side) + final hash aggregation, so the
     shuffle carries one row per distinct value per map task.
 
+    ``carry`` (r11): additional columns returned FROM THE SURVIVOR ROW,
+    via min/max of a ``struct(id, *carry)`` — ids are the struct's
+    leading field, so the selected struct IS the min/max-id row and the
+    carried values are that row's values.  This lets a caller keep
+    survivor attributes without re-joining the output back onto the
+    input (which re-evaluates the input's whole subtree in a lazy
+    plan); the shuffled partial-aggregate rows widen by the carried
+    columns — cheap insurance vs a second pass when the input lineage
+    contains real work (guide §2.4/§8).
+
     For very wide content at 100 TB scale, group on ``sha2(content, 256)``
     instead so the shuffle key is 32 bytes (see ``exact_dedup_by_hash``).
     """
-    agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    return df.groupBy(content_col).agg(agg.alias(id_col))
+    if not carry:
+        agg = F.min(id_col) if keep == "min" else F.max(id_col)
+        return df.groupBy(content_col).agg(agg.alias(id_col))
+    s = F.struct(id_col, *carry)
+    best = (F.min(s) if keep == "min" else F.max(s)).alias("_best")
+    return (
+        df.groupBy(content_col)
+        .agg(best)
+        .select(
+            content_col,
+            *[F.col(f"_best.{c}").alias(c) for c in [id_col, *carry]],
+        )
+    )
 
 
 def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -28,6 +28,39 @@ def test_exact_dedup(spark):
     assert rows == {1: 2, 3: 1}
 
 
+def test_exact_dedup_carry_equals_reattach_join(spark):
+    """The r11 carry face must return exactly what the old
+    survivors-join-input reattach produced: the min-id (or max-id)
+    row's carried column values, one row per distinct content."""
+    df = spark.createDataFrame(
+        [
+            (3, "hello world", "u3", 30),
+            (1, "hello world", "u1", 10),
+            (2, "hello world", "u2", 20),
+            (7, "other text", "u7", 70),
+        ],
+        ["doc_id", "text", "url", "n_tok"],
+    )
+    for keep in ("min", "max"):
+        carried = dedup.exact_dedup(
+            df, "text", "doc_id", keep=keep, carry=["url", "n_tok"]
+        )
+        rejoined = dedup.exact_dedup(df, "text", "doc_id", keep=keep).join(
+            df.select("doc_id", "url", "n_tok"), "doc_id"
+        )
+        got = sorted(
+            (r["text"], r["doc_id"], r["url"], r["n_tok"])
+            for r in carried.collect()
+        )
+        want = sorted(
+            (r["text"], r["doc_id"], r["url"], r["n_tok"])
+            for r in rejoined.collect()
+        )
+        assert got == want
+    # column contract: content first, then id and carried columns
+    assert carried.columns == ["text", "doc_id", "url", "n_tok"]
+
+
 def test_minhash_recall_against_bruteforce(spark, docs):
     """LSH candidates + exact verification must recover (almost) all true
     high-Jaccard pairs.  Brute-force ground truth over the 500-doc corpus."""
