@@ -3838,23 +3838,29 @@ def q_sketch_mg_heavy_hitters(spark, sf):
     d = _t(spark, sf, "documents")
     trimmed = F.trim(F.lower(F.col("text")))
     toks = d.filter(trimmed != "").select(
-        F.col("doc_id"), F.explode(F.split(trimmed, r"\s+")).alias("tok")
-    ).persist()
+        (F.col("doc_id") % 4).alias("_shard"),
+        F.explode(F.split(trimmed, r"\s+")).alias("tok"),
+    )
     m = 24
-    shards = [
-        freq_ops.mg_summary(
-            toks.filter(F.col("doc_id") % 4 == s).select("tok"), "tok", m
+    # r11 opt (the sketch_quantile_mergeable template): build ALL four
+    # shard summaries in ONE grouped pass (the old per-shard
+    # mg_summary calls re-ran the explode scan per shard, held alive
+    # by a persist) — per-shard values are identical by the pinned
+    # grouped==global law (tests/test_freq.py::
+    # test_mg_grouped_equals_global_per_group).  One eager checkpoint
+    # scopes the build; mg_merge is now single-reference, so the
+    # 3-merge fold evaluates lazily as ONE job over the <= 4*(m+1)
+    # checkpointed rows instead of three checkpoint-barrier jobs.
+    # Values and the DuckDB oracle replay are unchanged.
+    grouped = freq_ops.mg_summary_grouped(
+        toks, "tok", m, ["_shard"]
+    ).localCheckpoint(eager=True)
+    out = None
+    for s in range(4):
+        summ = grouped.filter(F.col("_shard") == s).drop("_shard")
+        out = summ if out is None else freq_ops.mg_merge(
+            out, summ, m, eager=False
         )
-        for s in range(4)
-    ]
-    out = shards[0]
-    for s in shards[1:]:
-        out = freq_ops.mg_merge(out, s, m)
-    # mg_merge is eager (bounded-state localCheckpoint per fold), so
-    # the result is fully materialized here — the token cache only has
-    # to live for this fold and releases before returning (without it,
-    # each of the four shard summaries re-runs the explode scan)
-    toks.unpersist()
     return out
 
 

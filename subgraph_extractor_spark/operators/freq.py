@@ -284,86 +284,125 @@ def mg_summary(df: DataFrame, key_col: str, m: int) -> DataFrame:
     )
 
 
-def mg_merge(a: DataFrame, b: DataFrame, m: int) -> DataFrame:
+def mg_merge(
+    a: DataFrame, b: DataFrame, m: int, eager: bool = True
+) -> DataFrame:
     """Fold two summaries into a valid summary of the concatenated
     stream (Agarwal et al. PODS'12): key-wise counter sum, subtract
     the (m+1)-th largest merged counter C, drop non-positives, err =
     err_a + err_b + C.  Cost is O(m) rows — the inputs, not the
     corpora, are the operands.
 
-    EAGER: the <= m+1-row result is ``localCheckpoint``-ed before
-    returning.  Each input is referenced several times (metadata agg,
-    key join, the C subtraction), so a LAZY merge chain grows the
-    logical plan ~4x PER FOLD LEVEL — Catalyst plans are trees, not
-    DAGs — and a 4-shard fold tree already took minutes of optimizer
-    time (measured r9: 187 s lazy vs ~2 s checkpointed for the
-    sketch_mg query at sf0.01).  Materializing m rows per fold is the
-    bounded-state discipline every sketch in this module shares."""
+    SINGLE-REFERENCE formulation (r11, the quantile_merge template):
+    each input enters the plan exactly once — both sides' (n_total,
+    err) ride a side-tagged union through one unpartitioned window
+    over the <= 2(m+1)+1-row state (the old shape referenced each
+    input twice: a per-side metadata aggregate plus the key join, so
+    a LAZY merge chain grew the logical plan ~4x PER FOLD LEVEL —
+    Catalyst plans are trees, not DAGs — and a 4-shard fold tree took
+    minutes of optimizer time: measured r9, 187 s lazy vs ~2 s
+    checkpointed for the sketch_mg query at sf0.01).  With one
+    reference per input a lazy left fold grows LINEARLY, so bounded
+    fold chains can pass ``eager=False`` and evaluate in one job.
+    ``eager=True`` (the default) keeps the <= m+1-row
+    ``localCheckpoint`` — the bounded-state discipline for unbounded
+    incremental folds (the streaming sink).
+
+    Values are identical to the two-reference formulation: same
+    key-wise counter sums, same (desc counter, asc key) rank order for
+    the (m+1)-th-largest C, same metadata arithmetic, same
+    unconditional anchor.  (One deliberate alignment: two genuine
+    NULL-key rows now SUM like any other equal key — the old
+    full-outer join could not match NULL to NULL and kept them as two
+    rows, diverging from the row-encoding algebra the hypothesis suite
+    pins; no summary built by ``mg_summary`` over SQL GROUP BY can
+    tell the difference because GROUP BY already merged NULL keys.)
+
+    A 1-row literal seed rides the union so the anchor group — and
+    with it the merged metadata — exists even when both inputs are
+    zero-row relations (the legacy encoding of "empty")."""
     if m < 1:
         raise ValueError("m must be >= 1")
     if a.columns != _MG_COLS or b.columns != _MG_COLS:
         raise ValueError(f"expected MG summaries with columns {_MG_COLS}")
     from pyspark.sql import Window
 
-    # Metadata is carried independently of key rows: a 1-row agg is
-    # total (always one row), so a zero-row input — tolerated for
-    # robustness even though mg_summary now always emits an anchor —
-    # folds as the (0, 0) identity instead of wiping the other side
-    # (the crossJoin(distinct) encoding lost BOTH sides' metadata
-    # whenever either side had no rows).
-    meta_a = a.agg(
-        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("n_total"),
-        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("err"),
+    key_type = a.schema["key"].dataType
+    seed = a.sparkSession.range(1).select(
+        F.lit(None).cast(key_type).alias("key"),
+        F.lit(0).cast("long").alias("counter"),
+        F.lit(0).cast("long").alias("n_total"),
+        F.lit(0).cast("long").alias("err"),
+        F.lit(2).alias("_side"),
     )
-    meta_b = b.agg(
-        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("_nb"),
-        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("_eb"),
+    un = (
+        a.withColumn("_side", F.lit(0))
+        .unionByName(b.withColumn("_side", F.lit(1)))
+        .unionByName(seed)
     )
-    summed = (
-        a.filter(F.col("counter") > 0)  # drop anchors: key rows only
-        .select("key", "counter")
-        .join(
-            b.filter(F.col("counter") > 0).select(
-                "key", F.col("counter").alias("_cb")
-            ),
-            "key",
-            "full_outer",
-        )
-        .select(
-            "key",
-            (
-                F.coalesce(F.col("counter"), F.lit(0))
-                + F.coalesce(F.col("_cb"), F.lit(0))
-            ).alias("counter"),
-        )
+    # ONE window over the entire (bounded) state attaches both sides'
+    # (n_total, err) to every row: every summary row carries its own
+    # side's metadata, so max-per-side recovers it — 0 for a zero-row
+    # side, exactly the old per-side aggregate's coalesce (the seed's
+    # side 2 matches neither predicate and contributes nothing).
+    w_all = Window.partitionBy()
+    _side_max = lambda side, col: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("_side") == side, F.col(col))).over(w_all),
+        F.lit(0),
+    ).cast("long")
+    st = un.select(
+        "key",
+        "counter",
+        (F.col("counter") > 0).alias("_isk"),  # anchors are counter 0
+        (_side_max(0, "n_total") + _side_max(1, "n_total")).alias("_n"),
+        (_side_max(0, "err") + _side_max(1, "err")).alias("_e0"),
     )
-    w = Window.orderBy(F.desc("counter"), F.asc("key"))
-    ranked = summed.withColumn("_rn", F.row_number().over(w))
-    c_row = ranked.filter(F.col("_rn") == m + 1).agg(
-        F.coalesce(F.max("counter"), F.lit(0)).cast("long").alias("_C")
+    # key rows sum per key; the anchor rows (key NULL, _isk false —
+    # both inputs' plus the seed's) collapse to ONE group kept apart
+    # from any genuine NULL key row by the _isk flag.
+    comb = st.groupBy("key", "_isk").agg(
+        F.sum("counter").cast("long").alias("counter"),
+        F.max("_n").alias("_n"),
+        F.max("_e0").alias("_e0"),
     )
-    merged_meta = (
-        meta_a.crossJoin(F.broadcast(meta_b))
-        .crossJoin(F.broadcast(c_row))
-        .select(
-            (F.col("n_total") + F.col("_nb")).alias("n_total"),
-            (F.col("err") + F.col("_eb") + F.col("_C")).alias("err"),
-        )
+    # rank key rows exactly as before — (desc counter, asc key); the
+    # single anchor group sorts last (counter 0 < any key counter) and
+    # is excluded from the C selection by _isk.
+    w_rank = Window.orderBy(
+        F.desc("_isk"), F.desc("counter"), F.asc("key")
     )
-    body = (
-        ranked.filter(F.col("_rn") <= m)
-        .crossJoin(F.broadcast(c_row))
-        .filter(F.col("counter") - F.col("_C") > 0)
-        .select("key", (F.col("counter") - F.col("_C")).alias("counter"))
-        .crossJoin(F.broadcast(merged_meta))
-        .select(*_MG_COLS)
+    ranked = comb.withColumn("_rn", F.row_number().over(w_rank))
+    with_c = ranked.withColumn(
+        "_C",
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("_rn") == m + 1) & F.col("_isk"),
+                    F.col("counter"),
+                )
+            ).over(w_all),
+            F.lit(0),
+        ).cast("long"),
     )
     # fully-cancelled merge (every counter == the (m+1)-th largest,
     # e.g. m=1 over two disjoint equal-count summaries) drops every key
     # row yet has n_total > 0, err > 0 — the anchor keeps them alive
-    return body.unionByName(
-        _mg_anchor(merged_meta, a.schema["key"].dataType)
-    ).localCheckpoint(eager=True)
+    out = with_c.filter(
+        (~F.col("_isk"))
+        | (
+            (F.col("_rn") <= m)
+            & (F.col("counter") - F.col("_C") > F.lit(0))
+        )
+    ).select(
+        F.col("key"),
+        F.when(F.col("_isk"), F.col("counter") - F.col("_C"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("counter"),
+        F.col("_n").alias("n_total"),
+        (F.col("_e0") + F.col("_C")).cast("long").alias("err"),
+    )
+    return out.localCheckpoint(eager=True) if eager else out
 
 
 def mg_oracle_sql(

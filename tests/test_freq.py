@@ -285,6 +285,56 @@ def test_mg_merge_is_deterministic_and_bounded(spark):
     assert len(r1) <= m + 1  # <= m key rows + the metadata anchor
 
 
+def test_mg_lazy_fold_equals_eager_fold(spark):
+    """The r11 single-reference merge: a fully LAZY left fold
+    (eager=False, one job at materialization) must produce exactly the
+    eager checkpoint-per-fold result — including the degenerate
+    classes (empty substream, fully-cancelled merge, zero-row legacy
+    side) — and over two zero-row legacy relations the merge must
+    still yield the identity anchor, as the old 1-row-aggregate
+    encoding did."""
+    keys = _zipf_keys(23, n=900)
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "i long, key string"
+    )
+    m = 5
+    # shard 2 empty: (i % 3) * 3 is never 2; shard layout mixes real
+    # and empty substreams through the fold
+    shards = [
+        FQ.mg_summary(
+            df.filter((F.col("i") % 3) * 3 == s).select(
+                F.col("key").alias("t")
+            ),
+            "t", m,
+        )
+        for s in range(4)
+    ]
+    lazy = eager = None
+    for s in shards:
+        lazy = s if lazy is None else FQ.mg_merge(lazy, s, m, eager=False)
+        eager = s if eager is None else FQ.mg_merge(eager, s, m)
+    assert sorted(map(tuple, lazy.collect()), key=str) == sorted(
+        map(tuple, eager.collect()), key=str
+    )
+    # fully-cancelled lazy merge keeps the anchor metadata
+    a = FQ.mg_summary(
+        spark.createDataFrame([("x",)] * 5, "key string"), "key", 1
+    )
+    b = FQ.mg_summary(
+        spark.createDataFrame([("y",)] * 5, "key string"), "key", 1
+    )
+    assert [
+        tuple(r) for r in FQ.mg_merge(a, b, 1, eager=False).collect()
+    ] == [(None, 0, 10, 5)]
+    # both sides zero-row legacy relations -> the identity anchor
+    legacy = spark.createDataFrame(
+        [], "key string, counter long, n_total long, err long"
+    )
+    assert [
+        tuple(r) for r in FQ.mg_merge(legacy, legacy, 3).collect()
+    ] == [(None, 0, 0, 0)]
+
+
 def test_mg_validation(spark):
     from subgraph_extractor_spark.operators import freq as FQ
 
