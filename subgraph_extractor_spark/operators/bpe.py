@@ -135,6 +135,11 @@ def train_bpe(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
+        # EAGER deliberately (r11 A/B): a lazy checkpoint (the merge
+        # kernel riding the next round's collect as one job) measured
+        # 9.09 -> 9.69 s bench-class at sf0.1 — the rounds are
+        # compute-bound (pair explode + Arrow merge kernel), not
+        # barrier-bound, so halving the job count bought nothing.
         state = state.withColumn(
             "syms", _apply_merge_udf(a, b)(F.col("syms"))
         ).localCheckpoint(eager=True)

@@ -820,7 +820,9 @@ def duplicate_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes the checkpoint
+            # RDD inside its own job (r11 — one job per round, not two)
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("u")
@@ -903,21 +905,32 @@ def duplicate_clusters_star(
     # star-expansion deeper per round and Catalyst re-analyzes the whole
     # lineage every iteration — O(rounds^2) planning time.  Checkpointing
     # truncates the plan to the materialized partitions each round.
+    # LAZY + count (r11): every round already needs a count for the
+    # convergence test, and counting a lazy local checkpoint
+    # materializes its RDD as a side effect (the RDD closure is fixed
+    # when the checkpoint is taken, so the count's column pruning
+    # cannot reach below it) — one job per round instead of two
+    # (barrier + count); measured 3.45 -> ~1.8 s for the CC stage of
+    # pipeline_semdedup at sf0.1 (920 edges — the rounds are barrier-
+    # latency-bound at fixture scale).
     edges = (
         pairs.select("id_a", "id_b")
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_count = edges.count()
+    # members materializes lazily with the final label join — it reads
+    # the (by then cached) initial edge RDD, never the live loop state
     members = _sym(edges).select(
         F.col("id_a").alias("member_id")
-    ).distinct().localCheckpoint(eager=True)
-    prev_count = edges.count()
+    ).distinct().localCheckpoint(eager=False)
     converged = False
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # cheap check first (one count over materialized partitions); only
-        # when counts agree pay for the definitive set-equality anti-join
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # cheap check first (the count doubles as the materialization
+        # action); only when counts agree pay for the definitive
+        # set-equality anti-join
         nxt_count = nxt.count()
         if nxt_count == prev_count:
             converged = (
