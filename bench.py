@@ -188,6 +188,12 @@ HEADLINE = [
     "pipeline_crawl_e2e",
     "url_robots_filter",
     "emb_neardup_portable",
+    # r11 addition (first recorded r11 for r12+ comparability): the
+    # Misra-Gries mergeable heavy-hitter fold — restructured this
+    # round (grouped shard build + single-reference lazy merge,
+    # noop-min 4.20 -> 1.73 at sf0.1); benched from the OPTIMIZED
+    # shape, so its recorded floor starts at the new plan.
+    "sketch_mg_heavy_hitters",
 ]
 
 # END-TO-END training-prefix queries (VERDICT r6 task #3: "both
