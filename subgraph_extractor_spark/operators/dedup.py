@@ -48,7 +48,14 @@ def exact_dedup(
     ``carry`` (r11): additional columns returned FROM THE SURVIVOR ROW,
     via min/max of a ``struct(id, *carry)`` — ids are the struct's
     leading field, so the selected struct IS the min/max-id row and the
-    carried values are that row's values.  This lets a caller keep
+    carried values are that row's values.  PRECONDITION (r12, ADVICE):
+    this identity holds only when ``id_col`` is unique per content
+    group — struct ordering breaks id TIES on the carried values in
+    declaration order, so if the winning id appears on multiple rows
+    with different carry values, one of those rows is selected by
+    carry-column order (where the old reattach join returned every
+    matching row).  Per-row-unique ids (the crawl-e2e call site, and
+    any primary-key id) satisfy this trivially.  This lets a caller keep
     survivor attributes without re-joining the output back onto the
     input (which re-evaluates the input's whole subtree in a lazy
     plan); the shuffled partial-aggregate rows widen by the carried
@@ -921,7 +928,17 @@ def duplicate_clusters_star(
     )
     prev_count = edges.count()
     # members materializes lazily with the final label join — it reads
-    # the (by then cached) initial edge RDD, never the live loop state
+    # the (by then cached) initial edge RDD, never the live loop state.
+    # NOTE (r12, ADVICE): correctness rests on prev_count's count()
+    # having materialized the round-0 edge checkpoint blocks, and the
+    # final join therefore READS ROUND-0 BLOCKS long after the loop has
+    # moved on — localCheckpoint blocks are not fault-tolerant (no
+    # lineage to recompute), so an executor loss mid-run fails the
+    # final join with a truncated-lineage error rather than
+    # recomputing.  Same failure envelope as every localCheckpoint in
+    # the loop itself (losing any round's blocks kills the run);
+    # cluster deployments that need mid-run executor-loss tolerance
+    # should use reliable checkpoint() instead.
     members = _sym(edges).select(
         F.col("id_a").alias("member_id")
     ).distinct().localCheckpoint(eager=False)

@@ -574,10 +574,28 @@ def mg_merge_grouped(
 
     LAZY, unlike :func:`mg_merge` (the result is state-sized — m rows
     per group — not m rows, so eager materialization is the caller's
-    call).  Each input is referenced twice in the plan, so a LONG
-    in-plan fold chain grows the logical plan exponentially — persist
-    or localCheckpoint between folds past a few levels (the parquet-
-    backed sinks never chain: each fold starts from a scan)."""
+    call).
+
+    SINGLE-REFERENCE formulation (r12, the template :func:`mg_merge`
+    shipped in r11): each input enters the plan exactly once — both
+    sides' per-group (n_total, err) ride a side-tagged union through
+    ONE group-partitioned window (instead of per-side DISTINCT
+    projections full-outer-joined back), key rows sum per (group, key)
+    with the anchor group kept apart by the counter-0 flag, and the
+    per-group (m+1)-th-largest C comes from a second bounded window
+    over the ranked rows (instead of a separately aggregated relation
+    joined back).  With one reference per input a LAZY left fold's
+    plan grows LINEARLY in fold depth — the old two-reference shape
+    duplicated each fold level's subtree into the next (Catalyst plans
+    are trees), which is why its docstring demanded checkpoints past a
+    few levels.  Values are identical: same per-group counter sums,
+    the same (desc counter, asc key) rank order for C, same metadata
+    arithmetic, same unconditional per-group anchors (a group exists
+    iff it has rows, so no seed is needed).  One deliberate alignment,
+    inherited from the global rewrite: two genuine NULL-key rows of
+    the same group now SUM like any equal key (the old full-outer join
+    kept them apart); unreachable from ``mg_summary_grouped`` output,
+    whose GROUP BY already merged NULL keys."""
     if m < 1:
         raise ValueError("m must be >= 1")
     cols = [*group_cols, "key", "counter", "n_total", "err"]
@@ -585,95 +603,69 @@ def mg_merge_grouped(
         raise ValueError(f"expected grouped MG summaries with columns {cols}")
     from pyspark.sql import Window
 
-    meta = (
-        a.select(*group_cols, "n_total", "err")
-        .distinct()
-        .withColumnsRenamed({"n_total": "_na", "err": "_ea"})
-        .join(
-            b.select(*group_cols, "n_total", "err")
-            .distinct()
-            .withColumnsRenamed({"n_total": "_nb", "err": "_eb"}),
-            group_cols,
-            "full_outer",
-        )
-        .select(
-            *group_cols,
-            (
-                F.coalesce(F.col("_na"), F.lit(0))
-                + F.coalesce(F.col("_nb"), F.lit(0))
-            ).alias("n_total"),
-            (
-                F.coalesce(F.col("_ea"), F.lit(0))
-                + F.coalesce(F.col("_eb"), F.lit(0))
-            ).alias("_e_sum"),
-        )
+    un = a.withColumn("_side", F.lit(0)).unionByName(
+        b.withColumn("_side", F.lit(1))
     )
-    summed = (
-        a.filter(F.col("counter") > 0)  # key rows only (no anchors)
-        .select(*group_cols, "key", "counter")
-        .join(
-            b.filter(F.col("counter") > 0).select(
-                *group_cols, "key", F.col("counter").alias("_cb")
-            ),
-            [*group_cols, "key"],
-            "full_outer",
-        )
-        .select(
-            *group_cols,
-            "key",
-            (
-                F.coalesce(F.col("counter"), F.lit(0))
-                + F.coalesce(F.col("_cb"), F.lit(0))
-            ).alias("counter"),
-        )
-    )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc("counter"), F.asc("key")
-    )
-    ranked = summed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= m + 1
-    )
-    cs = (
-        ranked.filter(F.col("_rn") == m + 1)
-        .groupBy(*group_cols)
-        .agg(F.max("counter").cast("long").alias("_C"))
-    )
-    # group-keyed metadata (the merge's full fold result per group,
-    # whether or not any key row survives the subtraction)
-    meta_c = (
-        meta.join(cs, group_cols, "left")
-        .withColumn("_C", F.coalesce(F.col("_C"), F.lit(0).cast("long")))
-        .select(
-            *group_cols,
-            F.col("n_total").cast("long").alias("n_total"),
-            (F.col("_e_sum") + F.col("_C")).cast("long").alias("err"),
-            F.col("_C"),
-        )
-    )
-    body = (
-        ranked.filter(F.col("_rn") <= m)
-        .join(meta_c, group_cols)
-        .filter(F.col("counter") - F.col("_C") > 0)
-        .select(
-            *group_cols,
-            "key",
-            (F.col("counter") - F.col("_C")).alias("counter"),
-            "n_total",
-            "err",
-        )
-    )
-    # per-group anchors, UNCONDITIONAL like the global face: a fully-
-    # cancelled GROUP (every merged counter == that group's (m+1)-th
-    # largest) would otherwise vanish, losing its (n_total, err) — the
-    # same metadata-wipe flaw the global merge had.  meta_c already has
-    # exactly one row per group, so the anchor is a plain projection
-    # (group-keyed; no anti-join, no second reference to the body plan).
-    key_type = a.schema["key"].dataType
-    anchors = meta_c.select(
+    # ONE group-partitioned window attaches both sides' (n_total, err)
+    # to every row of the group; max-per-side recovers each side's
+    # metadata (0 for a side the group is absent from — exactly the
+    # old full-outer join's coalesce).
+    w_g = Window.partitionBy(*group_cols)
+    _side_max = lambda side, col: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("_side") == side, F.col(col))).over(w_g),
+        F.lit(0),
+    ).cast("long")
+    st = un.select(
         *group_cols,
-        F.lit(None).cast(key_type).alias("key"),
-        F.lit(0).cast("long").alias("counter"),
-        "n_total",
-        "err",
+        "key",
+        "counter",
+        (F.col("counter") > 0).alias("_isk"),  # anchors are counter 0
+        (_side_max(0, "n_total") + _side_max(1, "n_total")).alias("_n"),
+        (_side_max(0, "err") + _side_max(1, "err")).alias("_e0"),
     )
-    return body.unionByName(anchors)
+    # key rows sum per (group, key); each group's anchor rows (key
+    # NULL, _isk false) collapse to ONE row kept apart from any genuine
+    # NULL key row by the _isk flag.
+    comb = st.groupBy(*group_cols, "key", "_isk").agg(
+        F.sum("counter").cast("long").alias("counter"),
+        F.max("_n").alias("_n"),
+        F.max("_e0").alias("_e0"),
+    )
+    # rank key rows per group exactly as before — (desc counter, asc
+    # key); the anchor row sorts last (counter 0 < any key counter)
+    # and is excluded from the C selection by _isk.
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_isk"), F.desc("counter"), F.asc("key")
+    )
+    ranked = comb.withColumn("_rn", F.row_number().over(w_rank))
+    with_c = ranked.withColumn(
+        "_C",
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("_rn") == m + 1) & F.col("_isk"),
+                    F.col("counter"),
+                )
+            ).over(w_g),
+            F.lit(0),
+        ).cast("long"),
+    )
+    # a fully-cancelled GROUP (every merged counter == that group's
+    # (m+1)-th largest) drops every key row yet keeps n_total/err —
+    # the unconditional per-group anchor carries them.
+    return with_c.filter(
+        (~F.col("_isk"))
+        | (
+            (F.col("_rn") <= m)
+            & (F.col("counter") - F.col("_C") > F.lit(0))
+        )
+    ).select(
+        *group_cols,
+        F.col("key"),
+        F.when(F.col("_isk"), F.col("counter") - F.col("_C"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("counter"),
+        F.col("_n").alias("n_total"),
+        (F.col("_e0") + F.col("_C")).cast("long").alias("err"),
+    )

@@ -155,7 +155,18 @@ def quantile_merge(
     bucket arithmetic, same anchor row (the weight-0 NULL-value
     anchors travel the same chain — their group never matches a
     bucket's containment interval because its cumulative span is
-    empty, and idx -1 marks the anchor through the explode)."""
+    empty, and idx -1 marks the anchor through the explode).
+
+    A 1-row literal seed rides the union (r12, the mg_merge
+    discipline — this was the one asymmetry between the two r11
+    single-reference rewrites): the NULL-value anchor group, and with
+    it the merged metadata, exists even when both inputs are ZERO-ROW
+    relations (the legacy encoding of "empty"), yielding the identity
+    anchor (NULL, NULL, 0, 0, 0) instead of an empty relation.  With
+    any non-empty input the seed merges into the anchor group the
+    inputs' own anchor rows already form (weight 0, sorts first, its
+    side tag matches neither metadata predicate), so no other result
+    changes."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if a.columns != _QS_COLS or b.columns != _QS_COLS:
@@ -164,8 +175,18 @@ def quantile_merge(
         )
     from pyspark.sql import Window
 
-    un = a.withColumn("_side", F.lit(0)).unionByName(
-        b.withColumn("_side", F.lit(1))
+    seed = a.sparkSession.range(1).select(
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("long").alias("value"),
+        F.lit(0).cast("long").alias("weight"),
+        F.lit(0).cast("long").alias("n_total"),
+        F.lit(0).cast("long").alias("err"),
+        F.lit(2).alias("_side"),
+    )
+    un = (
+        a.withColumn("_side", F.lit(0))
+        .unionByName(b.withColumn("_side", F.lit(1)))
+        .unionByName(seed)
     )
     # ONE window over the entire (bounded, <= 2(k+1)-row) state
     # attaches both sides' (n_total, err) to every row; every summary
@@ -479,10 +500,28 @@ def quantile_merge_grouped(
 ) -> DataFrame:
     """Per-group collapse of two grouped summaries over disjoint
     sub-streams — a group present on one side only re-buckets from its
-    own samples alone; per-group anchors are unconditional.  All joins
-    keyed by the group columns; per-group cumulative windows run over
-    <= 2k rows.  LAZY like :func:`freq.mg_merge_grouped` (state-sized
-    output); checkpoint between folds past a few levels."""
+    own samples alone; per-group anchors are unconditional.  LAZY like
+    :func:`freq.mg_merge_grouped` (state-sized output — m rows PER
+    GROUP — so eager materialization is the caller's call).
+
+    SINGLE-REFERENCE formulation (r12, the template
+    :func:`quantile_merge` shipped in r11): each input enters the plan
+    exactly once — both sides' per-group (n_total, err) ride a
+    side-tagged union through ONE group-partitioned window (instead of
+    per-side groupBy aggregates full-outer-joined back), and bucket
+    selection is the per-sample ``explode(sequence(0, k-1))``
+    containment test (instead of a join against a separately derived
+    bucket relation).  With one reference per input a LAZY left fold's
+    plan grows LINEARLY in fold depth — the old two-reference shape
+    duplicated each fold level's subtree into the next (Catalyst plans
+    are trees), which is why its docstring demanded checkpoints past a
+    few levels.  Values are identical: same per-group combined stream,
+    cumulative order, bucket arithmetic and unconditional anchors (the
+    per-group weight-0 NULL-value anchor rows ARE the merged anchors —
+    idx -1 marks them through the explode; a group exists iff it has
+    rows, so no seed is needed, unlike the global merge's zero-row
+    legacy case).  Per-group cumulative windows still run over <= 2k
+    rows."""
     if k < 1:
         raise ValueError("k must be >= 1")
     cols = [*group_cols, "idx", "value", "weight", "n_total", "err"]
@@ -492,117 +531,82 @@ def quantile_merge_grouped(
         )
     from pyspark.sql import Window
 
-    meta = (
-        a.groupBy(*group_cols)
-        .agg(
-            F.max("n_total").cast("long").alias("_na"),
-            F.max("err").cast("long").alias("_ea"),
-        )
-        .join(
-            b.groupBy(*group_cols).agg(
-                F.max("n_total").cast("long").alias("_nb"),
-                F.max("err").cast("long").alias("_eb"),
-            ),
-            group_cols,
-            "full_outer",
-        )
-        .select(
-            *group_cols,
-            (
-                F.coalesce(F.col("_na"), F.lit(0))
-                + F.coalesce(F.col("_nb"), F.lit(0))
-            ).cast("long").alias("n_total"),
-            (
-                F.coalesce(F.col("_ea"), F.lit(0))
-                + F.coalesce(F.col("_eb"), F.lit(0))
-            ).cast("long").alias("_e_sum"),
-        )
-        .select(
-            *group_cols,
-            "n_total",
-            (
-                F.col("_e_sum")
-                + F.expr(_err_expr("n_total", k))
-            ).cast("long").alias("err"),
-        )
+    un = a.withColumn("_side", F.lit(0)).unionByName(
+        b.withColumn("_side", F.lit(1))
     )
-    combined = (
-        a.select(*group_cols, "value", "weight")
-        .unionByName(b.select(*group_cols, "value", "weight"))
-        .filter(F.col("weight") > 0)
-        .groupBy(*group_cols, "value")
-        .agg(F.sum("weight").cast("long").alias("weight"))
-    )
-    w = Window.partitionBy(*group_cols).orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = combined.select(
+    # ONE group-partitioned window attaches both sides' (n_total, err)
+    # to every row of the group; max-per-side recovers each side's
+    # metadata (0 for a side the group is absent from — exactly the
+    # old full-outer join's coalesce).
+    w_g = Window.partitionBy(*group_cols)
+    _side_max = lambda side, col: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("_side") == side, F.col(col))).over(w_g),
+        F.lit(0),
+    ).cast("long")
+    st = un.select(
         *group_cols,
         "value",
         "weight",
-        F.sum("weight").over(w).alias("_cum"),
+        (_side_max(0, "n_total") + _side_max(1, "n_total")).alias("_n"),
+        (_side_max(0, "err") + _side_max(1, "err")).alias("_e0"),
+    ).withColumn(
+        "_e",
+        (F.col("_e0") + F.expr(_err_expr("_n", k))).cast("long"),
     )
-    buckets = (
-        meta.select(
-            *group_cols,
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("idx"),
-            "n_total",
-            "err",
-        )
-        .select(
-            *group_cols,
-            F.col("idx").cast("int").alias("idx"),
-            "n_total",
-            "err",
-            F.expr(
-                f"((idx + 1) * n_total) DIV {k} - (idx * n_total) DIV {k}"
-            ).cast("long").alias("weight"),
-        )
-        .filter(F.col("weight") > 0)
-        .select(
-            *group_cols,
-            "idx",
-            "n_total",
-            "err",
-            "weight",
-            F.expr(
-                f"(idx * n_total) DIV {k} + (weight - 1) DIV 2"
-            ).alias("_t"),
-        )
+    # equal values combine per group; the per-group NULL-value anchor
+    # rows (the only weight-0 rows) collapse to one weight-0 row that
+    # sorts first, so non-null cumulative sums are unchanged.
+    comb = st.groupBy(*group_cols, "value").agg(
+        F.sum("weight").cast("long").alias("_w"),
+        F.max("_n").alias("_n"),
+        F.max("_e").alias("_e"),
     )
-    body = (
-        buckets.alias("b")
-        .join(
-            cum.select(
-                *group_cols,
-                F.col("value"),
-                F.col("_cum"),
-                (F.col("_cum") - F.col("weight")).alias("_prev"),
-            ).alias("c"),
-            [F.col(f"b.{g}") == F.col(f"c.{g}") for g in group_cols]
-            + [
-                F.col("c._cum") > F.col("b._t"),
-                F.col("c._prev") <= F.col("b._t"),
-            ],
-        )
-        .select(
-            *[F.col(f"b.{g}") for g in group_cols],
-            "idx",
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("value").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = comb.select(
+        *group_cols, "value", "_w", "_n", "_e",
+        F.sum("_w").over(w_cum).alias("_cum"),
+    )
+    # per-sample bucket containment, exactly the global merge's shape;
+    # idx -1 = the group's anchor row.
+    bw = f"(((_i + 1) * _n) DIV {k} - (_i * _n) DIV {k})"
+    t = f"((_i * _n) DIV {k} + ({bw} - 1) DIV 2)"
+    return (
+        cum.select(
+            *group_cols,
             "value",
-            F.col("b.weight").alias("weight"),
-            "n_total",
-            "err",
+            "_w",
+            "_n",
+            "_e",
+            "_cum",
+            F.explode(
+                F.when(
+                    F.col("value").isNull(), F.array(F.lit(-1))
+                ).otherwise(F.sequence(F.lit(0), F.lit(k - 1)))
+            ).alias("_i"),
+        )
+        .filter(
+            F.expr(
+                f"_i = -1 OR ({bw} > 0 AND _cum > {t}"
+                f" AND _cum - _w <= {t})"
+            )
+        )
+        .select(
+            *group_cols,
+            F.expr("CASE WHEN _i >= 0 THEN _i END").cast("int").alias(
+                "idx"
+            ),
+            F.col("value").cast("long").alias("value"),
+            F.expr(f"CASE WHEN _i >= 0 THEN {bw} ELSE 0 END")
+            .cast("long")
+            .alias("weight"),
+            F.col("_n").cast("long").alias("n_total"),
+            F.col("_e").cast("long").alias("err"),
         )
     )
-    anchors = meta.select(
-        *group_cols,
-        F.lit(None).cast("int").alias("idx"),
-        F.lit(None).cast("long").alias("value"),
-        F.lit(0).cast("long").alias("weight"),
-        "n_total",
-        "err",
-    )
-    return body.unionByName(anchors)
 
 
 def quantile_grouped_oracle_sql(

@@ -858,3 +858,48 @@ def test_mg_row_encoding_algebra_property():
         assert max((r[3] for r in rows), default=-1) == err
 
     check()
+
+
+def test_mg_grouped_lazy_fold_matches_checkpointed_and_global(spark):
+    """r12 single-reference mg_merge_grouped: a 4-level fully LAZY
+    in-plan fold (no checkpoints — the plan now grows linearly) equals
+    the checkpoint-between-folds fold, and each group's folded summary
+    equals the pinned GLOBAL mg_merge fold over that group's per-shard
+    summaries — including a group absent from one shard."""
+    keys = _zipf_keys(29, n=800)
+    rows = [
+        (i, "g0" if i % 3 else ("g1" if i % 5 else "g2"), k)
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(rows, "i long, grp string, key string")
+    m = 4
+    shard_dfs = [
+        # shard 2 deliberately excludes g2: one-sided groups must ride
+        # the fold unchanged at that level
+        df.filter(
+            ((F.col("i") % 4) == s)
+            & ((F.lit(s) != 2) | (F.col("grp") != "g2"))
+        )
+        for s in range(4)
+    ]
+    grouped = [
+        FQ.mg_summary_grouped(sd.select("grp", "key"), "key", m, ["grp"])
+        for sd in shard_dfs
+    ]
+    lazy = ckpt = None
+    for s in grouped:
+        lazy = s if lazy is None else FQ.mg_merge_grouped(lazy, s, m, ["grp"])
+        nxt = s if ckpt is None else FQ.mg_merge_grouped(ckpt, s, m, ["grp"])
+        ckpt = nxt.localCheckpoint(eager=True)
+    lrows = sorted(map(tuple, lazy.collect()), key=str)
+    assert lrows == sorted(map(tuple, ckpt.collect()), key=str)
+    for grp in ("g0", "g1", "g2"):
+        glob = None
+        for sd in shard_dfs:
+            s = FQ.mg_summary(
+                sd.filter(F.col("grp") == grp).select("key"), "key", m
+            )
+            glob = s if glob is None else FQ.mg_merge(glob, s, m)
+        exp = sorted(((grp, *t) for t in map(tuple, glob.collect())), key=str)
+        got = sorted((t for t in lrows if t[0] == grp), key=str)
+        assert got == exp, grp

@@ -462,3 +462,84 @@ def test_grouped_oracle_replay_matches_spark(spark):
         f"SELECT * FROM (VALUES {vals}) AS t(grp, x)", "x", "grp", "grp", k
     )
     assert sorted(duckdb.sql(sql).fetchall(), key=str) == got
+
+
+def test_quantile_merge_zero_row_legacy_identity_anchor(spark):
+    """r12 (r11 ADVICE): merging two ZERO-ROW relations — the legacy
+    encoding of "empty" — yields the identity anchor (NULL, NULL, 0,
+    0, 0), not an empty relation (the mg_merge seed discipline), and
+    with a non-empty side the seed changes nothing: the result equals
+    merging against the anchor-only summary of an empty batch."""
+    legacy = spark.createDataFrame(
+        [], "idx int, value long, weight long, n_total long, err long"
+    )
+    assert [
+        tuple(r) for r in Q.quantile_merge(legacy, legacy, 4).collect()
+    ] == [(None, None, 0, 0, 0)]
+    assert [
+        tuple(r)
+        for r in Q.quantile_merge(legacy, legacy, 4, eager=False).collect()
+    ] == [(None, None, 0, 0, 0)]
+    s = Q.quantile_summary(
+        spark.createDataFrame([(i,) for i in range(10)], "x long"), "x", 3
+    )
+    empty_summary = Q.quantile_summary(
+        spark.createDataFrame([], "x long"), "x", 3
+    )
+    got = sorted(
+        map(tuple, Q.quantile_merge(s, legacy, 3).collect()), key=str
+    )
+    exp = sorted(
+        map(tuple, Q.quantile_merge(s, empty_summary, 3).collect()), key=str
+    )
+    assert got == exp and got
+
+
+def test_quantile_grouped_lazy_fold_matches_checkpointed_and_global(spark):
+    """r12 single-reference quantile_merge_grouped: a 4-level fully
+    LAZY in-plan fold equals the checkpoint-between-folds fold, and
+    each group's folded summary equals the GLOBAL quantile_merge fold
+    over that group's per-shard summaries — including a group absent
+    from one shard."""
+    import random
+
+    rnd = random.Random(51)
+    rows = [
+        (i, "g0" if i % 3 else ("g1" if i % 5 else "g2"),
+         rnd.randint(0, 300))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "i long, grp string, x long")
+    k = 5
+    shard_dfs = [
+        df.filter(
+            ((F.col("i") % 4) == s)
+            & ((F.lit(s) != 2) | (F.col("grp") != "g2"))
+        )
+        for s in range(4)
+    ]
+    grouped = [
+        Q.quantile_summary_grouped(sd.select("grp", "x"), "x", k, ["grp"])
+        for sd in shard_dfs
+    ]
+    lazy = ckpt = None
+    for s in grouped:
+        lazy = s if lazy is None else Q.quantile_merge_grouped(
+            lazy, s, k, ["grp"]
+        )
+        nxt = s if ckpt is None else Q.quantile_merge_grouped(
+            ckpt, s, k, ["grp"]
+        )
+        ckpt = nxt.localCheckpoint(eager=True)
+    lrows = sorted(map(tuple, lazy.collect()), key=str)
+    assert lrows == sorted(map(tuple, ckpt.collect()), key=str)
+    for grp in ("g0", "g1", "g2"):
+        glob = None
+        for sd in shard_dfs:
+            s = Q.quantile_summary(
+                sd.filter(F.col("grp") == grp).select("x"), "x", k
+            )
+            glob = s if glob is None else Q.quantile_merge(glob, s, k)
+        exp = sorted(((grp, *t) for t in map(tuple, glob.collect())), key=str)
+        got = sorted((t for t in lrows if t[0] == grp), key=str)
+        assert got == exp, grp
