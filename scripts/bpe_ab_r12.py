@@ -6,14 +6,25 @@ Variants, all trained over the same persisted (word, freq) table at
 $SPARK_GRAFT_SF_DIR with num_merges=20 / min_count=2 (the
 text_bpe_train configuration):
 
-  A  current  — Arrow pandas_udf merge kernel over EVERY word, eager
-                localCheckpoint per round (bpe.train_bpe as shipped).
+  A  r11 shape — Arrow pandas_udf merge kernel over EVERY word, eager
+                localCheckpoint per round (the pre-r12 train_bpe).
   B  filtered — same Arrow kernel, but only words containing the
                 winning adjacent pair pass through it (filter + union).
+                MEASURED FATAL: localCheckpoint keeps the union's
+                partitioning, so partitions DOUBLE per round (131k
+                tasks in one stage by round ~12).  Kept for the record.
   C  codegen  — pure-JVM aggregate() fold under a when(hit) guard:
-                no Python boundary at all.
+                no Python boundary at all.  SHIPPED in r12 (train_bpe
+                now uses bpe._contains_pair/_merge_fold).
   D  codegen + lazy checkpoint — C with eager=False (re-test of r11
                 rejection #8 now that the per-round compute is cheap).
+
+Measured (fresh sessions, min-of-3, sf0.1): A 11.28 s [13.14, 11.28,
+11.48]; C 7.25 s [7.99, 7.38, 7.25]; warm merge-phase split A 14.2 s
+vs C 4.6 s.  In-session cross-variant interference inflates whichever
+variant runs second (C read 24.5 s right after A's 20 UDF-plan
+checkpoints in one shared session), so the shipped comparison uses
+fresh sessions per variant.
 
 Each variant is timed phase-split on the first pass (pair-agg collect
 vs merge+checkpoint per round) and min-of-N end-to-end; merge lists
@@ -42,37 +53,23 @@ NUM_MERGES = 20
 MIN_COUNT = 2
 
 
-def _contains_pair(a: str, b: str):
-    """True iff syms has (a, b) adjacent — codegen zip_with/exists.
-    zip_with pads the shorter (shifted) side with NULL, which makes the
-    final element's predicate NULL; exists() then yields NULL only when
-    no TRUE exists, and a NULL when()-condition falls through to
-    otherwise() — the unchanged-row branch — so padding is safe."""
-    return (F.size("syms") >= 2) & F.exists(
-        F.zip_with(
-            F.col("syms"),
-            F.slice(F.col("syms"), 2, F.size("syms")),
-            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
-        ),
-        lambda v: v,
-    )
+from subgraph_extractor_spark.operators.bpe import (  # noqa: E402
+    _contains_pair,
+    _merge_fold,
+)
+from pyspark.sql.functions import pandas_udf  # noqa: E402
 
 
-def _merge_fold(a: str, b: str):
-    """Left-to-right non-overlapping (a,b)->a+b replacement as a pure
-    codegen aggregate() fold: append each symbol, fusing when the
-    accumulator tail is `a` and the incoming symbol is `b`.  Because a
-    fused symbol a+b can never equal `a` (b is non-empty), a symbol
-    produced by a fusion never re-fuses — exactly merge_word()'s skip."""
-    al, bl, fused = F.lit(a), F.lit(b), F.lit(a + b)
+def _apply_merge_udf(a: str, b: str):
+    """The RETIRED r11 Arrow kernel (kept here as the A/B baseline —
+    variants A/B replay the old shape against the shipped codegen
+    fold)."""
 
-    def step(acc, s):
-        return F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (s == bl),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)),
-        ).otherwise(F.concat(acc, F.array(s)))
+    @pandas_udf("array<string>")
+    def apply(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: bpe_ops.merge_word(list(s), a, b))
 
-    return F.aggregate(F.col("syms"), F.array().cast("array<string>"), step)
+    return apply
 
 
 def _train(wf, variant: str, phases: dict | None = None):
@@ -101,11 +98,11 @@ def _train(wf, variant: str, phases: dict | None = None):
         t0 = time.time()
         if variant == "A":
             state = state.withColumn(
-                "syms", bpe_ops._apply_merge_udf(a, b)(F.col("syms"))
+                "syms", _apply_merge_udf(a, b)(F.col("syms"))
             ).localCheckpoint(eager=True)
         elif variant == "B":
             hit = state.filter(_contains_pair(a, b)).withColumn(
-                "syms", bpe_ops._apply_merge_udf(a, b)(F.col("syms"))
+                "syms", _apply_merge_udf(a, b)(F.col("syms"))
             )
             miss = state.filter(~_contains_pair(a, b) | F.isnull(_contains_pair(a, b)))
             state = hit.unionByName(miss).localCheckpoint(eager=True)
@@ -138,31 +135,37 @@ def main() -> None:
     wf.count()
 
     ref = None
-    results: dict[str, float] = {}
+    phase_split: dict[str, dict] = {}
     for v in variants:
         # warm-up + phase split
         phases: dict[str, float] = {}
         spark.sparkContext.setJobDescription(f"bpe_ab:{v}:warmup")
         m = _train(wf, v, phases)
+        phase_split[v] = phases
         if ref is None:
             ref = m
         assert m == ref, f"variant {v} merges differ: {m[:3]} vs {ref[:3]}"
-        best = None
-        for i in range(n):
+        print(
+            f"variant {v} warm phase split: "
+            f"argmax {phases.get('argmax', 0):.2f}s, "
+            f"merge+ckpt {phases.get('merge', 0):.2f}s",
+            flush=True,
+        )
+    # interleaved timed passes (host shows multi-second contention
+    # bursts — interleaving keeps the A/B comparison within-window)
+    times: dict[str, list] = {v: [] for v in variants}
+    for i in range(n):
+        for v in variants:
             gc.collect()
             spark.sparkContext.setJobDescription(f"bpe_ab:{v}:pass{i}")
             t0 = time.time()
             m = _train(wf, v)
             dt = time.time() - t0
             assert m == ref
-            best = dt if best is None else min(best, dt)
-        results[v] = round(best, 3)
-        print(
-            f"variant {v}: min-of-{n} {best:.3f}s  "
-            f"(warm phase split: argmax {phases.get('argmax', 0):.2f}s, "
-            f"merge+ckpt {phases.get('merge', 0):.2f}s)",
-            flush=True,
-        )
+            times[v].append(dt)
+    results = {v: round(min(ts), 3) for v, ts in times.items()}
+    for v in variants:
+        print(v, "min", results[v], [round(t, 2) for t in times[v]], flush=True)
     print("RESULTS", results)
     spark.stop()
 

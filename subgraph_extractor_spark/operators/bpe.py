@@ -16,9 +16,11 @@ Spark-first shape:
                  argmax with a deterministic tie-break
                  (count DESC, left ASC, right ASC) -> ONE collected row
                  (a driver artifact like KMeans centroids) -> apply the
-                 merge to the symbol arrays with an Arrow-batched
-                 pandas_udf (left-to-right non-overlapping replace,
-                 exactly Sennrich's regex semantics).
+                 merge to the symbol arrays as a pure-codegen
+                 ``aggregate()`` fold gated on containing the winning
+                 pair (left-to-right non-overlapping replace, exactly
+                 Sennrich's regex semantics; r12 — no Python boundary
+                 anywhere in the round loop).
   encode         the learned merge list is a broadcast-sized driver
                  artifact; encoding a corpus encodes DISTINCT words once
                  and joins the token arrays back onto the token stream.
@@ -94,12 +96,47 @@ def merge_word(syms: list, a: str, b: str) -> list:
     return out
 
 
-def _apply_merge_udf(a: str, b: str):
-    @pandas_udf("array<string>")
-    def apply(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: merge_word(list(s), a, b))
+def _contains_pair(a: str, b: str) -> "F.Column":
+    """True iff ``syms`` contains (a, b) ADJACENT — pure codegen
+    (zip_with each symbol with its successor, exists over the flags).
+    zip_with pads the shorter (shifted-by-one) side with NULL, making
+    the final element's flag NULL; exists() then returns NULL only
+    when no TRUE flag exists, and a NULL when()-condition falls
+    through to otherwise() — the unchanged-row branch — so the padding
+    is correct by construction."""
+    return (F.size("syms") >= 2) & F.exists(
+        F.zip_with(
+            F.col("syms"),
+            F.slice(F.col("syms"), 2, F.size("syms")),
+            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+        ),
+        lambda v: v,
+    )
 
-    return apply
+
+def _merge_fold(a: str, b: str) -> "F.Column":
+    """:func:`merge_word` as a pure-codegen ``aggregate()`` fold — the
+    r12 replacement for the per-round Arrow pandas_udf kernel (guide
+    §4.1: built-ins over UDFs; A/B at sf0.1: merge phase 14.2 -> 4.6 s
+    warm, train_bpe end-to-end 11.3 -> 7.3 s min-of-3, merges
+    identical at every rank).  Append each symbol to the accumulator,
+    fusing when the accumulator's tail equals ``a`` and the incoming
+    symbol equals ``b``.  Left-to-right NON-OVERLAPPING semantics hold
+    because a fused symbol ``a+b`` can never equal ``a`` (symbols are
+    non-empty, so ``a+b`` is strictly longer than ``a``): a tail
+    produced by a fusion never re-fuses with the next ``b`` — exactly
+    merge_word's index skip."""
+    al, bl, fused = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, s):
+        return F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (s == bl),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(F.col("syms"), F.array().cast("array<string>"), step)
 
 
 def train_bpe(
@@ -135,13 +172,28 @@ def train_bpe(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b, cnt))
+        # r12: the merge application is a pure-codegen aggregate()
+        # fold under a contains-the-pair guard (guide §4.1/§2.3) — no
+        # Python boundary at all, and rows without the winning pair
+        # adjacent are returned untouched (no new array).  The guard +
+        # fold replaced the r11 Arrow pandas_udf kernel that rewrote
+        # EVERY word's symbol array every round: A/B at sf0.1
+        # (scripts/bpe_ab_r12.py, fresh sessions, min-of-3) —
+        # Arrow-everything 11.28 s vs codegen+guard 7.25 s end-to-end,
+        # merge phase 14.2 -> 4.6 s warm, merge lists identical.  A
+        # filter/union split (Arrow kernel over hit rows only) was
+        # measured FATAL: localCheckpoint keeps union partitioning, so
+        # partitions double per round (131k tasks by round ~12).
         # EAGER deliberately (r11 A/B): a lazy checkpoint (the merge
-        # kernel riding the next round's collect as one job) measured
+        # riding the next round's collect as one job) measured
         # 9.09 -> 9.69 s bench-class at sf0.1 — the rounds are
-        # compute-bound (pair explode + Arrow merge kernel), not
-        # barrier-bound, so halving the job count bought nothing.
+        # compute-bound (pair explode + merge fold), not barrier-
+        # bound, so halving the job count bought nothing.
         state = state.withColumn(
-            "syms", _apply_merge_udf(a, b)(F.col("syms"))
+            "syms",
+            F.when(_contains_pair(a, b), _merge_fold(a, b)).otherwise(
+                F.col("syms")
+            ),
         ).localCheckpoint(eager=True)
     return merges
 

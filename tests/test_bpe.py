@@ -150,3 +150,39 @@ def test_merge_word_matches_sennrich_regex_property():
         assert merge_word(list(syms), a, b) == want, (syms, a, b)
 
     check()
+
+
+def test_codegen_merge_fold_equals_merge_word(spark):
+    """r12: the pure-codegen aggregate() fold that replaced the Arrow
+    merge kernel is exactly merge_word on every tricky shape —
+    overlapping runs (a == b), fused-symbol re-adjacency, multi-char
+    symbols, pair-free words — and the contains-pair guard returns
+    pair-free rows untouched."""
+    from pyspark.sql import functions as F
+
+    from subgraph_extractor_spark.operators.bpe import (
+        _contains_pair,
+        _merge_fold,
+        merge_word,
+    )
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "a", "b"], "a", "b"),
+        (["a", "b", "b"], "a", "b"),
+        (["x", "y"], "a", "b"),
+        (["ab", "b", "ab", "b"], "ab", "b"),
+        (["l", "o", "w", "</w>"], "o", "w"),
+        (["ow", "</w>"], "ow", "</w>"),
+        (["b"], "a", "b"),
+    ]
+    for syms, a, b in cases:
+        df = spark.createDataFrame([(syms,)], "syms array<string>")
+        got = df.select(
+            F.when(_contains_pair(a, b), _merge_fold(a, b))
+            .otherwise(F.col("syms"))
+            .alias("m")
+        ).collect()[0]["m"]
+        assert list(got) == merge_word(list(syms), a, b), (syms, a, b)
