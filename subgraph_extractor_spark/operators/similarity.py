@@ -221,6 +221,50 @@ def _shard_of(col: Column, n: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
 
 
+def _n_query_tiles(
+    df: DataFrame,
+    n_corpus_shards: int,
+    row_bytes: int,
+    inner_dim: int,
+    target_macs: int = 1 << 25,
+    cap: int = 16,
+) -> int:
+    """Work-bounded QUERY-side tile count for the exhaustive sharded-
+    matmul kernels (r12).  ``_n_shards`` bounds each tile's MEMORY by
+    splitting the corpus, but per-tile WORK — (all queries) x (corpus
+    rows per shard) x inner_dim multiply-adds — and the query-side
+    batch size are unbounded in the query dimension: a small corpus
+    collapses to ONE tile whose whole quadratic kernel runs in a
+    single task on one core, and at any scale one tile must hold every
+    query row at once.  Splitting the QUERY side bounds both without
+    touching the merge volume (each query's candidate count stays
+    k x n_corpus_shards — the per-(query, corpus-shard) top-k closure
+    is computed in exactly one tile either way, so results are
+    sharding-independent like the corpus split).  The cost is
+    replicating the corpus rows across query tiles (bounded by
+    ``cap``), the mirror of the query-per-corpus-shard replication the
+    kernel already pays.  Tile count = total MACs / (corpus shards x
+    ``target_macs``), from the same side-effect-free Catalyst size
+    estimate as ``_n_shards`` (rows ~ sizeInBytes / row_bytes); 1 when
+    the estimate is unavailable (the pre-r12 shape)."""
+    import math
+
+    size = None
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        pass
+    if size is None or size <= 0 or size > 1 << 52:
+        return 1
+    rows_est = max(1, size // max(1, row_bytes))
+    per_qtile_macs = rows_est * rows_est * inner_dim / max(
+        1, n_corpus_shards
+    )
+    return int(max(1, min(cap, math.ceil(per_qtile_macs / target_macs))))
+
+
 def _global_topk(scored: DataFrame, k: int) -> DataFrame:
     """Merge per-shard local top-k into the global per-query top-k.
     One shuffle keyed by query_id; input is at most (k x n_shards) rows
@@ -912,11 +956,25 @@ def projected_topk_portable(
     def int_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="int64")
-        A = np.stack(a.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy())
-        B = np.stack(b.map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy())
+        # concatenate+reshape instead of stack(map(asarray)): the cells
+        # arrive as equal-length numpy arrays (Arrow list column), and
+        # one C-level concatenate beats 300k per-row map dispatches
+        # (r12 microbench: ~25% off the batch-assembly cost; values
+        # identical)
+        A = np.concatenate(a.to_numpy()).astype(np.int64, copy=False)
+        B = np.concatenate(b.to_numpy()).astype(np.int64, copy=False)
+        A = A.reshape(len(a), -1)
+        B = B.reshape(len(b), -1)
         return pd.Series((A * B).sum(axis=1))
 
     S = _n_shards(df, n_shards)
+    # r12: work-bounded query-side tiles — the corpus split bounds
+    # tile MEMORY, this bounds tile WORK and the per-tile query batch
+    # (the sf0.1 fixture collapsed to ONE corpus shard, so the whole
+    # quadratic coarse kernel ran as a single task on one core; 4
+    # query tiles put the same work on 4 cores with the merge volume
+    # unchanged — see _n_query_tiles).
+    SQ = _n_query_tiles(df, S, row_bytes=in_dim * 8 + 16, inner_dim=out_dim)
     id_type = dict(df.dtypes)[id_col]
     # non-null contract shared with every vector kernel here
     base = df.filter(F.col(vec_col).isNotNull())
@@ -926,15 +984,34 @@ def projected_topk_portable(
     # the projection kernel feeds both cogroup sides and runs twice —
     # bounded by out_dim/in_dim of one corpus scan; see the measured
     # persist non-result in projected_topk_rerank's in-body note
-    c = proj.select(
-        _shard_of(F.col("_id"), S).alias("_shard"),
-        F.col("_id").alias("_cid"),
-        F.col("_p").alias("_cv"),
+    qtiles = spark.range(SQ).select(F.col("id").cast("int").alias("_qt"))
+    c = (
+        proj.select(
+            _shard_of(F.col("_id"), S).alias("_shard"),
+            F.col("_id").alias("_cid"),
+            F.col("_p").alias("_cv"),
+        )
+        .crossJoin(F.broadcast(qtiles))
+        .select(
+            (F.col("_qt") * S + F.col("_shard")).alias("_tile"),
+            "_cid",
+            "_cv",
+        )
     )
     shards = spark.range(S).select(F.col("id").cast("int").alias("_shard"))
-    q = proj.select(
-        F.col("_id").alias("_qid"), F.col("_p").alias("_qv")
-    ).crossJoin(F.broadcast(shards))
+    q = (
+        proj.select(
+            F.col("_id").alias("_qid"),
+            F.col("_p").alias("_qv"),
+            _shard_of(F.col("_id"), SQ).alias("_qt"),
+        )
+        .crossJoin(F.broadcast(shards))
+        .select(
+            (F.col("_qt") * S + F.col("_shard")).alias("_tile"),
+            "_qid",
+            "_qv",
+        )
+    )
     kk_target = k * expand
     MASK = np.iinfo(np.int64).min + 1  # self-match sentinel; |pdot| << |MASK|
 
@@ -947,42 +1024,59 @@ def projected_topk_portable(
                     "_pdot": pd.Series([], dtype="int64"),
                 }
             )
-        Q = np.stack(
-            qpdf["_qv"].map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
-        )
-        C = np.stack(
-            cpdf["_cv"].map(lambda v: np.asarray(v, dtype=np.int64)).to_numpy()
-        )
+        Q = np.concatenate(qpdf["_qv"].to_numpy()).astype(
+            np.int64, copy=False
+        ).reshape(len(qpdf), -1)
+        C = np.concatenate(cpdf["_cv"].to_numpy()).astype(
+            np.int64, copy=False
+        ).reshape(len(cpdf), -1)
         c_ids = cpdf["_cid"].to_numpy()
         q_ids = qpdf["_qid"].to_numpy()
+        # plain int64 matmul DELIBERATELY (r12 A/B): an exact
+        # split-to-float64 BLAS reformulation (hi/lo split, three f64
+        # matmuls, int64 recombine — bit-identical under a 2^53
+        # envelope guard) measured 14-30 s per tile INSIDE the forked
+        # PySpark worker vs ~1 s converged for this int64 path (the
+        # fork-inherited BLAS threadpool misbehaves in workers; the
+        # same f64 matmul runs milliseconds in the driver process).
+        # scripts/annproj_ab_r12.py carries the interleaved numbers.
         D = Q @ C.T  # exact int64
         for i, qid in enumerate(q_ids):
             D[i, c_ids == qid] = MASK
         kk = min(kk_target, D.shape[1])
-        # id-aware top-kk: a bare argpartition picks an ARBITRARY
-        # member among pdot ties spanning the kk-th boundary, while
-        # the DuckDB oracle's ROW_NUMBER orders (pdot DESC,
-        # neighbor_id ASC) — a boundary tie would diverge the coarse
-        # set and break the bit-exact replay.  Full-row lexsort on the
-        # composite key costs O(m log m) vs argpartition's O(m), but
-        # the Q @ C.T matmul above already dominates at O(m·out_dim).
-        cid_b = np.broadcast_to(c_ids, D.shape)
-        order = np.lexsort((cid_b, -D), axis=1)[:, :kk]
-        dots = np.take_along_axis(D, order, axis=1).ravel()
-        cids = np.take_along_axis(cid_b, order, axis=1).ravel()
-        qcol = np.repeat(q_ids, kk)
+        # top-kk CLOSURE instead of an id-aware in-kernel sort (r12):
+        # emit every candidate whose pdot >= the row's kk-th largest.
+        # Ties spanning the kk boundary — where a bare argpartition
+        # would pick an ARBITRARY member while the DuckDB oracle's
+        # ROW_NUMBER orders (pdot DESC, neighbor_id ASC) — are ALL
+        # emitted, and the downstream global merge window (same
+        # composite order) keeps exactly the first kk_target: the
+        # final coarse set is identical to the old full-row lexsort's
+        # by construction, for O(m) argpartition + one vectorized
+        # comparison instead of an O(m log m) two-key lexsort over the
+        # full D matrix (the r11 shape's measured hotspot alongside
+        # the int64 matmul: lexsort ~11.6 s vs argpartition+nonzero
+        # ~0.3 s on the 2000x2000 fixture tile).  The closure is at
+        # most (kk - 1) + |boundary tie group| rows per query — kk
+        # rows on tie-free data.
+        part = np.argpartition(-D, kk - 1, axis=1)[:, :kk]
+        cutoff = np.take_along_axis(D, part, axis=1).min(
+            axis=1, keepdims=True
+        )
+        rows, cols = np.nonzero(D >= cutoff)
+        dots = D[rows, cols]
         keep = dots != MASK
         return pd.DataFrame(
             {
-                "query_id": qcol[keep],
-                "neighbor_id": cids[keep],
+                "query_id": q_ids[rows[keep]],
+                "neighbor_id": c_ids[cols[keep]],
                 "_pdot": dots[keep],
             }
         )
 
     scored = (
-        q.groupby("_shard")
-        .cogroup(c.groupby("_shard"))
+        q.groupby("_tile")
+        .cogroup(c.groupby("_tile"))
         .applyInPandas(
             shard_topk,
             schema=(
