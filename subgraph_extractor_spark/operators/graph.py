@@ -246,7 +246,20 @@ def pagerank_fixed_point(
                 ranks._jdf.queryExecution().executedPlan().toString()
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY (r12, the CC-loop lesson): the checkpoint still
+            # truncates the plan at every cadence point (the RDD
+            # closure freezes when the checkpoint is taken), but its
+            # materialization rides the FINAL eager checkpoint's job
+            # instead of paying a barrier job per cadence point — the
+            # whole fixed iteration is ONE job.  A/B at sf0.1
+            # (scripts/pagerank_ab_r12.py, interleaved min-of-3, 10
+            # rounds, rows identical): eager-every-3 11.22 s vs
+            # lazy-every-3 8.64 s; lazy-every-1 measured 8.07 s —
+            # within window noise of lazy-every-3, so the pinned
+            # every-3 cadence stays.  Failure envelope unchanged: all
+            # segment blocks are computed inside the one job, and
+            # localCheckpoint blocks were never recomputable anyway.
+            ranks = ranks.localCheckpoint(eager=False)
     out = ranks.localCheckpoint(eager=True)
     ed.unpersist()
     nodes.unpersist()
