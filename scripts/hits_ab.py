@@ -38,6 +38,13 @@ def run_variant(spark, ed_in, variant, iters=6, scale=10**12):
     ed = ed_in.select(F.col("src").alias("_src"), F.col("dst").alias("_dst"))
     if variant in ("v0_plain",):
         ed_src = ed_dst = ed.persist()
+    elif variant == "v5_single_src":
+        # r12 (ADVICE): ONE partitioned persist; the dst-keyed view is
+        # derived from the cached src view per round (one extra
+        # exchange per round under the SMJ fallback, half the cached
+        # footprint of the static E-row relation)
+        ed_src = ed.repartition("_src").persist()
+        ed_dst = ed_src.repartition("_dst")
     elif variant == "v3_group_part":
         # partition each view by the GROUP key of the half-round that
         # uses it: the score side broadcasts (measured plan), a

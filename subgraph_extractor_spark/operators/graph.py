@@ -468,11 +468,15 @@ def hits_fixed_point(
     is total.  Parallel edges count with multiplicity, as in PageRank.
     Returns (node, hub, auth) for every node of the graph.
 
-    Scale shape: the edge table is static — persisted pre-partitioned
-    on each join key once; per iteration only the N-row score table
-    shuffles (join on one endpoint, groupBy the other), and the two
-    maxima ride back as 1-row broadcast anchors (bounded model state,
-    no driver collect).  ``localCheckpoint`` truncates lineage every
+    Scale shape: the edge table is static — persisted ONCE,
+    unpartitioned (the r12 A/B at 574k/2M/8M edges measured the
+    single persist fastest at every scale, including past the
+    score-broadcast threshold; see the in-body note); per iteration
+    only the N-row score table shuffles (join on one endpoint, groupBy
+    the other) plus the per-round edge-side exchange the joins plan
+    themselves, and the two maxima ride back as 1-row broadcast
+    anchors (bounded model state, no driver collect).
+    ``localCheckpoint`` truncates lineage every
     ``checkpoint_every`` rounds.  Overflow envelope: an in-sum is
     bounded by m * scale (scores are <= scale after normalization), so
     ``m * scale`` must stay under 2^63 — checked up front against the
@@ -486,20 +490,30 @@ def hits_fixed_point(
         raise ValueError("iters must be >= 1")
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    # r11: the edge table is static across rounds but each half-round
-    # joins it on a DIFFERENT endpoint — persist it pre-partitioned
-    # TWICE, once per join key, so neither join re-exchanges the
-    # (large) static side each round (the pagerank_fixed_point
-    # discipline; previously a single unpartitioned persist meant the
-    # E-row edge table shuffled twice per round).  Only the N-row
-    # score table shuffles per iteration, as the scale note promises.
-    ed = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    ed_src = ed.repartition("_src").persist()
-    ed_dst = ed.repartition("_dst").persist()
+    # ONE unpartitioned persist (r12, reverting the r11 two-
+    # pre-partitioned-views shape and resolving the r11 ADVICE note on
+    # its 2x cached footprint of the largest relation): the A/B
+    # (scripts/hits_ab.py + scripts/hits_scale_ab_r12.py, interleaved,
+    # row sets identical) measured the single persist FASTEST at every
+    # scale tried — fixture 574k edges/6 rounds: 16.5 vs 19.2 s
+    # (two partitioned persists) / 19.5 s (one partitioned + derived
+    # dst view); 2M edges/4 rounds: 14.0 vs 17.7 / 13.9; 8M edges
+    # (~800k nodes, past the score-side broadcast threshold — the SMJ
+    # regime the partitioned views were built for): 44.8 vs 57.9 /
+    # 44.7.  The partitioned views never paid off because a cached
+    # repartition's partitioning is not recognized by the join
+    # planner under AQE (UnknownPartitioning on the InMemoryRelation
+    # scan — the same effect that sank the r11 triangles
+    # pre-partitioning attempt), so both extra exchanges + the second
+    # cache fill were pure cost.  Only the N-row score table shuffles
+    # per iteration either way.
+    ed = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    ed_src = ed_dst = ed
     m_edges = ed_src.count()
     if m_edges * scale >= 1 << 63:
-        ed_src.unpersist()
-        ed_dst.unpersist()
+        ed.unpersist()
         raise ValueError(
             f"overflow envelope exceeded: m*scale = {m_edges}*{scale} "
             f">= 2^63; lower `scale`"
@@ -573,8 +587,7 @@ def hits_fixed_point(
         )
         .localCheckpoint(eager=True)
     )
-    ed_src.unpersist()
-    ed_dst.unpersist()
+    ed.unpersist()
     nodes.unpersist()
     return out
 
