@@ -2099,7 +2099,7 @@ def prefix_filter_pairs(
     ex = sets.select("_id", "_s", F.explode("_sh").alias("_g"))
     freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     # prefix length L = s - ceil(t*s) + 1 under the (df asc, gram asc)
-    # total order
+    # total order; positions ride along for the positional filter
     w = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("_g").asc()
     )
@@ -2110,9 +2110,24 @@ def prefix_filter_pairs(
             F.col("_rn")
             <= F.col("_s") - F.ceil(F.col("_s") * F.lit(threshold)) + 1
         )
-        .select("_id", "_s", "_g")
+        .select("_id", "_s", "_g", "_rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # candidate dedup is a groupBy that ALSO recovers each pair's
+    # first-common-gram positions for the PPJoin positional filter
+    # (r12, guide §3: prune the big side before the expensive step).
+    # For any pair with J >= t the SMALLEST shared gram under the
+    # global order lies inside BOTH prefixes (the pigeonhole argument
+    # that makes prefix filtering complete), and it simultaneously has
+    # the min position on each side — so min(_rn) per side IS the
+    # first common gram, and Xiao et al.'s positional bound
+    #   overlap <= 1 + min(|A| - pA, |B| - pB)
+    # is valid for every pair the filter may keep; pairs it prunes
+    # cannot reach J >= t (bound monotone, tested in the SAME double
+    # arithmetic as the final jaccard filter, so the comparison can
+    # never prune a pair the verify would keep).  Measured at sf0.1
+    # (scripts/prefix_jaccard_probe_r12.py): 181 937 -> 111 409
+    # candidate pairs ahead of the verify joins.
     cands = (
         a.join(
             b,
@@ -2125,19 +2140,54 @@ def prefix_filter_pairs(
             ],
         )
         .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"), F.col("b._s").alias("_sb"),
+            F.col("a._rn").alias("_pa"), F.col("b._rn").alias("_pb"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_pa").alias("_pa"),
+            F.min("_pb").alias("_pb"),
+            F.max("_sa").alias("_sa"),
+            F.max("_sb").alias("_sb"),
+        )
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+                )
+            ).cast("double")
+            / (
+                F.col("_sa")
+                + F.col("_sb")
+                - 1
+                - F.least(
+                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+                )
+            )
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "_sa", "_sb")
     )
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # union-free verification (r12): the shingle arrays are distinct
+    # by construction, so |A ∪ B| = |A| + |B| - |A ∩ B| and the
+    # per-pair array_union hash-set pass (the same cost as the
+    # intersect, measured ~half the verify phase) is pure arithmetic.
+    # Same integers, same double division -> bit-identical jaccard.
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+            (
+                inter.cast("double")
+                / (F.col("_sa") + F.col("_sb") - inter).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
