@@ -36,25 +36,24 @@ from subgraph_extractor_spark.operators.graph import edge_outdegrees  # noqa: E4
 def run_variant(spark, edges, variant, iters=10, scale=10**12,
                 damping_num=85, damping_den=100):
     t0 = time.monotonic()
-    cadence = 1 if variant.endswith("1") else 3
-    eager = variant.startswith("v0") or variant.startswith("v3")
-    ed = (
-        edge_outdegrees(edges, "src", "dst")
-        .select(
-            F.col("src").alias("_src"),
-            F.col("dst").alias("_dst"),
-            F.col("_outdeg"),
-        )
-        .repartition("_src")
-        .persist()
+    cadence = 1 if ("lazy1" in variant or "eager1" in variant) else 3
+    eager = variant.startswith("v0") or variant.startswith("v3e")
+    ed = edge_outdegrees(edges, "src", "dst").select(
+        F.col("src").alias("_src"),
+        F.col("dst").alias("_dst"),
+        F.col("_outdeg"),
     )
+    if not variant.endswith("nopart"):
+        ed = ed.repartition("_src")
+    ed = ed.persist()
     node_set = (
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
         .distinct()
         .withColumn("_seed", F.lit(1))
     )
-    nodes = node_set.repartition("node").persist()
+    nodes = (node_set if variant.endswith("nopart")
+             else node_set.repartition("node")).persist()
     n_nodes = nodes.count()
     assert damping_num * n_nodes * scale < 1 << 63
     base = (damping_den - damping_num) * scale // damping_den

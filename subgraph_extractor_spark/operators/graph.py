@@ -680,25 +680,35 @@ def label_propagation(
     rounds in practice — Raghavan's 95% claim — and a fixed count is
     reproducible).
 
-    Scale shape (per round): the doubled adjacency persists ONCE
-    pre-partitioned on the neighbor key; only the N-row label table
-    shuffles.  The vote stream repartitions by ``node`` ONCE and both
-    aggregates (the (node, label) count and the min-struct argmax) run
-    on top WITHOUT further exchange — hashpartitioning(node) satisfies
-    the clustering requirement of both grouping keys, so each round is
-    exactly two shuffles (label join + vote repartition) instead of
-    three (same-session A/B at sf0.1, 4 rounds, min-of-4: 4.20 s
-    two-exchange vs 3.86 s one-exchange; at scale it trades the
-    map-side combine of the pair count for one fewer full-stage
-    barrier and shuffles the same-order E-row stream once instead of
-    twice).  Votes reference the label table twice (the
-    adjacency join and the self-vote union), so lineage replicates
-    2x per round — ``localCheckpoint`` truncates every
-    ``checkpoint_every`` rounds, the HITS discipline (r9 measured the
-    cadence: every-1 4.7 s, every-2 5.3 s, every-4 9.6 s for 4 rounds
-    — the doubled lineage costs more than the barrier it saves, so
-    every-1 stays the default).  Counts are bounded by degree+1: no
-    overflow envelope needed.
+    Scale shape (per round): the doubled adjacency persists ONCE,
+    UNPARTITIONED (r12 — the HITS finding applied here: a cached
+    repartition's partitioning is not recognized by the join planner
+    under AQE, so the r11 ``repartition("nbr")`` before the persist
+    paid a build-time E-row exchange for nothing; interleaved A/B at
+    sf0.1, 4 rounds, min-of-5: eager+partitioned 2.93 s vs
+    eager+unpartitioned 2.38 s, scripts/lpa_ab_r12.py); only the N-row
+    label table shuffles.  The vote stream repartitions by ``node``
+    ONCE and both aggregates (the (node, label) count and the
+    min-struct argmax) run on top WITHOUT further exchange —
+    hashpartitioning(node) satisfies the clustering requirement of
+    both grouping keys, so each round is exactly two shuffles (label
+    join + vote repartition) instead of three (same-session A/B at
+    sf0.1, 4 rounds, min-of-4: 4.20 s two-exchange vs 3.86 s
+    one-exchange; at scale it trades the map-side combine of the pair
+    count for one fewer full-stage barrier and shuffles the same-order
+    E-row stream once instead of twice).  Votes reference the label
+    table twice (the adjacency join and the self-vote union), so
+    lineage replicates 2x per round — ``localCheckpoint`` truncates
+    every ``checkpoint_every`` rounds (r9 cadence table, measured with
+    EAGER checkpoints: every-1 4.7 s, every-2 5.3 s, every-4 9.6 s for
+    4 rounds — the doubled lineage costs more than the barrier it
+    saves, so every-1 stays the default).  r12: the mid-loop
+    checkpoints are LAZY (the pagerank round-fusion lesson): they
+    still truncate per round, but materialize inside the final eager
+    checkpoint's job — one job per run instead of one per round
+    (lazy+unpartitioned 2.26 s min-of-5 vs 2.38 eager+unpartitioned /
+    2.93 shipped-r11 in the same interleaved A/B).  Counts are bounded
+    by degree+1: no overflow envelope needed.
 
     Output: (node, label) for every node of the graph.
     """
@@ -710,7 +720,6 @@ def label_propagation(
     adj = (
         ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
         .select(F.col("_a").alias("node"), F.col("_b").alias("nbr"))
-        .repartition("nbr")
         .persist()
     )
     nodes = adj.select("node").distinct()
@@ -752,7 +761,11 @@ def label_propagation(
                 labels._jdf.queryExecution().executedPlan().toString()
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            labels = labels.localCheckpoint(eager=True)
+            # LAZY (r12): truncates the doubled lineage per cadence
+            # point exactly as before, materialized by the final
+            # eager checkpoint's job — see the scale-shape paragraph
+            # for the interleaved A/B numbers.
+            labels = labels.localCheckpoint(eager=False)
     out = labels.localCheckpoint(eager=True)
     adj.unpersist()
     return out
