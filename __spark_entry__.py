@@ -3667,16 +3667,33 @@ def q_graph_lpa(spark, sf):
 
 
 def _part_co_order_edges(spark, sf):
+    # r12 session 2 (guide §2.4): one exchange instead of two.  The
+    # r11 shape was distinct(l_orderkey, l_partkey) -> LEAD window —
+    # an Exchange on (l_orderkey, l_partkey) for the distinct PLUS an
+    # Exchange on l_orderkey for the window, both carrying the full
+    # E-row stream.  collect_set does the dedup AND the grouping in
+    # ONE map-side-partial aggregate keyed on l_orderkey; the sort is
+    # per-group over the (order-bounded, <=7 at any TPC-H scale)
+    # distinct-part arrays and the adjacent pairing is a codegen
+    # transform.  Identical edge multiset by construction (l_partkey
+    # is NOT NULL, so collect_set's null-dropping never fires);
+    # scripts/edges_ab_r12.py asserts multiset equality and full
+    # graph_lpa output equality, interleaved min-of-5 lpa-noop
+    # 5.642 -> 4.886 s at sf0.1.
     li = _t(spark, sf, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
     return (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
         .select(
-            F.col("l_partkey").alias("src"),
-            F.lead("l_partkey").over(w).alias("dst"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ps) - 2),"
+                    " i -> struct(ps[i] AS src, ps[i+1] AS dst))"
+                )
+            ).alias("e")
         )
-        .filter(F.col("dst").isNotNull())
+        .select("e.src", "e.dst")
     )
 
 

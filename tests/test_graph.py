@@ -573,3 +573,36 @@ def test_lpa_round_shuffles_only_the_label_table(spark):
     assert len(sink) == 3
     for plan in sink[1:]:
         _assert_round_shuffle_shape(plan, max_exchanges=2)
+
+
+def test_part_co_order_edges_matches_window_formulation(spark, monkeypatch):
+    """r12 session 2: the shared edge builder's collect_set adjacency
+    pairing must equal the old distinct->LEAD-window formulation on
+    every edge case — duplicate (order, part) rows, single-part orders
+    (no edge), unsorted input."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import Window
+
+    rows = [
+        # order 1: parts 5,3,5,9 (dup 5) -> sorted distinct [3,5,9]
+        (1, 5), (1, 3), (1, 5), (1, 9),
+        # order 2: single part -> no edges
+        (2, 7),
+        # order 3: two parts, inserted out of order
+        (3, 11), (3, 2),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(entrymod, "_t", lambda _s, _sf, _n: li)
+
+    got = {(r["src"], r["dst"])
+           for r in entrymod._part_co_order_edges(spark, "unused").collect()}
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    expected = {
+        (r["src"], r["dst"])
+        for r in li.select("l_orderkey", "l_partkey").distinct()
+        .select(F.col("l_partkey").alias("src"),
+                F.lead("l_partkey").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull()).collect()
+    }
+    assert got == expected == {(3, 5), (5, 9), (2, 11)}
