@@ -975,10 +975,23 @@ def q_a9_percentiles(spark, sf):
     # exact interpolated percentiles per group (both engines implement the
     # standard lower + frac*(upper-lower) on the sorted values)
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # r12 session 2 (guide §1.2): one percentile buffer per group for
+    # both requested percentiles (array form) — bit-identical per-p
+    # reads of the same sorted counts map.
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(
+                F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("_ps"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("_ps")[0].alias("median_price"),
+            F.col("_ps")[1].alias("p90_price"),
+            "n_orders",
+        )
     )
 
 
@@ -5029,11 +5042,21 @@ def q_a11_approx_percentile(spark, sf):
     # across engines; each engine's own sketch must land within 1% of
     # the exact value for the boolean to match.
     li = _t(spark, sf, "lineitem")
+    # r12 session 2 (guide §1.2): one exact-percentile buffer and one
+    # sketch serve both percentiles (array form) instead of four
+    # independent aggregates; per-p reads of one sorted counts map /
+    # one KLL sketch are bit-identical to the per-p aggregates.
+    pcts = F.array(F.lit(0.5), F.lit(0.95))
     agg = li.agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_a95"),
+        F.percentile(F.col("l_extendedprice"), pcts).alias("_exs"),
+        F.percentile_approx("l_extendedprice", pcts, F.lit(10000)).alias(
+            "_apx"
+        ),
+    ).select(
+        F.col("_exs")[0].alias("p50_exact"),
+        F.col("_exs")[1].alias("p95_exact"),
+        F.col("_apx")[0].alias("_a50"),
+        F.col("_apx")[1].alias("_a95"),
     )
     return agg.select(
         "p50_exact",
@@ -5312,6 +5335,12 @@ def q_a13_histogram_percentile(spark, sf):
     # docstring); vs this interpolated anchor it is a corpus
     # observation, computed identically on both engines either way.
     li = _t(spark, sf, "lineitem")
+    # (r12 session 2: a grouped-shard build — groupBy(parity, bin) with
+    # the two merge inputs filtered from one DataFrame — was measured
+    # and REJECTED: Catalyst pushes the grouping-key filter back
+    # through the aggregate to the scan, so the branches split at the
+    # pushed-filter level again (0 ReusedExchange, still 2 scans) and
+    # the wider group key made it net slower, 2.98 -> 3.30 s noop.)
     mk = lambda pred: hist_ops.histogram_state(  # noqa: E731
         li.filter(pred), "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS
     )
@@ -5322,13 +5351,27 @@ def q_a13_histogram_percentile(spark, sf):
     )
     ps = [0.5, 0.9, 0.99]
     est = hist_ops.percentiles_from_histogram(st, ps)
-    exact = li.agg(
-        *[
-            F.percentile(F.col("l_extendedprice"), F.lit(p)).alias(
-                f"_ex_{i}"
-            )
-            for i, p in enumerate(ps)
-        ]
+    # r12 session 2 (guide §1.2/§2.3): ONE percentile buffer fed the
+    # pre-aggregated (value, count) pairs via the frequency argument,
+    # instead of three independent exact-percentile aggregates each
+    # building its own 600k-entry counts map over the raw rows.
+    # Identical values by construction — Percentile's internal state is
+    # exactly this (value -> count) map, and all requested percentiles
+    # read one sorted buffer — A/B-verified bit-equal; isolated noop
+    # 4.74 -> 1.52 s at sf0.1 (full query 5.9 -> ~2.6).
+    exact = (
+        li.groupBy(F.col("l_extendedprice").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.percentile(
+                F.col("_v"),
+                F.array(*[F.lit(float(p)) for p in ps]),
+                F.col("_c"),
+            ).alias("_exs")
+        )
+        .select(
+            *[F.col("_exs")[i].alias(f"_ex_{i}") for i in range(len(ps))]
+        )
     )
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
     # anchor mapping built from ps itself — editing ps cannot silently
