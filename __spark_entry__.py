@@ -4310,17 +4310,7 @@ def q_emb_neardup(spark, sf):
     found = dedup_ops.embedding_neardup_pairs(
         emb, "embedding", "vec_id", threshold=0.4
     ).select("id_a", "id_b")
-    e = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
-    par = spark.sparkContext.defaultParallelism
-    l, r = e.repartition(par).alias("l"), e.alias("r")
-    truth = (
-        l.join(r, F.col("l._id") < F.col("r._id"))
-        .withColumn(
-            "_cos", sim_ops.cosine_similarity(F.col("l._v"), F.col("r._v"))
-        )
-        .filter(F.col("_cos") >= 0.4)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-    )
+    truth = _exact_cosine_pairs(spark, sf, 0.4)
     return _pair_recall_contract(found, truth)
 
 
@@ -4330,13 +4320,27 @@ def _exact_cosine_pairs(spark, sf, threshold):
     The scale path is dedup.embedding_neardup_pairs, recall-checked
     against this same truth by the emb_neardup contract."""
     emb = _t(spark, sf, "embeddings")
-    e = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    # r12 session 2 (guide §1.2): per-vector norm and double-cast
+    # hoisted out of the per-pair expression (the brute_force_topk
+    # hoist) — the pair cosine divides the same dot by the same
+    # (norm_l * norm_r) product the inline cosine_similarity computed,
+    # so every _cos double and therefore the >= threshold pair set is
+    # bit-identical; per pair 3 interpreted folds -> 1.
+    e = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "_v"
+        ),
+        sim_ops.norm(F.col("embedding")).alias("_n"),
+    )
     par = spark.sparkContext.defaultParallelism
     l, r = e.repartition(par).alias("l"), e.alias("r")
     return (
         l.join(r, F.col("l._id") < F.col("r._id"))
         .withColumn(
-            "_cos", sim_ops.cosine_similarity(F.col("l._v"), F.col("r._v"))
+            "_cos",
+            sim_ops.dot(F.col("l._v"), F.col("r._v"))
+            / (F.col("l._n") * F.col("r._n")),
         )
         .filter(F.col("_cos") >= threshold)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))

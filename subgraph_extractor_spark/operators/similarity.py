@@ -143,11 +143,30 @@ def brute_force_topk(
     is a rank-filter window — Spark executes it as a running
     WindowExec after an in-partition sort of each query's candidates.
     """
+    # r12 session 2 (guide §1.2 per-task work): hoist the per-VECTOR
+    # terms of the cosine out of the per-PAIR expression.  The naive
+    # cosine_similarity per pair runs THREE interpreted HOF folds
+    # (dot + both norms) and 4d element casts; per pair only the dot
+    # depends on both rows, so the norm and the double-cast are
+    # computed once per row here and the pair expression is one
+    # zip_with/fold + one division.  BIT-IDENTICAL by construction:
+    # norm() over the pre-cast array folds the same doubles in the
+    # same order, and `_sim` divides the same dot value by the same
+    # (norm_q * norm_c) product the inline form used — so ranks and
+    # ties cannot move.  A/B: identical full output at sf0.001/0.01/
+    # 0.1, exact-truth side of the recall faces ~3x faster.
+    _dbl = lambda col: F.transform(  # noqa: E731
+        col, lambda x: x.cast("double")
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        _dbl(F.col(vec_col)).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        _dbl(F.col(vec_col)).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     if broadcast_corpus:
         # broadcast-NLJ parallelism = stream-side partition count; a
@@ -158,7 +177,11 @@ def brute_force_topk(
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "_sim",
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()

@@ -925,3 +925,59 @@ def test_banded_wide_config_mirrors_oracle(spark):
     tenant_of = {r[0]: r[0] % 2 for r in rows}
     for r in out2:
         assert tenant_of[r["query_id"]] == tenant_of[r["neighbor_id"]]
+
+
+def test_hoisted_cosine_bit_equals_inline(spark):
+    # r12: brute_force_topk (and __spark_entry__._exact_cosine_pairs)
+    # hoist the per-vector norm and double-cast out of the per-pair
+    # cosine.  The pair expression dot(pre-cast) / (norm_l * norm_r)
+    # must be BIT-equal to the inline cosine_similarity — same
+    # zip_with pairing and fold order, no-op inner cast on double
+    # input, same division association.  A zero-norm vector raises the
+    # same ANSI DIVIDE_BY_ZERO in both forms (same denominator
+    # product), so behavior matches there too.
+    import random
+    import struct
+
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    def hoisted(lv, rv):
+        return similarity.dot(
+            F.transform(lv, lambda x: x.cast("double")),
+            F.transform(rv, lambda x: x.cast("double")),
+        ) / (similarity.norm(lv) * similarity.norm(rv))
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(20)]
+    vecs.append(list(vecs[0]))  # exact duplicate: cosine == 1.0 tie
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, v array<float>",
+    )
+    l, r = df.alias("l"), df.alias("r")
+    pairs = l.join(r, F.col("l.id") < F.col("r.id")).select(
+        similarity.cosine_similarity(
+            F.col("l.v"), F.col("r.v")
+        ).alias("inline"),
+        hoisted(F.col("l.v"), F.col("r.v")).alias("hoisted"),
+    )
+    rows = pairs.collect()
+    assert len(rows) == 20 * 21 // 2
+    saw_one = False
+    for row in rows:
+        a, b = row["inline"], row["hoisted"]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (a, b)
+        saw_one = saw_one or a == 1.0
+    assert saw_one
+
+    zdf = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 2.0, 3.0, 4.0])], "id long, v array<float>"
+    )
+    zl, zr = zdf.alias("l"), zdf.alias("r")
+    zpairs = zl.join(zr, F.col("l.id") < F.col("r.id"))
+    for form in (
+        similarity.cosine_similarity(F.col("l.v"), F.col("r.v")),
+        hoisted(F.col("l.v"), F.col("r.v")),
+    ):
+        with pytest.raises(ArithmeticException):
+            zpairs.select(form.alias("c")).collect()
