@@ -575,6 +575,37 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def jaccard_union_free(
+    a: Column, b: Column, sa: Column, sb: Column
+) -> Column:
+    """``jaccard`` with the per-pair array_union pass replaced by set
+    algebra: |A ∪ B| = |Aset| + |Bset| - |A ∩ B|, where ``sa``/``sb``
+    are per-document DISTINCT set sizes (size(array_distinct(arr))) —
+    computed once per document BEFORE the pair join instead of one
+    hash-set pass + union-array materialization per candidate pair.
+
+    BIT-identical to ``jaccard`` for ANY input arrays (no distinctness
+    assumption): array_intersect/array_union already apply set
+    semantics, so the identity holds over the distinct views; the
+    union size is an exact small-integer value in double (≤ 2^31 ≪
+    2^53), and the final division sees the same two doubles.  The
+    zero-union branch fires exactly when sa + sb == inter == 0, i.e.
+    the same empty-vs-empty case.  (The minhash shingle kernel hashes
+    DISTINCT grams, but 32-bit crc32 can collide within one document —
+    the distinct-size form stays exact even there, where raw size()
+    would not.)"""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (sa + sb).cast("double") - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def _with_distinct_size(sh: DataFrame, out_col: str = "_s") -> DataFrame:
+    """Hoist the per-doc distinct shingle-set size for
+    :func:`jaccard_union_free` — one array_distinct pass per DOCUMENT,
+    amortized over every candidate pair the doc appears in."""
+    return sh.withColumn(out_col, F.size(F.array_distinct("_h")))
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -604,14 +635,24 @@ def minhash_dedup_pairs(
     # verification joins -> filter into the terminal checkpoint.  The
     # minhash kernel appears in exactly one branch (bucket_pairs
     # replaced the self-join), so it needs no cache at all.
-    sh = shingle_hashes(df, text_col, id_col, shingle_n).persist()
+    # r12: the distinct set size rides the cache (8 bytes/doc) so the
+    # verify stage can run union-free — one array_distinct pass per
+    # DOC at fill instead of one array_union pass per candidate PAIR.
+    sh = _with_distinct_size(
+        shingle_hashes(df, text_col, id_col, shingle_n)
+    ).persist()
     sh.count()
     cands = _minhash_pairs_lazy(sh, num_hashes, bands, max_bucket_size)
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a"), "id_a")
-        .withColumnRenamed("_h", "_h_a")
+        .withColumnsRenamed({"_h": "_h_a", "_s": "_s_a"})
         .join(sh.withColumnRenamed("_id", "id_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("_h_a"), F.col("_h")))
+        .withColumn(
+            "jaccard",
+            jaccard_union_free(
+                F.col("_h_a"), F.col("_h"), F.col("_s_a"), F.col("_s")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         # verified pairs are the small end product; checkpointing them
@@ -715,12 +756,20 @@ def minhash_dedup_incremental(
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
-    sh_all = sh_new.unionByName(sh_old)
+    # _s computed here, not on the persisted sides: corpus_hashes_df is
+    # caller-schema (_id, _h).  One array_distinct pass per cached doc
+    # row per join branch — still per-DOC, not per-pair.
+    sh_all = _with_distinct_size(sh_new.unionByName(sh_old))
     verified = (
         cands.join(sh_all.withColumnRenamed("_id", "id_a"), "id_a")
-        .withColumnRenamed("_h", "_h_a")
+        .withColumnsRenamed({"_h": "_h_a", "_s": "_s_a"})
         .join(sh_all.withColumnRenamed("_id", "id_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("_h_a"), F.col("_h")))
+        .withColumn(
+            "jaccard",
+            jaccard_union_free(
+                F.col("_h_a"), F.col("_h"), F.col("_s_a"), F.col("_s")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .distinct()
@@ -1697,16 +1746,30 @@ def minhash_dedup_pairs_portable(
         .filter(F.size("_ids") > 1)
     )
     cands = bucket_pairs(buckets)
+    shs = _with_distinct_size(sh)  # per-doc pass over the cached rows
     verified = (
         cands.join(
-            sh.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha")),
+            shs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_h").alias("_ha"),
+                F.col("_s").alias("_sa"),
+            ),
             "id_a",
         )
         .join(
-            sh.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb")),
+            shs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_h").alias("_hb"),
+                F.col("_s").alias("_sb"),
+            ),
             "id_b",
         )
-        .withColumn("jaccard", jaccard(F.col("_ha"), F.col("_hb")))
+        .withColumn(
+            "jaccard",
+            jaccard_union_free(
+                F.col("_ha"), F.col("_hb"), F.col("_sa"), F.col("_sb")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
@@ -1798,16 +1861,30 @@ def minhash_dedup_incremental_portable(
             sn.select("_id").distinct(), "_id", "left_anti"
         )
     )
+    union_hs = _with_distinct_size(union_h)
     verified = (
         cands.join(
-            union_h.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha")),
+            union_hs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_h").alias("_ha"),
+                F.col("_s").alias("_sa"),
+            ),
             "id_a",
         )
         .join(
-            union_h.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb")),
+            union_hs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_h").alias("_hb"),
+                F.col("_s").alias("_sb"),
+            ),
             "id_b",
         )
-        .withColumn("jaccard", jaccard(F.col("_ha"), F.col("_hb")))
+        .withColumn(
+            "jaccard",
+            jaccard_union_free(
+                F.col("_ha"), F.col("_hb"), F.col("_sa"), F.col("_sb")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
@@ -2284,15 +2361,28 @@ def prefix_filter_pairs_incremental(
         )
         .distinct()
     )
-    sa = union.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = union.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # union-free verify (r12, same as the full-run face): word_shingles
+    # arrays are distinct by construction, so the carried raw _s IS the
+    # distinct set size jaccard_union_free needs.
+    sa = union.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("_s").alias("_sa"),
+    )
+    sb = union.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("_s").alias("_sb"),
+    )
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+            jaccard_union_free(
+                F.col("_sha"), F.col("_shb"), F.col("_sa"), F.col("_sb")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -1588,3 +1588,42 @@ def test_cdc_chunks_sink_read_during_compaction_is_snapshot_consistent(
         .collect()
     }
     assert new_view == want_new
+
+
+def test_jaccard_union_free_bit_equals_jaccard(spark):
+    # r12: the minhash verify stages replace the per-pair array_union
+    # pass with |A∪B| = sa + sb - |A∩B| over hoisted per-doc DISTINCT
+    # sizes.  Set-algebra identity — must be bit-equal to jaccard()
+    # for ANY arrays, including ones with intra-array duplicates
+    # (crc32 can collide within a doc) and empty-vs-empty (0.0, not
+    # NULL or 1.0).
+    import struct
+
+    rows = [
+        (1, [1, 2, 3], [2, 3, 4]),          # plain overlap
+        (2, [1, 1, 2], [2, 3]),             # duplicate inside A
+        (3, [5, 5, 5], [5, 5]),             # both all-duplicates, J=1
+        (4, [1, 2], [3, 4]),                # disjoint, J=0
+        (5, [], []),                        # empty vs empty -> 0.0
+        (6, [], [1, 2]),                    # empty vs non-empty -> 0.0
+        (7, [7, 8, 9, 7], [9, 7, 10, 10]),  # dups both sides
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<long>, b array<long>"
+    )
+    sa = F.size(F.array_distinct("a"))
+    sb = F.size(F.array_distinct("b"))
+    got = df.select(
+        "id",
+        dedup.jaccard(F.col("a"), F.col("b")).alias("old"),
+        dedup.jaccard_union_free(
+            F.col("a"), F.col("b"), sa, sb
+        ).alias("new"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert struct.pack("<d", r["old"]) == struct.pack(
+            "<d", r["new"]
+        ), (r["id"], r["old"], r["new"])
+    vals = {r["id"]: r["new"] for r in got}
+    assert vals[3] == 1.0 and vals[4] == 0.0 and vals[5] == 0.0
