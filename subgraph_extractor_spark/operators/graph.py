@@ -352,6 +352,17 @@ def triangle_counts(
     Three shuffles total (degree agg, wedge join, closure join), all
     equi-joins — no BNLJ anywhere.
 
+    Wedge ORDERING filter (r12): the persisted oriented-edge table
+    carries each out-neighbor's degree, so the wedge self-join keeps
+    only pairs ordered by the SAME (degree, id) total order the
+    orientation used — d_u*(d_u-1)/2 wedges per node instead of d_u²
+    (both orderings + the diagonal).  A wedge (v, w) can close only if
+    (v, w) is an oriented edge, which requires exactly that order, so
+    the filter drops only never-closing rows (>2x fewer closure-join
+    probes; interleaved A/B at sf0.1's 1.2M-edge clique graph: 1.19-
+    1.35x, row sets identical — scripts/triangles_ab_r12.py).  Cost:
+    one extra BIGINT per persisted edge row.
+
     Output: (node, n_triangles) for every node of the graph (0 rows
     for isolated ids never appearing in an edge; nodes in no triangle
     report 0).  Every count is an exact BIGINT — full-value
@@ -380,22 +391,43 @@ def triangle_counts(
             F.when(
                 (F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("db").alias("dv"),
+                ),
             )
             .otherwise(
-                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("da").alias("dv"),
+                )
             )
             .alias("o")
         )
-        .select("o.u", "o.v")
+        .select("o.u", "o.v", "o.dv")
     )
     ed = ed.persist()
     ed.count()
-    # wedges u -> (v, w): unordered pair of out-neighbors, v before w in
-    # the SAME orientation order used for edges, so the closing edge
-    # (v, w) exists in `ed` iff the triangle exists — counted once
+    # wedges u -> (v, w): pair of out-neighbors with v before w in the
+    # SAME (degree, id) orientation order used for edges — the closing
+    # edge (v, w) exists in `ed` iff the triangle exists, and only
+    # order-respecting pairs can ever close, so the ordering predicate
+    # (evaluated inside the equi-join on u, before any row is emitted)
+    # halves the wedge stream without touching the result
     l, r = ed.alias("l"), ed.alias("r")
-    wedges = l.join(r, on=[F.col("l.u") == F.col("r.u")]).select(
+    wedges = l.join(
+        r,
+        on=[
+            F.col("l.u") == F.col("r.u"),
+            (F.col("l.dv") < F.col("r.dv"))
+            | (
+                (F.col("l.dv") == F.col("r.dv"))
+                & (F.col("l.v") < F.col("r.v"))
+            ),
+        ],
+    ).select(
         F.col("l.u").alias("w_u"),
         F.col("l.v").alias("w_v"),
         F.col("r.v").alias("w_w"),

@@ -336,6 +336,33 @@ def test_triangle_counts_known_graphs(spark):
     assert got_p == {1: 0, 2: 0, 3: 0, 4: 0}
 
 
+def test_triangle_counts_wedge_order_ties(spark):
+    """Focused pin for the r12 wedge-ordering filter: triangles whose
+    vertices tie on degree exercise the (degree, id) tie-break inside
+    the wedge join, and the hub/rim mix exercises the strict-degree
+    branch — a dropped mirror wedge or an over-pruned tie would lose
+    counts here."""
+    from subgraph_extractor_spark.operators.graph import triangle_counts
+
+    # two triangles sharing edge (1,2): deg(1)=deg(2)=3 (tied),
+    # deg(3)=deg(4)=2 (tied) — every wedge decision hits a tie on at
+    # least one side
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    # wheel W5: hub 0 (degree 5) + 5-cycle rim (degree 3 each) —
+    # 5 triangles, hub in all 5, each rim node in 2; hub-rim wedges
+    # take the strict-degree branch, rim-rim wedges the tie branch
+    rim = [(i, i % 5 + 1) for i in range(1, 6)]
+    hub = [(0, i) for i in range(1, 6)]
+    w = spark.createDataFrame(rim + hub, "src long, dst long")
+    got_w = {r["node"]: r["n_triangles"] for r in triangle_counts(w).collect()}
+    assert got_w == {0: 5, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
 def test_triangle_counts_match_bruteforce(spark):
     import itertools
     import random as _random
